@@ -1,0 +1,317 @@
+"""DOM main-content extractor ("dom") — the light extractor (A1 analog).
+
+Readability/trafilatura-style boilerplate stripping on a stdlib
+``html.parser`` tree (lxml is not available in this environment; the
+parse is still a single pass and the per-batch cost is amortized by the
+actor pool):
+
+  1. hard-drop non-content subtrees (script/style/head/nav/footer/...)
+     and elements whose class/id matches the boilerplate regex,
+  2. prune containers by link density (>0.5 of their text inside <a>),
+  3. walk the remaining tree in document order emitting typed blocks:
+     headings → ``#`` markdown, paragraphs, list items, blockquotes,
+     pre/code, tables → GitHub-markdown tables (the semantics of the
+     reference's ``_table_to_markdown``,
+     /root/reference/src/socr/core/born_digital.py:593-642), images →
+     figure spans, display-math → equation blocks.
+
+Units: ``<hr class="unit-sep">`` splits a document into units (the
+analog of PDF pages); most web pages are a single unit.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from .base import (
+    Block,
+    EQUATION,
+    FIGURE,
+    HEADING,
+    LIST,
+    PROSE,
+    QUOTE,
+    CODE,
+    TABLE,
+    UnitResult,
+)
+
+# Subtrees that never contain main content.
+_DROP_TAGS = frozenset(
+    "script style noscript template head title meta link svg iframe form button input select option nav footer aside".split()
+)
+# Readability-style boilerplate class/id hints (public-knowledge regex).
+_BOILERPLATE_RE = re.compile(
+    r"combine|comment|community|disqus|extra|foot|header|menu|related|remark"
+    r"|rss|share|shoutbox|sidebar|skyscraper|sponsor|ad-break|agegate"
+    r"|pagination|pager|popup|banner|breadcrumb|masthead|navbar|nav-|social",
+    re.IGNORECASE,
+)
+_BLOCK_TAGS = frozenset(
+    "p div section article main body h1 h2 h3 h4 h5 h6 li ul ol table blockquote pre hr br img td th tr".split()
+)
+_HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}
+_VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
+
+# Link-density pruning (trafilatura-style): a container more than half
+# of whose text sits inside anchors is navigation, not content.
+MAX_LINK_DENSITY = 0.5
+_CONTAINER_TAGS = frozenset("div section ul ol aside span".split())
+
+_DISPLAY_MATH_RE = re.compile(r"^\s*(\$\$.+?\$\$|\\\[.+?\\\])\s*$", re.DOTALL)
+
+
+class _Node:
+    __slots__ = ("tag", "hint", "children", "tail_texts")
+
+    def __init__(self, tag: str, hint: str = ""):
+        self.tag = tag
+        self.hint = hint  # class + id attribute values
+        self.children: list = []  # _Node | str
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        hint = " ".join(v or "" for k, v in attrs if k in ("class", "id"))
+        src = next((v or "" for k, v in attrs if k == "src"), "")
+        alt = next((v or "" for k, v in attrs if k == "alt"), "")
+        node = _Node(tag, hint)
+        if tag == "img":
+            node.hint = f"{src}|{alt}"
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID_TAGS:
+            self.stack.pop()
+
+    def handle_endtag(self, tag):
+        # Pop to the nearest matching open tag (tolerant of malformed HTML).
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def _text_and_link_len(node: _Node) -> tuple[int, int]:
+    """Total descendant text length and the part inside <a> subtrees."""
+    total = 0
+    linked = 0
+    stack = [(node, node.tag == "a")]
+    while stack:
+        n, in_a = stack.pop()
+        for child in n.children:
+            if isinstance(child, str):
+                length = len(child.strip())
+                total += length
+                if in_a:
+                    linked += length
+            else:
+                stack.append((child, in_a or child.tag == "a"))
+    return total, linked
+
+
+def _is_dropped(node: _Node) -> bool:
+    if node.tag in _DROP_TAGS:
+        return True
+    if node.hint and node.tag != "img" and _BOILERPLATE_RE.search(node.hint):
+        return True
+    if node.tag in _CONTAINER_TAGS:
+        total, linked = _text_and_link_len(node)
+        if total > 0 and linked / total > MAX_LINK_DENSITY:
+            return True
+    return False
+
+
+def _inline_text(node: _Node) -> str:
+    """Whitespace-collapsed text of a node's inline content."""
+    parts: list[str] = []
+    stack = list(reversed(node.children))
+    while stack:
+        child = stack.pop()
+        if isinstance(child, str):
+            parts.append(child)
+        elif child.tag == "br":
+            parts.append("\n")
+        elif child.tag == "img":
+            continue
+        elif not _is_dropped(child):
+            stack.extend(reversed(child.children))
+    text = "".join(parts)
+    # HTML whitespace collapse, preserving explicit <br> newlines.
+    lines = [" ".join(line.split()) for line in text.split("\n")]
+    return "\n".join(l for l in lines if l).strip()
+
+
+def _table_to_markdown(table: _Node) -> str:
+    """GitHub-markdown table: first row = header, rows padded to the max
+    column count (born_digital.py:593-642 semantics)."""
+    rows: list[list[str]] = []
+    stack = [table]
+    while stack:
+        n = stack.pop(0)
+        for child in n.children:
+            if isinstance(child, str):
+                continue
+            if child.tag == "tr":
+                cells = [
+                    " ".join(_inline_text(c).split())
+                    for c in child.children
+                    if not isinstance(c, str) and c.tag in ("td", "th")
+                ]
+                rows.append(cells)
+            elif child.tag in ("thead", "tbody", "tfoot", "table"):
+                stack.append(child)
+    rows = [r for r in rows if r]
+    if not rows:
+        return ""
+    col_count = max(len(r) for r in rows)
+    for r in rows:
+        r.extend("" for _ in range(col_count - len(r)))
+    lines = ["| " + " | ".join(rows[0]) + " |"]
+    lines.append("| " + " | ".join("---" for _ in range(col_count)) + " |")
+    for r in rows[1:]:
+        lines.append("| " + " | ".join(r) + " |")
+    return "\n".join(lines)
+
+
+def _emit_blocks(node: _Node, blocks: list[Block]) -> None:
+    """Document-order walk emitting typed blocks (M5 semantics)."""
+    pending_text: list[str] = []
+
+    def _flush():
+        if pending_text:
+            text = " ".join(" ".join(pending_text).split())
+            if text:
+                _append_prose(blocks, text)
+            pending_text.clear()
+
+    for child in node.children:
+        if isinstance(child, str):
+            if child.strip():
+                pending_text.append(child)
+            continue
+        if _is_dropped(child):
+            continue
+        tag = child.tag
+        if tag in _HEADING_LEVEL:
+            _flush()
+            text = _inline_text(child)
+            if text:
+                blocks.append(Block(HEADING, "#" * _HEADING_LEVEL[tag] + " " + text))
+        elif tag == "p":
+            _flush()
+            text = _inline_text(child)
+            if text:
+                _append_prose(blocks, text)
+        elif tag in ("ul", "ol"):
+            _flush()
+            items = [
+                _inline_text(li)
+                for li in child.children
+                if not isinstance(li, str) and li.tag == "li" and not _is_dropped(li)
+            ]
+            items = [i for i in items if i]
+            if items:
+                ordered = tag == "ol"
+                lines = [
+                    (f"{idx}. {item}" if ordered else f"- {item}")
+                    for idx, item in enumerate(items, 1)
+                ]
+                blocks.append(Block(LIST, "\n".join(lines)))
+        elif tag == "table":
+            _flush()
+            md = _table_to_markdown(child)
+            if md:
+                blocks.append(Block(TABLE, md))
+        elif tag == "blockquote":
+            _flush()
+            text = _inline_text(child)
+            if text:
+                blocks.append(Block(QUOTE, "\n".join("> " + l for l in text.split("\n"))))
+        elif tag == "pre":
+            _flush()
+            raw = _raw_text(child)
+            if raw.strip():
+                blocks.append(Block(CODE, raw.strip("\n")))
+        elif tag == "img":
+            _flush()
+            blocks.append(Block(FIGURE, "", meta=child.hint))
+        elif tag in ("a", "b", "i", "em", "strong", "span", "code", "sub", "sup", "u", "small"):
+            text = _inline_text(child)
+            if text:
+                pending_text.append(text)
+        else:
+            # Generic container: recurse in document order.
+            _flush()
+            _emit_blocks(child, blocks)
+    _flush()
+
+
+def _append_prose(blocks: list[Block], text: str) -> None:
+    """Prose block, or an equation block when the text is display math."""
+    if _DISPLAY_MATH_RE.match(text):
+        blocks.append(Block(EQUATION, text))
+    else:
+        blocks.append(Block(PROSE, text))
+
+
+def _raw_text(node: _Node) -> str:
+    parts = []
+    stack = list(reversed(node.children))
+    while stack:
+        child = stack.pop()
+        if isinstance(child, str):
+            parts.append(child)
+        else:
+            stack.extend(reversed(child.children))
+    return "".join(parts)
+
+
+def extract_html(html: bytes, text_layer: str = "") -> list[UnitResult]:
+    """Parse an HTML payload into units of typed blocks.
+
+    ``<hr class="unit-sep">`` elements split units; everything else is a
+    single unit. Decoding is utf-8 with replacement (lossy bytes never
+    crash the pipeline — they surface in the audit's garbage ratio).
+    """
+    try:
+        markup = html.decode("utf-8", "replace")
+        builder = _TreeBuilder()
+        builder.feed(markup)
+        builder.close()
+    except Exception as exc:  # pragma: no cover - parser is tolerant
+        return [UnitResult(unit_id=1, error=f"parse_error: {exc}")]
+
+    # Split the top-level walk into units at hr.unit-sep markers.
+    unit_nodes: list[_Node] = [_Node("#unit")]
+
+    def _split_units(node: _Node) -> None:
+        for child in node.children:
+            if not isinstance(child, str) and child.tag == "hr" and "unit-sep" in child.hint:
+                unit_nodes.append(_Node("#unit"))
+            elif not isinstance(child, str) and child.tag in ("html", "body"):
+                _split_units(child)
+            else:
+                unit_nodes[-1].children.append(child)
+
+    _split_units(builder.root)
+
+    units: list[UnitResult] = []
+    for idx, unit_node in enumerate(unit_nodes, 1):
+        blocks: list[Block] = []
+        _emit_blocks(unit_node, blocks)
+        units.append(UnitResult(unit_id=idx, blocks=blocks))
+    return units
