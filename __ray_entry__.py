@@ -1,44 +1,301 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+function here (or in smart_ocr_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the operator families of SURVEY.md §2 plus the
+training-data ops (dedup, similarity search, text analysis, multimodal
+plumbing). Where the semantics are exactly SQL-expressible the matching
+``oracle_sql()`` entry lets the driver verify values against DuckDB;
+pipeline/approximate/stateful ops are rows-only by design (extraction
+byte-identity is enforced by the pytest golden suite instead — see
+tests/test_pipeline_golden.py).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow.parquet as pq
+
+_SF001 = "/root/testdata/sf0.001"
+
+
+def _pages_path(sf_dir: str) -> str:
+    """Materialize the deterministic pages corpus derived from the
+    sf dir's documents table (cached per sf_dir under /tmp)."""
+    from smart_ocr_ray.fixtures import pages_from_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/smart_ocr_ray_pages_{tag}.parquet"
+    if not os.path.exists(path):
+        pq.write_table(pages_from_documents(sf_dir), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages → analyze → explode →
+    actor-pool extract → assemble. Returns the extracted Dataset."""
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    return extract_from_parquet(_pages_path(_SF001))
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_extract(sf_dir: str):
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    ds = extract_from_parquet(_pages_path(sf_dir))
+    return ds.drop_columns(["warc_ts"])
+
+
+def _q_extract_metrics(sf_dir: str):
+    import pandas as pd
+
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    ds = extract_from_parquet(_pages_path(sf_dir))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["route", "failure_mode"], as_index=False).agg(
+            n_docs=("url", "count"), words=("word_count", "sum")
+        )
+        return agg
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby(["route", "failure_mode"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("words", alias_name="words"))
+        .sort(["route", "failure_mode"])
+    )
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data
+
+    from smart_ocr_ray.ops.multimodal import decode_features, media_from_pages
+
+    pages = ray.data.read_parquet(_pages_path(sf_dir), columns=["url", "html"])
+    feats = decode_features(media_from_pages(pages))
+    return feats.drop_columns(["features"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from smart_ocr_ray.ops import dedup, relational, similarity, text_analysis
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction pipeline family (byte-identity enforced in pytest) ---
+        "extract_pipeline": _q_extract,
+        "extract_metrics": _q_extract_metrics,
+        # --- text analysis over documents ---
+        "doc_token_counts": text_analysis.token_counts,
+        "doc_quality": text_analysis.quality,
+        "lang_id": text_analysis.lang_id,
+        "doc_fingerprints": lambda sf: text_analysis.fingerprints(sf).drop_columns(["n_winnow"]),
+        "doc_winnow": lambda sf: text_analysis.fingerprints(sf).drop_columns(["text_md5"]),
+        # --- dedup family ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- similarity search ---
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ivf_topk": similarity.ivf_topk,
+        # --- relational / windowed ---
+        "pricing_summary": relational.pricing_summary,
+        "top_revenue_orders": relational.top_revenue_orders,
+        "customer_nation_rollup": relational.customer_nation_rollup,
+        "events_hourly": relational.events_hourly,
+        "sessionize_events": relational.sessionize_events,
+        "top_users_by_value": relational.top_users_by_value,
+        "supplier_part_counts": relational.supplier_part_counts,
+        # --- multimodal plumbing ---
+        "multimodal_features": _q_multimodal,
+    }
+
+
+# ---------------------------------------------------------------- oracles
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOP_EN = "['the','and','of','to','a','in','is','that','it','for']"
+_STOP_DE = "['der','die','das','und','ist','nicht','ein','mit','zu','von']"
+_STOP_ES = "['el','la','de','que','y','en','un','por','con','para']"
+_STOP_FR = "['le','la','de','et','est','un','une','dans','pour','que']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_counts": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKENS}) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\t\\r\\n\\x0b\\x0cA-Za-z0-9]')) AS n_bpeish
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE {_TOKENS} END AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   coalesce(list_sum(list_transform(toks, x -> len(x))), 0)::BIGINT AS token_chars,
+                   len(list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> x),
+                       x -> list_contains({_STOP_EN}, x))) AS stop_hits_en,
+                   round(
+                     0.4 * least(len(toks) / 100.0, 1.0)
+                   + 0.3 * least((len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> list_contains({_STOP_EN}, x)))
+                         / greatest(len(toks), 1)::DOUBLE) / 0.2, 1.0)
+                   + 0.15 * least((len(regexp_extract_all(text, '[.,;:!?]'))
+                         / greatest(len(toks), 1)::DOUBLE) / 0.1, 1.0)
+                   + 0.15 * (CASE WHEN len(toks) > 0
+                         AND list_sum(list_transform(toks, x -> len(x))) / len(toks)::DOUBLE BETWEEN 2.0 AND 12.0
+                         THEN 1.0 ELSE 0.0 END)
+                   , 6) AS quality_score
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains({_STOP_DE}, x))) AS s_de,
+                       len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains({_STOP_ES}, x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains({_STOP_FR}, x))) AS s_fr,
+                       len(toks) AS n
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN 'und'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) < 2 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM scored
+        """,
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_pairs": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+                FROM documents WHERE doc_id < 300
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+                FROM d
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), sims AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.q_emb) AS sim
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id ASC) AS rank
+                FROM sims
+            )
+            SELECT query_id, vec_id, CAST(round(sim * 1000) AS BIGINT) AS cos_sim_e3, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "pricing_summary": """
+            -- rounding grids match the true-value grids (qty integral,
+            -- prices exact cents, disc_price exact 1e-4) so results are
+            -- invariant to summation order; averages divide the rounded
+            -- sums, mirroring the Ray side exactly.
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+                   round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "customer_nation_rollup": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   round(sum(value), 4) AS sum_value,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize_events": """
+            WITH gaps AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sessions AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM gaps
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM sessions GROUP BY user_id, session_seq
+        """,
+        "top_users_by_value": """
+            SELECT user_id, round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC LIMIT 20
+        """,
+        "supplier_part_counts": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_suppkey
+        """,
+    }

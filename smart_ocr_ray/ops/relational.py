@@ -1,0 +1,263 @@
+"""Relational / windowed operator family over the TPC-H-ish tables.
+
+These exercise the engine's wide operators — grouped aggregates, hash
+joins, broadcast joins, top-k, tumbling windows — with DuckDB-checkable
+semantics. Aggregation always pre-combines inside ``map_batches``
+(partial sums per key per batch) before the shuffle, so the all-to-all
+moves one row per key per block instead of one per input row.
+
+Float aggregates are rounded (2dp money, 4dp ratios) in BOTH the Ray
+output and the oracle SQL so value-hash comparison is robust to
+summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _partial_then_final(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    counts: str | None = None,
+):
+    """Generic partial aggregation: per-batch pandas groupby emitting
+    (keys, partial sums, partial count), then a final groupby over the
+    small partials. Returns the final aggregated Dataset with columns
+    keys + list(sums) (+ counts)."""
+    sum_cols = list(sums)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        for out_col, expr_col in sums.items():
+            if out_col not in df.columns:
+                df[out_col] = df.eval(expr_col)
+        agg = df.groupby(keys, as_index=False)[sum_cols].sum()
+        if counts:
+            sizes = df.groupby(keys, as_index=False).size().rename(columns={"size": counts})
+            agg = agg.merge(sizes, on=keys)
+        return agg
+
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    if counts:
+        aggs.append(Sum(counts, alias_name=counts))
+    return partial.groupby(keys).aggregate(*aggs)
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-flavored pricing summary over lineitem with the shipdate
+    cutoff, grouped by (returnflag, linestatus)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=batch.schema.field("l_shipdate").type)
+        return batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+
+    filtered = ds.map_batches(_filter, batch_format="pyarrow")
+    agg = _partial_then_final(
+        filtered,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": "l_quantity",
+            "sum_base_price": "l_extendedprice",
+            "sum_disc_price": "l_extendedprice * (1 - l_discount)",
+        },
+        counts="count_order",
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        # Rounding grids are chosen so the true value is never on a
+        # rounding boundary (quantities are integral; prices are exact
+        # cents; disc_price is exact on the 1e-4 grid), making the
+        # result invariant to float summation order — a requirement for
+        # value-hash comparison against the DuckDB oracle. Averages
+        # divide the *rounded* sums so both engines divide identical
+        # doubles.
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_base_price"] = df["sum_base_price"].round(2)
+        df["sum_disc_price"] = df["sum_disc_price"].round(4)
+        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+        df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
+        return df
+
+    return agg.map_batches(_finish, batch_format="pandas").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def top_revenue_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Revenue per order (partial-agg + shuffle) hash-joined to orders,
+    top-k by revenue (ties broken by orderkey)."""
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    revenue = _partial_then_final(
+        lineitem, keys=["l_orderkey"], sums={"revenue": "l_extendedprice * (1 - l_discount)"}
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = revenue.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's hash join folds the right key into the left key column.
+        df = df.rename(columns={"l_orderkey": "o_orderkey"})
+        df["revenue"] = df["revenue"].round(2)
+        return df[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+
+    rounded = joined.map_batches(_round, batch_format="pandas")
+    # Top-k: sort is fine here (the revenue table has one row per order,
+    # already far smaller than lineitem). Deterministic tie-break.
+    top = rounded.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+    return top
+
+
+def customer_nation_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Order counts and totals per customer nation: orders ⋈ customer
+    (hash join) ⋈ nation (broadcast — nation is tiny, shipped once via
+    ray.put, J4/J6 broadcast-lookup pattern)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        customer, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    nation_df = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation_ref = ray.put(dict(zip(nation_df["n_nationkey"], nation_df["n_name"])))
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nation_ref)
+        df["n_name"] = df["c_nationkey"].map(lookup)
+        return df[["n_name", "o_totalprice"]]
+
+    tagged = joined.map_batches(_tag, batch_format="pandas")
+    agg = _partial_then_final(
+        tagged, keys=["n_name"], sums={"total_price": "o_totalprice"}, counts="n_orders"
+    )
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_price"] = df["total_price"].round(2)
+        return df
+
+    return agg.map_batches(_round, batch_format="pandas").sort("n_name")
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+
+    The windowed-aggregate operator: event-time tumbling windows are a
+    grouped aggregate on (key, floor(ts, window)) for a bounded log —
+    partial-combined per batch before the shuffle."""
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _window(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df[["event_type", "window_start", "value"]]
+
+    windowed = events.map_batches(_window, batch_format="pandas")
+    agg = _partial_then_final(
+        windowed, keys=["event_type", "window_start"], sums={"sum_value": "value"},
+        counts="n_events",
+    )
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return agg.map_batches(_round, batch_format="pandas").sort(["event_type", "window_start"])
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session windows per user: events sorted by ts within a user group;
+    a gap > gap_minutes starts a new session. groupby(user_id) keeps all
+    of a user's events on one worker; ordering is established inside the
+    group (never assumed from block order)."""
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _sessions(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for user_id, g in df.groupby("user_id"):
+            g = g.sort_values("ts")
+            gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+            session_ids = gaps.cumsum()
+            for sid, s in g.groupby(session_ids):
+                out.append(
+                    {
+                        "user_id": int(user_id),
+                        "session_seq": int(sid),
+                        "session_start": s["ts"].iloc[0],
+                        "session_end": s["ts"].iloc[-1],
+                        "n_events": len(s),
+                        "sum_value": round(float(s["value"].sum()), 4),
+                    }
+                )
+        return pd.DataFrame(out)
+
+    return events.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
+def top_users_by_value(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    events = _read(sf_dir, "events", columns=["user_id", "value"])
+    agg = _partial_then_final(events, keys=["user_id"], sums={"total_value": "value"})
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = df["total_value"].round(4)
+        return df
+
+    return (
+        agg.map_batches(_round, batch_format="pandas")
+        .sort(["total_value", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def supplier_part_counts(sf_dir: str) -> ray.data.Dataset:
+    """Distinct parts and total quantity per supplier from lineitem
+    (exact distinct via per-batch sets merged in the final groupby)."""
+    lineitem = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey", "l_quantity"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("l_suppkey")
+            .agg(parts=("l_partkey", lambda s: list(set(s))), qty=("l_quantity", "sum"))
+            .reset_index()
+        )
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        parts: set = set()
+        for lst in group["parts"]:
+            parts.update(lst)
+        return pd.DataFrame(
+            {
+                "l_suppkey": [group["l_suppkey"].iloc[0]],
+                "n_parts": [len(parts)],
+                "total_qty": [round(float(group["qty"].sum()), 2)],
+            }
+        )
+
+    return (
+        lineitem.map_batches(_partial, batch_format="pandas")
+        .groupby("l_suppkey")
+        .map_groups(_final, batch_format="pandas")
+        .sort("l_suppkey")
+    )
