@@ -142,13 +142,21 @@ def run_partitioned(
 
 
 def read_extracted(out_dir: str) -> ray.data.Dataset:
-    """Read all committed partitions back as one Dataset."""
-    parts = [
-        os.path.join(out_dir, d)
-        for d in sorted(os.listdir(out_dir))
-        if d.startswith("part=")
-    ]
-    return ray.data.read_parquet(parts)
+    """Read all committed partitions back as one Dataset.
+
+    (read_parquet takes a single directory or a list of files, not a
+    list of directories — enumerate the shard files explicitly.)
+    """
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("part="):
+            part_dir = os.path.join(out_dir, d)
+            files.extend(
+                os.path.join(part_dir, f)
+                for f in sorted(os.listdir(part_dir))
+                if f.endswith(".parquet")
+            )
+    return ray.data.read_parquet(files)
 
 
 def _rmtree(path: str) -> None:
