@@ -25,14 +25,28 @@ _SF001 = "/root/testdata/sf0.001"
 
 def _pages_path(sf_dir: str) -> str:
     """Materialize the deterministic pages corpus derived from the
-    sf dir's documents table (cached per sf_dir under /tmp)."""
+    sf dir's documents table, sharded into multiple parquet files so
+    the read stage parallelizes (cached per sf_dir under /tmp)."""
+    import pyarrow.parquet as pq
+
     from smart_ocr_ray.fixtures import pages_from_documents
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/tmp/smart_ocr_ray_pages_{tag}.parquet"
-    if not os.path.exists(path):
-        pq.write_table(pages_from_documents(sf_dir), path + ".tmp")
-        os.replace(path + ".tmp", path)
+    path = f"/tmp/smart_ocr_ray_pages_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table = pages_from_documents(sf_dir)
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        n_shards = max(1, min(16, table.num_rows // 64))
+        rows_per = (table.num_rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            shard = table.slice(s * rows_per, rows_per)
+            if shard.num_rows:
+                pq.write_table(shard, os.path.join(tmp, f"shard-{s:04d}.parquet"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        if os.path.exists(path):
+            import shutil; shutil.rmtree(path)
+        os.replace(tmp, path)
     return path
 
 

@@ -1,0 +1,186 @@
+"""Benchmark runner — prints ONE JSON line with the headline metric.
+
+Headline: documents/sec of the flagship extraction pipeline (read →
+analyze → explode → actor-pool extract → groupby(url) assemble →
+write_parquet) over the pages corpus derived from $GRAFT_SF_DIR's
+documents table. Additional per-query timings cover the dedup /
+similarity / relational operator families.
+
+    python bench.py                # sf dir from $GRAFT_SF_DIR (default sf0.1)
+    python bench.py --scaling      # fresh-process runs at 8 and 32 CPUs,
+                                   # reports throughputs + scaling efficiency
+
+This script OWNS its Ray session (scripts and the test fixture do;
+library code never does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Corpus replication factor (distinct urls per FIXTURES.md §2 scale
+# knobs): makes compute dominate fixed pipeline startup so throughput
+# and scaling-efficiency numbers measure the engine, not session setup.
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+
+
+def _pages_path(sf_dir: str) -> str:
+    """Materialize the deterministic pages corpus derived from the
+    sf dir's documents table, sharded into multiple parquet files so
+    the read stage parallelizes (cached per sf_dir under /tmp)."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import pages_from_documents
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/smart_ocr_ray_pages_{tag}_x{REPLICATE}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = pages_from_documents(sf_dir)
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        # Many small shard files: stateless map stages fuse with the
+        # read, so task parallelism == file count. ~256 rows/file keeps
+        # every core busy at any replication factor (and mirrors how a
+        # real 100 TB corpus arrives: thousands of WARC-derived shards).
+        rows_per_shard = 256
+        for r in range(REPLICATE):
+            # Distinct urls per replica; payloads shared (FIXTURES.md
+            # bench scale knob: repetition with distinct urls).
+            urls = pc.binary_join_element_wise(
+                base.column("url").cast(pa.string()), f"#r{r}", ""
+            )
+            replica = base.set_column(0, "url", urls)
+            for s, start in enumerate(range(0, replica.num_rows, rows_per_shard)):
+                pq.write_table(
+                    replica.slice(start, rows_per_shard),
+                    os.path.join(tmp, f"shard-{r:04d}-{s:04d}.parquet"),
+                )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR"
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from smart_ocr_ray.ops import dedup, relational, similarity, text_analysis
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    pages_path = _pages_path(SF_DIR)
+
+    # Warm the OS page cache (untimed) so we measure compute + shuffle.
+    for name in os.listdir(pages_path):
+        with open(os.path.join(pages_path, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    queries: dict[str, float] = {}
+
+    # Untimed warmup: spin up worker processes and import the library in
+    # each, so the timed run measures the engine, not interpreter spawn.
+    first_shard = os.path.join(
+        pages_path, sorted(f for f in os.listdir(pages_path) if f.endswith(".parquet"))[0]
+    )
+    for _ in extract_from_parquet(first_shard).limit(64).iter_batches(batch_format="pyarrow"):
+        pass
+
+    # --- headline: extraction pipeline, consumed by write_parquet ---
+    out_dir = "/tmp/bench_extracted"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = extract_from_parquet(pages_path)
+    ds.write_parquet(out_dir)
+    headline_sec = time.perf_counter() - t0
+    queries["extract_pipeline"] = round(headline_sec, 3)
+    import pyarrow.parquet as pq
+
+    n_docs = sum(
+        pq.read_metadata(os.path.join(pages_path, f)).num_rows
+        for f in os.listdir(pages_path)
+        if f.endswith(".parquet")
+    )
+
+    # --- operator-family queries (each consumed fully) ---
+    def timed(name: str, fn) -> None:
+        t = time.perf_counter()
+        result = fn(SF_DIR)
+        # Consume the dataset without driver materialization of payloads.
+        total = 0
+        for batch in result.iter_batches(batch_format="pyarrow"):
+            total += batch.num_rows
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    timed("dedup_exact", dedup.dedup_exact)
+    timed("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
+    timed("ann_cosine_topk", similarity.ann_cosine_topk)
+    timed("doc_quality", text_analysis.quality)
+    timed("pricing_summary", relational.pricing_summary)
+    timed("events_hourly", relational.events_hourly)
+
+    ray.shutdown()
+
+    docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0
+    return {
+        "metric": "extract_pipeline_docs_per_sec",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "headline_sec": round(headline_sec, 3),
+        "n_docs": n_docs,
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job in fresh processes at 8 and 32 CPUs on identical input;
+    efficiency = (throughput_32 / throughput_8) / (32 / 8)."""
+
+    def _run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = _run(lo)
+    r_hi = _run(hi)
+    eff = (r_lo["headline_sec"] / r_hi["headline_sec"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["headline_sec"],
+        "sec_hi": r_hi["headline_sec"],
+        "docs_per_sec_lo": r_lo["value"],
+        "docs_per_sec_hi": r_hi["value"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -53,24 +53,28 @@ _REFUSAL_RE = re.compile(
 )
 
 # Formatting-instruction hallucination bank (heuristics.py:57-71).
-_HALLUCINATION_PATTERNS = [
-    re.compile(p, re.IGNORECASE)
-    for p in (
-        r"Use a standard font",
-        r"print on \d+\.?\d*\s*[x×]\s*\d+",
-        r"Include (?:all )?(?:figures|tables|links|references)",
-        r"Include links to other resources",
-        r"Include page numbers",
-        r"Include captions",
-        r"Proofread your work",
-        r"double[- ]spaced",
-        r"single[- ]spaced",
-        r"Times New Roman",
-        r"formatting guidelines",
-        r"submission guidelines",
-        r"page margins",
-    )
-]
+# The count needs DISTINCT patterns present; most patterns are plain
+# case-insensitive literals, so they run as memchr-fast substring checks
+# on a lowercased copy (13 regex scans of the full text dominated the
+# audit profile). The two genuinely regex-shaped patterns keep a cheap
+# literal guard before their regex runs.
+_HALLUC_LITERALS = (
+    ("use a standard font",),
+    ("include links to other resources",),
+    ("include page numbers",),
+    ("include captions",),
+    ("proofread your work",),
+    ("double-spaced", "double spaced"),
+    ("single-spaced", "single spaced"),
+    ("times new roman",),
+    ("formatting guidelines",),
+    ("submission guidelines",),
+    ("page margins",),
+)
+_HALLUC_PRINT_RE = re.compile(r"print on \d+\.?\d*\s*[x×]\s*\d+", re.IGNORECASE)
+_HALLUC_INCLUDE_RE = re.compile(
+    r"Include (?:all )?(?:figures|tables|links|references)", re.IGNORECASE
+)
 
 _CID_RE = re.compile(r"\(cid:\d+\)")
 _SENTENCE_SPLIT_RE = re.compile(r"[.!?]\s+")
@@ -136,7 +140,15 @@ def hallucination_loop(text: str) -> bool:
 
 
 def formatting_hallucination_count(text: str) -> int:
-    return sum(1 for p in _HALLUCINATION_PATTERNS if p.search(text))
+    """Number of DISTINCT bank patterns present (≥2 fails, heuristics
+    223-234)."""
+    low = text.lower()
+    count = sum(1 for variants in _HALLUC_LITERALS if any(v in low for v in variants))
+    if "print on" in low and _HALLUC_PRINT_RE.search(text):
+        count += 1
+    if "include " in low and _HALLUC_INCLUDE_RE.search(text):
+        count += 1
+    return count
 
 
 def garbage_ratio(text: str) -> float:
@@ -153,7 +165,7 @@ def is_math_dense(text: str) -> bool:
     """>30% of chars in ``\\{}^_$`` → LaTeX, not garbage (heuristics.py:259-268)."""
     if not text:
         return False
-    latex_chars = sum(1 for c in text if c in "\\{}^_$")
+    latex_chars = sum(text.count(c) for c in "\\{}^_$")
     return latex_chars / len(text) > 0.30
 
 
@@ -234,7 +246,7 @@ def audit(text: str, expected_units: int = 0) -> AuditResult:
         if word_count / expected_units < 100:
             _error(TRUNCATED)
 
-    avg_word_len = sum(len(w) for w in words) / len(words) if words else 0.0
+    avg_word_len = sum(map(len, words)) / len(words) if words else 0.0
     if words and not (MIN_AVG_WORD_LENGTH <= avg_word_len <= MAX_AVG_WORD_LENGTH):
         warnings.append("avg_word_length")
 

@@ -1,15 +1,19 @@
 """The flagship extraction pipeline (SURVEY.md §3.4 target shape)::
 
     read_parquet(pages)                       # S1, column-pruned
-      → map_batches(analyze)                  # S3 + M1-M8, stateless, fused
-      → map_batches(explode)                  # M14/C7 skew path, stateless
-      → map_batches(ExtractDocuments, ...)    # A1-A3 + C3 + C5, actor pool
-      → groupby(url).map_groups(assemble)     # G1 — the single shuffle
+      → map_batches(explode)                  # M14/C7 skew path, O(1) sniffs
+      → map_batches(ExtractDocuments, ...)    # S3+M1-M13+A1-A3+C2-C5 per row
+      → groupby(part_key).map_groups(assemble)  # G1 — the single shuffle
       [→ write_parquet + manifests]           # S5-S6 via state.manifests
 
 Everything before the groupby is streaming map-only work; the raw
 payload bytes die at the extract stage, so the one all-to-all exchange
 moves only compact extracted text. No stage materializes the dataset.
+
+The full analysis (assessment cascade + routing, M1–M8) runs once per
+row INSIDE the extract stage — a separate analyze pass would scan every
+payload twice for no added parallelism. ``stages.analyze.analyze_batch``
+remains available as a standalone metrics/routing operator.
 """
 
 from __future__ import annotations
@@ -18,7 +22,6 @@ from typing import Optional
 
 import ray.data
 
-from ..stages.analyze import analyze_batch
 from ..stages.assemble import assemble_group
 from ..stages.explode import explode_batch
 from ..stages.extract import ExtractDocuments
@@ -36,42 +39,64 @@ def extract_pipeline(
     pages: ray.data.Dataset,
     *,
     extract_concurrency: Optional[int] = None,
-    extract_batch_size: int = 32,
+    extract_batch_size: int = 64,
     max_html_bytes: int = 256 * 1024,
     max_pages: int = 30,
     chunk_pages: int = 20,
     max_retries: int = 2,
+    use_actor_pool: bool = False,
 ) -> ray.data.Dataset:
     """Compose the full pipeline; returns the lazy extracted Dataset.
 
-    ``extract_batch_size`` is deliberately small: a batch is bounded by
-    rows × payload size, and multi-MB html rows need small batches so a
-    batch × pool concurrency stays within worker heaps (SURVEY.md
-    §7.4(2)). ``extract_concurrency=None`` sizes the actor pool to the
-    cluster's CPUs (autoscaling from 1); pass an int or (min, max) to
-    pin it.
-    """
-    if extract_concurrency is None:
-        import ray
+    ``extract_batch_size`` is deliberately modest: a batch is bounded by
+    rows × payload size, and multi-hundred-KB html rows need bounded
+    batches so batch × parallelism stays within worker heaps (SURVEY.md
+    §7.4(2)).
 
-        total_cpus = int(ray.cluster_resources().get("CPU", 4))
-        extract_concurrency = (1, max(2, total_cpus))
-    analyzed = pages.map_batches(analyze_batch, batch_format="pyarrow")
-    exploded = analyzed.map_batches(
+    ``use_actor_pool=False`` (default) runs the extract stage as
+    stateless tasks: its warm state — compiled regexes, routing tables —
+    lives at module level and is amortized per worker *process*, which
+    Ray reuses across tasks, so tasks get actor-pool warmth with full
+    elasticity (measured ~2× faster than a pool on a 32-core node: no
+    pool ramp-up, perfect work stealing). Set ``use_actor_pool=True``
+    (with ``extract_concurrency``) for extractor classes that hold
+    genuinely heavy per-actor state (a loaded model, a large index) —
+    the MinHash and multimodal-decode stages in ``ops/`` keep that
+    shape because they build real constructor state.
+    """
+    exploded = pages.map_batches(
         lambda b: explode_batch(
             b, max_pages=max_pages, chunk_pages=chunk_pages, max_html_bytes=max_html_bytes
         ),
         batch_format="pyarrow",
     )
-    units = exploded.map_batches(
-        ExtractDocuments,
-        fn_constructor_kwargs={"max_retries": max_retries},
-        batch_format="pyarrow",
-        batch_size=extract_batch_size,
-        concurrency=extract_concurrency,
-        num_cpus=1,
-    )
-    return units.groupby("url").map_groups(assemble_group, batch_format="pyarrow")
+    if use_actor_pool:
+        if extract_concurrency is None:
+            import ray
+
+            total_cpus = int(ray.cluster_resources().get("CPU", 4))
+            extract_concurrency = (max(1, total_cpus // 2), max(2, total_cpus))
+        units = exploded.map_batches(
+            ExtractDocuments,
+            fn_constructor_kwargs={"max_retries": max_retries},
+            batch_format="pyarrow",
+            batch_size=extract_batch_size,
+            concurrency=extract_concurrency,
+            num_cpus=1,
+        )
+    else:
+        extractor = ExtractDocuments(max_retries=max_retries)
+        units = exploded.map_batches(
+            lambda b: extractor(b),
+            batch_format="pyarrow",
+            batch_size=extract_batch_size,
+        )
+    # The one wide step: group by the numeric hash bucket (see
+    # stages/extract.py NUM_ASSEMBLY_BUCKETS) — equivalent to
+    # groupby("url") because every row of a url shares its bucket, but
+    # the shuffle sorts a single int64 instead of url strings and the
+    # range partitioner stays balanced under url-prefix skew.
+    return units.groupby("part_key").map_groups(assemble_group, batch_format="pyarrow")
 
 
 def extract_from_parquet(paths, **kwargs) -> ray.data.Dataset:

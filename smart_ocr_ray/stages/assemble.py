@@ -1,17 +1,24 @@
-"""Assembly stage — the one wide step (G1): ``groupby("url").map_groups``.
+"""Assembly stage — the one wide step (G1): groupby + per-group reduce.
 
 Hash-shuffles the *compact* unit rows (extracted text, never the raw
-payloads — the ``html`` column is dropped before the shuffle) and
-reduces each url group with the deterministic assembly rule
+payloads — the ``html`` column dies at the extract stage) grouped by
+the numeric ``part_key`` bucket, and reduces each document with the
+deterministic assembly rule
 (``/root/reference/src/socr/core/state.py:111-148``): chunk fragments
 merge sorted by ``sub_id``, units join sorted by ``unit_id`` with
-``"\\n\\n---\\n\\n"``. Ordering never relies on block order — the group
-is explicitly sorted inside the reducer (SURVEY.md §7.4(4)).
+``"\\n\\n---\\n\\n"``. Ordering never relies on block order — groups are
+explicitly sorted inside the reducer (SURVEY.md §7.4(4)).
+
+Fast path: the overwhelming majority of documents are a single unit
+with a single fragment; those rows convert column-to-column with no
+Python-per-row reduction. Only multi-row documents take the full merge
+path.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..document import assemble_units
 
@@ -44,11 +51,62 @@ _UNIT_KEYS = (
 )
 
 
+def _fast_single(batch: pa.Table) -> pa.Table:
+    """Vectorized assembly of single-row documents (1 unit, 1 fragment):
+    the unit text IS the document text; counts come from Arrow kernels."""
+    texts = batch.column("text")
+    word_counts = pc.list_value_length(pc.split_pattern_regex(texts, r"\s+"))
+    # split_pattern_regex("") → [""] (length 1); fix empties to 0.
+    empty = pc.equal(pc.utf8_length(texts), 0)
+    word_counts = pc.if_else(empty, pa.scalar(0, pa.int64()), pc.cast(word_counts, pa.int64()))
+    # audit_passed requires non-empty text (assemble_units: any_text).
+    passed = pc.and_(batch.column("audit_passed"), pc.invert(empty))
+    return pa.Table.from_arrays(
+        [
+            batch.column("url"),
+            batch.column("warc_ts"),
+            batch.column("lang"),
+            batch.column("content_hash"),
+            batch.column("n_bytes"),
+            texts,
+            batch.column("spans_json"),
+            batch.column("route"),
+            batch.column("extractors_tried"),
+            passed,
+            batch.column("failure_mode"),
+            pa.array([1] * batch.num_rows, pa.int32()),
+            word_counts,
+            pc.cast(pc.utf8_length(texts), pa.int64()),
+            batch.column("agreement"),
+            batch.column("confidence"),
+            batch.column("processing_ms"),
+        ],
+        schema=DOC_SCHEMA,
+    )
+
+
 def assemble_group(group: pa.Table) -> pa.Table:
-    """Reduce one url group (all unit/fragment rows of one document)."""
-    rows = group.to_pylist()
-    # A group is one url by construction of groupby("url"); tolerate a
-    # multi-url batch defensively by sub-grouping.
+    """Reduce one assembly group: all unit/fragment rows of the urls
+    hashed into this ``part_key`` bucket (every row of a url shares its
+    bucket, so documents are never split across groups)."""
+    urls = group.column("url")
+    counts = pc.value_counts(urls)
+    multi_urls = {
+        v["values"] for v in counts.to_pylist() if v["counts"] > 1
+    }
+
+    if not multi_urls:
+        return _fast_single(group)
+
+    multi_mask = pc.is_in(urls, value_set=pa.array(sorted(multi_urls), pa.string()))
+    single = group.filter(pc.invert(multi_mask))
+    multi = group.filter(multi_mask)
+
+    tables = []
+    if single.num_rows:
+        tables.append(_fast_single(single))
+
+    rows = multi.to_pylist()
     by_url: dict[str, list[dict]] = {}
     for r in rows:
         by_url.setdefault(r["url"], []).append(r)
@@ -68,4 +126,5 @@ def assemble_group(group: pa.Table) -> pa.Table:
             "confidence", "processing_ms",
         ):
             out[key].append(doc[key])
-    return pa.Table.from_pydict(out, schema=DOC_SCHEMA)
+    tables.append(pa.Table.from_pydict(out, schema=DOC_SCHEMA))
+    return pa.concat_tables(tables)

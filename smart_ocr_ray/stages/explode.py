@@ -4,7 +4,7 @@ The analog of the reference's PDF chunker
 (``/root/reference/src/socr/core/chunker.py:29-108``, thresholds
 ``config.py:109-110``: chunk documents >30 pages into ≤20-page chunks)
 re-expressed as a batch-level expansion so one pathological multi-MB
-row cannot stall an actor or blow a batch's memory budget:
+row cannot stall a worker or blow a batch's memory budget:
 
   * binary payloads with npages > ``max_pages`` are byte-sliced (no
     decompression) into ≤``chunk_pages``-page sub-payloads carrying a
@@ -15,10 +15,16 @@ row cannot stall an actor or blow a batch's memory budget:
     joined ``"\\n\\n"``) — byte-identical to the unchunked oracle
     because splits happen only at block boundaries.
 
-Rows routed ``native`` are never exploded (their payload is not
-parsed). Output blocks are dynamically split by Ray's block sizing, so
-chunks of one document land in different tasks and a straggler
-document parallelizes across workers.
+The routing decision here uses only O(1) sniffs — magic bytes, payload
+length, header page count, text-layer length — never a payload parse:
+an html row is chunked only when its text layer is too short to ever
+pass the native cascade (< 50 chars, assess.MIN_CHARS_FOR_TEXT_LAYER),
+which guarantees the document-level route of every exploded row is the
+payload route and fragments never shadow a native text layer.
+
+Output blocks are dynamically split by Ray's block sizing, so chunks of
+one document land in different tasks and a straggler document
+parallelizes across workers.
 """
 
 from __future__ import annotations
@@ -26,14 +32,14 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..extractors.layout import MAGIC, peek_npages, slice_pages
+from ..functions.assess import MIN_CHARS_FOR_TEXT_LAYER
 
 MAX_PAGES = 30     # config.py:109
 CHUNK_PAGES = 20   # config.py:110
 MAX_HTML_BYTES = 256 * 1024
 _P_BOUNDARY = b"</p>"
 
-_CARRY = ("url", "warc_ts", "lang", "text", "content_hash", "n_bytes",
-          "doc_kind", "route", "is_native")
+_CARRY = ("url", "warc_ts", "lang", "text")
 
 
 def split_html_bytes(html: bytes, target: int) -> list[bytes]:
@@ -64,42 +70,59 @@ def explode_batch(
     chunk_pages: int = CHUNK_PAGES,
     max_html_bytes: int = MAX_HTML_BYTES,
 ) -> pa.Table:
-    cols = {name: batch.column(name) for name in _CARRY}
     html_col = batch.column("html")
+    text_col = batch.column("text")
+
+    # Fast path: nothing oversized in this batch → zero-copy passthrough.
+    needs_explode = []
+    for i in range(batch.num_rows):
+        html = html_col[i].as_py() or b""
+        if html.startswith(MAGIC):
+            if peek_npages(html) > max_pages:
+                needs_explode.append(i)
+        elif len(html) > max_html_bytes:
+            text = text_col[i].as_py() or ""
+            if len(text) < MIN_CHARS_FOR_TEXT_LAYER:
+                needs_explode.append(i)
+    if not needs_explode:
+        return (
+            batch.append_column(
+                "route", pa.array([""] * batch.num_rows, pa.string())
+            )
+            .append_column("chunk_id", pa.array([0] * batch.num_rows, pa.int32()))
+            .append_column("unit_base", pa.array([0] * batch.num_rows, pa.int32()))
+        )
 
     out: dict[str, list] = {name: [] for name in _CARRY}
-    out["html"] = []
-    out["chunk_id"] = []
-    out["unit_base"] = []
+    out.update({"html": [], "route": [], "chunk_id": [], "unit_base": []})
+    cols = {name: batch.column(name) for name in _CARRY}
 
-    def _emit(i: int, html: bytes, chunk_id: int, unit_base: int) -> None:
+    def _emit(i: int, html: bytes, route: str, chunk_id: int, unit_base: int) -> None:
         for name in _CARRY:
             out[name].append(cols[name][i].as_py())
         out["html"].append(html)
+        out["route"].append(route)
         out["chunk_id"].append(chunk_id)
         out["unit_base"].append(unit_base)
 
+    explode_set = set(needs_explode)
     for i in range(batch.num_rows):
         html = html_col[i].as_py() or b""
-        route = cols["route"][i].as_py()
-        if route == "binary" and html.startswith(MAGIC):
+        if i not in explode_set:
+            _emit(i, html, "", 0, 0)
+        elif html.startswith(MAGIC):
             npages = peek_npages(html)
-            if npages > max_pages:
-                for ci, start in enumerate(range(0, npages, chunk_pages)):
-                    _emit(i, slice_pages(html, start, start + chunk_pages), ci, start)
-                continue
-        elif route == "html" and len(html) > max_html_bytes:
-            fragments = split_html_bytes(html, max_html_bytes)
-            if len(fragments) > 1:
-                for ci, frag in enumerate(fragments):
-                    _emit(i, frag, ci, 0)
-                continue
-        _emit(i, html, 0, 0)
+            for ci, start in enumerate(range(0, npages, chunk_pages)):
+                _emit(i, slice_pages(html, start, start + chunk_pages), "binary", ci, start)
+        else:
+            for ci, frag in enumerate(split_html_bytes(html, max_html_bytes)):
+                _emit(i, frag, "html", ci, 0)
 
     schema = pa.schema(
         [batch.schema.field(name) for name in _CARRY]
         + [
             pa.field("html", pa.binary()),
+            pa.field("route", pa.string()),
             pa.field("chunk_id", pa.int32()),
             pa.field("unit_base", pa.int32()),
         ]

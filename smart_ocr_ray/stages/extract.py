@@ -1,10 +1,7 @@
-"""Extract stage — the stateful actor-pool ``map_batches`` (A1–A3, C3, C5).
+"""Extract stage — the heavy per-row ``map_batches`` (A1–A3, C3, C5).
 
-A callable class so Ray runs it as an actor pool: per-actor setup in
-``__init__`` (the ``initialize()`` contract of the reference's HTTP
-engines, ``/root/reference/src/socr/engines/deepseek_vllm.py:73-93``),
-per-batch work in ``__call__``. Each input row (a document or one chunk
-of one) runs the full per-row dataflow —
+Each input row (a document or one chunk of one) runs the full per-row
+dataflow —
 
   assess → route-primary extract → normalize → audit →
   ≤2 failure-routed repair rounds → per-unit consensus selection
@@ -15,52 +12,68 @@ alternative extractor is local CPU work, so multi-pass dataflow with
 filter/union would only add scans and shuffles without adding
 parallelism.
 
+The stage is a callable class; the pipeline runs it either as stateless
+tasks (default — its warm state is module-level compiled regexes,
+amortized per worker process) or as an actor pool via
+``map_batches(ExtractDocuments, concurrency=...)`` for heavyweight
+extractor state (the ``initialize()`` contract of the reference's HTTP
+engines, ``/root/reference/src/socr/engines/deepseek_vllm.py:73-93``).
+
+Carried columns (url, timestamp, lang) are replicated to output rows
+with a vectorized Arrow ``take`` — only computed columns are built in
+Python.
+
 A wall-clock deadline guard replaces the reference's per-page SIGALRM
 (``figures/extractor.py:22-45`` — SIGALRM is unusable off the main
 thread, SURVEY.md §4.2): a row exceeding ``deadline_ms`` is emitted as
-a typed ``timeout`` failure row instead of stalling the actor forever.
+a typed ``timeout`` failure row instead of stalling the worker forever.
 """
 
 from __future__ import annotations
 
+import hashlib
 import time
+import zlib
 
 import pyarrow as pa
 
 from ..document import process_payload
 from ..functions.assess import Assessment, assess_row
 from ..functions import audit as au
-from ..functions.scoring import Attempt
 
-UNIT_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("warc_ts", pa.timestamp("us")),
-        ("lang", pa.string()),
-        ("content_hash", pa.string()),
-        ("n_bytes", pa.int64()),
-        ("unit_id", pa.int32()),
-        ("sub_id", pa.int32()),
-        ("text", pa.string()),
-        ("extractor", pa.string()),
-        ("audit_passed", pa.bool_()),
-        ("failure_mode", pa.string()),
-        ("confidence", pa.float64()),
-        ("n_attempts", pa.int32()),
-        ("extractors_tried", pa.string()),
-        ("agreement", pa.float64()),
-        ("spans_json", pa.string()),
-        ("route", pa.string()),
-        ("is_native", pa.bool_()),
-        ("processing_ms", pa.float64()),
-    ]
+# Assembly-bucket count. Tradeoff: map_groups invokes the reducer once
+# per bucket, so buckets must be few enough that a group amortizes its
+# Arrow-kernel overhead (≥~100 docs/bucket) yet numerous enough to keep
+# every reducer busy; 512 covers both on one node. On a large cluster
+# scale this with total cores (it is a parameter of the extract stage).
+NUM_ASSEMBLY_BUCKETS = 512
+
+_COMPUTED = (
+    "unit_id", "sub_id", "text", "extractor", "audit_passed", "failure_mode",
+    "confidence", "n_attempts", "extractors_tried", "agreement", "spans_json",
+    "route", "is_native", "processing_ms",
 )
 
-_CHUNK_ROUTE = {"html": "html", "binary": "binary"}
+_COMPUTED_TYPES = {
+    "unit_id": pa.int32(),
+    "sub_id": pa.int32(),
+    "text": pa.string(),
+    "extractor": pa.string(),
+    "audit_passed": pa.bool_(),
+    "failure_mode": pa.string(),
+    "confidence": pa.float64(),
+    "n_attempts": pa.int32(),
+    "extractors_tried": pa.string(),
+    "agreement": pa.float64(),
+    "spans_json": pa.string(),
+    "route": pa.string(),
+    "is_native": pa.bool_(),
+    "processing_ms": pa.float64(),
+}
 
 
 class ExtractDocuments:
-    """Actor-pool extract stage. ``max_retries`` bounds the repair loop
+    """Extract stage. ``max_retries`` bounds the repair loop
     (config.py:107 analog); ``deadline_ms`` is the per-row straggler
     guard."""
 
@@ -69,35 +82,33 @@ class ExtractDocuments:
         self.deadline_ms = deadline_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out: dict[str, list] = {name: [] for name in UNIT_SCHEMA.names}
-
-        urls = batch.column("url")
-        ts = batch.column("warc_ts")
-        langs = batch.column("lang")
         htmls = batch.column("html")
         texts = batch.column("text")
-        routes = batch.column("route")
-        natives = batch.column("is_native")
-        hashes = batch.column("content_hash")
-        sizes = batch.column("n_bytes")
+        routes = batch.column("route") if "route" in batch.column_names else None
         has_chunks = "chunk_id" in batch.column_names
         chunk_ids = batch.column("chunk_id") if has_chunks else None
         unit_bases = batch.column("unit_base") if has_chunks else None
+
+        take_indices: list[int] = []
+        computed: dict[str, list] = {name: [] for name in _COMPUTED}
+        part_keys: list[int] = []
+        content_hashes: list[str] = []
+        n_bytes: list[int] = []
+
+        url_col = batch.column("url")
 
         for i in range(batch.num_rows):
             html = htmls[i].as_py() or b""
             text = texts[i].as_py() or ""
             chunk_id = chunk_ids[i].as_py() if has_chunks else 0
             unit_base = unit_bases[i].as_py() if has_chunks else 0
-            is_chunk = chunk_id > 0 or unit_base > 0 or (
-                has_chunks and self._sibling_chunked(batch, i)
-            )
+            is_chunk = chunk_id > 0 or unit_base > 0
 
             if is_chunk:
-                # Chunk of an exploded document: route decided at the
-                # document level; fragments are never native and never
-                # re-assessed from partial bytes.
-                route = routes[i].as_py()
+                # Chunk of an exploded document: route was decided at
+                # the document level; fragments are never native and
+                # never re-assessed from partial bytes.
+                route = routes[i].as_py() if routes is not None else "html"
                 assessment = Assessment(
                     is_native=False, native_text="", confidence=0.0,
                     char_count=len(text), word_count=len(text.split()),
@@ -108,16 +119,6 @@ class ExtractDocuments:
                 )
             else:
                 assessment = assess_row(html, text)
-                # Trust the document-level routing decision from the
-                # analyze stage: for the head fragment (chunk 0) of an
-                # exploded document, re-assessment sees partial bytes
-                # and must not override the route (e.g. to native).
-                carried = routes[i].as_py()
-                if carried and carried != assessment.route:
-                    assessment.route = carried
-                    if carried != "native":
-                        assessment.is_native = False
-                        assessment.native_text = ""
 
             start = time.perf_counter()
             try:
@@ -131,42 +132,48 @@ class ExtractDocuments:
             if elapsed_ms > self.deadline_ms:
                 unit_rows = [_timeout_row(unit_base + 1, elapsed_ms)]
 
+            url = url_col[i].as_py()
+            part_key = zlib.crc32(url.encode("utf-8")) % NUM_ASSEMBLY_BUCKETS
+            content_hash = hashlib.sha256(html).hexdigest()
             for r in unit_rows:
-                out["url"].append(urls[i].as_py())
-                out["warc_ts"].append(ts[i].as_py())
-                out["lang"].append(langs[i].as_py())
-                out["content_hash"].append(hashes[i].as_py())
-                out["n_bytes"].append(sizes[i].as_py())
-                out["unit_id"].append(r["unit_id"])
+                take_indices.append(i)
+                part_keys.append(part_key)
+                content_hashes.append(content_hash)
+                n_bytes.append(len(html))
                 # html fragments: sub_id = chunk index within unit 1.
-                out["sub_id"].append(chunk_id if (is_chunk and unit_base == 0) else r["sub_id"])
-                for key in (
-                    "text", "extractor", "audit_passed", "failure_mode", "confidence",
-                    "n_attempts", "extractors_tried", "agreement", "spans_json",
-                    "route", "is_native", "processing_ms",
-                ):
-                    out[key].append(r[key])
+                sub_id = chunk_id if (is_chunk and unit_base == 0) else r["sub_id"]
+                for key in _COMPUTED:
+                    computed[key].append(sub_id if key == "sub_id" else r[key])
 
-        return pa.Table.from_pydict(out, schema=UNIT_SCHEMA)
-
-    @staticmethod
-    def _sibling_chunked(batch: pa.Table, i: int) -> bool:
-        # chunk_id==0 unit_base==0 is also the first chunk of an exploded
-        # doc; it is indistinguishable from an unchunked row by its own
-        # columns alone, and treating it as unchunked is correct: chunk 0
-        # contains the document head, and re-assessment of the head is
-        # the document-level assessment (the text layer rides along).
-        return False
+        indices = pa.array(take_indices, pa.int64())
+        out = pa.Table.from_pydict(
+            {
+                "url": batch.column("url").take(indices),
+                # part_key groups the assembly shuffle: numeric hash of
+                # the url so the sort-based shuffle sorts a single int64
+                # (not url strings) and url-prefix skew cannot
+                # range-cluster expensive documents into one reducer.
+                "part_key": pa.array(part_keys, pa.int64()),
+                "warc_ts": batch.column("warc_ts").take(indices),
+                "lang": batch.column("lang").take(indices),
+                "content_hash": pa.array(content_hashes, pa.string()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                **{
+                    key: pa.array(computed[key], _COMPUTED_TYPES[key])
+                    for key in _COMPUTED
+                },
+            }
+        )
+        return out
 
 
 def _error_row(unit_id: int, message: str) -> dict:
-    a = Attempt("none", "", False, au.PARSE_ERROR)
     return {
         "unit_id": unit_id, "sub_id": 0, "text": "", "extractor": "none",
         "audit_passed": False, "failure_mode": au.PARSE_ERROR, "confidence": 0.0,
         "n_attempts": 1, "extractors_tried": "none", "agreement": 1.0,
         "spans_json": "[]", "route": "error", "is_native": False,
-        "processing_ms": 0.0, "_message": message, "_attempt": a,
+        "processing_ms": 0.0,
     }
 
 
