@@ -223,8 +223,19 @@ def assemble_units(unit_rows: list[dict]) -> dict:
             passed = bool(r["audit_passed"])
             failure = r["failure_mode"]
         else:
+            # Fragment merge = plain join, NOT re-normalize: the oracle's
+            # unit text is itself the "\n\n" join of block-normalized
+            # texts (render_unit), and the blank line at every fragment
+            # boundary blocks each normalize rule from matching across
+            # it (line-repeat needs single-\n-adjacent lines; fragments
+            # are stripped so no 3+ blank runs; all other rules are
+            # per-char/per-line local) — so the join IS the normalized
+            # form, byte-identical to the unchunked oracle.
+            # The merged text IS re-audited: audit scans (refusal
+            # window, sentence-loop detection) legitimately cross
+            # fragment boundaries, and the oracle audits whole units.
             parts = [f["text"] for f in frags if f["text"]]
-            text = normalize("\n\n".join(parts))
+            text = "\n\n".join(parts)
             unit_spans = _rebase_spans(frags, text)
             result = au.audit(text)
             passed = result.passed

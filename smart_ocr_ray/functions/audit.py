@@ -255,22 +255,27 @@ def audit(text: str, expected_units: int = 0) -> AuditResult:
     if g_ratio > MAX_GARBAGE_RATIO and not math_dense:
         _error(GARBAGE)
 
-    uni = unicode_issues(text)
-    warnings.extend(uni)
-    rep = repeated_patterns(text)
-    if rep:
-        warnings.append("repeated_patterns")
-
     passed = error_count == 0
     if passed:
+        # Warning-level scans (unicode issues, repeated patterns,
+        # structure) feed only the confidence estimate of FAILED
+        # diagnoses (scorer.py:132-151) — skipping them on the passing
+        # fast path removes several full-text regex scans per document
+        # without changing any verdict or downstream value.
         return AuditResult(
             passed=True,
             word_count=word_count,
             garbage_ratio=g_ratio,
             avg_word_length=avg_word_len,
-            has_structure=has_structure(text),
+            has_structure=False,
             warnings=warnings,
         )
+
+    uni = unicode_issues(text)
+    warnings.extend(uni)
+    rep = repeated_patterns(text)
+    if rep:
+        warnings.append("repeated_patterns")
 
     primary = max(modes, key=lambda m: _PRIORITY.get(m, 0))
     confidence = _estimate_confidence(error_count, len(warnings))

@@ -31,8 +31,25 @@ PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 def read_pages(paths, parallelism: int = -1) -> ray.data.Dataset:
     """Read the pages table with column pruning (only the five canonical
-    columns leave storage)."""
-    return ray.data.read_parquet(paths, columns=PAGES_COLUMNS)
+    columns leave storage).
+
+    One block per input file: Ray's default block re-splitting multiplies
+    the block count several-fold, and the downstream groupby's shuffle
+    cost grows with map_blocks × reduce_partitions — measured 83k tiny
+    partition slices (100s of reduce time) at 288 blocks vs 6k at
+    file-count blocks. Shard files are the parallelism unit, as they are
+    for a real WARC-derived corpus.
+    """
+    import os
+
+    num_blocks = None
+    if isinstance(paths, str) and os.path.isdir(paths):
+        num_blocks = sum(1 for f in os.listdir(paths) if f.endswith(".parquet")) or None
+    elif isinstance(paths, (list, tuple)):
+        num_blocks = len(paths) or None
+    return ray.data.read_parquet(
+        paths, columns=PAGES_COLUMNS, override_num_blocks=num_blocks
+    )
 
 
 def extract_pipeline(
@@ -40,11 +57,12 @@ def extract_pipeline(
     *,
     extract_concurrency: Optional[int] = None,
     extract_batch_size: int = 64,
-    max_html_bytes: int = 256 * 1024,
+    max_html_bytes: int = 1024 * 1024,
     max_pages: int = 30,
     chunk_pages: int = 20,
     max_retries: int = 2,
     use_actor_pool: bool = False,
+    assembly_coalesce_rows: int = 4096,
 ) -> ray.data.Dataset:
     """Compose the full pipeline; returns the lazy extracted Dataset.
 
@@ -91,6 +109,15 @@ def extract_pipeline(
             batch_format="pyarrow",
             batch_size=extract_batch_size,
         )
+    # Identity coalesce ahead of the shuffle: the groupby's slice count
+    # is map_blocks × reduce_partitions, so many small upstream blocks
+    # (fine-grained extract tasks over thousands of shard files) would
+    # explode it quadratically. A no-op map_batches with a large
+    # batch_size merges blocks at Arrow concat speed — one cheap memcpy
+    # pass that bounds the shuffle's object count for any input layout.
+    units = units.map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=assembly_coalesce_rows
+    )
     # The one wide step: group by the numeric hash bucket (see
     # stages/extract.py NUM_ASSEMBLY_BUCKETS) — equivalent to
     # groupby("url") because every row of a url shares its bucket, but

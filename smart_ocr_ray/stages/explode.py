@@ -36,7 +36,12 @@ from ..functions.assess import MIN_CHARS_FOR_TEXT_LAYER
 
 MAX_PAGES = 30     # config.py:109
 CHUNK_PAGES = 20   # config.py:110
-MAX_HTML_BYTES = 256 * 1024
+# Chunk threshold for html payloads. Chunking exists to keep one
+# pathological row from stalling a worker (and to parallelize it); a
+# sub-MB parse is not a straggler, and every chunked document pays a
+# merged re-audit at assembly, so the threshold sits at 1 MiB (the
+# reference's analog: only >30-page documents chunk, config.py:109).
+MAX_HTML_BYTES = 1024 * 1024
 _P_BOUNDARY = b"</p>"
 
 _CARRY = ("url", "warc_ts", "lang", "text")
