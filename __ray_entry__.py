@@ -101,6 +101,42 @@ def _q_multimodal(sf_dir: str):
     return feats.drop_columns(["features"])
 
 
+def _q_consensus(sf_dir: str):
+    """Multi-extractor mode (C5/D5): every extractor runs, consensus
+    selects; agreement and attempt counts surface per doc."""
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    ds = extract_from_parquet(_pages_path(sf_dir), multi_extractor=True)
+    return ds.drop_columns(["warc_ts", "extracted_text", "spans_json"])
+
+
+def _q_figures(sf_dir: str):
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+    from smart_ocr_ray.pipelines.figures import describe_figures
+
+    return describe_figures(extract_from_parquet(_pages_path(sf_dir)))
+
+
+def _q_score(sf_dir: str):
+    """Benchmark scoring job (F1-F4/G7): pipeline output scored against
+    the single-row oracle as ground truth; exact match ⇒ wer=0, nes=1."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.document import oracle_extract
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+    from smart_ocr_ray.pipelines.score import rollup_by_extractor, score_against_golden
+
+    pages = pq.read_table(_pages_path(sf_dir))
+    golden = {
+        pages["url"][i].as_py(): oracle_extract(
+            pages["html"][i].as_py(), pages["text"][i].as_py()
+        )["extracted_text"]
+        for i in range(pages.num_rows)
+    }
+    extracted = extract_from_parquet(_pages_path(sf_dir))
+    return rollup_by_extractor(score_against_golden(extracted, golden))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from smart_ocr_ray.ops import dedup, relational, similarity, text_analysis
 
@@ -108,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- extraction pipeline family (byte-identity enforced in pytest) ---
         "extract_pipeline": _q_extract,
         "extract_metrics": _q_extract_metrics,
+        "extract_consensus": _q_consensus,
+        "figure_captions": _q_figures,
+        "score_vs_oracle": _q_score,
         # --- text analysis over documents ---
         "doc_token_counts": text_analysis.token_counts,
         "doc_quality": text_analysis.quality,

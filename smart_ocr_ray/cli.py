@@ -1,0 +1,111 @@
+"""Command-line entry points (the ``socr process`` analog).
+
+    python -m smart_ocr_ray.cli extract --input DIR_OR_FILE --output DIR \\
+        [--partitions 8] [--multi-extractor] [--resume/--no-resume]
+    python -m smart_ocr_ray.cli score --extracted DIR --golden FILE
+    python -m smart_ocr_ray.cli fixtures --rows 1000 --output FILE
+
+Owns the Ray session (guarded init, per the repo's session contract);
+exits with the session shut down so the next run starts clean.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from .state.manifests import run_partitioned
+
+    summary = run_partitioned(
+        args.input,
+        args.output,
+        num_partitions=args.partitions,
+        input_sig=args.input_sig,
+        multi_extractor=args.multi_extractor,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_score(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    import pyarrow.parquet as pq
+
+    from .pipelines.score import rollup_by_extractor, score_against_golden
+    from .state.manifests import read_extracted
+
+    golden_table = pq.read_table(args.golden)
+    golden = dict(
+        zip(
+            golden_table.column("url").to_pylist(),
+            golden_table.column("extracted_text").to_pylist(),
+        )
+    )
+    extracted = read_extracted(args.extracted)
+    rollup = rollup_by_extractor(score_against_golden(extracted, golden))
+    for row in rollup.take_all():
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_fixtures(args: argparse.Namespace) -> int:
+    import pyarrow.parquet as pq
+
+    from .fixtures import generate_pages
+
+    table = generate_pages(args.rows, seed=args.seed)
+    pq.write_table(table, args.output)
+    print(f"wrote {table.num_rows} rows to {args.output}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="smart_ocr_ray")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("extract", help="run the extraction pipeline, resumably")
+    p.add_argument("--input", required=True, help="pages parquet file or directory")
+    p.add_argument("--output", required=True, help="output directory (partitioned)")
+    p.add_argument("--partitions", type=int, default=8)
+    p.add_argument("--input-sig", default="", help="input fingerprint for resume validity")
+    p.add_argument("--multi-extractor", action="store_true")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("score", help="WER/CER/NES vs a golden table")
+    p.add_argument("--extracted", required=True)
+    p.add_argument("--golden", required=True)
+    p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("fixtures", help="generate a synthetic pages table")
+    p.add_argument("--rows", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_fixtures)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

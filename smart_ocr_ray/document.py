@@ -50,12 +50,19 @@ def process_payload(
     assessment: Assessment | None = None,
     unit_base: int = 0,
     max_retries: int = MAX_RETRIES,
+    multi_extractor: bool = False,
 ) -> list[dict]:
     """Extract one payload (a whole document or one chunk) into unit rows.
 
     Returns one dict per unit with the best attempt selected. The repair
     loop is bounded (tried-set monotone, ≤ max_retries extra rounds) and
     entirely row-local — no driver state, per SURVEY.md §7.4(3).
+
+    ``multi_extractor=True`` is the reference's multi-engine mode
+    (orchestrator.py:640-716 + consensus.py:334-529): EVERY extractor in
+    the payload's chain runs, all attempts accumulate per unit (D5
+    union), and consensus scoring — grounded against the native text
+    layer when one exists — selects the winner.
     """
     t0 = time.perf_counter()
     a = assessment or assess_row(html, text_layer)
@@ -78,24 +85,25 @@ def process_payload(
     unit_attempts: dict[int, list[Attempt]] = {}
     extractor = primary
 
+    if multi_extractor:
+        from .repair_routing import chain_for
+
+        for name in chain_for(a.doc_kind, a.route):
+            units = _run_extractor(name, html, text_layer, unit_base)
+            tried.append(name)
+            for u in units:
+                unit_attempts.setdefault(u.unit_id, []).append(
+                    _attempt_from_unit(u, name, a)
+                )
+        return _select_rows(unit_attempts, a, tried, t0)
+
     for _ in range(max_retries + 1):
         units = _run_extractor(extractor, html, text_layer, unit_base)
         tried.append(extractor)
         for u in units:
-            if u.error:
-                attempt = Attempt(extractor, "", False, au.PARSE_ERROR)
-            else:
-                text, spans = render_unit(u)
-                result = au.audit(text)
-                attempt = Attempt(
-                    extractor,
-                    text,
-                    result.passed,
-                    result.primary_failure,
-                    confidence=result.confidence if not result.passed else a.confidence,
-                    spans=spans,
-                )
-            unit_attempts.setdefault(u.unit_id, []).append(attempt)
+            unit_attempts.setdefault(u.unit_id, []).append(
+                _attempt_from_unit(u, extractor, a)
+            )
 
         failing = {
             uid: atts
@@ -116,6 +124,28 @@ def process_payload(
             break
         extractor = nxt
 
+    return _select_rows(unit_attempts, a, tried, t0)
+
+
+def _attempt_from_unit(u, extractor: str, a: Assessment) -> Attempt:
+    if u.error:
+        return Attempt(extractor, "", False, au.PARSE_ERROR)
+    text, spans = render_unit(u)
+    result = au.audit(text)
+    return Attempt(
+        extractor,
+        text,
+        result.passed,
+        result.primary_failure,
+        confidence=result.confidence if not result.passed else a.confidence,
+        spans=spans,
+    )
+
+
+def _select_rows(
+    unit_attempts: dict[int, list[Attempt]], a: Assessment, tried: list[str], t0: float
+) -> list[dict]:
+    """Per-unit consensus selection + row emission (C5, J1)."""
     rows = []
     single_unit = len(unit_attempts) == 1
     for uid in sorted(unit_attempts):

@@ -16,7 +16,24 @@ import numpy as np
 
 
 def levenshtein(seq_a, seq_b) -> int:
-    """Edit distance between two sequences (str or list of tokens)."""
+    """Edit distance between two sequences (str or list of tokens).
+
+    Common prefix/suffix are trimmed first (exactness-preserving): for
+    the dominant scoring cases — identical texts, or texts differing in
+    a bounded region — the quadratic DP runs only on the differing core.
+    """
+    # Trim common prefix.
+    lo = 0
+    hi_a, hi_b = len(seq_a), len(seq_b)
+    while lo < hi_a and lo < hi_b and seq_a[lo] == seq_b[lo]:
+        lo += 1
+    # Trim common suffix (not crossing the prefix).
+    while hi_a > lo and hi_b > lo and seq_a[hi_a - 1] == seq_b[hi_b - 1]:
+        hi_a -= 1
+        hi_b -= 1
+    seq_a = seq_a[lo:hi_a]
+    seq_b = seq_b[lo:hi_b]
+
     m, n = len(seq_a), len(seq_b)
     if m == 0:
         return n

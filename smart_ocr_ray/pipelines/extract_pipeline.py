@@ -63,6 +63,7 @@ def extract_pipeline(
     max_retries: int = 2,
     use_actor_pool: bool = False,
     assembly_coalesce_rows: int = 4096,
+    multi_extractor: bool = False,
 ) -> ray.data.Dataset:
     """Compose the full pipeline; returns the lazy extracted Dataset.
 
@@ -96,14 +97,16 @@ def extract_pipeline(
             extract_concurrency = (max(1, total_cpus // 2), max(2, total_cpus))
         units = exploded.map_batches(
             ExtractDocuments,
-            fn_constructor_kwargs={"max_retries": max_retries},
+            fn_constructor_kwargs={
+                "max_retries": max_retries, "multi_extractor": multi_extractor,
+            },
             batch_format="pyarrow",
             batch_size=extract_batch_size,
             concurrency=extract_concurrency,
             num_cpus=1,
         )
     else:
-        extractor = ExtractDocuments(max_retries=max_retries)
+        extractor = ExtractDocuments(max_retries=max_retries, multi_extractor=multi_extractor)
         units = exploded.map_batches(
             lambda b: extractor(b),
             batch_format="pyarrow",

@@ -77,9 +77,15 @@ class ExtractDocuments:
     (config.py:107 analog); ``deadline_ms`` is the per-row straggler
     guard."""
 
-    def __init__(self, max_retries: int = 2, deadline_ms: float = 30_000.0):
+    def __init__(
+        self,
+        max_retries: int = 2,
+        deadline_ms: float = 30_000.0,
+        multi_extractor: bool = False,
+    ):
         self.max_retries = max_retries
         self.deadline_ms = deadline_ms
+        self.multi_extractor = multi_extractor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column("html")
@@ -125,6 +131,7 @@ class ExtractDocuments:
                 unit_rows = process_payload(
                     html, text, assessment=assessment, unit_base=unit_base,
                     max_retries=self.max_retries,
+                    multi_extractor=self.multi_extractor,
                 )
             except Exception as exc:
                 unit_rows = [_error_row(unit_base + 1, f"{type(exc).__name__}: {exc}")]
