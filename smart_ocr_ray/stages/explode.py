@@ -29,6 +29,8 @@ parallelizes across workers.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyarrow as pa
 
 from ..extractors.layout import MAGIC, peek_npages, slice_pages
@@ -89,9 +91,20 @@ def explode_batch(
             text = text_col[i].as_py() or ""
             if len(text) < MIN_CHARS_FOR_TEXT_LAYER:
                 needs_explode.append(i)
+    # Whole-document fingerprint, computed BEFORE any split so chunked
+    # documents keep the payload-level hash (the resume filter keys on
+    # sha256 of the full payload, metadata.py:58-67 semantics).
+    hashes = [
+        hashlib.sha256(html_col[i].as_py() or b"").hexdigest()
+        for i in range(batch.num_rows)
+    ]
+    sizes = [len(html_col[i].as_py() or b"") for i in range(batch.num_rows)]
+
     if not needs_explode:
         return (
-            batch.append_column(
+            batch.append_column("content_hash", pa.array(hashes, pa.string()))
+            .append_column("doc_bytes", pa.array(sizes, pa.int64()))
+            .append_column(
                 "route", pa.array([""] * batch.num_rows, pa.string())
             )
             .append_column("chunk_id", pa.array([0] * batch.num_rows, pa.int32()))
@@ -99,12 +112,15 @@ def explode_batch(
         )
 
     out: dict[str, list] = {name: [] for name in _CARRY}
-    out.update({"html": [], "route": [], "chunk_id": [], "unit_base": []})
+    out.update({"content_hash": [], "doc_bytes": [], "html": [], "route": [],
+                "chunk_id": [], "unit_base": []})
     cols = {name: batch.column(name) for name in _CARRY}
 
     def _emit(i: int, html: bytes, route: str, chunk_id: int, unit_base: int) -> None:
         for name in _CARRY:
             out[name].append(cols[name][i].as_py())
+        out["content_hash"].append(hashes[i])
+        out["doc_bytes"].append(sizes[i])
         out["html"].append(html)
         out["route"].append(route)
         out["chunk_id"].append(chunk_id)
@@ -126,6 +142,8 @@ def explode_batch(
     schema = pa.schema(
         [batch.schema.field(name) for name in _CARRY]
         + [
+            pa.field("content_hash", pa.string()),
+            pa.field("doc_bytes", pa.int64()),
             pa.field("html", pa.binary()),
             pa.field("route", pa.string()),
             pa.field("chunk_id", pa.int32()),

@@ -31,7 +31,6 @@ a typed ``timeout`` failure row instead of stalling the worker forever.
 
 from __future__ import annotations
 
-import hashlib
 import time
 import zlib
 
@@ -94,6 +93,10 @@ class ExtractDocuments:
         has_chunks = "chunk_id" in batch.column_names
         chunk_ids = batch.column("chunk_id") if has_chunks else None
         unit_bases = batch.column("unit_base") if has_chunks else None
+        # Whole-document fingerprints carried from the explode stage
+        # (fragment bytes must not re-hash — resume keys on the payload).
+        hash_col = batch.column("content_hash") if "content_hash" in batch.column_names else None
+        size_col = batch.column("doc_bytes") if "doc_bytes" in batch.column_names else None
 
         take_indices: list[int] = []
         computed: dict[str, list] = {name: [] for name in _COMPUTED}
@@ -141,12 +144,19 @@ class ExtractDocuments:
 
             url = url_col[i].as_py()
             part_key = zlib.crc32(url.encode("utf-8")) % NUM_ASSEMBLY_BUCKETS
-            content_hash = hashlib.sha256(html).hexdigest()
+            if hash_col is not None:
+                content_hash = hash_col[i].as_py()
+                doc_bytes = size_col[i].as_py()
+            else:
+                import hashlib
+
+                content_hash = hashlib.sha256(html).hexdigest()
+                doc_bytes = len(html)
             for r in unit_rows:
                 take_indices.append(i)
                 part_keys.append(part_key)
                 content_hashes.append(content_hash)
-                n_bytes.append(len(html))
+                n_bytes.append(doc_bytes)
                 # html fragments: sub_id = chunk index within unit 1.
                 sub_id = chunk_id if (is_chunk and unit_base == 0) else r["sub_id"]
                 for key in _COMPUTED:

@@ -141,6 +141,44 @@ def run_partitioned(
     return summary
 
 
+def completed_hashes(out_dir: str) -> set[str]:
+    """Content hashes of every document already committed (J5): the
+    within-partition resume key. Reads only the two key columns."""
+    done: set[str] = set()
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    if not os.path.isdir(manifest_dir):
+        return done
+    for batch in read_extracted(out_dir).select_columns(["content_hash"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        done.update(batch.column("content_hash").to_pylist())
+    return done
+
+
+def filter_processed(pages: ray.data.Dataset, done: set[str]) -> ray.data.Dataset:
+    """Drop input rows whose payload hash is already committed (S2 —
+    the reference's sha256 skip-if-processed, metadata.py:58-67). The
+    done-set ships once via ``ray.put`` and each batch filters with a
+    vectorized membership test."""
+    import hashlib
+
+    import ray as _ray
+
+    done_ref = _ray.put(frozenset(done))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        seen = _ray.get(done_ref)
+        mask = pa.array(
+            [
+                hashlib.sha256(h or b"").hexdigest() not in seen
+                for h in batch.column("html").to_pylist()
+            ]
+        )
+        return batch.filter(mask)
+
+    return pages.map_batches(_filter, batch_format="pyarrow")
+
+
 def read_extracted(out_dir: str) -> ray.data.Dataset:
     """Read all committed partitions back as one Dataset.
 
