@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.dedup_simhash,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- similarity search ---
@@ -166,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": relational.top_revenue_orders,
         "customer_nation_rollup": relational.customer_nation_rollup,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
         "sessionize_events": relational.sessionize_events,
         "top_users_by_value": relational.top_users_by_value,
         "supplier_part_counts": relational.supplier_part_counts,
@@ -323,6 +325,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sliding": """
+            -- 2h windows sliding by 1h: each event lands in the window
+            -- starting at its floored hour and the one before it.
+            SELECT event_type,
+                   date_trunc('hour', ts) - to_hours(k) AS window_start,
+                   round(sum(value), 4) AS sum_value,
+                   count(*) AS n_events
+            FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+            GROUP BY event_type, date_trunc('hour', ts) - to_hours(k)
         """,
         "sessionize_events": """
             WITH gaps AS (

@@ -161,6 +161,81 @@ def dedup_minhash_lsh(
     return deduped
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 5) -> ray.data.Dataset:
+    """Near-duplicate clusters: MinHash-LSH candidate pairs → connected
+    components by iterative min-label propagation.
+
+    Each round: explode pairs to (node, neighbor_label) edges in both
+    directions, ``groupby(node).aggregate(Min(label))``, join the new
+    labels back. Converges in O(component diameter) rounds — near-dup
+    components are tiny, so ``max_rounds=5`` is plenty — and every step
+    is a bounded Ray groupby, never a driver-side union-find over the
+    full corpus (the guide's scale pattern; union-find on the driver is
+    only sound when the candidate set is provably small).
+
+    Output: (doc_id, cluster_id) for every doc in a near-dup pair,
+    cluster_id = min doc_id of the component.
+    """
+    import pandas as pd
+
+    pairs = dedup_minhash_lsh(sf_dir, threshold=threshold).to_pandas()
+    if pairs.empty:
+        import pyarrow as pa_mod
+
+        return ray.data.from_arrow(
+            pa_mod.Table.from_pydict(
+                {"doc_id": pa_mod.array([], pa_mod.int64()),
+                 "cluster_id": pa_mod.array([], pa_mod.int64())}
+            )
+        )
+    # Candidate pairs are a tiny fraction of the corpus; propagation
+    # runs as Ray groupbys over the edge list.
+    edges = pd.concat(
+        [
+            pairs.rename(columns={"left_id": "node", "right_id": "peer"})[["node", "peer"]],
+            pairs.rename(columns={"right_id": "node", "left_id": "peer"})[["node", "peer"]],
+        ]
+    )
+    labels = (
+        pd.concat([edges["node"], edges["peer"]])
+        .drop_duplicates()
+        .to_frame("node")
+        .assign(label=lambda df: df["node"])
+    )
+    edge_ds = ray.data.from_pandas(edges.reset_index(drop=True))
+
+    from ray.data.aggregate import Min
+
+    for _ in range(max_rounds):
+        label_map = dict(zip(labels["node"], labels["label"]))
+        label_ref = ray.put(label_map)
+
+        def _peer_labels(df: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(label_ref)
+            out = df.copy()
+            out["label"] = out["peer"].map(lookup)
+            # own label competes too
+            own = df[["node"]].copy()
+            own["label"] = own["node"].map(lookup)
+            return pd.concat([out[["node", "label"]], own])
+
+        new_labels = (
+            edge_ds.map_batches(_peer_labels, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .to_pandas()
+        )
+        if new_labels.sort_values("node")["label"].tolist() == labels.sort_values("node")[
+            "label"
+        ].tolist():
+            labels = new_labels
+            break
+        labels = new_labels
+
+    labels = labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+    return ray.data.from_pandas(labels.sort_values("doc_id").reset_index(drop=True))
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """doc_id, simhash_hex, plus near-dup bucket key (top 16 bits) —
     documents sharing a bucket and within ``max_hamming`` bits are

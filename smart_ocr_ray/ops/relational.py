@@ -187,6 +187,38 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(_round, batch_format="pandas").sort(["event_type", "window_start"])
 
 
+def events_sliding(sf_dir: str, window_hours: int = 2, slide_hours: int = 1) -> ray.data.Dataset:
+    """Sliding windows per event_type: each event contributes to every
+    window whose span covers it (window = [start, start + window_hours),
+    starts every slide_hours). Implemented as a bounded flat-map — each
+    event explodes to its window_hours/slide_hours window starts —
+    followed by the standard partial-combined grouped aggregate, so the
+    shuffle still moves one row per (key, window) per block."""
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    spans = window_hours // slide_hours
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{slide_hours}h")
+        frames = []
+        for k in range(spans):
+            f = df[["event_type", "value"]].copy()
+            f["window_start"] = base - pd.Timedelta(hours=k * slide_hours)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = events.map_batches(_explode, batch_format="pandas")
+    agg = _partial_then_final(
+        exploded, keys=["event_type", "window_start"], sums={"sum_value": "value"},
+        counts="n_events",
+    )
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return agg.map_batches(_round, batch_format="pandas").sort(["event_type", "window_start"])
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user: events sorted by ts within a user group;
     a gap > gap_minutes starts a new session. groupby(user_id) keeps all
