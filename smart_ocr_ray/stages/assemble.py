@@ -89,16 +89,20 @@ def assemble_group(group: pa.Table) -> pa.Table:
     """Reduce one assembly group: all unit/fragment rows of the urls
     hashed into this ``part_key`` bucket (every row of a url shares its
     bucket, so documents are never split across groups)."""
-    urls = group.column("url")
-    counts = pc.value_counts(urls)
-    multi_urls = {
+    # Document identity = (url, content_hash): recrawls of a url are
+    # distinct documents; chunks of one capture share the payload hash.
+    keys = pc.binary_join_element_wise(
+        group.column("url"), group.column("content_hash"), ":"
+    )
+    counts = pc.value_counts(keys)
+    multi_keys = {
         v["values"] for v in counts.to_pylist() if v["counts"] > 1
     }
 
-    if not multi_urls:
+    if not multi_keys:
         return _fast_single(group)
 
-    multi_mask = pc.is_in(urls, value_set=pa.array(sorted(multi_urls), pa.string()))
+    multi_mask = pc.is_in(keys, value_set=pa.array(sorted(multi_keys), pa.string()))
     single = group.filter(pc.invert(multi_mask))
     multi = group.filter(multi_mask)
 
@@ -107,12 +111,12 @@ def assemble_group(group: pa.Table) -> pa.Table:
         tables.append(_fast_single(single))
 
     rows = multi.to_pylist()
-    by_url: dict[str, list[dict]] = {}
+    by_url: dict[tuple, list[dict]] = {}
     for r in rows:
-        by_url.setdefault(r["url"], []).append(r)
+        by_url.setdefault((r["url"], r["content_hash"]), []).append(r)
 
     out: dict[str, list] = {name: [] for name in DOC_SCHEMA.names}
-    for url, unit_rows in sorted(by_url.items()):
+    for (url, _chash), unit_rows in sorted(by_url.items()):
         doc = assemble_units([{k: r[k] for k in _UNIT_KEYS} for r in unit_rows])
         first = unit_rows[0]
         out["url"].append(url)

@@ -143,7 +143,6 @@ class ExtractDocuments:
                 unit_rows = [_timeout_row(unit_base + 1, elapsed_ms)]
 
             url = url_col[i].as_py()
-            part_key = zlib.crc32(url.encode("utf-8")) % NUM_ASSEMBLY_BUCKETS
             if hash_col is not None:
                 content_hash = hash_col[i].as_py()
                 doc_bytes = size_col[i].as_py()
@@ -152,6 +151,13 @@ class ExtractDocuments:
 
                 content_hash = hashlib.sha256(html).hexdigest()
                 doc_bytes = len(html)
+            # Group key includes the payload hash: a recrawled url (two
+            # input rows, same url, different capture) must assemble as
+            # two documents, never silently merge; chunks of one
+            # document share the whole-payload hash so they still meet.
+            part_key = zlib.crc32(
+                f"{url}:{content_hash}".encode("utf-8")
+            ) % NUM_ASSEMBLY_BUCKETS
             for r in unit_rows:
                 take_indices.append(i)
                 part_keys.append(part_key)
