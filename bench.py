@@ -187,7 +187,7 @@ def run_scaling() -> dict:
 
     def _run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE="1")
-        env.setdefault("GRAFT_BENCH_RUNS", "2")
+        env.setdefault("GRAFT_BENCH_RUNS", "1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -196,8 +196,18 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    r_lo = _run(lo)
-    r_hi = _run(hi)
+    # Interleave lo/hi samples so host-level CPU-steal periods (this is
+    # a VM; single-run wall jitters up to ±30%) bias both levels
+    # equally; take the per-level minimum across rounds.
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    r_lo, r_hi = None, None
+    for _ in range(rounds):
+        cur_lo = _run(lo)
+        cur_hi = _run(hi)
+        if r_lo is None or cur_lo["headline_sec"] < r_lo["headline_sec"]:
+            r_lo = cur_lo
+        if r_hi is None or cur_hi["headline_sec"] < r_hi["headline_sec"]:
+            r_hi = cur_hi
     eff = (r_lo["headline_sec"] / r_hi["headline_sec"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",

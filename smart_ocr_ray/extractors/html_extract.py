@@ -63,7 +63,7 @@ _DISPLAY_MATH_RE = re.compile(r"^\s*(\$\$.+?\$\$|\\\[.+?\\\])\s*$", re.DOTALL)
 
 
 class _Node:
-    __slots__ = ("tag", "hint", "children", "tail_texts")
+    __slots__ = ("tag", "hint", "children")
 
     def __init__(self, tag: str, hint: str = ""):
         self.tag = tag
@@ -78,12 +78,16 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        hint = " ".join(v or "" for k, v in attrs if k in ("class", "id"))
-        src = next((v or "" for k, v in attrs if k == "src"), "")
-        alt = next((v or "" for k, v in attrs if k == "alt"), "")
+        if attrs:
+            if tag == "img":
+                src = next((v or "" for k, v in attrs if k == "src"), "")
+                alt = next((v or "" for k, v in attrs if k == "alt"), "")
+                hint = f"{src}|{alt}"
+            else:
+                hint = " ".join(v or "" for k, v in attrs if k in ("class", "id"))
+        else:
+            hint = ""
         node = _Node(tag, hint)
-        if tag == "img":
-            node.hint = f"{src}|{alt}"
         self.stack[-1].children.append(node)
         if tag not in _VOID_TAGS:
             self.stack.append(node)

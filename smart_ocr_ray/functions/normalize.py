@@ -145,6 +145,14 @@ def normalize(text: str, extractor: str = "") -> str:
     if not text:
         return text
 
+    if not extractor and "\n" not in text and "\r" not in text and text.isascii():
+        # Single-line ASCII fast path — provably equal to the full rule
+        # pipeline: CRLF/fence/line-repeat/blank-collapse all require a
+        # newline; NFKC and the unicode map are identity on ASCII;
+        # trailing-ws + final strip() reduce to strip(). Most block
+        # texts (whitespace-collapsed inline prose) take this path.
+        return text.strip()
+
     cleaner = _SPECIFIC_CLEANERS.get(extractor.lower()) if extractor else None
     if cleaner is not None:
         text = cleaner(text)
