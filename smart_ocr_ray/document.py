@@ -95,6 +95,7 @@ def process_payload(
                 unit_attempts.setdefault(u.unit_id, []).append(
                     _attempt_from_unit(u, name, a)
                 )
+        _reconcile_latex(unit_attempts)
         return _select_rows(unit_attempts, a, tried, t0)
 
     for _ in range(max_retries + 1):
@@ -125,6 +126,37 @@ def process_payload(
         extractor = nxt
 
     return _select_rows(unit_attempts, a, tried, t0)
+
+
+def _reconcile_latex(unit_attempts: dict[int, list[Attempt]]) -> None:
+    """HPC-mode reconciliation (reconciler.py:67-135): when a unit has a
+    passing primary attempt and a different attempt carries display
+    LaTeX the primary lacks or typesets worse, merge the better blocks
+    into the primary's text in place. Attempt order is the priority
+    order, so the first passing attempt plays the primary role."""
+    from .functions.reconcile import extract_latex_blocks, merge_latex
+
+    for atts in unit_attempts.values():
+        if len(atts) < 2:
+            continue
+        primary = next((at for at in atts if at.audit_passed), None)
+        if primary is None:
+            continue
+        for other in atts:
+            if other is primary or not other.text:
+                continue
+            if not any(b.is_display for b in extract_latex_blocks(other.text)):
+                continue
+            merged, count = merge_latex(primary.text, other.text)
+            if count and merged != primary.text:
+                primary.text = merged
+                # Offsets shifted; degrade to a whole-text span rather
+                # than let stale offsets lie.
+                unit_id = primary.spans[0]["unit_id"] if primary.spans else 0
+                primary.spans = [
+                    {"unit_id": unit_id, "kind": "prose", "start": 0,
+                     "end": len(merged), "meta": ""}
+                ]
 
 
 def _attempt_from_unit(u, extractor: str, a: Assessment) -> Attempt:

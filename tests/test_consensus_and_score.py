@@ -133,3 +133,26 @@ def test_cli_fixtures_and_extract(ray_session, tmp_path):
     ) == 0
     manifest = json.loads((out / "_manifests" / "part-0.json").read_text())
     assert manifest["status"] == "completed"
+
+
+def test_multi_extractor_latex_reconciliation():
+    """HPC-mode reconcile: an equation present only in a secondary
+    attempt's output merges into the passing primary's text."""
+    # Build an html doc whose dom extraction lacks the display equation
+    # (inside a boilerplate-stripped container) while rawtext keeps it.
+    sentences = " ".join(
+        f"Sentence number {i} discusses the quarterly results in moderate detail."
+        for i in range(12)
+    )
+    body = (
+        b"<p>The model solution is given by: as derived below. "
+        + sentences.encode() + b"</p>"
+    )
+    eq = b'<div class="sidebar"><p>$$x = \\frac{-b}{2a}$$</p></div>'
+    html = b"<html><body>" + body + eq + b"</body></html>"
+    rows = process_payload(html, "", multi_extractor=True)
+    r = rows[0]
+    # dom dropped the sidebar equation; rawtext kept it; reconciliation
+    # inserted it at the "given by:" reference phrase.
+    assert r["extractor"] == "dom"
+    assert "$$x = \\frac{-b}{2a}$$" in r["text"]
