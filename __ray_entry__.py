@@ -137,6 +137,53 @@ def _q_score(sf_dir: str):
     return rollup_by_extractor(score_against_golden(extracted, golden))
 
 
+def _q_calibration(sf_dir: str):
+    """Calibration profiles (G8 analog of the reference's
+    benchmark/calibrate.py:155-287): per (extractor, route) document
+    counts, pass rate, mean agreement/confidence, mean words — the
+    per-engine/category quality profile that drives routing decisions."""
+    import pandas as pd
+
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    ds = extract_from_parquet(_pages_path(sf_dir))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["passed"] = df["audit_passed"].astype(float)
+        agg = df.groupby(["extractor", "route"], as_index=False).agg(
+            n_docs=("url", "count"),
+            passed=("passed", "sum"),
+            agreement=("agreement", "sum"),
+            confidence=("confidence", "sum"),
+            words=("word_count", "sum"),
+        )
+        return agg
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby(["extractor", "route"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("passed", alias_name="passed"),
+            Sum("agreement", alias_name="agreement"),
+            Sum("confidence", alias_name="confidence"),
+            Sum("words", alias_name="words"),
+        )
+    )
+
+    def _rates(df: pd.DataFrame) -> pd.DataFrame:
+        df["pass_rate"] = (df["passed"] / df["n_docs"]).round(6)
+        df["mean_agreement"] = (df["agreement"] / df["n_docs"]).round(6)
+        df["mean_confidence"] = (df["confidence"] / df["n_docs"]).round(6)
+        df["mean_words"] = (df["words"] / df["n_docs"]).round(2)
+        return df[["extractor", "route", "n_docs", "pass_rate", "mean_agreement",
+                   "mean_confidence", "mean_words"]]
+
+    return final.map_batches(_rates, batch_format="pandas").sort(["extractor", "route"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from smart_ocr_ray.ops import dedup, relational, similarity, text_analysis
 
@@ -147,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_consensus": _q_consensus,
         "figure_captions": _q_figures,
         "score_vs_oracle": _q_score,
+        "calibration_profiles": _q_calibration,
         # --- text analysis over documents ---
         "doc_token_counts": text_analysis.token_counts,
         "doc_quality": text_analysis.quality,

@@ -232,6 +232,7 @@ def _unit_row(
         "unit_id": unit_id,
         "sub_id": 0,
         "text": attempt.text,
+        "word_count": len(attempt.text.split()),
         "extractor": attempt.extractor,
         "audit_passed": attempt.audit_passed,
         "failure_mode": attempt.failure_mode,

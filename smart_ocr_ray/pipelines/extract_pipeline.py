@@ -118,8 +118,12 @@ def extract_pipeline(
     # explode it quadratically. A no-op map_batches with a large
     # batch_size merges blocks at Arrow concat speed — one cheap memcpy
     # pass that bounds the shuffle's object count for any input layout.
+    # num_cpus=0.5 deliberately differs from the extract stage so the
+    # two do NOT fuse: fusion would impose the huge coalesce batch size
+    # on the extract stage itself (few giant poorly-balanced tasks).
     units = units.map_batches(
-        lambda b: b, batch_format="pyarrow", batch_size=assembly_coalesce_rows
+        lambda b: b, batch_format="pyarrow", batch_size=assembly_coalesce_rows,
+        num_cpus=0.5,
     )
     # The one wide step: group by the numeric hash bucket (see
     # stages/extract.py NUM_ASSEMBLY_BUCKETS) — equivalent to
@@ -130,4 +134,35 @@ def extract_pipeline(
 
 
 def extract_from_parquet(paths, **kwargs) -> ray.data.Dataset:
+    """Pipeline over parquet input, with the pre-shuffle coalesce sized
+    to the corpus: the shuffle's slice count is map_blocks ×
+    reduce_partitions, so post-coalesce block count must stay ~64
+    regardless of row count (a fixed batch_size degrades quadratically
+    as the corpus grows). Row count comes from parquet footers — a
+    driver-side metadata peek, no data read."""
+    if "assembly_coalesce_rows" not in kwargs:
+        total_rows = _estimate_rows(paths)
+        if total_rows:
+            kwargs["assembly_coalesce_rows"] = max(4096, total_rows // 64)
     return extract_pipeline(read_pages(paths), **kwargs)
+
+
+def _estimate_rows(paths) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if isinstance(paths, str) and os.path.isdir(paths):
+            files = [
+                os.path.join(paths, f)
+                for f in os.listdir(paths)
+                if f.endswith(".parquet")
+            ]
+        elif isinstance(paths, str):
+            files = [paths]
+        else:
+            files = list(paths)
+        return sum(pq.read_metadata(f).num_rows for f in files)
+    except Exception:
+        return 0

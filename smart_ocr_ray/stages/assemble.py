@@ -55,10 +55,10 @@ def _fast_single(batch: pa.Table) -> pa.Table:
     """Vectorized assembly of single-row documents (1 unit, 1 fragment):
     the unit text IS the document text; counts come from Arrow kernels."""
     texts = batch.column("text")
-    word_counts = pc.list_value_length(pc.split_pattern_regex(texts, r"\s+"))
-    # split_pattern_regex("") → [""] (length 1); fix empties to 0.
+    # word_count is computed once in the extract stage (Arrow's regex
+    # split materializes every token just to count them — 40x slower).
+    word_counts = batch.column("word_count")
     empty = pc.equal(pc.utf8_length(texts), 0)
-    word_counts = pc.if_else(empty, pa.scalar(0, pa.int64()), pc.cast(word_counts, pa.int64()))
     # audit_passed requires non-empty text (assemble_units: any_text).
     passed = pc.and_(batch.column("audit_passed"), pc.invert(empty))
     return pa.Table.from_arrays(

@@ -48,7 +48,7 @@ from ..functions import audit as au
 NUM_ASSEMBLY_BUCKETS = 512
 
 _COMPUTED = (
-    "unit_id", "sub_id", "text", "extractor", "audit_passed", "failure_mode",
+    "unit_id", "sub_id", "text", "word_count", "extractor", "audit_passed", "failure_mode",
     "confidence", "n_attempts", "extractors_tried", "agreement", "spans_json",
     "route", "is_native", "processing_ms",
 )
@@ -57,6 +57,7 @@ _COMPUTED_TYPES = {
     "unit_id": pa.int32(),
     "sub_id": pa.int32(),
     "text": pa.string(),
+    "word_count": pa.int64(),
     "extractor": pa.string(),
     "audit_passed": pa.bool_(),
     "failure_mode": pa.string(),
@@ -192,7 +193,7 @@ class ExtractDocuments:
 
 def _error_row(unit_id: int, message: str) -> dict:
     return {
-        "unit_id": unit_id, "sub_id": 0, "text": "", "extractor": "none",
+        "unit_id": unit_id, "sub_id": 0, "text": "", "word_count": 0, "extractor": "none",
         "audit_passed": False, "failure_mode": au.PARSE_ERROR, "confidence": 0.0,
         "n_attempts": 1, "extractors_tried": "none", "agreement": 1.0,
         "spans_json": "[]", "route": "error", "is_native": False,
@@ -202,7 +203,7 @@ def _error_row(unit_id: int, message: str) -> dict:
 
 def _timeout_row(unit_id: int, elapsed_ms: float) -> dict:
     return {
-        "unit_id": unit_id, "sub_id": 0, "text": "", "extractor": "none",
+        "unit_id": unit_id, "sub_id": 0, "text": "", "word_count": 0, "extractor": "none",
         "audit_passed": False, "failure_mode": au.TIMEOUT, "confidence": 0.0,
         "n_attempts": 1, "extractors_tried": "none", "agreement": 1.0,
         "spans_json": "[]", "route": "timeout", "is_native": False,
