@@ -106,7 +106,15 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
-            self.stack[-1].children.append(data)
+            # Merge adjacent text nodes: the parser splits character data
+            # at arbitrary internal boundaries ('<', entities) and the
+            # block emitter joins separate text children with a space —
+            # contiguous markup text must stay one node.
+            children = self.stack[-1].children
+            if children and isinstance(children[-1], str):
+                children[-1] += data
+            else:
+                children.append(data)
 
 
 def _text_and_link_len(node: _Node) -> tuple[int, int]:
@@ -297,7 +305,7 @@ _TOKEN_RE = re.compile(
     r"|<\?[^>]*>"                                          # processing instr.
     r"|</\s*([a-zA-Z][a-zA-Z0-9:-]*)\s*>"                  # end tag (g1)
     r"|<([a-zA-Z][a-zA-Z0-9:-]*)"                          # start tag (g2)
-    r"((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*)"                  # attrs (g3)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"                   # attrs (g3, '<' allowed like stdlib)
     r"(/?)>",                                              # self-close (g4)
     re.DOTALL,
 )
@@ -308,6 +316,13 @@ _RAWTEXT_CLOSE = {
     "script": re.compile(r"</script\s*>", re.IGNORECASE),
     "style": re.compile(r"</style\s*>", re.IGNORECASE),
 }
+
+
+def _append_data(children: list, data: str) -> None:
+    if children and isinstance(children[-1], str):
+        children[-1] += data
+    else:
+        children.append(data)
 
 
 def _fast_build(markup: str) -> _Node:
@@ -330,15 +345,13 @@ def _fast_build(markup: str) -> _Node:
         if match is None:
             data = markup[pos:]
             if data:
-                stack[-1].children.append(
-                    html_mod.unescape(data) if "&" in data else data
-                )
+                _append_data(stack[-1].children,
+                             html_mod.unescape(data) if "&" in data else data)
             break
         if match.start() > pos:
             data = markup[pos : match.start()]
-            stack[-1].children.append(
-                html_mod.unescape(data) if "&" in data else data
-            )
+            _append_data(stack[-1].children,
+                         html_mod.unescape(data) if "&" in data else data)
         pos = match.end()
         end_tag, start_tag, attr_str, self_close = match.group(1, 2, 3, 4)
         if end_tag is not None:
@@ -354,14 +367,15 @@ def _fast_build(markup: str) -> _Node:
         hint = ""
         if attr_str and ("=" in attr_str):
             if tag == "img":
+                # findall yields '' (not None) for non-matching groups.
                 attrs = {
-                    k.lower(): (v1 if v1 is not None else v2 if v2 is not None else v3)
+                    k.lower(): (v1 or v2 or v3)
                     for k, v1, v2, v3 in _ATTR_RE.findall(attr_str)
                 }
                 hint = f"{attrs.get('src', '')}|{attrs.get('alt', '')}"
             elif "class" in attr_str or "id" in attr_str:
                 vals = [
-                    (v1 if v1 is not None else v2 if v2 is not None else v3)
+                    (v1 or v2 or v3)
                     for k, v1, v2, v3 in _ATTR_RE.findall(attr_str)
                     if k.lower() in ("class", "id")
                 ]

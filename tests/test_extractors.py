@@ -202,3 +202,86 @@ def test_oracle_spans_parse_and_cover():
     doc = oracle_extract(html, "")
     spans = json.loads(doc["spans_json"])
     assert spans and all(s["end"] <= len(doc["extracted_text"]) for s in spans)
+
+
+# ---------------------------------------------------------------- tokenizer parity
+
+
+def test_fast_tokenizer_matches_stdlib_on_fixture_corpus():
+    """The regex fast path and the stdlib builder must extract
+    identically over every html fixture row."""
+    from smart_ocr_ray.extractors import html_extract as he
+    from smart_ocr_ray.fixtures import generate_pages
+
+    table = generate_pages(110, oversized_bytes=30_000)
+    checked = 0
+    for i in range(table.num_rows):
+        payload = table["html"][i].as_py()
+        if not payload or payload.startswith(b"%FIX-LAYOUT"):
+            continue
+        markup = payload.decode("utf-8", "replace")
+        assert _render_tree(he._fast_build(markup)) == _render_tree(
+            he._stdlib_build(markup)
+        ), table["url"][i].as_py()
+        checked += 1
+    assert checked > 50
+
+
+def _render_tree(root):
+    from smart_ocr_ray.extractors import html_extract as he
+    from smart_ocr_ray.extractors.base import UnitResult, render_unit
+
+    units = [he._Node("#unit")]
+
+    def _split(node):
+        for child in node.children:
+            if not isinstance(child, str) and child.tag == "hr" and "unit-sep" in child.hint:
+                units.append(he._Node("#unit"))
+            elif not isinstance(child, str) and child.tag in ("html", "body"):
+                _split(child)
+            else:
+                units[-1].children.append(child)
+
+    _split(root)
+    out = []
+    for idx, unit in enumerate(units, 1):
+        blocks = []
+        he._emit_blocks(unit, blocks)
+        out.append(render_unit(UnitResult(idx, blocks)))
+    return out
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAGS = ["p", "div", "b", "ul", "li", "table", "tr", "td", "img", "br", "h2", "a"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from([f"<{t}>" for t in _TAGS] + [f"</{t}>" for t in _TAGS]),
+            st.sampled_from(
+                ['<p class="sidebar">', "<!-- c -->", "<img src='x.png' alt='y'>",
+                 "<td a='>'>", "&amp;", "plain words here ", "< loose ", "$$x$$",
+                 "<script>a<b</script>", "<P ID=up>", "</notopen>"]
+            ),
+            # Free text may contain entities/semicolons/spaces but not
+            # raw '<'/quotes: truly malformed TAG SYNTAX (like "<a'<p>")
+            # segments differently between CPython's tolerant tag regex
+            # and the fast tokenizer — both deterministic, and the
+            # pipeline always uses the fast path, so only structurally
+            # plausible markup carries a cross-parser guarantee.
+            st.text(alphabet="abc &;/!=. ", max_size=12),
+        ),
+        max_size=25,
+    )
+)
+def test_fast_tokenizer_fuzz_vs_stdlib(parts):
+    from smart_ocr_ray.extractors import html_extract as he
+
+    markup = "".join(parts)
+    assert _render_tree(he._fast_build(markup)) == _render_tree(
+        he._stdlib_build(markup)
+    )
