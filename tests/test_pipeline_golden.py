@@ -146,3 +146,19 @@ def test_oversized_chunks_reassemble_to_unchunked_bytes(ray_session, fixture_pag
         doc = oracle_extract(fixture_pages["html"][i].as_py(), fixture_pages["text"][i].as_py())
         assert out[url]["extracted_text"] == doc["extracted_text"], url
         assert out[url]["spans_json"] == doc["spans_json"], url
+
+
+def test_actor_pool_path_byte_identity(ray_session, fixture_parquet, golden):
+    """The actor-pool extract mode (use_actor_pool=True, the stateful
+    A2/A3 stage shape) must produce the same bytes as the default
+    stateless-task mode."""
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    ds = extract_from_parquet(
+        fixture_parquet, max_html_bytes=16 * 1024,
+        use_actor_pool=True, extract_concurrency=(1, 2),
+    )
+    out = {r["url"]: r for r in ds.take_all()}
+    assert set(out) == set(golden)
+    for url, g in golden.items():
+        assert out[url]["extracted_text"] == g["extracted_text"], url
