@@ -65,7 +65,9 @@ def _q_extract(sf_dir: str):
     from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
 
     ds = extract_from_parquet(_pages_path(sf_dir))
-    return ds.drop_columns(["warc_ts"])
+    # processing_ms is wall-clock (non-deterministic) — excluded so the
+    # result value-hashes identically across runs.
+    return ds.drop_columns(["warc_ts", "processing_ms"])
 
 
 def _q_extract_metrics(sf_dir: str):
@@ -107,7 +109,7 @@ def _q_consensus(sf_dir: str):
     from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
 
     ds = extract_from_parquet(_pages_path(sf_dir), multi_extractor=True)
-    return ds.drop_columns(["warc_ts", "extracted_text", "spans_json"])
+    return ds.drop_columns(["warc_ts", "extracted_text", "spans_json", "processing_ms"])
 
 
 def _q_figures(sf_dir: str):
