@@ -121,3 +121,39 @@ def test_analyze_batch_columns(fixture_pages):
     assert kinds == {"html", "binary", "empty"}
     routes = set(out.column("route").to_pylist())
     assert routes == {"native", "html", "binary", "empty"}
+
+
+def test_dedup_clusters_transitive(ray_session):
+    """Connected components: near-dup pairs sharing a doc collapse into
+    one cluster labelled by the component's min doc_id."""
+    from smart_ocr_ray.ops.dedup import dedup_clusters, dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(SF, threshold=0.7).take_all()
+    clusters = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(SF).take_all()}
+    if not pairs:
+        pytest.skip("no near-dup pairs at this sf")
+    # every paired doc is labelled, both ends share a label, and the
+    # label is a member of the cluster (its minimum).
+    for p in pairs:
+        assert clusters[p["left_id"]] == clusters[p["right_id"]]
+    for doc_id, label in clusters.items():
+        assert label <= doc_id
+        assert clusters[label] == label  # the representative labels itself
+
+
+def test_events_sliding_covers_tumbling(ray_session):
+    """Every (type, hour) tumbling bucket appears in the sliding output
+    with >= its tumbling count (each event joins 2 sliding windows)."""
+    from smart_ocr_ray.ops.relational import events_hourly, events_sliding
+
+    tumbling = {
+        (r["event_type"], r["window_start"]): r["n_events"]
+        for r in events_hourly(SF).take_all()
+    }
+    sliding = {
+        (r["event_type"], r["window_start"]): r["n_events"]
+        for r in events_sliding(SF).take_all()
+    }
+    assert sum(sliding.values()) == 2 * sum(tumbling.values())
+    for key, n in tumbling.items():
+        assert sliding.get(key, 0) >= n
