@@ -398,9 +398,14 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS session_seq
                 FROM gaps
             )
-            SELECT user_id, session_seq,
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                    min(ts) AS session_start, max(ts) AS session_end,
-                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+                   count(*) AS n_events,
+                   -- order-invariant integer grid: value is on a 1e-2 grid,
+                   -- so summing per-row scaled integers cannot depend on
+                   -- summation order (float round(sum(),4) could).
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_e2
             FROM sessions GROUP BY user_id, session_seq
         """,
         "top_users_by_value": """

@@ -240,7 +240,14 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
                         "session_start": s["ts"].iloc[0],
                         "session_end": s["ts"].iloc[-1],
                         "n_events": len(s),
-                        "sum_value": round(float(s["value"].sum()), 4),
+                        # value sits on a 1e-2 grid (see grid rationale at the
+                        # top of this file): summing per-row integers is exact
+                        # and order-invariant, unlike rounding a float sum,
+                        # which can straddle a rounding boundary depending on
+                        # summation order (the one driver hash failure in r1).
+                        "sum_value_e2": int(
+                            np.round(s["value"].to_numpy() * 100.0).sum()
+                        ),
                     }
                 )
         return pd.DataFrame(out)
