@@ -15,10 +15,15 @@ partition* commits its output shard atomically (write to a temp dir,
 Resume = anti-join of the partition list against completed manifests
 (J5): a killed run restarts and skips every committed partition; a
 partition whose input signature changed is recomputed. Input→partition
-assignment is deterministic: ``crc32(url) % num_partitions``, evaluated
-as a vectorized filter at the read so each partition's run scans only
-its rows (at fleet scale the same assignment is applied per input
-file, pruning the scan entirely).
+assignment is deterministic and *file-granular* whenever the corpus has
+at least as many shard files as partitions (the fleet-scale case):
+``crc32(shard_basename) % num_partitions`` assigns every input file to
+exactly one partition, so each partition's run reads only its own
+files and the corpus is scanned once total across all partitions.
+Hash-by-basename keeps assignments stable when new shards are added.
+Only when files < partitions (toy inputs) does it fall back to a
+row-level ``crc32(url) % num_partitions`` filter, which re-scans the
+(small) input per partition.
 
 Writing one directory per partition (never one giant file) is what
 makes a 100 TB run resumable and its output addressable by key range.
@@ -40,6 +45,34 @@ from ..pipelines.extract_pipeline import extract_pipeline, read_pages
 
 def partition_of(url: str, num_partitions: int) -> int:
     return zlib.crc32(url.encode("utf-8")) % num_partitions
+
+
+def resolve_input_files(input_paths) -> list[str] | None:
+    """Expand the input spec into a sorted list of parquet shard files,
+    or None when it isn't locally enumerable (then row-mode applies)."""
+    if isinstance(input_paths, str):
+        if os.path.isdir(input_paths):
+            return sorted(
+                os.path.join(input_paths, f)
+                for f in os.listdir(input_paths)
+                if f.endswith(".parquet")
+            )
+        if os.path.isfile(input_paths):
+            return [input_paths]
+        return None
+    if isinstance(input_paths, (list, tuple)):
+        return sorted(str(p) for p in input_paths)
+    return None
+
+
+def files_for_partition(files: list[str], part: int, num_partitions: int) -> list[str]:
+    """Deterministic shard→partition assignment by basename hash (stable
+    under shard additions; shard basenames are unique in a corpus)."""
+    return [
+        f
+        for f in files
+        if partition_of(os.path.basename(f), num_partitions) == part
+    ]
 
 
 def _partition_filter(batch: pa.Table, part: int, num_partitions: int) -> pa.Table:
@@ -85,22 +118,63 @@ def run_partitioned(
     Each partition saturates the cluster on its own (the pipeline inside
     is fully parallel); sequential partitions bound the blast radius of
     a failure to one partition's work. Returns a summary dict.
+
+    File mode (shard files >= partitions): each partition reads ONLY its
+    assigned shard files — the corpus is scanned once total, which is
+    what makes this viable on a 100 TB input. Row mode (toy inputs with
+    fewer files than partitions): per-partition row filter over the
+    whole (small) input.
     """
     os.makedirs(out_dir, exist_ok=True)
     summary = {"completed": [], "skipped": [], "rows": 0}
 
+    files = resolve_input_files(input_paths)
+    file_mode = files is not None and len(files) >= num_partitions
+
     for part in range(num_partitions):
+        part_files = (
+            files_for_partition(files, part, num_partitions) if file_mode else None
+        )
+        part_basenames = (
+            [os.path.basename(f) for f in part_files] if file_mode else None
+        )
         existing = load_manifest(out_dir, part)
-        if existing is not None and existing.get("input_sig", "") == input_sig:
+        if (
+            existing is not None
+            and existing.get("input_sig", "") == input_sig
+            and existing.get("input_files") == part_basenames
+        ):
             summary["skipped"].append(part)
             summary["rows"] += existing["row_count"]
             continue
 
         t0 = time.perf_counter()
-        pages = read_pages(input_paths).map_batches(
-            lambda b, p=part: _partition_filter(b, p, num_partitions),
-            batch_format="pyarrow",
-        )
+        if file_mode and not part_files:
+            # No shard hashes to this partition: commit an empty manifest
+            # so resume bookkeeping stays uniform.
+            _write_manifest_atomic(
+                out_dir,
+                part,
+                {
+                    "partition": part,
+                    "status": "completed",
+                    "row_count": 0,
+                    "content_hash_xor": 0,
+                    "input_sig": input_sig,
+                    "input_files": [],
+                    "wall_ms": 0.0,
+                },
+            )
+            summary["completed"].append(part)
+            continue
+
+        if file_mode:
+            pages = read_pages(part_files)
+        else:
+            pages = read_pages(input_paths).map_batches(
+                lambda b, p=part: _partition_filter(b, p, num_partitions),
+                batch_format="pyarrow",
+            )
         extracted = extract_pipeline(pages, **pipeline_kwargs)
 
         part_dir = os.path.join(out_dir, f"part={part}")
@@ -132,6 +206,7 @@ def run_partitioned(
                 "row_count": row_count,
                 "content_hash_xor": hash_xor,
                 "input_sig": input_sig,
+                "input_files": part_basenames,
                 "wall_ms": (time.perf_counter() - t0) * 1000.0,
             },
         )
@@ -141,14 +216,34 @@ def run_partitioned(
     return summary
 
 
-def completed_hashes(out_dir: str) -> set[str]:
+def completed_hashes(out_dir: str, input_sig: str | None = None) -> set[str]:
     """Content hashes of every document already committed (J5): the
-    within-partition resume key. Reads only the two key columns."""
+    within-partition resume key. Reads only the key column, and only
+    from partitions whose manifest loads as ``status=completed`` (and,
+    when ``input_sig`` is given, was produced from the same input) —
+    mirroring ``run_partitioned``'s own skip condition, so documents
+    from an invalidated or never-committed partition are recomputed."""
     done: set[str] = set()
     manifest_dir = os.path.join(out_dir, "_manifests")
     if not os.path.isdir(manifest_dir):
         return done
-    for batch in read_extracted(out_dir).select_columns(["content_hash"]).iter_batches(
+    committed: list[int] = []
+    for name in os.listdir(manifest_dir):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        part = int(name[len("part-"):-len(".json")])
+        manifest = load_manifest(out_dir, part)
+        if manifest is None:
+            continue
+        if input_sig is not None and manifest.get("input_sig", "") != input_sig:
+            continue
+        committed.append(part)
+    if not committed:
+        return done
+    ds = read_extracted(out_dir, parts=committed)
+    if ds is None:
+        return done
+    for batch in ds.select_columns(["content_hash"]).iter_batches(
         batch_format="pyarrow"
     ):
         done.update(batch.column("content_hash").to_pylist())
@@ -179,21 +274,26 @@ def filter_processed(pages: ray.data.Dataset, done: set[str]) -> ray.data.Datase
     return pages.map_batches(_filter, batch_format="pyarrow")
 
 
-def read_extracted(out_dir: str) -> ray.data.Dataset:
-    """Read all committed partitions back as one Dataset.
+def read_extracted(out_dir: str, parts: list[int] | None = None):
+    """Read committed partitions back as one Dataset; ``parts`` scopes
+    the read to specific partition ids. Returns None when no shard
+    files exist (empty partitions write a manifest but no directory).
 
     (read_parquet takes a single directory or a list of files, not a
     list of directories — enumerate the shard files explicitly.)
     """
+    wanted = None if parts is None else {f"part={p}" for p in parts}
     files = []
     for d in sorted(os.listdir(out_dir)):
-        if d.startswith("part="):
+        if d.startswith("part=") and (wanted is None or d in wanted):
             part_dir = os.path.join(out_dir, d)
             files.extend(
                 os.path.join(part_dir, f)
                 for f in sorted(os.listdir(part_dir))
                 if f.endswith(".parquet")
             )
+    if not files:
+        return None
     return ray.data.read_parquet(files)
 
 

@@ -98,3 +98,131 @@ def test_partition_assignment_deterministic():
     second = [partition_of(u, 8) for u in urls]
     assert first == second
     assert len(set(first)) == 8  # spreads across all partitions
+
+
+@pytest.fixture(scope="module")
+def sharded_fixture(fixture_pages, tmp_path_factory):
+    """The same 110-row corpus split into 8 shard files (file mode)."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("pages_sharded")
+    n = fixture_pages.num_rows
+    paths = []
+    for i in range(8):
+        lo = i * n // 8
+        hi = (i + 1) * n // 8
+        p = d / f"shard-{i:02d}.parquet"
+        pq.write_table(fixture_pages.slice(lo, hi - lo), p)
+        paths.append(str(p))
+    return str(d), paths
+
+
+def test_file_mode_reads_each_shard_once(ray_session, sharded_fixture, tmp_path_factory):
+    """With files >= partitions, each shard is assigned to exactly one
+    partition (manifest input_files are disjoint and cover all shards),
+    so the corpus is scanned once total across partitions."""
+    import json
+
+    from smart_ocr_ray.state.manifests import run_partitioned
+
+    shard_dir, paths = sharded_fixture
+    out_dir = str(tmp_path_factory.mktemp("extracted_fm"))
+    summary = run_partitioned(
+        shard_dir, out_dir, num_partitions=4, input_sig="fm-v1",
+        max_html_bytes=16 * 1024,
+    )
+    assert sorted(summary["completed"]) == [0, 1, 2, 3]
+    assert summary["rows"] == 110
+
+    seen = []
+    for part in range(4):
+        with open(os.path.join(out_dir, "_manifests", f"part-{part}.json")) as f:
+            manifest = json.load(f)
+        assert manifest["status"] == "completed"
+        assert manifest["input_files"] is not None
+        seen.extend(manifest["input_files"])
+    assert sorted(seen) == sorted(os.path.basename(p) for p in paths)
+    assert len(seen) == len(set(seen))  # disjoint: no shard read twice
+
+
+def test_file_mode_output_matches_single_shot(ray_session, sharded_fixture, tmp_path_factory):
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+    from smart_ocr_ray.state.manifests import read_extracted, run_partitioned
+
+    shard_dir, paths = sharded_fixture
+    out_dir = str(tmp_path_factory.mktemp("extracted_fm2"))
+    run_partitioned(
+        shard_dir, out_dir, num_partitions=4, input_sig="fm-v1",
+        max_html_bytes=16 * 1024,
+    )
+    partitioned = {
+        r["url"]: r["extracted_text"] for r in read_extracted(out_dir).take_all()
+    }
+    single = {
+        r["url"]: r["extracted_text"]
+        for r in extract_from_parquet(paths, max_html_bytes=16 * 1024).take_all()
+    }
+    assert partitioned == single
+
+
+def test_file_mode_resume_and_new_shard(ray_session, sharded_fixture, tmp_path_factory):
+    """Killed-run resume in file mode; adding a shard recomputes only
+    the partition the new shard hashes to (stable basename-hash assignment)."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.state.manifests import (
+        files_for_partition,
+        partition_of,
+        run_partitioned,
+    )
+
+    shard_dir, paths = sharded_fixture
+    out_dir = str(tmp_path_factory.mktemp("extracted_fm3"))
+    run_partitioned(
+        shard_dir, out_dir, num_partitions=4, input_sig="fm-v1",
+        max_html_bytes=16 * 1024,
+    )
+    # Full rerun: everything skipped.
+    summary = run_partitioned(
+        shard_dir, out_dir, num_partitions=4, input_sig="fm-v1",
+        max_html_bytes=16 * 1024,
+    )
+    assert sorted(summary["skipped"]) == [0, 1, 2, 3]
+    assert summary["completed"] == []
+
+    # Drop a new shard in: only its partition recomputes.
+    extra = generate_pages(12, seed=99)
+    new_path = os.path.join(shard_dir, "shard-extra.parquet")
+    pq.write_table(extra, new_path)
+    target = partition_of("shard-extra.parquet", 4)
+    summary = run_partitioned(
+        shard_dir, out_dir, num_partitions=4, input_sig="fm-v1",
+        max_html_bytes=16 * 1024,
+    )
+    assert summary["completed"] == [target]
+    assert sorted(summary["skipped"]) == sorted(set(range(4)) - {target})
+    os.remove(new_path)
+
+
+def test_completed_hashes_ignores_uncommitted_partition(
+    ray_session, fixture_parquet, tmp_path_factory
+):
+    """A partition whose manifest is missing/invalidated must not
+    contribute committed hashes (its docs must be recomputed)."""
+    from smart_ocr_ray.state.manifests import completed_hashes, run_partitioned
+
+    out_dir = str(tmp_path_factory.mktemp("extracted_ch"))
+    run_partitioned(
+        fixture_parquet, out_dir, num_partitions=2, input_sig="s1",
+        max_html_bytes=16 * 1024,
+    )
+    all_hashes = completed_hashes(out_dir)
+    assert len(all_hashes) > 0
+    # Invalidate partition 1's manifest; its output dir remains on disk.
+    os.remove(os.path.join(out_dir, "_manifests", "part-1.json"))
+    reduced = completed_hashes(out_dir)
+    assert reduced < all_hashes
+    # Sig-scoped lookup drops everything under a different input_sig.
+    assert completed_hashes(out_dir, input_sig="other") == set()
+    assert completed_hashes(out_dir, input_sig="s1") == reduced
