@@ -31,8 +31,21 @@ def _pages_path(sf_dir: str) -> str:
 
     from smart_ocr_ray.fixtures import pages_from_documents
 
+    from smart_ocr_ray.fixtures import FIXTURES_VERSION
+
+    # Cache key includes a content signature: the source documents
+    # table's size+mtime and the fixture-generator version, so a
+    # different sf dir with the same basename or a fixture change never
+    # serves a stale corpus.
+    import zlib
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    sig = zlib.crc32(
+        f"{os.path.abspath(doc_path)}:{st.st_size}:{int(st.st_mtime)}:{FIXTURES_VERSION}".encode()
+    )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/tmp/smart_ocr_ray_pages_{tag}"
+    path = f"/tmp/smart_ocr_ray_pages_{tag}_{sig:08x}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         table = pages_from_documents(sf_dir)
         tmp = path + ".tmp"

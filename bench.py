@@ -43,8 +43,20 @@ def _pages_path(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    import zlib
+
+    from smart_ocr_ray.fixtures import FIXTURES_VERSION
+
+    # Content-signed cache key (same rationale as __ray_entry__._pages_path):
+    # a fixtures change or a different corpus with the same basename must
+    # never serve a stale cached corpus.
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    sig = zlib.crc32(
+        f"{os.path.abspath(doc_path)}:{st.st_size}:{int(st.st_mtime)}:{FIXTURES_VERSION}".encode()
+    )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/tmp/smart_ocr_ray_pages_{tag}_x{REPLICATE}"
+    path = f"/tmp/smart_ocr_ray_pages_{tag}_x{REPLICATE}_{sig:08x}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = pages_from_documents(sf_dir)
         tmp = path + ".tmp"

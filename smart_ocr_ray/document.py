@@ -36,6 +36,26 @@ from .functions.scoring import Attempt, pairwise_agreement, select_best
 from .repair_routing import PRIMARY_FOR_ROUTE, dominant_failure, select_repair_extractor
 
 MAX_RETRIES = 2  # config.py:107 analog
+MAX_FIGURES_PER_DOC = 25  # FigureExtractor(max_total=25), figures/extractor.py:73-78
+
+
+def cap_figure_spans(spans: list[dict], max_total: int = MAX_FIGURES_PER_DOC) -> list[dict]:
+    """Document-level figure cap (O6): keep the first ``max_total``
+    figure spans in reading order; all other span kinds pass through.
+
+    Prefix-stable: capping each chunk's spans and then re-capping the
+    concatenation equals capping the whole document, because the cap
+    always keeps a reading-order prefix — so the chunked pipeline stays
+    byte/span-identical to the unchunked oracle."""
+    kept = 0
+    out = []
+    for s in spans:
+        if s.get("kind") == "figure":
+            if kept >= max_total:
+                continue
+            kept += 1
+        out.append(s)
+    return out
 
 
 def _run_extractor(name: str, html: bytes, text_layer: str, unit_base: int):
@@ -180,6 +200,7 @@ def _select_rows(
     """Per-unit consensus selection + row emission (C5, J1)."""
     rows = []
     single_unit = len(unit_attempts) == 1
+    figure_budget = MAX_FIGURES_PER_DOC
     for uid in sorted(unit_attempts):
         atts = unit_attempts[uid]
         passing = [at for at in atts if at.audit_passed]
@@ -200,6 +221,12 @@ def _select_rows(
                 spans=[{"unit_id": uid, "kind": "prose", "start": 0,
                         "end": len(normalize(a.native_text)), "meta": ""}],
             )
+
+        # Running doc-level figure cap across this payload's units (O6);
+        # re-applied over the full unit list in assemble_units for the
+        # chunked path (cap_figure_spans is prefix-stable).
+        best.spans = cap_figure_spans(best.spans, figure_budget)
+        figure_budget -= sum(1 for s in best.spans if s.get("kind") == "figure")
 
         rows.append(
             _unit_row(
@@ -319,6 +346,7 @@ def assemble_units(unit_rows: list[dict]) -> dict:
         all_passed = all_passed and passed
 
     extracted = UNIT_SEPARATOR.join(unit_texts)
+    spans = cap_figure_spans(spans)  # doc cap across chunk fragments (O6)
     primary = (
         max(failure_modes, key=lambda m: _FAILURE_PRIORITY.get(m, 0))
         if failure_modes

@@ -14,7 +14,11 @@ reference runs via PyMuPDF:
   * span merging: lines within a block merge with hyphenation repair,
   * tables → markdown (born_digital.py:593-642 semantics),
   * image blocks → figure spans with bboxes
-    (/root/reference/src/socr/figures/extractor.py:222-258 analog).
+    (/root/reference/src/socr/figures/extractor.py:222-258 analog),
+  * drawing blocks → vector-figure clustering: union-find over bboxes
+    with a 30pt gap threshold, area/aspect/margin filters, landscape
+    relaxation + presentation fallback, capped at 3 figures/page
+    (figures/extractor.py:60-78,108-217,351-413 — X1/O6).
 
 Payload layout::
 
@@ -36,6 +40,15 @@ from .base import Block, FIGURE, HEADING, TABLE, UnitResult
 MAGIC = b"%FIX-LAYOUT"
 COLUMN_GAP_FRACTION = 0.15  # difficulty.py:224
 MAX_COLUMNS = 4
+
+# Figure-pass constants (/root/reference/src/socr/figures/extractor.py:60-78).
+MIN_AREA = 80 * 80
+MIN_DRAWINGS_FOR_VECTOR = 5
+MIN_VECTOR_AREA_RATIO = 0.05
+MAX_VECTOR_AREA_RATIO = 0.85
+HEADER_FOOTER_MARGIN = 0.1
+CLUSTER_GAP = 30.0
+MAX_FIGURES_PER_PAGE = 3  # FigureExtractor(max_per_page=3)
 
 
 # ---------------------------------------------------------------- payload io
@@ -166,18 +179,172 @@ def _table_md(cells: list[list]) -> str:
     return "\n".join(lines)
 
 
+def _cluster_drawings(
+    boxes: list[list[float]], gap: float = CLUSTER_GAP
+) -> list[tuple[int, tuple[float, float, float, float]]]:
+    """Union-find clustering of drawing bboxes into figure regions
+    (figures/extractor.py:351-413): two boxes join when their horizontal
+    AND vertical gaps are both <= ``gap`` (30pt). Returns
+    ``[(n_drawings, merged_bbox)]`` sorted by (y0, x0).
+
+    O(n^2) pairwise within one page — fine because a page's drawing
+    count is small and bounded by the payload, never the corpus.
+    """
+    n = len(boxes)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        x0i, y0i, x1i, y1i = boxes[i]
+        for j in range(i + 1, n):
+            x0j, y0j, x1j, y1j = boxes[j]
+            h_gap = max(0.0, x0j - x1i, x0i - x1j)
+            v_gap = max(0.0, y0j - y1i, y0i - y1j)
+            if h_gap <= gap and v_gap <= gap:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+
+    clusters: dict[int, list[int]] = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+    out = []
+    for idxs in clusters.values():
+        bs = [boxes[i] for i in idxs]
+        out.append(
+            (
+                len(idxs),
+                (
+                    min(b[0] for b in bs),
+                    min(b[1] for b in bs),
+                    max(b[2] for b in bs),
+                    max(b[3] for b in bs),
+                ),
+            )
+        )
+    out.sort(key=lambda r: (r[1][1], r[1][0]))
+    return out
+
+
+def _vector_figures(
+    raw_blocks: list[dict], width: float, height: float, processed: set
+) -> list[dict]:
+    """Strategy-0 vector-figure pass (figures/extractor.py:108-217, X1):
+    cluster drawing-block bboxes, filter by area / aspect / page-area
+    ratio / header-footer margin with landscape relaxation, and return
+    accepted figure pseudo-blocks, already capped at
+    ``MAX_FIGURES_PER_PAGE``. Includes the landscape presentation
+    fallback (whole-slide region when clusters all fail the filters).
+    ``processed`` collects int-bbox dedup keys shared with the image
+    pass."""
+    drawings = [b["bbox"] for b in raw_blocks if b.get("kind") == "drawing"]
+    is_landscape = width > height
+    min_drawings = 3 if is_landscape else MIN_DRAWINGS_FOR_VECTOR
+    if len(drawings) < min_drawings:
+        return []
+    min_ratio = MIN_VECTOR_AREA_RATIO * 0.5 if is_landscape else MIN_VECTOR_AREA_RATIO
+    max_ratio = 0.98 if is_landscape else MAX_VECTOR_AREA_RATIO
+    page_area = (width * height) or 1.0
+
+    accepted: list[dict] = []
+    for count, (x0, y0, x1, y1) in _cluster_drawings(drawings):
+        if len(accepted) >= MAX_FIGURES_PER_PAGE:
+            break
+        w, h = x1 - x0, y1 - y0
+        area = w * h
+        ratio = area / page_area
+        if area < MIN_AREA or w < 50 or h < 50:
+            continue
+        if ratio < min_ratio or ratio > max_ratio:
+            continue
+        if count < min_drawings:
+            continue
+        if not is_landscape:
+            cy = (y0 + y1) / 2.0
+            in_margin = cy < height * HEADER_FOOTER_MARGIN or cy > height * (
+                1 - HEADER_FOOTER_MARGIN
+            )
+            if in_margin and count < 20:
+                continue
+        key = (int(x0), int(y0), int(x1), int(y1))
+        if key in processed:
+            continue
+        processed.add(key)
+        accepted.append({"bbox": [x0, y0, x1, y1], "kind": "vfigure", "n": count})
+
+    # Presentation fallback (extractor.py:205-217): a landscape slide
+    # whose strokes never cluster into a filter-passing region is itself
+    # the figure.
+    if is_landscape and not accepted and len(drawings) >= 10:
+        accepted.append(
+            {
+                "bbox": [width * 0.05, height * 0.15, width * 0.95, height * 0.90],
+                "kind": "vfigure",
+                "n": len(drawings),
+            }
+        )
+    return accepted
+
+
+def _accept_images(
+    raw_blocks: list[dict], processed: set, budget: int
+) -> list[dict]:
+    """Strategy-1 image-block pass (figures/extractor.py:222-258, X2):
+    area/aspect filters + shared dedup, capped by the page's remaining
+    figure budget. Walks blocks in (y0, x0) order so the cap keeps the
+    top-of-page figures, matching the reference's reading-order walk."""
+    accepted: list[dict] = []
+    images = sorted(
+        (b for b in raw_blocks if b.get("kind") == "image"),
+        key=lambda b: (b["bbox"][1], b["bbox"][0]),
+    )
+    for b in images:
+        if len(accepted) >= budget:
+            break
+        x0, y0, x1, y1 = b["bbox"]
+        w, h = x1 - x0, y1 - y0
+        area = w * h
+        aspect = w / max(h, 1)
+        if area < MIN_AREA or aspect > 8 or aspect < 0.125:
+            continue
+        key = (int(x0), int(y0), int(x1), int(y1))
+        if key in processed:
+            continue
+        processed.add(key)
+        accepted.append(b)
+    return accepted
+
+
 def parse_page(page: dict, unit_id: int) -> UnitResult:
     """Layout-analyze one page dict into ordered blocks."""
     width = float(page.get("width", 612.0))
+    height = float(page.get("height", 792.0))
     raw_blocks = page.get("blocks", [])
     text_blocks = [b for b in raw_blocks if b.get("kind", "text") in ("text", "table")]
     starts = _estimate_columns(raw_blocks, width)
 
+    # Figure pass in the reference's strategy order (vector clusters
+    # first, then image blocks), sharing the per-page dedup set and the
+    # per-page cap (O6): vector figures consume the budget before
+    # images, as in extractor.py:158-258.
+    processed: set = set()
+    vector_figs = _vector_figures(raw_blocks, width, height, processed)
+    image_figs = _accept_images(
+        raw_blocks, processed, MAX_FIGURES_PER_PAGE - len(vector_figs)
+    )
+    figure_blocks = vector_figs + image_figs
+
     # Reading order: column-major (left column top-to-bottom first),
     # then y0, then x0 — the reading-order reconstruction the north
-    # star asks for.
+    # star asks for. Accepted figures take their bbox position.
     ordered = sorted(
-        raw_blocks,
+        [b for b in raw_blocks if b.get("kind", "text") in ("text", "table")]
+        + figure_blocks,
         key=lambda b: (
             _column_of(b, starts) if b.get("kind", "text") in ("text", "table") else 0,
             round(b["bbox"][1], 2),
@@ -192,7 +359,9 @@ def parse_page(page: dict, unit_id: int) -> UnitResult:
     blocks: list[Block] = []
     for b in ordered:
         kind = b.get("kind", "text")
-        if kind == "drawing":
+        if kind == "vfigure":
+            bbox = ",".join(f"{v:g}" for v in b["bbox"])
+            blocks.append(Block(FIGURE, "", meta=f"vector@{bbox}|n={b['n']}"))
             continue
         if kind == "image":
             bbox = ",".join(f"{v:g}" for v in b["bbox"])

@@ -28,6 +28,11 @@ import pyarrow.parquet as pq
 
 from .extractors.layout import build_payload
 
+# Bump whenever generated content changes: cache keys (e.g. the driver
+# pages-corpus cache under /tmp) include this so stale corpora are
+# never served after a fixtures change.
+FIXTURES_VERSION = 2
+
 # Own econ-flavored prose (authored for this repo; plays the role of the
 # reference's 8-sentence block — not copied from it).
 ECON_SENTENCES = [
@@ -131,8 +136,36 @@ _LINKFARM = (
 )
 
 
+def _vector_chart_blocks(x0: float, y0: float, n_bars: int = 6) -> list[dict]:
+    """A bar-chart built of drawing strokes: two axis lines plus bars,
+    all within CLUSTER_GAP of each other so they union into one region
+    (~180x160pt, comfortably over the 80x80 min area)."""
+    blocks = [
+        {"bbox": [x0, y0, x0 + 4.0, y0 + 160.0], "kind": "drawing"},          # y axis
+        {"bbox": [x0, y0 + 156.0, x0 + 180.0, y0 + 160.0], "kind": "drawing"},  # x axis
+    ]
+    for k in range(n_bars):
+        bx = x0 + 12.0 + k * 28.0
+        bh = 30.0 + (k * 37) % 110
+        blocks.append(
+            {"bbox": [bx, y0 + 156.0 - bh, bx + 18.0, y0 + 156.0], "kind": "drawing"}
+        )
+    return blocks
+
+
+def _scattered_strokes(rng: random.Random, n: int, width: float, height: float) -> list[dict]:
+    """Stray decorative strokes far apart (> CLUSTER_GAP), each tiny —
+    clusters of size 1 that fail the min-drawings/area filters."""
+    blocks = []
+    for _ in range(n):
+        x = 40.0 + rng.random() * (width - 120.0)
+        y = 40.0 + rng.random() * (height - 120.0)
+        blocks.append({"bbox": [x, y, x + 10.0, y + 10.0], "kind": "drawing"})
+    return blocks
+
+
 def _layout_pages(paras: list[str], rng: random.Random, n_pages: int, two_col: bool,
-                  with_figure: bool = False) -> bytes:
+                  with_figure: bool = False, with_vector: bool = False) -> bytes:
     """Deterministic %FIX-LAYOUT payload with real geometry to exercise
     column clustering, reading order, heading detection, span merging."""
     pages = []
@@ -170,6 +203,11 @@ def _layout_pages(paras: list[str], rng: random.Random, n_pages: int, two_col: b
         if with_figure:
             blocks.append({"bbox": [200.0, 500.0, 400.0, 640.0], "kind": "image"})
             blocks.append({"bbox": [210.0, 510.0, 390.0, 630.0], "kind": "drawing"})
+        if with_vector:
+            # A stroke-built bar chart (clusters into one figure region)
+            # plus stray decorations that must NOT become figures.
+            blocks.extend(_vector_chart_blocks(90.0, 430.0))
+            blocks.extend(_scattered_strokes(rng, 3, 612.0, 792.0))
         pages.append({"width": 612.0, "height": 792.0, "blocks": blocks})
     return build_payload(pages)
 
@@ -225,7 +263,10 @@ def build_row(i: int, seed: int = 42, source_words: list[str] | None = None,
         text = text_layer
     elif cls == "scanned":
         n_pages = 1 + (i % 3)
-        html = _layout_pages(paras, rng, n_pages, two_col=(i % 3 == 0), with_figure=(i % 2 == 0))
+        html = _layout_pages(
+            paras, rng, n_pages, two_col=(i % 3 == 0), with_figure=(i % 2 == 0),
+            with_vector=(i % 4 == 1),
+        )
         text = ""
     elif cls == "garbage_layer":
         html = _layout_pages(paras, rng, 1, two_col=False)

@@ -22,14 +22,17 @@ _TYPE_KEYWORDS = [
     ("chart", ("chart", "bar", "pie", "histogram")),
     ("graph", ("graph", "plot", "curve", "trend", "scatter", "axis")),
     ("table", ("table", "grid", "matrix")),
-    ("diagram", ("diagram", "flow", "architecture", "schematic", "pipeline")),
+    # "vector" matches the layout extractor's vector@bbox metadata, so a
+    # drawing-cluster figure defaults to diagram unless nearby text names
+    # a more specific type (chart/graph precede diagram in the taxonomy).
+    ("diagram", ("diagram", "flow", "architecture", "schematic", "pipeline", "vector")),
     ("map", ("map", "geo", "region", "territory")),
     ("equation", ("equation", "formula", "math")),
 ]
 
 CONTEXT_CHARS = 500  # orchestrator.py:1410-1421
 
-_BBOX_RE = re.compile(r"image@([\d.]+),([\d.]+),([\d.]+),([\d.]+)")
+_BBOX_RE = re.compile(r"(?:image|vector)@([\d.]+),([\d.]+),([\d.]+),([\d.]+)")
 
 
 def classify_figure_type(meta: str, context: str = "") -> str:
