@@ -28,6 +28,7 @@ import time
 
 from .extractors import EXTRACTORS
 from .extractors.base import render_unit
+from .functions import deadline
 from .extractors.layout import extract_layout
 from .functions import audit as au
 from .functions.assess import Assessment, assess_row
@@ -59,6 +60,10 @@ def cap_figure_spans(spans: list[dict], max_total: int = MAX_FIGURES_PER_DOC) ->
 
 
 def _run_extractor(name: str, html: bytes, text_layer: str, unit_base: int):
+    # Attempt boundary: the cheapest place to honor the cooperative
+    # per-row deadline (functions/deadline.py) — a no-op when none is
+    # armed (oracle/test paths).
+    deadline.check()
     if name == "layout":
         return extract_layout(html, text_layer, unit_base=unit_base)
     return EXTRACTORS[name](html, text_layer)
@@ -112,6 +117,7 @@ def process_payload(
             units = _run_extractor(name, html, text_layer, unit_base)
             tried.append(name)
             for u in units:
+                deadline.check()  # audit/normalize per unit is real work (X4)
                 unit_attempts.setdefault(u.unit_id, []).append(
                     _attempt_from_unit(u, name, a)
                 )
@@ -122,6 +128,7 @@ def process_payload(
         units = _run_extractor(extractor, html, text_layer, unit_base)
         tried.append(extractor)
         for u in units:
+            deadline.check()  # audit/normalize per unit is real work (X4)
             unit_attempts.setdefault(u.unit_id, []).append(
                 _attempt_from_unit(u, extractor, a)
             )
@@ -201,7 +208,13 @@ def _select_rows(
     rows = []
     single_unit = len(unit_attempts) == 1
     figure_budget = MAX_FIGURES_PER_DOC
+    # Per-unit processing time: the whole-payload elapsed amortized over
+    # its units, so telemetry sums (G4) reconstruct the payload's true
+    # wall time instead of inflating it n_units-fold.
+    n_units = max(1, len(unit_attempts))
+    per_unit_ms = _ms(t0) / n_units
     for uid in sorted(unit_attempts):
+        deadline.check()  # consensus scoring per unit is real work (X4)
         atts = unit_attempts[uid]
         passing = [at for at in atts if at.audit_passed]
         pool = passing if passing else atts
@@ -236,7 +249,7 @@ def _select_rows(
                 n_attempts=len(atts),
                 extractors_tried=",".join(dict.fromkeys(at.extractor for at in atts)),
                 agreement=pairwise_agreement([at.text for at in atts]),
-                ms=_ms(t0),
+                ms=per_unit_ms,
             )
         )
     return rows

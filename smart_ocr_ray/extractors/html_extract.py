@@ -76,8 +76,14 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = _Node("#root")
         self.stack = [self.root]
+        self._tags_seen = 0
 
     def handle_starttag(self, tag, attrs):
+        self._tags_seen += 1
+        if not self._tags_seen % 4096:
+            from ..functions import deadline
+
+            deadline.check()  # cooperative deadline poll (X4)
         if attrs:
             if tag == "img":
                 src = next((v or "" for k, v in attrs if k == "src"), "")
@@ -336,11 +342,19 @@ def _fast_build(markup: str) -> _Node:
     """
     import html as html_mod
 
+    from ..functions import deadline
+
     root = _Node("#root")
     stack = [root]
     pos = 0
     n = len(markup)
+    tokens = 0
     while pos < n:
+        tokens += 1
+        if not tokens % 4096:
+            # Cooperative deadline poll (X4): bounds a pathological
+            # document's stall mid-tokenize, ~every 4k tokens.
+            deadline.check()
         match = _TOKEN_RE.search(markup, pos)
         if match is None:
             data = markup[pos:]
@@ -412,12 +426,18 @@ def extract_html(html: bytes, text_layer: str = "") -> list[UnitResult]:
     stdlib parser; any tokenizer exception falls back to the stdlib
     builder (both produce the same `_Node` tree shape).
     """
+    from ..functions.deadline import DeadlineExceeded
+
     try:
         markup = html.decode("utf-8", "replace")
         try:
             builder_root = _fast_build(markup)
+        except DeadlineExceeded:
+            raise  # aborting, not falling back — re-parsing would stall longer
         except Exception:
             builder_root = _stdlib_build(markup)
+    except DeadlineExceeded:
+        raise
     except Exception as exc:  # pragma: no cover - parser is tolerant
         return [UnitResult(unit_id=1, error=f"parse_error: {exc}")]
 

@@ -110,10 +110,13 @@ def slice_pages(payload: bytes, start: int, end: int) -> bytes:
 
 
 def _decode_pages(payload: bytes) -> list[dict]:
+    from ..functions import deadline
+
     npages, offsets, body = _parse_header(payload)
     bounds = offsets + [len(payload) - body]
     pages = []
     for i in range(npages):
+        deadline.check()  # decompress is per-page work too (X4)
         blob = payload[body + bounds[i] : body + bounds[i + 1]]
         pages.append(json.loads(zlib.decompress(blob)))
     return pages
@@ -395,8 +398,18 @@ def extract_layout(payload: bytes, text_layer: str = "", unit_base: int = 0) -> 
     ``unit_base`` rebases page numbers for chunked payloads so units of
     a split document keep their original 1-based ids.
     """
+    from ..functions import deadline
+
     try:
         pages = _decode_pages(payload)
+    except deadline.DeadlineExceeded:
+        raise
     except Exception as exc:
         return [UnitResult(unit_id=unit_base + 1, error=f"parse_error: {exc}")]
-    return [parse_page(p, unit_base + i + 1) for i, p in enumerate(pages)]
+    out = []
+    for i, p in enumerate(pages):
+        # Cooperative per-page deadline poll: a pathological multi-page
+        # payload aborts between pages, not after the full parse (X4).
+        deadline.check()
+        out.append(parse_page(p, unit_base + i + 1))
+    return out

@@ -61,6 +61,7 @@ def extract_pipeline(
     max_pages: int = 30,
     chunk_pages: int = 20,
     max_retries: int = 2,
+    deadline_ms: float = 30_000.0,
     use_actor_pool: bool = False,
     assembly_coalesce_rows: int = 4096,
     multi_extractor: bool = False,
@@ -98,7 +99,8 @@ def extract_pipeline(
         units = exploded.map_batches(
             ExtractDocuments,
             fn_constructor_kwargs={
-                "max_retries": max_retries, "multi_extractor": multi_extractor,
+                "max_retries": max_retries, "deadline_ms": deadline_ms,
+                "multi_extractor": multi_extractor,
             },
             batch_format="pyarrow",
             batch_size=extract_batch_size,
@@ -106,7 +108,10 @@ def extract_pipeline(
             num_cpus=1,
         )
     else:
-        extractor = ExtractDocuments(max_retries=max_retries, multi_extractor=multi_extractor)
+        extractor = ExtractDocuments(
+            max_retries=max_retries, deadline_ms=deadline_ms,
+            multi_extractor=multi_extractor,
+        )
         units = exploded.map_batches(
             lambda b: extractor(b),
             batch_format="pyarrow",

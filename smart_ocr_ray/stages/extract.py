@@ -23,10 +23,13 @@ Carried columns (url, timestamp, lang) are replicated to output rows
 with a vectorized Arrow ``take`` — only computed columns are built in
 Python.
 
-A wall-clock deadline guard replaces the reference's per-page SIGALRM
-(``figures/extractor.py:22-45`` — SIGALRM is unusable off the main
-thread, SURVEY.md §4.2): a row exceeding ``deadline_ms`` is emitted as
-a typed ``timeout`` failure row instead of stalling the worker forever.
+A cooperative wall-clock deadline replaces the reference's per-page
+SIGALRM (``figures/extractor.py:22-45`` — SIGALRM is unusable off the
+main thread, SURVEY.md §4.2): the stage arms a thread-local deadline
+per row and the parse loops poll it (``functions/deadline.py``), so a
+pathological payload is aborted *during* the parse and emitted as a
+typed ``timeout`` row. A row that completes is never discarded, however
+slow — output stays independent of wall-clock load.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ import pyarrow as pa
 from ..document import process_payload
 from ..functions.assess import Assessment, assess_row
 from ..functions import audit as au
+from ..functions.deadline import DeadlineExceeded, arm, disarm
 
 # Assembly-bucket count. Tradeoff: map_groups invokes the reducer once
 # per bucket, so buckets must be few enough that a group amortizes its
@@ -131,17 +135,20 @@ class ExtractDocuments:
                 assessment = assess_row(html, text)
 
             start = time.perf_counter()
+            arm(self.deadline_ms / 1000.0)
             try:
                 unit_rows = process_payload(
                     html, text, assessment=assessment, unit_base=unit_base,
                     max_retries=self.max_retries,
                     multi_extractor=self.multi_extractor,
                 )
+            except DeadlineExceeded:
+                elapsed_ms = (time.perf_counter() - start) * 1000.0
+                unit_rows = [_timeout_row(unit_base + 1, elapsed_ms)]
             except Exception as exc:
                 unit_rows = [_error_row(unit_base + 1, f"{type(exc).__name__}: {exc}")]
-            elapsed_ms = (time.perf_counter() - start) * 1000.0
-            if elapsed_ms > self.deadline_ms:
-                unit_rows = [_timeout_row(unit_base + 1, elapsed_ms)]
+            finally:
+                disarm()
 
             url = url_col[i].as_py()
             if hash_col is not None:

@@ -1,0 +1,115 @@
+"""Cooperative per-row deadline (X4): the stall is bounded while it
+happens — parse loops poll the armed deadline and abort — and a row
+that completes is never discarded for being slow (ADVICE r1)."""
+
+import time
+
+import pytest
+
+from smart_ocr_ray.functions.deadline import DeadlineExceeded, arm, check, disarm
+
+
+@pytest.fixture(autouse=True)
+def _clean_deadline():
+    disarm()
+    yield
+    disarm()
+
+
+def _big_layout_payload(n_pages: int) -> bytes:
+    from smart_ocr_ray.extractors.layout import build_payload
+
+    pages = []
+    for p in range(n_pages):
+        blocks = [
+            {"bbox": [72.0, 60.0 + k * 40.0, 540.0, 90.0 + k * 40.0],
+             "kind": "text", "size": 10.0,
+             "lines": [f"Deadline fixture prose line {p}-{k} with several words."]}
+            for k in range(12)
+        ]
+        pages.append({"width": 612.0, "height": 792.0, "blocks": blocks})
+    return build_payload(pages)
+
+
+def test_check_noop_without_deadline():
+    check()  # must not raise
+
+
+def test_layout_parse_aborts_on_expired_deadline():
+    from smart_ocr_ray.extractors.layout import extract_layout
+
+    payload = _big_layout_payload(20)
+    arm(0.0)
+    time.sleep(0.001)
+    with pytest.raises(DeadlineExceeded):
+        extract_layout(payload, "")
+
+
+def test_fast_tokenizer_aborts_on_expired_deadline():
+    from smart_ocr_ray.extractors.html_extract import extract_html
+
+    markup = b"<html><body>" + b"<p>word</p>" * 10_000 + b"</body></html>"
+    arm(0.0)
+    time.sleep(0.001)
+    with pytest.raises(DeadlineExceeded):
+        extract_html(markup)
+
+
+def test_stage_emits_typed_timeout_row():
+    import pyarrow as pa
+
+    from smart_ocr_ray.stages.extract import ExtractDocuments
+
+    batch = pa.Table.from_pylist(
+        [{"url": "https://fixture.test/slow/000001", "warc_ts": 0,
+          "html": _big_layout_payload(50), "text": "", "lang": "en"}]
+    )
+    out = ExtractDocuments(deadline_ms=0.0)(batch)
+    assert out.num_rows == 1
+    row = out.to_pylist()[0]
+    assert row["route"] == "timeout"
+    assert row["failure_mode"] == "timeout"
+    assert row["text"] == ""
+    # The next row is unaffected: deadline is disarmed between rows.
+    ok = ExtractDocuments(deadline_ms=30_000.0)(batch)
+    assert ok.to_pylist()[0]["route"] != "timeout"
+
+
+def test_deadline_is_preemptive_not_posthoc():
+    """The abort happens DURING the parse: with a tiny deadline the call
+    returns in a small fraction of the full parse time."""
+    from smart_ocr_ray.extractors.layout import extract_layout
+
+    payload = _big_layout_payload(400)
+
+    t0 = time.perf_counter()
+    units = extract_layout(payload, "")  # no deadline: full parse
+    full = time.perf_counter() - t0
+    assert len(units) == 400
+
+    arm(0.005)
+    t0 = time.perf_counter()
+    with pytest.raises(DeadlineExceeded):
+        extract_layout(payload, "")
+    aborted = time.perf_counter() - t0
+    # Generous bound for VM jitter; the point is "abort ≪ full parse".
+    assert aborted < full / 3
+
+
+def test_completed_work_is_never_discarded():
+    """A row that finishes just before the deadline expires keeps its
+    result (the guard aborts in-flight work only — ADVICE r1)."""
+    import pyarrow as pa
+
+    from smart_ocr_ray.stages.extract import ExtractDocuments
+
+    batch = pa.Table.from_pylist(
+        [{"url": "https://fixture.test/fast/000001", "warc_ts": 0,
+          "html": b"<html><body><p>Quick prose paragraph with a dozen words "
+                  b"in it for the audit floor check rule.</p></body></html>",
+          "text": "", "lang": "en"}]
+    )
+    # Deadline far larger than the work: result must be the real text.
+    row = ExtractDocuments(deadline_ms=60_000.0)(batch).to_pylist()[0]
+    assert row["route"] != "timeout"
+    assert "Quick prose paragraph" in row["text"]
