@@ -15,9 +15,17 @@ before any exact-similarity work.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+_LOG = logging.getLogger(__name__)
+
+# Hot-bucket guard knobs (see _pairs in dedup_minhash_lsh).
+HOT_BUCKET_LIMIT = 64
+MAX_VERIFY_REPS = 256
 
 from ..functions.hashing import (
     MinHasher,
@@ -118,17 +126,53 @@ def dedup_minhash_lsh(
         uniq: dict[int, bytes] = {}
         for d, s in zip(ids, sigs):
             uniq[d] = s
-        left, right, est = [], [], []
+        left: list[int] = []
+        right: list[int] = []
+        est: list[float] = []
         ordered = sorted(uniq)
-        for i in range(len(ordered)):
-            sig_i = np.frombuffer(uniq[ordered[i]], dtype=np.uint64)
-            for j in range(i + 1, len(ordered)):
-                sig_j = np.frombuffer(uniq[ordered[j]], dtype=np.uint64)
-                e = minhash_jaccard(sig_i, sig_j)
-                if e >= threshold:
-                    left.append(ordered[i])
-                    right.append(ordered[j])
-                    est.append(round(e, 6))
+
+        # Hot-bucket guard: a degenerate bucket (boilerplate-heavy or
+        # empty-text corpora put thousands of identical signatures in
+        # one band bucket) would make the pairwise verify O(m^2).
+        # Standard LSH practice: collapse identical signatures to one
+        # representative (members pair with their rep at est=1.0 — the
+        # same connected component, linearly many pairs) and hard-cap
+        # the representatives actually verified, logging the drop (no
+        # silent caps). Small buckets keep exact all-pairs semantics.
+        if len(ordered) > HOT_BUCKET_LIMIT:
+            by_sig: dict[bytes, list[int]] = {}
+            for d in ordered:
+                by_sig.setdefault(uniq[d], []).append(d)
+            reps = []
+            for members in by_sig.values():  # members already doc_id-sorted
+                rep = members[0]
+                reps.append(rep)
+                for m in members[1:]:
+                    left.append(rep)
+                    right.append(m)
+                    est.append(1.0)
+            reps.sort()
+            if len(reps) > MAX_VERIFY_REPS:
+                _LOG.warning(
+                    "hot LSH bucket: %d distinct signatures > cap %d; "
+                    "verifying first %d by doc_id (%d dropped)",
+                    len(reps), MAX_VERIFY_REPS, MAX_VERIFY_REPS,
+                    len(reps) - MAX_VERIFY_REPS,
+                )
+                reps = reps[:MAX_VERIFY_REPS]
+            ordered = reps
+
+        if len(ordered) > 1:
+            # Vectorized pairwise verify: R x P signature matrix, one
+            # broadcast equality (R <= MAX_VERIFY_REPS bounds memory).
+            mat = np.stack([np.frombuffer(uniq[d], dtype=np.uint64) for d in ordered])
+            sims = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(len(ordered), k=1)
+            hits = sims[iu, ju] >= threshold
+            for i, j, e in zip(iu[hits], ju[hits], sims[iu, ju][hits]):
+                left.append(ordered[i])
+                right.append(ordered[j])
+                est.append(round(float(e), 6))
         return pa.Table.from_pydict(
             {
                 "left_id": pa.array(left, pa.int64()),
@@ -161,79 +205,148 @@ def dedup_minhash_lsh(
     return deduped
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 5) -> ray.data.Dataset:
-    """Near-duplicate clusters: MinHash-LSH candidate pairs → connected
-    components by iterative min-label propagation.
+def cluster_pairs(
+    pairs: ray.data.Dataset, max_rounds: int = 20, join_partitions: int = 8
+) -> ray.data.Dataset:
+    """Connected components over a (left_id, right_id) pair Dataset by
+    distributed min-label propagation with pointer jumping.
 
-    Each round: explode pairs to (node, neighbor_label) edges in both
-    directions, ``groupby(node).aggregate(Min(label))``, join the new
-    labels back. Converges in O(component diameter) rounds — near-dup
-    components are tiny, so ``max_rounds=5`` is plenty — and every step
-    is a bounded Ray groupby, never a driver-side union-find over the
-    full corpus (the guide's scale pattern; union-find on the driver is
-    only sound when the candidate set is provably small).
+    Every step is a Dataset op — a join of the (small) edge list against
+    the label table plus a ``groupby(node).Min(label)`` — so labels
+    never materialize on the driver (the r1 weak spot: at 100 TB with
+    high dup rates the label table is itself huge). Per round:
 
-    Output: (doc_id, cluster_id) for every doc in a near-dup pair,
-    cluster_id = min doc_id of the component.
+      1. neighbor min: each node takes min(own label, neighbors' labels)
+      2. pointer jump: label <- label(label), halving component depth
+
+    so convergence needs O(log diameter) rounds; ``max_rounds=20``
+    covers diameters up to ~2^20. Convergence is detected by the label
+    sum (labels only ever decrease, so an unchanged sum IS the fixed
+    point) and non-convergence RAISES rather than returning silently
+    wrong clusters.
+
+    Output: (doc_id, cluster_id), cluster_id = min doc_id of the
+    component, sorted by doc_id.
     """
-    import pandas as pd
+    from ray.data.aggregate import Min, Sum
 
-    pairs = dedup_minhash_lsh(sf_dir, threshold=threshold).to_pandas()
-    if pairs.empty:
-        import pyarrow as pa_mod
+    def _edges(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_id").combine_chunks()
+        r = batch.column("right_id").combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "node": pa.concat_arrays([l, r]),
+                "peer": pa.concat_arrays([r, l]),
+            }
+        )
 
+    # The edge list is the only thing kept hot across rounds (it is a
+    # tiny fraction of the corpus — pairs, not documents); materializing
+    # it avoids re-running the upstream LSH every round.
+    edges = pairs.map_batches(_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
         return ray.data.from_arrow(
-            pa_mod.Table.from_pydict(
-                {"doc_id": pa_mod.array([], pa_mod.int64()),
-                 "cluster_id": pa_mod.array([], pa_mod.int64())}
+            pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
             )
         )
-    # Candidate pairs are a tiny fraction of the corpus; propagation
-    # runs as Ray groupbys over the edge list.
-    edges = pd.concat(
-        [
-            pairs.rename(columns={"left_id": "node", "right_id": "peer"})[["node", "peer"]],
-            pairs.rename(columns={"right_id": "node", "left_id": "peer"})[["node", "peer"]],
-        ]
-    )
-    labels = (
-        pd.concat([edges["node"], edges["peer"]])
-        .drop_duplicates()
-        .to_frame("node")
-        .assign(label=lambda df: df["node"])
-    )
-    edge_ds = ray.data.from_pandas(edges.reset_index(drop=True))
 
-    from ray.data.aggregate import Min
+    nl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def _typed_nl(node, label) -> pa.Table:
+        return pa.Table.from_pydict({"node": node, "label": label}, schema=nl_schema)
+
+    def _normalize(batch: pa.Table) -> pa.Table:
+        # Joins/groupbys can emit schema-LESS empty blocks which break a
+        # downstream pyarrow join ("no match for FieldRef") — always
+        # re-emit with the typed (node, label) schema.
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return nl_schema.empty_table()
+        return _typed_nl(batch.column("node"), batch.column("label"))
+
+    def _self_labels(batch: pa.Table) -> pa.Table:
+        return _typed_nl(batch.column("node"), batch.column("node"))
+
+    # repartition after every wide op: joins/groupbys emit schema-less
+    # EMPTY blocks, map_batches skips empty blocks (so a normalizer
+    # can't retype them), and a schema-less block on either side of the
+    # next join raises ArrowInvalid. repartition concatenates blocks,
+    # laundering the empties. The label table is small (only nodes that
+    # appear in near-dup pairs), so the copy is bounded.
+    labels = (
+        edges.map_batches(_self_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .map_batches(_normalize, batch_format="pyarrow")
+        .repartition(join_partitions)
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def _peer_label(batch: pa.Table) -> pa.Table:
+        # after join on peer == labels.node: (node, peer, label); the
+        # peer's label is a candidate label for node.
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return nl_schema.empty_table()
+        return _typed_nl(batch.column("node"), batch.column("label"))
+
+    def _jumped(batch: pa.Table) -> pa.Table:
+        # after join on label == labels.node: label(label(node)).
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return nl_schema.empty_table()
+        return _typed_nl(batch.column("node"), batch.column("label_parent"))
 
     for _ in range(max_rounds):
-        label_map = dict(zip(labels["node"], labels["label"]))
-        label_ref = ray.put(label_map)
-
-        def _peer_labels(df: pd.DataFrame) -> pd.DataFrame:
-            lookup = ray.get(label_ref)
-            out = df.copy()
-            out["label"] = out["peer"].map(lookup)
-            # own label competes too
-            own = df[["node"]].copy()
-            own["label"] = own["node"].map(lookup)
-            return pd.concat([out[["node", "label"]], own])
-
-        new_labels = (
-            edge_ds.map_batches(_peer_labels, batch_format="pandas")
+        neighbor = (
+            edges.join(
+                labels, "inner", join_partitions, on=("peer",), right_on=("node",),
+                right_suffix="_l",
+            )
+            .map_batches(_peer_label, batch_format="pyarrow")
+            .union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
-            .to_pandas()
+            .map_batches(_normalize, batch_format="pyarrow")
+            .repartition(join_partitions)
         )
-        if new_labels.sort_values("node")["label"].tolist() == labels.sort_values("node")[
-            "label"
-        ].tolist():
-            labels = new_labels
+        jumped = (
+            neighbor.join(
+                labels, "inner", join_partitions, on=("label",), right_on=("node",),
+                right_suffix="_parent",
+            )
+            .map_batches(_jumped, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_normalize, batch_format="pyarrow")
+            .repartition(join_partitions)
+        )
+        labels = jumped.materialize()
+        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if new_sum == prev_sum:
             break
-        labels = new_labels
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"cluster_pairs did not converge within {max_rounds} rounds "
+            "(component diameter > 2^rounds?) — refusing to return wrong clusters"
+        )
 
-    labels = labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
-    return ray.data.from_pandas(labels.sort_values("doc_id").reset_index(drop=True))
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("node"), "cluster_id": batch.column("label")}
+        )
+
+    return labels.map_batches(_rename, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 20) -> ray.data.Dataset:
+    """Near-duplicate clusters: MinHash-LSH candidate pairs → connected
+    components via distributed min-label propagation (``cluster_pairs``).
+
+    Output: (doc_id, cluster_id) for every doc in a near-dup pair,
+    cluster_id = min doc_id of the component."""
+    return cluster_pairs(dedup_minhash_lsh(sf_dir, threshold=threshold), max_rounds=max_rounds)
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:

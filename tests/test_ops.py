@@ -157,3 +157,95 @@ def test_events_sliding_covers_tumbling(ray_session):
     assert sum(sliding.values()) == 2 * sum(tumbling.values())
     for key, n in tumbling.items():
         assert sliding.get(key, 0) >= n
+
+
+def test_cluster_pairs_long_chain_pointer_jumping(ray_session):
+    """A chain-shaped component with diameter 40 — far past the old
+    max_rounds=5 — must converge (pointer jumping: O(log d) rounds)."""
+    import pyarrow as pa
+    import ray.data
+
+    from smart_ocr_ray.ops.dedup import cluster_pairs
+
+    n = 41
+    pairs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "left_id": pa.array(list(range(n - 1)), pa.int64()),
+                "right_id": pa.array(list(range(1, n)), pa.int64()),
+                "est_jaccard": pa.array([1.0] * (n - 1), pa.float64()),
+            }
+        )
+    )
+    rows = cluster_pairs(pairs).take_all()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert [r["doc_id"] for r in rows] == list(range(n))
+
+
+def test_cluster_pairs_raises_on_nonconvergence(ray_session):
+    """Never return silently wrong clusters: exhausting max_rounds
+    without the fixed point raises."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from smart_ocr_ray.ops.dedup import cluster_pairs
+
+    n = 41
+    pairs = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "left_id": pa.array(list(range(n - 1)), pa.int64()),
+                "right_id": pa.array(list(range(1, n)), pa.int64()),
+                "est_jaccard": pa.array([1.0] * (n - 1), pa.float64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_pairs(pairs, max_rounds=1)
+
+
+def test_minhash_hot_bucket_collapses_exact_dups(ray_session, tmp_path):
+    """A degenerate corpus (100 identical texts) exceeds
+    HOT_BUCKET_LIMIT in every band bucket: the verify collapses the
+    identical signatures to a representative star — O(m) pairs, one
+    connected component — instead of O(m^2) pairwise work."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from smart_ocr_ray.ops.dedup import cluster_pairs, dedup_minhash_lsh
+
+    boiler = (
+        "Terms of service apply to all visitors of this site and use "
+        "constitutes acceptance of the policy in full without exception."
+    )
+    distinct = (
+        "A completely different article about monetary policy outcomes "
+        "in small open economies during the tightening cycle of 2026."
+    )
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(list(range(101)), pa.int64()),
+            "text": pa.array([boiler] * 100 + [distinct], pa.string()),
+        }
+    )
+    sf = tmp_path / "hotsf"
+    sf.mkdir()
+    pq.write_table(table, sf / "documents.parquet")
+
+    pairs = dedup_minhash_lsh(str(sf)).take_all()
+    # Star topology: every duplicate pairs with representative 0 only.
+    assert len(pairs) == 99
+    assert all(p["left_id"] == 0 and p["est_jaccard"] == 1.0 for p in pairs)
+    assert sorted(p["right_id"] for p in pairs) == list(range(1, 100))
+    # The distinct doc never pairs; the dups form one cluster.
+    clusters = cluster_pairs(
+        ray.data.from_arrow(
+            pa.Table.from_pylist(pairs) if pairs else pa.Table.from_pydict({})
+        )
+    ).take_all()
+    assert {c["cluster_id"] for c in clusters} == {0}
+    assert len(clusters) == 100
