@@ -134,22 +134,36 @@ def _q_figures(sf_dir: str):
 
 def _q_score(sf_dir: str):
     """Benchmark scoring job (F1-F4/G7): pipeline output scored against
-    the single-row oracle as ground truth; exact match ⇒ wer=0, nes=1."""
-    import pyarrow.parquet as pq
+    the single-row oracle as ground truth; exact match ⇒ wer=0, nes=1.
+    The golden side is computed distributed (oracle per row inside
+    map_batches) and joined on url — no driver-side full-table loop."""
+    import pyarrow as pa
+    import ray.data
 
-    from smart_ocr_ray.document import oracle_extract
     from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
-    from smart_ocr_ray.pipelines.score import rollup_by_extractor, score_against_golden
+    from smart_ocr_ray.pipelines.score import (
+        rollup_by_extractor,
+        score_against_golden_ds,
+    )
 
-    pages = pq.read_table(_pages_path(sf_dir))
-    golden = {
-        pages["url"][i].as_py(): oracle_extract(
-            pages["html"][i].as_py(), pages["text"][i].as_py()
-        )["extracted_text"]
-        for i in range(pages.num_rows)
-    }
+    pages = ray.data.read_parquet(_pages_path(sf_dir), columns=["url", "html", "text"])
+
+    def _oracle(batch: pa.Table) -> pa.Table:
+        from smart_ocr_ray.document import oracle_extract
+
+        texts = [
+            oracle_extract(h or b"", t or "")["extracted_text"]
+            for h, t in zip(
+                batch.column("html").to_pylist(), batch.column("text").to_pylist()
+            )
+        ]
+        return pa.Table.from_pydict(
+            {"url": batch.column("url"), "golden_text": pa.array(texts, pa.string())}
+        )
+
+    golden_ds = pages.map_batches(_oracle, batch_format="pyarrow")
     extracted = extract_from_parquet(_pages_path(sf_dir))
-    return rollup_by_extractor(score_against_golden(extracted, golden))
+    return rollup_by_extractor(score_against_golden_ds(extracted, golden_ds))
 
 
 def _q_calibration(sf_dir: str):
@@ -199,6 +213,54 @@ def _q_calibration(sf_dir: str):
     return final.map_batches(_rates, batch_format="pandas").sort(["extractor", "route"])
 
 
+def _q_recovery(sf_dir: str):
+    """Failure-mode recovery rates (G8, the routing-feeding half of
+    calibration — /root/reference/src/socr/benchmark/calibrate.py:256-277):
+    for every (extractor, failure_mode) attempt outcome in the lineage,
+    P(document still ended acceptable | that failure happened). The
+    reference's "acceptable" is final WER < 0.5 on the scored run; the
+    pipeline analog is the final document passing audit."""
+    import pandas as pd
+
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    ds = extract_from_parquet(_pages_path(sf_dir))
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lineage, passed in zip(df["attempt_failures"], df["audit_passed"]):
+            for entry in (lineage or "").split(","):
+                if ":" not in entry:
+                    continue
+                extractor, fm = entry.rsplit(":", 1)
+                if fm == "none":
+                    continue  # only failures have a recovery question
+                rows.append((extractor, fm, 1, int(bool(passed))))
+        out = pd.DataFrame(rows, columns=["extractor", "failure_mode", "n_failures", "n_recovered"])
+        if out.empty:
+            return out
+        return out.groupby(["extractor", "failure_mode"], as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(_explode, batch_format="pandas")
+        .groupby(["extractor", "failure_mode"])
+        .aggregate(
+            Sum("n_failures", alias_name="n_failures"),
+            Sum("n_recovered", alias_name="n_recovered"),
+        )
+    )
+
+    def _rate(df: pd.DataFrame) -> pd.DataFrame:
+        df["recovery_rate"] = (df["n_recovered"] / df["n_failures"]).round(6)
+        return df
+
+    return final.map_batches(_rate, batch_format="pandas").sort(
+        ["extractor", "failure_mode"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from smart_ocr_ray.ops import dedup, relational, similarity, text_analysis
 
@@ -210,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "figure_captions": _q_figures,
         "score_vs_oracle": _q_score,
         "calibration_profiles": _q_calibration,
+        "failure_recovery": _q_recovery,
         # --- text analysis over documents ---
         "doc_token_counts": text_analysis.token_counts,
         "doc_quality": text_analysis.quality,

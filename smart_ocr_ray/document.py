@@ -102,6 +102,7 @@ def process_payload(
                 extractors_tried="none",
                 agreement=1.0,
                 ms=_ms(t0),
+                attempt_failures=f"none:{au.EMPTY_OUTPUT}",
             )
         ]
 
@@ -250,6 +251,13 @@ def _select_rows(
                 extractors_tried=",".join(dict.fromkeys(at.extractor for at in atts)),
                 agreement=pairwise_agreement([at.text for at in atts]),
                 ms=per_unit_ms,
+                # Attempt lineage for calibration (G8): every attempt's
+                # (extractor, failure outcome) in try order — the raw
+                # material for P(recovered | extractor, failure mode),
+                # calibrate.py:256-277.
+                attempt_failures=",".join(
+                    f"{at.extractor}:{at.failure_mode}" for at in atts
+                ),
             )
         )
     return rows
@@ -267,10 +275,12 @@ def _unit_row(
     extractors_tried: str,
     agreement: float,
     ms: float,
+    attempt_failures: str = "",
 ) -> dict:
     return {
         "unit_id": unit_id,
         "sub_id": 0,
+        "attempt_failures": attempt_failures,
         "text": attempt.text,
         "word_count": len(attempt.text.split()),
         "extractor": attempt.extractor,
@@ -311,6 +321,7 @@ def assemble_units(unit_rows: list[dict]) -> dict:
     spans: list[dict] = []
     failure_modes: list[str] = []
     extractors: list[str] = []
+    attempt_failures: list[str] = []
     all_passed = True
     any_text = False
     total_ms = 0.0
@@ -344,6 +355,8 @@ def assemble_units(unit_rows: list[dict]) -> dict:
             passed = result.passed
             failure = result.primary_failure
         for r in frags:
+            if r.get("attempt_failures"):
+                attempt_failures.append(r["attempt_failures"])
             for name in r["extractors_tried"].split(","):
                 if name and name not in extractors:
                     extractors.append(name)
@@ -369,6 +382,7 @@ def assemble_units(unit_rows: list[dict]) -> dict:
     return {
         "extracted_text": extracted,
         "spans_json": json.dumps(spans, separators=(",", ":")),
+        "attempt_failures": ",".join(attempt_failures),
         "audit_passed": all_passed and any_text,
         "failure_mode": primary,
         "extractor": ",".join(extractors),

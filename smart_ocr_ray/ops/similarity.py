@@ -131,13 +131,15 @@ def ivf_topk(
         norms[norms == 0] = 1.0
         emb = emb / norms
         buckets = np.argmax(emb @ cents.T, axis=1)
-        sims = emb @ q_mat.T
         out_q, out_v, out_s = [], [], []
         for qi, q_id in enumerate(q_ids):
             mask = np.isin(buckets, list(probe_map[q_id]))
             if not mask.any():
                 continue
-            col = sims[mask, qi]
+            # Mask BEFORE the matmul: only probed-bucket rows are ever
+            # multiplied — this is the IVF compute saving (an n_probe/
+            # n_buckets fraction of the batch), not just a result filter.
+            col = emb[mask] @ q_mat[qi]
             cand_ids = vec_ids[mask]
             top = min(len(cand_ids), k)
             idx = np.argpartition(-col, top - 1)[:top]

@@ -43,6 +43,64 @@ def score_against_golden(
     return extracted.map_batches(_score, batch_format="pyarrow")
 
 
+def score_against_golden_ds(
+    extracted: ray.data.Dataset, golden: ray.data.Dataset, join_partitions: int = 8
+) -> ray.data.Dataset:
+    """Distributed variant of ``score_against_golden``: the golden side
+    is a (url, golden_text) Dataset and the lookup is a hash join on
+    url, so neither side ever materializes on the driver — the scale
+    path when the golden table is itself corpus-sized (the r1 weak spot
+    where ``_q_score`` built the golden dict in a driver loop)."""
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        return batch.select(["url", "extractor", "extracted_text"])
+
+    joined = extracted.map_batches(_prune, batch_format="pyarrow").join(
+        golden, "inner", join_partitions, on=("url",)
+    )
+
+    score_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("extractor", pa.string()),
+            ("wer", pa.float64()),
+            ("cer", pa.float64()),
+            ("nes", pa.float64()),
+            ("exact_match", pa.bool_()),
+        ]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return score_schema.empty_table()
+        texts = batch.column("extracted_text").to_pylist()
+        golds = batch.column("golden_text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url"),
+                "extractor": batch.column("extractor"),
+                "wer": pa.array(
+                    [round(wer_cased(t or "", g), 6) for t, g in zip(texts, golds)],
+                    pa.float64(),
+                ),
+                "cer": pa.array(
+                    [round(cer(t or "", g), 6) for t, g in zip(texts, golds)],
+                    pa.float64(),
+                ),
+                "nes": pa.array(
+                    [round(nes(t or "", g), 6) for t, g in zip(texts, golds)],
+                    pa.float64(),
+                ),
+                "exact_match": pa.array(
+                    [(t or "") == g for t, g in zip(texts, golds)], pa.bool_()
+                ),
+            },
+            schema=score_schema,
+        )
+
+    return joined.map_batches(_score, batch_format="pyarrow")
+
+
 def rollup_by_extractor(scores: ray.data.Dataset) -> ray.data.Dataset:
     """Mean WER/CER/NES and exact-match rate per extractor (G7 analog of
     /root/reference/src/socr/benchmark/runner.py:46-58)."""

@@ -31,6 +31,7 @@ DOC_SCHEMA = pa.schema(
         ("n_bytes", pa.int64()),
         ("extracted_text", pa.string()),
         ("spans_json", pa.string()),
+        ("attempt_failures", pa.string()),
         ("route", pa.string()),
         ("extractor", pa.string()),
         ("audit_passed", pa.bool_()),
@@ -45,7 +46,7 @@ DOC_SCHEMA = pa.schema(
 )
 
 _UNIT_KEYS = (
-    "unit_id", "sub_id", "text", "extractor", "audit_passed", "failure_mode",
+    "unit_id", "sub_id", "text", "attempt_failures", "extractor", "audit_passed", "failure_mode",
     "confidence", "n_attempts", "extractors_tried", "agreement", "spans_json",
     "route", "is_native", "processing_ms",
 )
@@ -70,6 +71,7 @@ def _fast_single(batch: pa.Table) -> pa.Table:
             batch.column("n_bytes"),
             texts,
             batch.column("spans_json"),
+            batch.column("attempt_failures"),
             batch.column("route"),
             batch.column("extractors_tried"),
             passed,
@@ -125,7 +127,7 @@ def assemble_group(group: pa.Table) -> pa.Table:
         out["content_hash"].append(first["content_hash"])
         out["n_bytes"].append(first["n_bytes"])
         for key in (
-            "extracted_text", "spans_json", "route", "extractor", "audit_passed",
+            "extracted_text", "spans_json", "attempt_failures", "route", "extractor", "audit_passed",
             "failure_mode", "n_units", "word_count", "char_count", "agreement",
             "confidence", "processing_ms",
         ):

@@ -52,7 +52,7 @@ from ..functions.deadline import DeadlineExceeded, arm, disarm
 NUM_ASSEMBLY_BUCKETS = 512
 
 _COMPUTED = (
-    "unit_id", "sub_id", "text", "word_count", "extractor", "audit_passed", "failure_mode",
+    "unit_id", "sub_id", "text", "word_count", "attempt_failures", "extractor", "audit_passed", "failure_mode",
     "confidence", "n_attempts", "extractors_tried", "agreement", "spans_json",
     "route", "is_native", "processing_ms",
 )
@@ -62,6 +62,7 @@ _COMPUTED_TYPES = {
     "sub_id": pa.int32(),
     "text": pa.string(),
     "word_count": pa.int64(),
+    "attempt_failures": pa.string(),
     "extractor": pa.string(),
     "audit_passed": pa.bool_(),
     "failure_mode": pa.string(),
@@ -200,7 +201,8 @@ class ExtractDocuments:
 
 def _error_row(unit_id: int, message: str) -> dict:
     return {
-        "unit_id": unit_id, "sub_id": 0, "text": "", "word_count": 0, "extractor": "none",
+        "unit_id": unit_id, "sub_id": 0, "text": "", "word_count": 0,
+        "attempt_failures": f"none:{au.PARSE_ERROR}", "extractor": "none",
         "audit_passed": False, "failure_mode": au.PARSE_ERROR, "confidence": 0.0,
         "n_attempts": 1, "extractors_tried": "none", "agreement": 1.0,
         "spans_json": "[]", "route": "error", "is_native": False,
@@ -210,7 +212,8 @@ def _error_row(unit_id: int, message: str) -> dict:
 
 def _timeout_row(unit_id: int, elapsed_ms: float) -> dict:
     return {
-        "unit_id": unit_id, "sub_id": 0, "text": "", "word_count": 0, "extractor": "none",
+        "unit_id": unit_id, "sub_id": 0, "text": "", "word_count": 0,
+        "attempt_failures": f"none:{au.TIMEOUT}", "extractor": "none",
         "audit_passed": False, "failure_mode": au.TIMEOUT, "confidence": 0.0,
         "n_attempts": 1, "extractors_tried": "none", "agreement": 1.0,
         "spans_json": "[]", "route": "timeout", "is_native": False,
