@@ -311,8 +311,164 @@ _STOP_ES = "['el','la','de','que','y','en','un','por','con','para']"
 _STOP_FR = "['le','la','de','et','est','un','une','dans','pour','que']"
 
 
+def _minhash_base_sql() -> str:
+    """Shared CTE prefix reproducing the Ray MinHash-LSH pipeline in
+    ANSI SQL: shingles → md5-derived 64-bit hashes (== DuckDB
+    ``md5_number_lower`` == ``functions/hashing._hash64``) → the exact
+    (a·x + b) permutations (constants injected from the same seeded
+    ``MinHasher``, with uint64 wraparound emulated via HUGEINT
+    ``% 2^64``) → band buckets → candidate pairs → signature-equality
+    Jaccard estimates.
+
+    Valid while band buckets stay under ``HOT_BUCKET_LIMIT`` distinct
+    docs (true for the sf corpora): beyond that the Ray side
+    deliberately collapses exact-duplicate signatures to a
+    representative star instead of all-pairs (ops/dedup.py)."""
+    from smart_ocr_ray.functions.hashing import MinHasher
+
+    h = MinHasher(num_perm=64, seed=42)
+    perm_rows = ", ".join(
+        f"({i}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
+        for i, (a, b) in enumerate(zip(h.a, h.b))
+    )
+    return rf"""
+t AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, u.shingle AS shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) >= 3
+        THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        ELSE []
+      END AS shl
+    FROM t
+  ), unnest(shl) AS u(shingle)
+),
+perms(pi, a, b) AS (VALUES {perm_rows}),
+sig0 AS (
+  SELECT doc_id, p.pi AS pi,
+     min(CAST(
+       (((p.a * CAST(md5_number_lower(shingle) AS HUGEINT)) % 18446744073709551616
+         + p.b) % 18446744073709551616) % 2305843009213693951
+     AS UBIGINT)) AS s
+  FROM sh, perms p GROUP BY doc_id, p.pi
+),
+sigfull AS (
+  -- empty documents carry the all-max signature, as in MinHasher.signature
+  SELECT d.doc_id, p.pi,
+         coalesce(s.s, CAST(18446744073709551615 AS UBIGINT)) AS s
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN perms p
+  LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.pi = p.pi
+),
+band AS (
+  SELECT doc_id, pi // 4 AS band_idx,
+         string_agg(CAST(s AS VARCHAR), ',' ORDER BY pi) AS bsig
+  FROM sigfull GROUP BY doc_id, pi // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM band l JOIN band r
+    ON l.band_idx = r.band_idx AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+),
+est AS (
+  -- k/64 is exactly representable, so round(e, 6) is engine-invariant
+  SELECT c.left_id, c.right_id,
+         sum(CASE WHEN sl.s = sr.s THEN 1 ELSE 0 END) / 64.0 AS e
+  FROM cand c
+  JOIN sigfull sl ON sl.doc_id = c.left_id
+  JOIN sigfull sr ON sr.doc_id = c.right_id AND sl.pi = sr.pi
+  GROUP BY c.left_id, c.right_id
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    minhash_base = _minhash_base_sql()
     return {
+        "dedup_minhash_lsh": "WITH "
+        + minhash_base
+        + """
+            SELECT left_id, right_id, round(e, 6) AS est_jaccard
+            FROM est WHERE e >= 0.7
+        """,
+        "dedup_clusters": "WITH RECURSIVE "
+        + minhash_base
+        + """,
+            p2 AS (SELECT left_id, right_id FROM est WHERE e >= 0.7),
+            edges AS (SELECT left_id AS node, right_id AS peer FROM p2
+                      UNION ALL SELECT right_id, left_id FROM p2),
+            -- connected components: labels = all reachable ids (UNION
+            -- dedups, so the recursion terminates); component id = min
+            reach(node, label) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.peer
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "dedup_simhash": r"""
+            WITH t AS (
+              SELECT doc_id, list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, u.shingle AS shingle FROM (
+                SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                    ELSE []
+                  END AS shl
+                FROM t
+              ), unnest(shl) AS u(shingle)
+            ),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (md5_number_lower(shingle) >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM sh, unnest(range(0, 64)) AS b(b)
+              GROUP BY doc_id, b.b
+            ),
+            val AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INTEGER) AS HUGEINT) ELSE 0 END) AS v
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   lpad(lower(to_hex(CAST(coalesce(v.v, 0) AS UBIGINT))), 16, '0') AS simhash_hex,
+                   CAST(CAST(coalesce(v.v, 0) AS UBIGINT) >> 48 AS BIGINT) AS bucket
+            FROM documents d LEFT JOIN val v USING (doc_id)
+        """,
+        "doc_winnow": r"""
+            WITH t AS (SELECT doc_id, coalesce(text,'') AS txt FROM documents),
+            kg AS (
+              SELECT doc_id, u.i AS i, md5_number_lower(substr(txt, u.i, 8)) AS h
+              FROM t, unnest(range(1,
+                  CASE WHEN length(txt) >= 8 THEN length(txt) - 6
+                       WHEN length(txt) > 0 THEN 2
+                       ELSE 1 END)) AS u(i)
+            ),
+            wm AS (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY doc_id) AS np,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
+                     min(h) OVER (PARTITION BY doc_id) AS gmin
+              FROM kg
+            ),
+            agg AS (
+              SELECT doc_id, count(DISTINCT CASE WHEN np <= 16 THEN gmin ELSE wmin END) AS n_winnow
+              FROM wm
+              WHERE np <= 16 OR i <= np - 15
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(a.n_winnow, 0) AS BIGINT) AS n_winnow
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "doc_token_counts": f"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

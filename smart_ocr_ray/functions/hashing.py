@@ -22,8 +22,14 @@ def shingles(text: str, k: int = 3) -> set[str]:
 
 
 def _hash64(s: str) -> np.uint64:
+    """64-bit hash of a string == DuckDB's ``md5_number_lower``.
+
+    Chosen (over blake2b) so an ANSI-SQL oracle can recompute the exact
+    same shingle hashes — the driver's DuckDB gate can then value-check
+    MinHash/SimHash/winnowing instead of a rows-only check.
+    """
     return np.uint64(
-        int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+        int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
     )
 
 

@@ -157,15 +157,32 @@ def _full_hash(data: bytes) -> int:
     return h
 
 
+def _kgram_hash64(s: str) -> int:
+    """64-bit k-gram hash == DuckDB ``md5_number_lower`` (so the winnow
+    fingerprint is value-checkable by the driver's SQL oracle)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
 def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> list[int]:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
-    min rolling hash per sliding window, deduplicated, sorted."""
-    hashes = rolling_hashes(text, k)
-    if not hashes:
+    min k-gram hash per sliding window, deduplicated, sorted.
+
+    k-grams are character k-grams hashed with an md5-derived 64-bit
+    hash (any strong hash satisfies the winnowing guarantees; md5 was
+    chosen over Rabin-Karp — still available as ``rolling_hashes`` —
+    because DuckDB can recompute it, making the driver's value-hash
+    gate applicable). Texts shorter than k contribute their whole text
+    as the single k-gram."""
+    if not text:
         return []
+    if len(text) < k:
+        hashes = [_kgram_hash64(text)]
+    else:
+        hashes = [_kgram_hash64(text[i : i + k]) for i in range(len(text) - k + 1)]
     if len(hashes) <= window:
-        return sorted(set([min(hashes)]))
-    picks = set()
-    for i in range(len(hashes) - window + 1):
-        picks.add(min(hashes[i : i + window]))
-    return sorted(picks)
+        return sorted({min(hashes)})
+    import numpy as np
+
+    arr = np.asarray(hashes, dtype=np.uint64)
+    mins = np.lib.stride_tricks.sliding_window_view(arr, window).min(axis=1)
+    return [int(x) for x in np.unique(mins)]
