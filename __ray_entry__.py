@@ -568,6 +568,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(round(sim * 1000) AS BIGINT) AS cos_sim_e3, rank
             FROM ranked WHERE rank <= 10
         """,
+        "ivf_topk": """
+            -- Deterministic IVF reproduced exactly: centroids = first 16
+            -- vec_ids; argmax bucket assignment (ties -> lowest centroid
+            -- index, matching np.argmax); queries probe their 4 nearest
+            -- buckets. Float-safe: measured argmax margins are >=2e-4,
+            -- ~1e11 times larger than any f64 kernel difference.
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS c
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT e.vec_id, e.embedding, c.ci,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY list_cosine_similarity(e.embedding, c.c) DESC, c.ci ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            bucket AS (SELECT vec_id, embedding, ci AS b FROM assign WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 5),
+            probes AS (
+              SELECT query_id, ci,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY list_cosine_similarity(q.q_emb, c.c) DESC, c.ci ASC) AS rn
+              FROM q CROSS JOIN cents c
+            ),
+            probe AS (SELECT query_id, ci FROM probes WHERE rn <= 4),
+            cand AS (
+              SELECT q.query_id, b.vec_id,
+                     list_cosine_similarity(b.embedding, q.q_emb) AS sim
+              FROM q JOIN probe p ON p.query_id = q.query_id
+                     JOIN bucket b ON b.b = p.ci
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, vec_id, CAST(round(sim * 1000) AS BIGINT) AS cos_sim_e3, rank
+            FROM ranked WHERE rank <= 10
+        """,
         "pricing_summary": """
             -- rounding grids match the true-value grids (qty integral,
             -- prices exact cents, disc_price exact 1e-4) so results are
