@@ -125,6 +125,18 @@ def _q_consensus(sf_dir: str):
     return ds.drop_columns(["warc_ts", "extracted_text", "spans_json", "processing_ms"])
 
 
+def _q_consensus_arbiter(sf_dir: str):
+    """Multi-extractor mode judged by the arbiter path (C5 arbiter
+    option with heuristic fallback — consensus.py:430-478 shape, with
+    the deterministic rule-based stand-in for the model)."""
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    ds = extract_from_parquet(
+        _pages_path(sf_dir), multi_extractor=True, consensus="arbiter"
+    )
+    return ds.drop_columns(["warc_ts", "extracted_text", "spans_json", "processing_ms"])
+
+
 def _q_figures(sf_dir: str):
     from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
     from smart_ocr_ray.pipelines.figures import describe_figures
@@ -269,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pipeline": _q_extract,
         "extract_metrics": _q_extract_metrics,
         "extract_consensus": _q_consensus,
+        "extract_consensus_arbiter": _q_consensus_arbiter,
         "figure_captions": _q_figures,
         "score_vs_oracle": _q_score,
         "calibration_profiles": _q_calibration,

@@ -76,6 +76,7 @@ def process_payload(
     unit_base: int = 0,
     max_retries: int = MAX_RETRIES,
     multi_extractor: bool = False,
+    consensus: str = "heuristic",
 ) -> list[dict]:
     """Extract one payload (a whole document or one chunk) into unit rows.
 
@@ -123,7 +124,7 @@ def process_payload(
                     _attempt_from_unit(u, name, a)
                 )
         _reconcile_latex(unit_attempts)
-        return _select_rows(unit_attempts, a, tried, t0)
+        return _select_rows(unit_attempts, a, tried, t0, consensus=consensus)
 
     for _ in range(max_retries + 1):
         units = _run_extractor(extractor, html, text_layer, unit_base)
@@ -153,7 +154,7 @@ def process_payload(
             break
         extractor = nxt
 
-    return _select_rows(unit_attempts, a, tried, t0)
+    return _select_rows(unit_attempts, a, tried, t0, consensus=consensus)
 
 
 def _reconcile_latex(unit_attempts: dict[int, list[Attempt]]) -> None:
@@ -203,7 +204,11 @@ def _attempt_from_unit(u, extractor: str, a: Assessment) -> Attempt:
 
 
 def _select_rows(
-    unit_attempts: dict[int, list[Attempt]], a: Assessment, tried: list[str], t0: float
+    unit_attempts: dict[int, list[Attempt]],
+    a: Assessment,
+    tried: list[str],
+    t0: float,
+    consensus: str = "heuristic",
 ) -> list[dict]:
     """Per-unit consensus selection + row emission (C5, J1)."""
     rows = []
@@ -220,7 +225,33 @@ def _select_rows(
         passing = [at for at in atts if at.audit_passed]
         pool = passing if passing else atts
         ref_text = a.native_text if a.is_native else ""
-        best = pool[select_best(pool, ref_text)]
+        if consensus == "arbiter" and len(atts) >= 2:
+            # Arbiter mode (consensus.py:430-478 shape): a pluggable
+            # verdict function judges the top attempts; ANY failure in
+            # that path — unavailable, unparseable verdict, empty text
+            # — falls back to the heuristic selection below.
+            from .functions.arbiter import arbitrate
+
+            idx, verdict_text = arbitrate(
+                atts,
+                select_fallback=lambda alist: alist.index(
+                    (passing if passing else alist)[
+                        select_best(passing if passing else alist, ref_text)
+                    ]
+                ),
+            )
+            best = atts[idx]
+            if verdict_text is not None and verdict_text != best.text:
+                # merged/edited verdict: adopt the text, degrade spans
+                # to a whole-text span (offsets no longer apply).
+                best.text = verdict_text
+                best.extractor = "arbiter-merged"
+                best.spans = [
+                    {"unit_id": uid, "kind": "prose", "start": 0,
+                     "end": len(verdict_text), "meta": ""}
+                ]
+        else:
+            best = pool[select_best(pool, ref_text)]
 
         # Assembly precedence (state.py:138-148): passing attempt beats
         # native text beats any attempt. Native fallback applies when the

@@ -1,0 +1,127 @@
+"""Arbiter consensus with heuristic fallback (the C5 option).
+
+The reference's LLM-arbiter mode (``/root/reference/src/socr/pipeline/
+consensus.py:299-326,430-478``) sends the top-3 attempts to a local
+model and expects a JSON verdict ``{"selected": i, "text": "..."}``;
+every failure point — model unavailable, unparseable reply, empty
+verdict text — falls back to the deterministic heuristic
+(``select_best``). That *fallback-on-parse-failure shape* is the part
+worth reproducing; the model itself is nondeterministic and out of
+scope (SURVEY §2.2), so the default arbiter here is a deterministic
+rule-based stand-in that emits the same JSON verdict contract. Any
+callable ``prompt -> str | None`` can be plugged in as the arbiter.
+
+Flow parity (consensus.py:430-478):
+  1. viable = attempts with text and no error; < 2 viable → fallback
+  2. top-3 viable by the heuristic score → outputs block prompt
+  3. arbiter returns None (unavailable) → fallback
+  4. JSON verdict extracted by regex, parsed, validated
+     (non-empty text; selected 1..n → that attempt's extractor,
+     else "arbiter-merged") — any failure → fallback
+  5. success → (winner_extractor, verdict_text)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Callable
+
+_JSON_RE = re.compile(r"\{.*\}", re.DOTALL)
+
+COMPARE_PROMPT = (
+    "Compare the {n} extraction outputs below and reply with JSON "
+    '{{"selected": <1-based index of the best>, "text": "<the best text>"}}.'
+    "\n\n{outputs_block}"
+)
+
+
+def build_prompt(attempts) -> str:
+    """Outputs block in the reference's prompt shape (consensus.py:446-452)."""
+    outputs_block = "\n\n".join(
+        f"--- Output {i + 1} (engine: {a.extractor}) ---\n{a.text}"
+        for i, a in enumerate(attempts)
+    )
+    return COMPARE_PROMPT.format(n=len(attempts), outputs_block=outputs_block)
+
+
+def parse_verdict(raw: str, attempts) -> tuple[str, str] | None:
+    """Parse the arbiter's JSON verdict (consensus.py:299-326 semantics).
+
+    Returns (extractor_name, text) or None on any parse failure — the
+    caller falls back to the heuristic."""
+    match = _JSON_RE.search(raw or "")
+    if not match:
+        return None
+    try:
+        data = json.loads(match.group())
+    except json.JSONDecodeError:
+        return None
+    text = data.get("text", "")
+    selected = data.get("selected", 0)
+    if not text:
+        return None
+    if isinstance(selected, int) and 1 <= selected <= len(attempts):
+        extractor = attempts[selected - 1].extractor
+    else:
+        extractor = "arbiter-merged"
+    return extractor, text
+
+
+def rule_arbiter(prompt: str) -> str:
+    """Deterministic stand-in for the arbiter model: picks the output
+    with the most markdown structure (tables/headings/equations), ties
+    broken by length then index — a different signal than the
+    heuristic scorer, so the arbiter path is observable. Returns the
+    same JSON verdict contract a model would."""
+    blocks = re.split(r"--- Output (\d+) \(engine: [^)]*\) ---\n", prompt)
+    # re.split yields [head, idx1, text1, idx2, text2, ...]
+    outputs = []
+    for i in range(1, len(blocks) - 1, 2):
+        text = blocks[i + 1]
+        # strip the joining blank line before the next header
+        outputs.append((int(blocks[i]), text.rstrip("\n")))
+    if not outputs:
+        return "{}"
+    def structure(t: str) -> int:
+        return t.count("\n|") + t.count("\n#") + t.count("$$")
+    best = max(outputs, key=lambda o: (structure(o[1]), len(o[1]), -o[0]))
+    return json.dumps({"selected": best[0], "text": best[1]})
+
+
+def arbitrate(
+    attempts: list,
+    select_fallback: Callable[[list], int],
+    arbiter: Callable[[str], str | None] = rule_arbiter,
+    score: Callable[[object], float] | None = None,
+) -> tuple[int, str | None]:
+    """Arbiter consensus over one unit's attempts.
+
+    Returns ``(winner_index_into_attempts, verdict_text_or_None)``:
+    verdict text is None whenever the heuristic fallback decided (so
+    the caller keeps the attempt's own text exactly).
+    """
+    viable = [
+        (i, a) for i, a in enumerate(attempts) if a.text.strip() and a.failure_mode != "parse_error"
+    ]
+    if len(viable) < 2:
+        return select_fallback(attempts), None
+
+    if score is not None:
+        viable.sort(key=lambda p: score(p[1]), reverse=True)
+    top = viable[:3]
+
+    raw = arbiter(build_prompt([a for _, a in top]))
+    if raw is None:
+        return select_fallback(attempts), None
+
+    parsed = parse_verdict(raw, [a for _, a in top])
+    if parsed is None:
+        return select_fallback(attempts), None
+
+    extractor, text = parsed
+    for i, a in top:
+        if a.extractor == extractor and a.text == text:
+            return i, None  # verdict names an attempt verbatim
+    # merged/edited verdict: attach to the top attempt's slot
+    return top[0][0], text

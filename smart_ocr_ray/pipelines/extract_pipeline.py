@@ -65,6 +65,7 @@ def extract_pipeline(
     use_actor_pool: bool = False,
     assembly_coalesce_rows: int = 4096,
     multi_extractor: bool = False,
+    consensus: str = "heuristic",
 ) -> ray.data.Dataset:
     """Compose the full pipeline; returns the lazy extracted Dataset.
 
@@ -100,7 +101,7 @@ def extract_pipeline(
             ExtractDocuments,
             fn_constructor_kwargs={
                 "max_retries": max_retries, "deadline_ms": deadline_ms,
-                "multi_extractor": multi_extractor,
+                "multi_extractor": multi_extractor, "consensus": consensus,
             },
             batch_format="pyarrow",
             batch_size=extract_batch_size,
@@ -110,7 +111,7 @@ def extract_pipeline(
     else:
         extractor = ExtractDocuments(
             max_retries=max_retries, deadline_ms=deadline_ms,
-            multi_extractor=multi_extractor,
+            multi_extractor=multi_extractor, consensus=consensus,
         )
         units = exploded.map_batches(
             lambda b: extractor(b),

@@ -87,10 +87,12 @@ class ExtractDocuments:
         max_retries: int = 2,
         deadline_ms: float = 30_000.0,
         multi_extractor: bool = False,
+        consensus: str = "heuristic",
     ):
         self.max_retries = max_retries
         self.deadline_ms = deadline_ms
         self.multi_extractor = multi_extractor
+        self.consensus = consensus
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column("html")
@@ -142,6 +144,7 @@ class ExtractDocuments:
                     html, text, assessment=assessment, unit_base=unit_base,
                     max_retries=self.max_retries,
                     multi_extractor=self.multi_extractor,
+                    consensus=self.consensus,
                 )
             except DeadlineExceeded:
                 elapsed_ms = (time.perf_counter() - start) * 1000.0
