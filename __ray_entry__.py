@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
+        "embedding_neardup": similarity.embedding_neardup_pairs,
+        "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         # --- relational / windowed ---
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -580,6 +582,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(round(sim * 1000) AS BIGINT) AS cos_sim_e3, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "embedding_neardup": """
+            -- exact embedding-cosine near-dup pairs; the threshold is
+            -- applied on the SAME integer-scaled similarity both sides,
+            -- so boundary membership cannot flip between engines.
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT) AS cos_sim_e3
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 2000 AND b.vec_id < 2000
+              AND CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT) >= 450
         """,
         "ivf_topk": """
             -- Deterministic IVF reproduced exactly: centroids = first 16

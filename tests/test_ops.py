@@ -249,3 +249,58 @@ def test_minhash_hot_bucket_collapses_exact_dups(ray_session, tmp_path):
     ).take_all()
     assert {c["cluster_id"] for c in clusters} == {0}
     assert len(clusters) == 100
+
+
+def test_embedding_neardup_exact_and_lsh_recall(ray_session, tmp_path):
+    """Embedding-cosine near-dup: the exact variant finds every pair, and
+    the hyperplane-LSH scale path recovers most true near-dup pairs on a
+    corpus with REAL near-duplicates (clusters of perturbed copies)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs, ids = [], []
+    vid = 0
+    for cluster in range(12):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        for _ in range(4):  # 4 near-copies per cluster (cos ~0.99)
+            v = base + 0.02 * rng.standard_normal(64)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            ids.append(vid); vid += 1
+    for _ in range(40):  # unrelated background vectors
+        v = rng.standard_normal(64)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        ids.append(vid); vid += 1
+
+    sf = tmp_path / "embsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }),
+        sf / "embeddings.parquet",
+    )
+
+    # ground truth at cos >= 0.95
+    mat = np.stack([v.astype(np.float64) for v in vecs])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    e3 = np.round((mat @ mat.T) * 1000)
+    truth = {(i, j) for i in range(len(ids)) for j in range(i + 1, len(ids)) if e3[i, j] >= 950}
+    assert len(truth) >= 12 * 6 * 0.8  # clusters actually are near-dups
+
+    exact = {(p["left_id"], p["right_id"])
+             for p in embedding_neardup_pairs(str(sf), threshold_e3=950, max_vec_id=10**9).take_all()}
+    assert exact == truth
+
+    lsh = {(p["left_id"], p["right_id"])
+           for p in embedding_neardup_lsh(str(sf), threshold_e3=950).take_all()}
+    assert lsh <= exact  # never invents pairs
+    recall = len(lsh) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below floor"
