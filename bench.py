@@ -62,10 +62,12 @@ def _pages_path(sf_dir: str) -> str:
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
-        # ~1k-row shard files: fine-grained extract tasks (no straggler
-        # tail) — the pipeline's pre-shuffle coalesce bounds the
-        # groupby slice count regardless of file count.
-        rows_per_shard = 2048
+        # ~1k-row shard files: fine-grained extract tasks (measured: at
+        # 2048 rows/shard the per-task wall spread was 1.0-7.7s and the
+        # tail straggled the 16/32-CPU levels; 1024 halves the tail) —
+        # the pipeline's pre-shuffle coalesce bounds the groupby slice
+        # count regardless of file count.
+        rows_per_shard = 1024
         for r in range(REPLICATE):
             # Distinct urls per replica; payloads shared (FIXTURES.md
             # bench scale knob: repetition with distinct urls).
@@ -211,7 +213,7 @@ def run_scaling() -> dict:
     # Interleave lo/hi samples so host-level CPU-steal periods (this is
     # a VM; single-run wall jitters up to ±30%) bias both levels
     # equally; take the per-level minimum across rounds.
-    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "4"))
     r_lo, r_hi = None, None
     for _ in range(rounds):
         cur_lo = _run(lo)
