@@ -116,6 +116,19 @@ def _q_multimodal(sf_dir: str):
     return feats.drop_columns(["features"])
 
 
+def _q_frames(sf_dir: str):
+    """Frame-sampling media stage (row-expanding, bounded): one row per
+    sampled frame with its byte slice dropped (metadata only, so the
+    result value-hashes deterministically and stays small)."""
+    import ray.data
+
+    from smart_ocr_ray.ops.multimodal import media_from_pages, sample_frames
+
+    pages = ray.data.read_parquet(_pages_path(sf_dir), columns=["url", "html"])
+    frames = sample_frames(media_from_pages(pages))
+    return frames.drop_columns(["payload"])
+
+
 def _q_consensus(sf_dir: str):
     """Multi-extractor mode (C5/D5): every extractor runs, consensus
     selects; agreement and attempt counts surface per doc."""
@@ -314,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_counts": relational.supplier_part_counts,
         # --- multimodal plumbing ---
         "multimodal_features": _q_multimodal,
+        "multimodal_frames": _q_frames,
     }
 
 

@@ -102,3 +102,122 @@ def media_from_pages(pages: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return pages.map_batches(_adapt, batch_format="pyarrow")
+
+
+MAX_DIM = 512
+
+
+class FakeResizer:
+    """Deterministic resize stand-in: scales (width, height) to fit
+    ``max_dim`` preserving aspect ratio — the real geometry a thumbnail
+    stage computes — and "re-encodes" the payload as a deterministic
+    content-keyed slice (a real codec would emit new bytes here; the
+    stand-in keeps output size proportional to the scaled area so
+    downstream batch-sizing math stays honest)."""
+
+    def __init__(self, max_dim: int = MAX_DIM):
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        out_w, out_h, out_p = [], [], []
+        for data, w, h in zip(payloads, widths, heights):
+            data = data or b""
+            scale = min(1.0, self.max_dim / max(w, h, 1))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            # stand-in re-encode: proportional prefix of the original
+            # bytes, keyed so an identity resize passes through whole.
+            keep = len(data) if scale >= 1.0 else max(1, int(len(data) * scale * scale))
+            out_w.append(nw)
+            out_h.append(nh)
+            out_p.append(data[:keep])
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url"),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "payload": pa.array(out_p, pa.binary()),
+            }
+        )
+
+
+def resize_media(
+    media: ray.data.Dataset, max_dim: int = MAX_DIM, concurrency=(1, 8),
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Actor-pool resize stage over (url, payload, width, height).
+
+    Same payload-aware batch sizing as ``decode_features``; output rows
+    keep the binary column (resized), so stages compose:
+    decode → resize → feature-extract."""
+    return media.map_batches(
+        FakeResizer,
+        fn_constructor_kwargs={"max_dim": max_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+FRAME_BYTES = 4096
+
+
+class FrameSampler:
+    """Frame-sampling stand-in for video payloads: the payload is
+    treated as ``ceil(len/FRAME_BYTES)`` frames; every ``stride``-th
+    frame is emitted as its own row (capped at ``max_frames``), with
+    the frame's byte slice as payload and a derived timestamp. This is
+    the row-EXPANDING media stage shape (one input row → k output
+    rows) with a hard per-row output bound — the same contract a real
+    ffmpeg keyframe sampler needs on a 100 TB corpus."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 8, frame_ms: int = 1000):
+        self.stride = max(1, stride)
+        self.max_frames = max_frames
+        self.frame_ms = frame_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_url, out_idx, out_ts, out_p = [], [], [], []
+        for url, data in zip(urls, payloads):
+            data = data or b""
+            n_frames = max(1, -(-len(data) // FRAME_BYTES)) if data else 0
+            taken = 0
+            for idx in range(0, n_frames, self.stride):
+                if taken >= self.max_frames:
+                    break
+                out_url.append(url)
+                out_idx.append(idx)
+                out_ts.append(idx * self.frame_ms)
+                out_p.append(data[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES])
+                taken += 1
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(out_url, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "ts_ms": pa.array(out_ts, pa.int64()),
+                "payload": pa.array(out_p, pa.binary()),
+            }
+        )
+
+
+def sample_frames(
+    media: ray.data.Dataset, stride: int = 2, max_frames: int = 8,
+    concurrency=(1, 8), batch_size: int = 8,
+) -> ray.data.Dataset:
+    """Actor-pool frame-sampling stage over (url, payload).
+
+    ``batch_size`` is smaller than the other media stages because the
+    output multiplies rows (≤ max_frames per input)."""
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride, "max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -304,3 +304,53 @@ def test_embedding_neardup_exact_and_lsh_recall(ray_session, tmp_path):
     assert lsh <= exact  # never invents pairs
     recall = len(lsh) / len(truth)
     assert recall >= 0.8, f"LSH recall {recall:.2f} below floor"
+
+
+def test_resize_media_geometry_and_payload(ray_session):
+    """Resize stage: dims scale to fit max_dim preserving aspect; small
+    media pass through untouched; payload size tracks the scaled area."""
+    import pyarrow as pa
+    import ray.data
+
+    from smart_ocr_ray.ops.multimodal import resize_media
+
+    rows = [
+        {"url": "u1", "payload": b"x" * 10_000, "width": 2048, "height": 1024},
+        {"url": "u2", "payload": b"y" * 1_000, "width": 100, "height": 50},
+    ]
+    out = {r["url"]: r for r in resize_media(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), max_dim=512
+    ).take_all()}
+    big = out["u1"]
+    assert (big["width"], big["height"]) == (512, 256)  # aspect preserved
+    assert 0 < len(big["payload"]) < 10_000  # re-encode shrank bytes
+    small = out["u2"]
+    assert (small["width"], small["height"]) == (100, 50)
+    assert small["payload"] == b"y" * 1_000  # identity resize = passthrough
+
+
+def test_sample_frames_bounded_and_sliced(ray_session):
+    """Frame sampler: every stride-th frame, hard cap, correct slices."""
+    import pyarrow as pa
+    import ray.data
+
+    from smart_ocr_ray.ops.multimodal import FRAME_BYTES, sample_frames
+
+    payload = bytes(range(256)) * 160  # 40960 bytes = 10 frames
+    rows = [
+        {"url": "v1", "payload": payload},
+        {"url": "v2", "payload": b""},
+        {"url": "v3", "payload": b"z" * (FRAME_BYTES * 100)},  # 100 frames
+    ]
+    frames = sample_frames(
+        ray.data.from_arrow(pa.Table.from_pylist(rows)), stride=2, max_frames=8
+    ).take_all()
+    by_url = {}
+    for f in frames:
+        by_url.setdefault(f["url"], []).append(f)
+    v1 = sorted(by_url["v1"], key=lambda f: f["frame_idx"])
+    assert [f["frame_idx"] for f in v1] == [0, 2, 4, 6, 8]
+    assert v1[1]["payload"] == payload[2 * FRAME_BYTES : 3 * FRAME_BYTES]
+    assert v1[1]["ts_ms"] == 2000
+    assert "v2" not in by_url  # empty payload emits no frames
+    assert len(by_url["v3"]) == 8  # hard cap bounds the blowup
