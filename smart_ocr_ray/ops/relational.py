@@ -33,7 +33,14 @@ def _partial_then_final(
     """Generic partial aggregation: per-batch pandas groupby emitting
     (keys, partial sums, partial count), then a final groupby over the
     small partials. Returns the final aggregated Dataset with columns
-    keys + list(sums) (+ counts)."""
+    keys + list(sums) (+ counts).
+
+    Note: the Aggregate operator emits schema-LESS empty blocks for
+    empty partitions, which Ray logs as "different schema RefBundle"
+    warnings. Harmless here (the blocks are consumed, not joined);
+    user code cannot retype them because map_batches skips empty
+    blocks — only a repartition copy would launder them (done where it
+    matters: ahead of Dataset.join in ops/dedup.cluster_pairs)."""
     sum_cols = list(sums)
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
