@@ -114,8 +114,12 @@ class AuditResult:
 
 def refusal_detected(text: str) -> bool:
     """Refusal scan: whole text when short (<200 words), else first 500
-    chars (heuristics.py:236-252)."""
-    is_short = len(text.split()) < 200
+    chars (heuristics.py:236-252).
+
+    The shortness test uses a bounded split (maxsplit=199): the result
+    has <200 elements iff the full word count is <200, without
+    materializing every token of a long document."""
+    is_short = len(text.split(None, 199)) < 200
     search_text = text if is_short else text[:500]
     return bool(_REFUSAL_RE.search(search_text))
 
