@@ -56,6 +56,13 @@ def cmd_score(args: argparse.Namespace) -> int:
         )
     )
     extracted = read_extracted(args.extracted)
+    if extracted is None:
+        print(
+            f"error: no committed partitions under {args.extracted} "
+            "(run `extract` first)",
+            file=sys.stderr,
+        )
+        return 1
     rollup = rollup_by_extractor(score_against_golden(extracted, golden))
     for row in rollup.take_all():
         print(json.dumps(row))

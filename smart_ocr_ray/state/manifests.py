@@ -183,16 +183,32 @@ def run_partitioned(
             _rmtree(tmp_dir)
         extracted.write_parquet(tmp_dir)
 
-        # Lineage: row count + order-insensitive content hash.
+        # Lineage (row count + order-insensitive content hash) and the
+        # partition's extraction metrics (north_star: "per-partition
+        # lineage manifests and extraction metrics written alongside
+        # outputs") in one metadata pass over the committed shard.
         row_count = 0
         hash_xor = 0
+        n_passed = 0
+        total_words = 0
+        failure_counts: dict[str, int] = {}
         for batch in ray.data.read_parquet(
-            tmp_dir, columns=["url", "content_hash"]
+            tmp_dir,
+            columns=["url", "content_hash", "audit_passed", "failure_mode", "word_count"],
         ).iter_batches(batch_format="pyarrow"):
             row_count += batch.num_rows
             for u, h in zip(batch.column("url").to_pylist(),
                             batch.column("content_hash").to_pylist()):
                 hash_xor ^= zlib.crc32(f"{u}:{h}".encode())
+            import pyarrow.compute as pc
+
+            n_passed += pc.sum(pc.cast(batch.column("audit_passed"), "int64")).as_py() or 0
+            total_words += pc.sum(batch.column("word_count")).as_py() or 0
+            for v in pc.value_counts(batch.column("failure_mode")).to_pylist():
+                if v["values"] != "none":
+                    failure_counts[v["values"]] = (
+                        failure_counts.get(v["values"], 0) + v["counts"]
+                    )
 
         if os.path.exists(part_dir):
             _rmtree(part_dir)
@@ -208,6 +224,12 @@ def run_partitioned(
                 "input_sig": input_sig,
                 "input_files": part_basenames,
                 "wall_ms": (time.perf_counter() - t0) * 1000.0,
+                "metrics": {
+                    "n_passed": int(n_passed),
+                    "pass_rate": round(n_passed / row_count, 6) if row_count else 0.0,
+                    "total_words": int(total_words),
+                    "failure_counts": dict(sorted(failure_counts.items())),
+                },
             },
         )
         summary["completed"].append(part)
