@@ -415,9 +415,57 @@ est AS (
 """
 
 
+def _hyperplane_lsh_sql() -> str:
+    """Oracle for the hyperplane-LSH embedding near-dup: the seeded
+    plane matrix is injected as literals, sign bits reproduce exactly
+    (measured min |dot| ~9e-5 — ~1e10 times any f64 kernel divergence),
+    band buckets join, and the in-bucket verify uses the same
+    integer-grid threshold as the Ray side."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((16, 64))
+    plane_rows = ", ".join(
+        f"({b}, {p}, CAST({planes[b, p]!r} AS DOUBLE))"
+        for b in range(16)
+        for p in range(64)
+    )
+    return f"""
+        WITH planes(pi, di, w) AS (VALUES {plane_rows}),
+        elems AS (
+          SELECT e.vec_id, u.s.i - 1 AS di, CAST(u.s.x AS DOUBLE) AS x
+          FROM embeddings e,
+               unnest(list_transform(e.embedding, (x, i) -> struct_pack(x := x, i := i))) AS u(s)
+        ),
+        dots AS (
+          SELECT el.vec_id, p.pi, sum(el.x * p.w) AS d
+          FROM elems el JOIN planes p ON p.di = el.di
+          GROUP BY el.vec_id, p.pi
+        ),
+        bits AS (
+          SELECT vec_id, pi // 4 AS band_idx,
+                 sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << CAST(pi % 4 AS INTEGER) ELSE 0 END) AS key_bits
+          FROM dots GROUP BY vec_id, pi // 4
+        ),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+          FROM bits l JOIN bits r
+            ON l.band_idx = r.band_idx AND l.key_bits = r.key_bits AND l.vec_id < r.vec_id
+        ),
+        pairs AS (
+          SELECT c.left_id, c.right_id,
+                 CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT) AS cos_sim_e3
+          FROM cand c JOIN embeddings a ON a.vec_id = c.left_id
+                      JOIN embeddings b ON b.vec_id = c.right_id
+        )
+        SELECT left_id, right_id, cos_sim_e3 FROM pairs WHERE cos_sim_e3 >= 450
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     minhash_base = _minhash_base_sql()
     return {
+        "embedding_neardup_lsh": _hyperplane_lsh_sql(),
         "dedup_minhash_lsh": "WITH "
         + minhash_base
         + """
