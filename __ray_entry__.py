@@ -286,6 +286,41 @@ def _q_recovery(sf_dir: str):
     )
 
 
+def _q_chains(sf_dir: str):
+    """Recommended extractor chain per route (the calibration output
+    that feeds routing — calibrate.py:296-320 analog): extractors
+    ranked by pass rate, then mean confidence, then name; extractors
+    with no documents for a route rank last (the reference's
+    "no-data engines last" rule). The ranked table is tiny (the
+    profile aggregate), so the final sort is a driver-side small-table
+    sort exactly as SURVEY §2.6/O4 prescribes."""
+    prof = _q_calibration(sf_dir).to_pandas()
+    routes = sorted(prof["route"].unique())
+    extractors = sorted(prof["extractor"].unique())
+    rows = []
+    for route in routes:
+        seen = prof[prof["route"] == route]
+        ranked = seen.sort_values(
+            ["pass_rate", "mean_confidence", "extractor"],
+            ascending=[False, False, True],
+        )
+        chain = list(ranked["extractor"])
+        chain += [e for e in extractors if e not in chain]  # no-data last
+        for rank, name in enumerate(chain, start=1):
+            row = seen[seen["extractor"] == name]
+            rows.append(
+                {
+                    "route": route,
+                    "rank": rank,
+                    "extractor": name,
+                    "pass_rate": float(row["pass_rate"].iloc[0]) if len(row) else -1.0,
+                }
+            )
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from smart_ocr_ray.ops import dedup, relational, similarity, text_analysis
 
@@ -299,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_vs_oracle": _q_score,
         "calibration_profiles": _q_calibration,
         "failure_recovery": _q_recovery,
+        "routing_chains": _q_chains,
         # --- text analysis over documents ---
         "doc_token_counts": text_analysis.token_counts,
         "doc_quality": text_analysis.quality,
