@@ -205,8 +205,20 @@ def _table_to_markdown(table: _Node) -> str:
     return "\n".join(lines)
 
 
+_END = object()  # container-exhausted sentinel for the explicit walk
+
+
 def _emit_blocks(node: _Node, blocks: list[Block]) -> None:
-    """Document-order walk emitting typed blocks (M5 semantics)."""
+    """Document-order walk emitting typed blocks (M5 semantics).
+
+    Explicit-stack traversal (no Python recursion): adversarially deep
+    nesting (thousands of unclosed <div>s occur in real crawls) must
+    degrade to normal extraction, not a RecursionError. Equivalent to
+    the recursive form because the recursive version flushed pending
+    text both before descending into a container and at each call's
+    end — so pending text never crossed a container boundary and one
+    shared buffer with a flush at container exit reproduces the exact
+    emission order."""
     pending_text: list[str] = []
 
     def _flush():
@@ -216,7 +228,13 @@ def _emit_blocks(node: _Node, blocks: list[Block]) -> None:
                 _append_prose(blocks, text)
             pending_text.clear()
 
-    for child in node.children:
+    walk = [iter(node.children)]
+    while walk:
+        child = next(walk[-1], _END)
+        if child is _END:
+            walk.pop()
+            _flush()  # the recursive form's end-of-call flush
+            continue
         if isinstance(child, str):
             if child.strip():
                 pending_text.append(child)
@@ -272,10 +290,9 @@ def _emit_blocks(node: _Node, blocks: list[Block]) -> None:
             if text:
                 pending_text.append(text)
         else:
-            # Generic container: recurse in document order.
+            # Generic container: descend in document order.
             _flush()
-            _emit_blocks(child, blocks)
-    _flush()
+            walk.append(iter(child.children))
 
 
 def _append_prose(blocks: list[Block], text: str) -> None:
