@@ -55,19 +55,21 @@ def _pages_path(sf_dir: str) -> str:
     sig = zlib.crc32(
         f"{os.path.abspath(doc_path)}:{st.st_size}:{int(st.st_mtime)}:{FIXTURES_VERSION}".encode()
     )
+    rows_per_shard_key = os.environ.get("GRAFT_BENCH_ROWS_PER_SHARD", "1024")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/tmp/smart_ocr_ray_pages_{tag}_x{REPLICATE}_{sig:08x}"
+    path = f"/tmp/smart_ocr_ray_pages_{tag}_x{REPLICATE}_r{rows_per_shard_key}_{sig:08x}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         base = pages_from_documents(sf_dir)
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
-        # ~1k-row shard files: fine-grained extract tasks (measured: at
-        # 2048 rows/shard the per-task wall spread was 1.0-7.7s and the
-        # tail straggled the 16/32-CPU levels; 1024 halves the tail) —
-        # the pipeline's pre-shuffle coalesce bounds the groupby slice
-        # count regardless of file count.
-        rows_per_shard = 1024
+        # ~1k-row shard files. Interleaved A/B at 16 CPUs measured
+        # 1024 vs 2048 rows/shard as equal within VM jitter (15.8 vs
+        # 15.9 s minima) — with tasks >> cores either way, the 1.0-7.7s
+        # per-task spread amortizes; 1024 is kept as the truer many-
+        # shard corpus shape. The pre-shuffle coalesce bounds the
+        # groupby slice count regardless of file count.
+        rows_per_shard = int(os.environ.get("GRAFT_BENCH_ROWS_PER_SHARD", "1024"))
         for r in range(REPLICATE):
             # Distinct urls per replica; payloads shared (FIXTURES.md
             # bench scale knob: repetition with distinct urls).
