@@ -231,6 +231,7 @@ def _select_rows(
             # that path — unavailable, unparseable verdict, empty text
             # — falls back to the heuristic selection below.
             from .functions.arbiter import arbitrate
+            from .functions.scoring import score_attempt
 
             idx, verdict_text = arbitrate(
                 atts,
@@ -239,6 +240,11 @@ def _select_rows(
                         select_best(passing if passing else alist, ref_text)
                     ]
                 ),
+                # Rank top-3 by the same heuristic the fallback uses
+                # (grounded when a native reference exists) so the best
+                # attempt is never excluded from arbitration — the
+                # reference's ranked-top-3 shape (consensus.py:430-445).
+                score=lambda at: score_attempt(at, ref_text),
             )
             best = atts[idx]
             if verdict_text is not None and verdict_text != best.text:

@@ -68,12 +68,24 @@ def parse_verdict(raw: str, attempts) -> tuple[str, str] | None:
     return extractor, text
 
 
+def _structure_signal(t: str) -> int:
+    return t.count("\n|") + t.count("\n#") + t.count("$$")
+
+
 def rule_arbiter(prompt: str) -> str:
-    """Deterministic stand-in for the arbiter model: picks the output
+    """Prompt-contract demo of the stand-in arbiter: picks the output
     with the most markdown structure (tables/headings/equations), ties
     broken by length then index — a different signal than the
     heuristic scorer, so the arbiter path is observable. Returns the
-    same JSON verdict contract a model would."""
+    same JSON verdict contract a model would.
+
+    NOTE: recovering blocks from the prompt by regex is inherently
+    ambiguous — document-controlled text containing a literal
+    ``--- Output N (engine: ...) ---`` line mis-splits. ``arbitrate``
+    therefore never routes document text through this function; its
+    default judge is ``rule_arbiter_structured``, which sees the
+    attempts list directly. This prompt version exists only to pin the
+    external-arbiter verdict contract in tests."""
     blocks = re.split(r"--- Output (\d+) \(engine: [^)]*\) ---\n", prompt)
     # re.split yields [head, idx1, text1, idx2, text2, ...]
     outputs = []
@@ -83,16 +95,35 @@ def rule_arbiter(prompt: str) -> str:
         outputs.append((int(blocks[i]), text.rstrip("\n")))
     if not outputs:
         return "{}"
-    def structure(t: str) -> int:
-        return t.count("\n|") + t.count("\n#") + t.count("$$")
-    best = max(outputs, key=lambda o: (structure(o[1]), len(o[1]), -o[0]))
+    best = max(outputs, key=lambda o: (_structure_signal(o[1]), len(o[1]), -o[0]))
     return json.dumps({"selected": best[0], "text": best[1]})
+
+
+def rule_arbiter_structured(attempts: list) -> str:
+    """Default stand-in judge: same selection rule as ``rule_arbiter``
+    but applied to the attempts list directly — no prompt round-trip,
+    so adversarial document text can never mis-split the blocks and
+    leak an injected fragment into the verdict (ADVICE r2). The verdict
+    text is the winning attempt's text verbatim (trailing newlines
+    intact), so the caller's verbatim match always succeeds and the
+    attempt's own bytes are kept."""
+    if not attempts:
+        return "{}"
+    best_i = max(
+        range(len(attempts)),
+        key=lambda i: (
+            _structure_signal(attempts[i].text),
+            len(attempts[i].text.rstrip("\n")),
+            -i,
+        ),
+    )
+    return json.dumps({"selected": best_i + 1, "text": attempts[best_i].text})
 
 
 def arbitrate(
     attempts: list,
     select_fallback: Callable[[list], int],
-    arbiter: Callable[[str], str | None] = rule_arbiter,
+    arbiter: Callable[[str], str | None] | None = None,
     score: Callable[[object], float] | None = None,
 ) -> tuple[int, str | None]:
     """Arbiter consensus over one unit's attempts.
@@ -100,18 +131,32 @@ def arbitrate(
     Returns ``(winner_index_into_attempts, verdict_text_or_None)``:
     verdict text is None whenever the heuristic fallback decided (so
     the caller keeps the attempt's own text exactly).
-    """
+
+    Top-3 selection is ranked by ``score`` (defaulting to the
+    ungrounded heuristic ``score_attempt``) — the reference sorts
+    viable attempts by ``_score_attempt`` before taking the top 3
+    (consensus.py:430-445), so the best attempt is never excluded.
+
+    ``arbiter=None`` (default) judges with ``rule_arbiter_structured``
+    on the attempts list directly; an external arbiter callable gets
+    the rendered prompt (the model contract)."""
+    from .scoring import score_attempt
+
     viable = [
         (i, a) for i, a in enumerate(attempts) if a.text.strip() and a.failure_mode != "parse_error"
     ]
     if len(viable) < 2:
         return select_fallback(attempts), None
 
-    if score is not None:
-        viable.sort(key=lambda p: score(p[1]), reverse=True)
+    if score is None:
+        score = lambda a: score_attempt(a)  # noqa: E731
+    viable.sort(key=lambda p: score(p[1]), reverse=True)  # stable: ties keep order
     top = viable[:3]
 
-    raw = arbiter(build_prompt([a for _, a in top]))
+    if arbiter is None:
+        raw = rule_arbiter_structured([a for _, a in top])
+    else:
+        raw = arbiter(build_prompt([a for _, a in top]))
     if raw is None:
         return select_fallback(attempts), None
 
@@ -121,7 +166,11 @@ def arbitrate(
 
     extractor, text = parsed
     for i, a in top:
-        if a.extractor == extractor and a.text == text:
+        # Trailing-newline-tolerant verbatim match: the prompt joiner
+        # strips trailing newlines, so an external arbiter legitimately
+        # echoes the attempt minus its final "\n" — returning (i, None)
+        # keeps the attempt's own bytes (newline intact) either way.
+        if a.extractor == extractor and a.text.rstrip("\n") == text.rstrip("\n"):
             return i, None  # verdict names an attempt verbatim
     # merged/edited verdict: attach to the top attempt's slot
     return top[0][0], text
