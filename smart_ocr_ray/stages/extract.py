@@ -44,11 +44,13 @@ from ..functions.assess import Assessment, assess_row
 from ..functions import audit as au
 from ..functions.deadline import DeadlineExceeded, arm, disarm
 
-# Assembly-bucket count. Tradeoff: map_groups invokes the reducer once
+# Assembly-bucket anchor. Tradeoff: map_groups invokes the reducer once
 # per bucket, so buckets must be few enough that a group amortizes its
 # Arrow-kernel overhead (≥~100 docs/bucket) yet numerous enough to keep
-# every reducer busy; 512 covers both on one node. On a large cluster
-# scale this with total cores (it is a parameter of the extract stage).
+# every reducer busy; 512 covers both on the 32-CPU dev box. At
+# pipeline-build time the stage derives the actual count from cluster
+# size (tuning.assembly_buckets(), == 512 at 32 CPUs), so a 256-node
+# cluster gets proportionally more reducers without retuning.
 NUM_ASSEMBLY_BUCKETS = 512
 
 _COMPUTED = (
@@ -93,6 +95,12 @@ class ExtractDocuments:
         self.deadline_ms = deadline_ms
         self.multi_extractor = multi_extractor
         self.consensus = consensus
+        # Resolved once at stage construction (driver side for the
+        # stateless path, actor __init__ for the pool path — the same
+        # cluster either way, so every task agrees on the bucket count).
+        from ..tuning import assembly_buckets
+
+        self.num_buckets = assembly_buckets()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column("html")
@@ -169,7 +177,7 @@ class ExtractDocuments:
             # document share the whole-payload hash so they still meet.
             part_key = zlib.crc32(
                 f"{url}:{content_hash}".encode("utf-8")
-            ) % NUM_ASSEMBLY_BUCKETS
+            ) % self.num_buckets
             for r in unit_rows:
                 take_indices.append(i)
                 part_keys.append(part_key)

@@ -306,6 +306,78 @@ def test_embedding_neardup_exact_and_lsh_recall(ray_session, tmp_path):
     assert recall >= 0.8, f"LSH recall {recall:.2f} below floor"
 
 
+def test_embedding_lsh_degenerate_corpus_linear(ray_session, tmp_path):
+    """Hot-bucket guard (r2 VERDICT item 1): thousands of byte-identical
+    embeddings land in the same bucket of every band; the shared
+    representative-collapse guard must emit a linear star (n-1 pairs at
+    e3=1000), never O(n^2) verify work."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import embedding_neardup_lsh
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64).astype(np.float32)
+    base /= np.linalg.norm(base)
+    n_dup = 2000
+    vecs = [base] * n_dup
+    ids = list(range(n_dup))
+    for i in range(5):  # a few unrelated distinct vectors
+        v = rng.standard_normal(64)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        ids.append(n_dup + i)
+
+    sf = tmp_path / "degsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }),
+        sf / "embeddings.parquet",
+    )
+
+    t0 = time.perf_counter()
+    pairs = embedding_neardup_lsh(str(sf), threshold_e3=950).take_all()
+    elapsed = time.perf_counter() - t0
+
+    star = [p for p in pairs if p["left_id"] == 0 and p["cos_sim_e3"] == 1000]
+    assert len(star) == n_dup - 1  # every duplicate pairs with rep 0 only
+    assert sorted(p["right_id"] for p in star) == list(range(1, n_dup))
+    # No quadratic blow-up: total pairs stay linear in the duplicates
+    # (star + at most the distinct-vector cross pairs).
+    assert len(pairs) < n_dup + 30
+    assert elapsed < 60, f"degenerate corpus took {elapsed:.1f}s — guard not engaged?"
+
+
+def test_embedding_lsh_band_rows_are_compact(ray_session, tmp_path):
+    """The band shuffle must not carry embedding floats (r2 VERDICT
+    item 2): _HyperplaneStage emits only (vec_id, band_key, vhash)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from smart_ocr_ray.ops.similarity import _HyperplaneStage
+
+    rng = np.random.default_rng(5)
+    vecs = [rng.standard_normal(64).astype(np.float32) for _ in range(10)]
+    batch = pa.Table.from_pydict({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+    })
+    out = _HyperplaneStage()(batch)
+    assert out.column_names == ["vec_id", "band_key", "vhash"]
+    assert out.num_rows == 10 * 4  # one row per (vec, band)
+    # Byte-identical embeddings share a vhash; distinct ones don't.
+    dup = pa.Table.from_pydict({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([vecs[0].tolist(), vecs[0].tolist()], pa.list_(pa.float32())),
+    })
+    vh = _HyperplaneStage()(dup).column("vhash").to_pylist()
+    assert vh[0] == vh[4]  # row 0 band 0 == row 1 band 0
+
+
 def test_resize_media_geometry_and_payload(ray_session):
     """Resize stage: dims scale to fit max_dim preserving aspect; small
     media pass through untouched; payload size tracks the scaled area."""
