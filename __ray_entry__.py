@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- similarity search ---
         "ann_cosine_topk": similarity.ann_cosine_topk,
@@ -451,6 +452,37 @@ est AS (
 """
 
 
+# Shared CTE computing the 64-bit SimHash fingerprint per document in
+# SQL (md5-derived shingle hashes == functions/hashing.simhash exactly;
+# the dedup_simhash oracle row pins the equivalence).
+_SIMHASH_VAL_CTE = r"""t AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, u.shingle AS shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) >= 3
+        THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        ELSE []
+      END AS shl
+    FROM t
+  ), unnest(shl) AS u(shingle)
+),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (md5_number_lower(shingle) >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM sh, unnest(range(0, 64)) AS b(b)
+  GROUP BY doc_id, b.b
+),
+val AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INTEGER) AS HUGEINT) ELSE 0 END) AS v
+  FROM bits GROUP BY doc_id
+)"""
+
+
 def _hyperplane_lsh_sql() -> str:
     """Oracle for the hyperplane-LSH embedding near-dup: the seeded
     plane matrix is injected as literals, sign bits reproduce exactly
@@ -531,37 +563,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
         """,
-        "dedup_simhash": r"""
-            WITH t AS (
-              SELECT doc_id, list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS toks
-              FROM documents
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id, u.shingle AS shingle FROM (
-                SELECT doc_id,
-                  CASE WHEN len(toks) >= 3
-                    THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-                    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-                    ELSE []
-                  END AS shl
-                FROM t
-              ), unnest(shl) AS u(shingle)
-            ),
-            bits AS (
-              SELECT doc_id, b.b AS b,
-                     sum(CASE WHEN (md5_number_lower(shingle) >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-              FROM sh, unnest(range(0, 64)) AS b(b)
-              GROUP BY doc_id, b.b
-            ),
-            val AS (
-              SELECT doc_id,
-                     sum(CASE WHEN vote > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INTEGER) AS HUGEINT) ELSE 0 END) AS v
-              FROM bits GROUP BY doc_id
-            )
+        "dedup_simhash": "WITH " + _SIMHASH_VAL_CTE + r"""
             SELECT d.doc_id,
                    lpad(lower(to_hex(CAST(coalesce(v.v, 0) AS UBIGINT))), 16, '0') AS simhash_hex,
                    CAST(CAST(coalesce(v.v, 0) AS UBIGINT) >> 48 AS BIGINT) AS bucket
             FROM documents d LEFT JOIN val v USING (doc_id)
+        """,
+        "dedup_simhash_pairs": "WITH " + _SIMHASH_VAL_CTE + r""",
+            fp AS (
+              SELECT d.doc_id, CAST(coalesce(v.v, 0) AS UBIGINT) AS f
+              FROM documents d LEFT JOIN val v USING (doc_id)
+            )
+            -- same-bucket (top 16 bits) pairs within hamming <= 3;
+            -- valid while distinct-fingerprint bucket populations stay
+            -- under MAX_VERIFY_REPS (the Ray side's hot-bucket guard
+            -- collapses identical fingerprints beyond HOT_BUCKET_LIMIT,
+            -- which preserves exactly these pairs: identical
+            -- fingerprints pair at hamming 0 through their rep star).
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b
+              ON (a.f >> 48) = (b.f >> 48) AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3
         """,
         "doc_winnow": r"""
             WITH t AS (SELECT doc_id, coalesce(text,'') AS txt FROM documents),

@@ -398,6 +398,62 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
 
 
+def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """SimHash near-duplicate PAIRS (the verify half of the SimHash
+    operator, r2 VERDICT item 4): documents sharing a bucket (top 16
+    fingerprint bits) pair off when their 64-bit fingerprints differ in
+    at most ``max_hamming`` bits.
+
+    Each doc lives in exactly ONE bucket (the bucket is a prefix of the
+    fingerprint, not a band), so in-bucket pairs need no cross-band
+    dedup — one groupby, done. A true near-dup whose flipped bit lands
+    in the bucket prefix is missed; that recall/cost trade is the
+    documented SimHash-prefix-blocking semantics (vs MinHash banding,
+    which trades more shuffle volume for multi-band recall).
+
+    Hot buckets get the shared representative-collapse guard: identical
+    fingerprints (hamming 0) collapse to an id-min star, verified
+    representatives are capped with a logged drop.
+
+    Output: (left_id, right_id, hamming) with left < right.
+    """
+    fp = dedup_simhash(sf_dir, max_hamming=max_hamming)
+
+    pair_schema = pa.schema(
+        [("left_id", pa.int64()), ("right_id", pa.int64()), ("hamming", pa.int64())]
+    )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        uniq: dict[int, int] = {}
+        for d, hx in zip(
+            group.column("doc_id").to_pylist(), group.column("simhash_hex").to_pylist()
+        ):
+            uniq.setdefault(int(d), int(hx, 16))
+        ordered = sorted(uniq)
+        ordered, stars = collapse_hot_bucket(
+            ordered, key_of=uniq.__getitem__, label="SimHash"
+        )
+        left = [rep for rep, _ in stars]
+        right = [m for _, m in stars]
+        ham = [0] * len(stars)  # identical fingerprints: hamming exactly 0
+        if len(ordered) > 1:
+            ids = np.asarray(ordered, dtype=np.int64)
+            vals = np.asarray([uniq[d] for d in ordered], dtype=np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = vals[iu] ^ vals[ju]
+            # vectorized popcount: uint64 -> 8 bytes -> unpack bits
+            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            hits = d <= max_hamming
+            left.extend(ids[iu[hits]].tolist())
+            right.extend(ids[ju[hits]].tolist())
+            ham.extend(int(v) for v in d[hits])
+        return pa.Table.from_pydict(
+            {"left_id": left, "right_id": right, "hamming": ham}, schema=pair_schema
+        )
+
+    return fp.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     sf_dir: str, max_doc_id: int = 300, threshold: float = 0.2, k: int = 3
 ) -> ray.data.Dataset:

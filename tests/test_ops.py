@@ -251,6 +251,36 @@ def test_minhash_hot_bucket_collapses_exact_dups(ray_session, tmp_path):
     assert len(clusters) == 100
 
 
+def test_simhash_pairs_semantics_and_degenerate_guard(ray_session, tmp_path):
+    """dedup_simhash_pairs: identical texts pair at hamming 0; unrelated
+    texts don't pair; a degenerate corpus (hundreds of identical docs
+    in one bucket) collapses to a linear star via the shared guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import dedup_simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about maritime navigation charts " * 5
+    n_dup = 300
+    texts = [base] * n_dup + [other]
+    sf = tmp_path / "shsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    pairs = dedup_simhash_pairs(str(sf)).take_all()
+    star = [p for p in pairs if p["left_id"] == 0 and p["hamming"] == 0]
+    # Guard engaged (bucket of 300 > HOT_BUCKET_LIMIT): duplicates pair
+    # with representative 0 only — linear, not C(300,2).
+    assert len(star) == n_dup - 1
+    assert sorted(p["right_id"] for p in star) == list(range(1, n_dup))
+    assert len(pairs) == n_dup - 1  # the distinct doc never pairs
+
+
 def test_embedding_neardup_exact_and_lsh_recall(ray_session, tmp_path):
     """Embedding-cosine near-dup: the exact variant finds every pair, and
     the hyperplane-LSH scale path recovers most true near-dup pairs on a
