@@ -238,17 +238,15 @@ def run_partitioned(
     return summary
 
 
-def completed_hashes(out_dir: str, input_sig: str | None = None) -> set[str]:
-    """Content hashes of every document already committed (J5): the
-    within-partition resume key. Reads only the key column, and only
-    from partitions whose manifest loads as ``status=completed`` (and,
+def committed_parts(out_dir: str, input_sig: str | None = None) -> list[int]:
+    """Partition ids whose manifest loads as ``status=completed`` (and,
     when ``input_sig`` is given, was produced from the same input) —
     mirroring ``run_partitioned``'s own skip condition, so documents
-    from an invalidated or never-committed partition are recomputed."""
-    done: set[str] = set()
+    from an invalidated or never-committed partition are recomputed.
+    Driver-side metadata only (one small JSON per partition)."""
     manifest_dir = os.path.join(out_dir, "_manifests")
     if not os.path.isdir(manifest_dir):
-        return done
+        return []
     committed: list[int] = []
     for name in os.listdir(manifest_dir):
         if not (name.startswith("part-") and name.endswith(".json")):
@@ -260,40 +258,84 @@ def completed_hashes(out_dir: str, input_sig: str | None = None) -> set[str]:
         if input_sig is not None and manifest.get("input_sig", "") != input_sig:
             continue
         committed.append(part)
+    return sorted(committed)
+
+
+def committed_keys_ds(
+    out_dir: str,
+    input_sig: str | None = None,
+    parts: list[int] | None = None,
+) -> ray.data.Dataset | None:
+    """Committed content hashes (J5 row-level resume keys) as a DATASET
+    — never a driver-side set: on a mostly-complete 100 TB run the key
+    table is O(committed docs) and must stay in the object store (the
+    r2 `weak` spot: a Python set of billions of 64-char strings).
+    Reads only the key column from committed partitions; ``parts``
+    scopes the read to the partitions actually being recomputed."""
+    committed = committed_parts(out_dir, input_sig)
+    if parts is not None:
+        committed = sorted(set(committed) & set(parts))
     if not committed:
-        return done
+        return None
     ds = read_extracted(out_dir, parts=committed)
     if ds is None:
-        return done
-    for batch in ds.select_columns(["content_hash"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        done.update(batch.column("content_hash").to_pylist())
-    return done
+        return None
+    return ds.select_columns(["content_hash"])
 
 
-def filter_processed(pages: ray.data.Dataset, done: set[str]) -> ray.data.Dataset:
+def filter_processed(
+    pages: ray.data.Dataset,
+    done: "set[str] | ray.data.Dataset | None",
+    join_partitions: int | None = None,
+) -> ray.data.Dataset:
     """Drop input rows whose payload hash is already committed (S2 —
-    the reference's sha256 skip-if-processed, metadata.py:58-67). The
-    done-set ships once via ``ray.put`` and each batch filters with a
-    vectorized membership test."""
+    the reference's sha256 skip-if-processed, metadata.py:58-67).
+
+    ``done`` is the committed-keys DATASET from ``committed_keys_ds``:
+    each page hashes its payload in a map stage, then a distributed
+    ``left_anti`` join on ``content_hash`` drops the committed rows —
+    keys never materialize on the driver, so resume scales to runs
+    where "already done" is itself corpus-sized. A plain set is still
+    accepted for small explicit skip-lists (broadcast via ``ray.put``).
+    """
     import hashlib
 
-    import ray as _ray
+    if done is None or (isinstance(done, set) and not done):
+        return pages
 
-    done_ref = _ray.put(frozenset(done))
+    def _add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.sha256(h or b"").hexdigest()
+            for h in batch.column("html").to_pylist()
+        ]
+        return batch.append_column("content_hash", pa.array(hashes, pa.string()))
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        seen = _ray.get(done_ref)
-        mask = pa.array(
-            [
-                hashlib.sha256(h or b"").hexdigest() not in seen
-                for h in batch.column("html").to_pylist()
-            ]
-        )
-        return batch.filter(mask)
+    if isinstance(done, set):
+        import ray as _ray
 
-    return pages.map_batches(_filter, batch_format="pyarrow")
+        done_ref = _ray.put(frozenset(done))
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            seen = _ray.get(done_ref)
+            mask = pa.array(
+                [
+                    hashlib.sha256(h or b"").hexdigest() not in seen
+                    for h in batch.column("html").to_pylist()
+                ]
+            )
+            return batch.filter(mask)
+
+        return pages.map_batches(_filter, batch_format="pyarrow")
+
+    if join_partitions is None:
+        from ..tuning import join_partitions as _jp
+
+        join_partitions = _jp()
+    remaining = pages.map_batches(_add_hash, batch_format="pyarrow").join(
+        done, "left_anti", join_partitions, on=("content_hash",)
+    )
+    # Restore the input schema (the hash column was join plumbing).
+    return remaining.drop_columns(["content_hash"])
 
 
 def read_extracted(out_dir: str, parts: list[int] | None = None):

@@ -91,23 +91,33 @@ def test_multimodal_decode_contract(ray_session, fixture_parquet):
 
 
 def test_content_hash_skip_filter(ray_session, fixture_parquet, tmp_path):
+    """Row-level resume is a distributed left_anti join on content_hash
+    (r2 VERDICT item 3) — committed keys stay a Dataset, never a driver
+    set."""
     from smart_ocr_ray.pipelines.extract_pipeline import read_pages
     from smart_ocr_ray.state.manifests import (
-        completed_hashes,
+        committed_keys_ds,
         filter_processed,
         run_partitioned,
     )
 
     out = str(tmp_path / "out")
     run_partitioned(fixture_parquet, out, num_partitions=2, input_sig="s", max_html_bytes=16 * 1024)
-    done = completed_hashes(out)
-    assert done
+    done = committed_keys_ds(out)
+    assert done is not None and done.count() == 110
     remaining = filter_processed(read_pages(fixture_parquet), done)
     # Every payload was processed → nothing remains (duplicate payloads
     # share hashes, so the filter drops them all).
     assert remaining.count() == 0
-    # With an empty done-set everything passes through.
-    assert filter_processed(read_pages(fixture_parquet), set()).count() == 110
+    # Nothing committed yet → everything passes through untouched.
+    assert committed_keys_ds(str(tmp_path / "empty")) is None
+    assert filter_processed(read_pages(fixture_parquet), None).count() == 110
+    # The join restores the input schema (hash plumbing dropped); use a
+    # partial skip-set so the remainder is non-empty and has a schema.
+    partial = committed_keys_ds(out, parts=[0])
+    remaining = filter_processed(read_pages(fixture_parquet), partial)
+    assert 0 < remaining.count() < 110
+    assert remaining.columns() == read_pages(fixture_parquet).columns()
 
 
 def test_analyze_batch_columns(fixture_pages):

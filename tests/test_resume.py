@@ -205,24 +205,36 @@ def test_file_mode_resume_and_new_shard(ray_session, sharded_fixture, tmp_path_f
     os.remove(new_path)
 
 
-def test_completed_hashes_ignores_uncommitted_partition(
+def test_committed_keys_ignore_uncommitted_partition(
     ray_session, fixture_parquet, tmp_path_factory
 ):
     """A partition whose manifest is missing/invalidated must not
-    contribute committed hashes (its docs must be recomputed)."""
-    from smart_ocr_ray.state.manifests import completed_hashes, run_partitioned
+    contribute committed keys (its docs must be recomputed). Keys are a
+    Dataset (the scale-safe join path); materialization here is
+    test-side only."""
+    from smart_ocr_ray.state.manifests import committed_keys_ds, run_partitioned
+
+    def keys(ds):
+        return (
+            set()
+            if ds is None
+            else {r["content_hash"] for r in ds.take_all()}
+        )
 
     out_dir = str(tmp_path_factory.mktemp("extracted_ch"))
     run_partitioned(
         fixture_parquet, out_dir, num_partitions=2, input_sig="s1",
         max_html_bytes=16 * 1024,
     )
-    all_hashes = completed_hashes(out_dir)
-    assert len(all_hashes) > 0
+    all_keys = keys(committed_keys_ds(out_dir))
+    assert len(all_keys) > 0
     # Invalidate partition 1's manifest; its output dir remains on disk.
     os.remove(os.path.join(out_dir, "_manifests", "part-1.json"))
-    reduced = completed_hashes(out_dir)
-    assert reduced < all_hashes
+    reduced = keys(committed_keys_ds(out_dir))
+    assert reduced < all_keys
     # Sig-scoped lookup drops everything under a different input_sig.
-    assert completed_hashes(out_dir, input_sig="other") == set()
-    assert completed_hashes(out_dir, input_sig="s1") == reduced
+    assert committed_keys_ds(out_dir, input_sig="other") is None
+    assert keys(committed_keys_ds(out_dir, input_sig="s1")) == reduced
+    # parts= scopes the read to partitions being recomputed.
+    assert keys(committed_keys_ds(out_dir, parts=[0])) == reduced
+    assert committed_keys_ds(out_dir, parts=[1]) is None
