@@ -44,6 +44,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    # The extraction-aggregate pseudo-oracles bind their golden-table
+    # path at oracle_sql() time; point them at the sf dir under check
+    # (the driver's gate runs at sf0.01, the module default).
+    import os
+
+    os.environ["SMART_OCR_ORACLE_SF"] = sf_dir
+
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     import __ray_entry__ as entry
 

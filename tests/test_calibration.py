@@ -60,9 +60,9 @@ def test_failure_recovery_query_shape(ray_session):
 
     df = entry.queries()["failure_recovery"]("/root/testdata/sf0.001").to_pandas()
     assert set(df.columns) == {
-        "extractor", "failure_mode", "n_failures", "n_recovered", "recovery_rate"
+        "extractor", "failure_mode", "n_failures", "n_recovered", "recovery_rate_e6"
     }
     assert len(df) > 0
     assert (df["n_recovered"] <= df["n_failures"]).all()
-    assert ((df["recovery_rate"] >= 0) & (df["recovery_rate"] <= 1)).all()
+    assert ((df["recovery_rate_e6"] >= 0) & (df["recovery_rate_e6"] <= 1_000_000)).all()
     assert (df["failure_mode"] != "none").all()
