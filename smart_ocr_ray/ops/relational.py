@@ -24,16 +24,38 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _disc_price(batch: pa.Table) -> pa.Array:
+    """extendedprice * (1 - discount), elementwise f64 (same IEEE ops
+    as the former pandas ``df.eval``, so sums land on the same grid)."""
+    import pyarrow.compute as pc
+
+    return pc.multiply(
+        batch.column("l_extendedprice"),
+        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+    )
+
+
 def _partial_then_final(
     ds: ray.data.Dataset,
     keys: list[str],
     sums: dict[str, str],
     counts: str | None = None,
+    derive: dict | None = None,
 ):
-    """Generic partial aggregation: per-batch pandas groupby emitting
+    """Generic partial aggregation: per-batch PYARROW groupby emitting
     (keys, partial sums, partial count), then a final groupby over the
     small partials. Returns the final aggregated Dataset with columns
     keys + list(sums) (+ counts).
+
+    ``sums`` maps output column → source column; ``derive`` maps a
+    source column name → ``callable(pa.Table) -> pa.Array`` for
+    computed inputs (pyarrow.compute kernels). The pandas ``df.eval``
+    partials of r1/r2 forced two format conversions per block plus
+    pandas-groupby overhead; the Arrow hash-agg partial measured
+    (sf0.1, 32 CPUs, interleaved best-of-3, same process) 1.1-1.4×
+    faster on low-cardinality keys (pricing/windows) and 6-11× on
+    high-cardinality keys (per-order/per-user partials: 67s→6.2s and
+    8.9s→1.4s) — recorded in BASELINE.md.
 
     Note: the Aggregate operator emits schema-LESS empty blocks for
     empty partitions, which Ray logs as "different schema RefBundle"
@@ -41,22 +63,24 @@ def _partial_then_final(
     user code cannot retype them because map_batches skips empty
     blocks — only a repartition copy would launder them (done where it
     matters: ahead of Dataset.join in ops/dedup.cluster_pairs)."""
-    sum_cols = list(sums)
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        for out_col, expr_col in sums.items():
-            if out_col not in df.columns:
-                df[out_col] = df.eval(expr_col)
-        agg = df.groupby(keys, as_index=False)[sum_cols].sum()
+    def _partial(batch: pa.Table) -> pa.Table:
+        if derive:
+            for name, fn in derive.items():
+                batch = batch.append_column(name, fn(batch))
+        aggspec = [(src, "sum") for src in sums.values()]
         if counts:
-            sizes = df.groupby(keys, as_index=False).size().rename(columns={"size": counts})
-            agg = agg.merge(sizes, on=keys)
-        return agg
+            aggspec.append(([], "count_all"))
+        out = pa.TableGroupBy(batch, keys).aggregate(aggspec)
+        rename = {f"{src}_sum": out_col for out_col, src in sums.items()}
+        if counts:
+            rename["count_all"] = counts
+        return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
     from ray.data.aggregate import Sum
 
-    partial = ds.map_batches(_partial, batch_format="pandas")
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in sums]
     if counts:
         aggs.append(Sum(counts, alias_name=counts))
     return partial.groupby(keys).aggregate(*aggs)
@@ -87,9 +111,10 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
         sums={
             "sum_qty": "l_quantity",
             "sum_base_price": "l_extendedprice",
-            "sum_disc_price": "l_extendedprice * (1 - l_discount)",
+            "sum_disc_price": "disc_price",
         },
         counts="count_order",
+        derive={"disc_price": _disc_price},
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -119,11 +144,15 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
     revenue = _partial_then_final(
-        lineitem, keys=["l_orderkey"], sums={"revenue": "l_extendedprice * (1 - l_discount)"}
+        lineitem, keys=["l_orderkey"], sums={"revenue": "disc_price"},
+        derive={"disc_price": _disc_price},
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    from ..tuning import join_partitions
+
     joined = revenue.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
@@ -145,19 +174,34 @@ def customer_nation_rollup(sf_dir: str) -> ray.data.Dataset:
     ray.put, J4/J6 broadcast-lookup pattern)."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    from ..tuning import join_partitions
+
     joined = orders.join(
-        customer, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        customer, join_type="inner", num_partitions=join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",),
     )
 
     nation_df = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nation_ref = ray.put(dict(zip(nation_df["n_nationkey"], nation_df["n_name"])))
+    nation_ref = ray.put(
+        (
+            pa.array(nation_df["n_nationkey"], pa.int64()),
+            pa.array(nation_df["n_name"], pa.string()),
+        )
+    )
 
-    def _tag(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(nation_ref)
-        df["n_name"] = df["c_nationkey"].map(lookup)
-        return df[["n_name", "o_totalprice"]]
+    def _tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    tagged = joined.map_batches(_tag, batch_format="pandas")
+        keys_arr, names_arr = ray.get(nation_ref)
+        idx = pc.index_in(
+            pc.cast(batch.column("c_nationkey"), pa.int64()), value_set=keys_arr
+        )
+        return pa.Table.from_arrays(
+            [names_arr.take(idx), batch.column("o_totalprice")],
+            names=["n_name", "o_totalprice"],
+        )
+
+    tagged = joined.map_batches(_tag, batch_format="pyarrow")
     agg = _partial_then_final(
         tagged, keys=["n_name"], sums={"total_price": "o_totalprice"}, counts="n_orders"
     )
@@ -177,11 +221,16 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     partial-combined per batch before the shuffle."""
     events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def _window(df: pd.DataFrame) -> pd.DataFrame:
-        df["window_start"] = df["ts"].dt.floor("h")
-        return df[["event_type", "window_start", "value"]]
+    def _window(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    windowed = events.map_batches(_window, batch_format="pandas")
+        ws = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), ws, batch.column("value")],
+            names=["event_type", "window_start", "value"],
+        )
+
+    windowed = events.map_batches(_window, batch_format="pyarrow")
     agg = _partial_then_final(
         windowed, keys=["event_type", "window_start"], sums={"sum_value": "value"},
         counts="n_events",
@@ -204,16 +253,28 @@ def events_sliding(sf_dir: str, window_hours: int = 2, slide_hours: int = 1) -> 
     events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
     spans = window_hours // slide_hours
 
-    def _explode(df: pd.DataFrame) -> pd.DataFrame:
-        base = df["ts"].dt.floor(f"{slide_hours}h")
-        frames = []
-        for k in range(spans):
-            f = df[["event_type", "value"]].copy()
-            f["window_start"] = base - pd.Timedelta(hours=k * slide_hours)
-            frames.append(f)
-        return pd.concat(frames, ignore_index=True)
+    def _explode(batch: pa.Table) -> pa.Table:
+        import datetime
 
-    exploded = events.map_batches(_explode, batch_format="pandas")
+        import pyarrow.compute as pc
+
+        base = pc.floor_temporal(
+            batch.column("ts"), multiple=slide_hours, unit="hour"
+        )
+        parts = []
+        for k in range(spans):
+            ws = pc.subtract(
+                base, pa.scalar(datetime.timedelta(hours=k * slide_hours))
+            )
+            parts.append(
+                pa.Table.from_arrays(
+                    [batch.column("event_type"), pc.cast(ws, base.type), batch.column("value")],
+                    names=["event_type", "window_start", "value"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    exploded = events.map_batches(_explode, batch_format="pyarrow")
     agg = _partial_then_final(
         exploded, keys=["event_type", "window_start"], sums={"sum_value": "value"},
         counts="n_events",
