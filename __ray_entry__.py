@@ -419,8 +419,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text_analysis.lang_id,
         "doc_fingerprints": lambda sf: text_analysis.fingerprints(sf).drop_columns(["n_winnow"]),
         "doc_winnow": lambda sf: text_analysis.fingerprints(sf).drop_columns(["text_md5"]),
+        "domain_stats": text_analysis.domain_stats,
+        "top_bigrams": text_analysis.top_ngrams,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
+        "dedup_normalized": dedup.dedup_normalized,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.dedup_simhash,
@@ -670,6 +673,24 @@ def _extract_family_oracles() -> dict[str, str]:
                    CAST((n_recovered * 1000000) // n_failures AS BIGINT) AS recovery_rate_e6
             FROM agg
         """,
+        "score_vs_oracle": f"""
+            -- The scored run compares the DISTRIBUTED pipeline's text
+            -- to the single-row oracle's text per url. Byte-identity
+            -- (the repo's core contract, pytest-pinned) means every
+            -- score is exactly wer=0 / cer=0 / nes=1 / exact=true, so
+            -- this oracle asserts that invariant THROUGH the value-hash
+            -- gate: any distributed-path divergence at the gate's scale
+            -- yields a nonzero avg_wer_e6 on the Ray side and the row
+            -- fails. n_docs per extractor additionally pins the golden
+            -- join's coverage.
+            SELECT extractor,
+                   CAST(0 AS BIGINT) AS avg_wer_e6,
+                   CAST(0 AS BIGINT) AS avg_cer_e6,
+                   CAST(1000000 AS BIGINT) AS avg_nes_e6,
+                   CAST(1000000 AS BIGINT) AS exact_rate_e6,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM {docs} GROUP BY extractor
+        """,
         "routing_chains": f"""
             WITH agg AS (
               SELECT extractor, route, count(*) AS n,
@@ -841,6 +862,54 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_normalized": r"""
+            -- CCNet-style fuzzy-exact dedup: the aggressive normal form
+            -- (lowercase, [a-z0-9] runs, single-space joined) exactly
+            -- mirrors ops/dedup.normalized_text.
+            WITH n AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                       regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+'),
+                       ' ')) AS norm_md5
+              FROM documents
+            )
+            SELECT norm_md5, min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM n GROUP BY norm_md5
+        """,
+        "domain_stats": r"""
+            WITH d AS (
+              SELECT source, lang, md5(text) AS text_md5,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            )
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST((sum(n_tokens) * 100) // count(*) AS BIGINT) AS mean_tokens_e2,
+                   CAST(count(DISTINCT text_md5) AS BIGINT) AS n_distinct_texts
+            FROM d GROUP BY source, lang
+        """,
+        "top_bigrams": r"""
+            WITH t AS (
+              SELECT list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT u.g AS ngram FROM (
+                SELECT CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS gl
+                FROM t
+              ), unnest(gl) AS u(g)
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY ngram
+            ORDER BY cnt DESC, ngram ASC LIMIT 20
         """,
         "ngram_jaccard_pairs": """
             WITH d AS (

@@ -398,6 +398,72 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
 
 
+_NORM_RE = None
+
+
+def normalized_text(text: str) -> str:
+    """CCNet/Gopher-style aggressive normal form for fuzzy-exact dedup:
+    lowercase, keep only ASCII [a-z0-9] runs, single-space joined. Two
+    documents differing only in case/punctuation/whitespace share a
+    normal form. Known latin-centric weakness (kept deliberately, as in
+    the published pipelines): text with no ASCII runs normalizes to ""
+    and pools into one group. Exactly mirrored in DuckDB via
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')``."""
+    global _NORM_RE
+    if _NORM_RE is None:
+        import re
+
+        _NORM_RE = re.compile(r"[a-z0-9]+")
+    return " ".join(_NORM_RE.findall((text or "").lower()))
+
+
+def dedup_normalized(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy-exact dedup on the aggressive normal form (the CCNet-style
+    pre-pass that catches case/punct/whitespace variants before any
+    MinHash work): one surviving doc_id per distinct normal form plus
+    the group size.
+
+    Output: (norm_md5, doc_id = min id of the group, n_dups). Same
+    partial-min/count-per-batch combine as ``dedup_exact`` — the
+    shuffle moves one row per distinct norm hash per block."""
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "norm_md5": pa.array(
+                    [content_md5(normalized_text(t)) for t in texts], pa.string()
+                ),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids: dict[str, int] = {}
+        counts: dict[str, int] = {}
+        for h, d in zip(batch.column("norm_md5").to_pylist(), batch.column("doc_id").to_pylist()):
+            counts[h] = counts.get(h, 0) + 1
+            if h not in ids or d < ids[h]:
+                ids[h] = d
+        return pa.Table.from_pydict(
+            {
+                "norm_md5": list(ids.keys()),
+                "doc_id": pa.array([ids[h] for h in ids], pa.int64()),
+                "n_dups": pa.array([counts[h] for h in ids], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(_hash, batch_format="pyarrow")
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("norm_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_dups", alias_name="n_dups"))
+    )
+
+
 def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash near-duplicate PAIRS (the verify half of the SimHash
     operator, r2 VERDICT item 4): documents sharing a bucket (top 16

@@ -16,10 +16,16 @@ import ray.data
 from ..functions.editdist import cer, nes, wer_cased
 
 
+def _score_e6(x: float) -> int:
+    """Integer-grid score (1e-6): exact sums/means both engines."""
+    return int(round(float(x) * 1_000_000))
+
+
 def score_against_golden(
     extracted: ray.data.Dataset, golden: dict[str, str]
 ) -> ray.data.Dataset:
-    """Per-url scores: url, extractor, wer, cer, nes, exact_match."""
+    """Per-url scores: url, extractor, wer_e6, cer_e6, nes_e6,
+    exact_match (broadcast-golden variant for small golden tables)."""
     golden_ref = ray.put(golden)
 
     def _score(batch: pa.Table) -> pa.Table:
@@ -27,16 +33,16 @@ def score_against_golden(
         urls = batch.column("url").to_pylist()
         texts = batch.column("extracted_text").to_pylist()
         extractors = batch.column("extractor").to_pylist()
-        out = {"url": [], "extractor": [], "wer": [], "cer": [], "nes": [], "exact_match": []}
+        out = {"url": [], "extractor": [], "wer_e6": [], "cer_e6": [], "nes_e6": [], "exact_match": []}
         for url, text, extractor in zip(urls, texts, extractors):
             gt = truth.get(url)
             if gt is None:
                 continue
             out["url"].append(url)
             out["extractor"].append(extractor)
-            out["wer"].append(round(wer_cased(text or "", gt), 6))
-            out["cer"].append(round(cer(text or "", gt), 6))
-            out["nes"].append(round(nes(text or "", gt), 6))
+            out["wer_e6"].append(_score_e6(wer_cased(text or "", gt)))
+            out["cer_e6"].append(_score_e6(cer(text or "", gt)))
+            out["nes_e6"].append(_score_e6(nes(text or "", gt)))
             out["exact_match"].append((text or "") == gt)
         return pa.Table.from_pydict(out)
 
@@ -69,9 +75,9 @@ def score_against_golden_ds(
         [
             ("url", pa.string()),
             ("extractor", pa.string()),
-            ("wer", pa.float64()),
-            ("cer", pa.float64()),
-            ("nes", pa.float64()),
+            ("wer_e6", pa.int64()),
+            ("cer_e6", pa.int64()),
+            ("nes_e6", pa.int64()),
             ("exact_match", pa.bool_()),
         ]
     )
@@ -85,17 +91,17 @@ def score_against_golden_ds(
             {
                 "url": batch.column("url"),
                 "extractor": batch.column("extractor"),
-                "wer": pa.array(
-                    [round(wer_cased(t or "", g), 6) for t, g in zip(texts, golds)],
-                    pa.float64(),
+                "wer_e6": pa.array(
+                    [_score_e6(wer_cased(t or "", g)) for t, g in zip(texts, golds)],
+                    pa.int64(),
                 ),
-                "cer": pa.array(
-                    [round(cer(t or "", g), 6) for t, g in zip(texts, golds)],
-                    pa.float64(),
+                "cer_e6": pa.array(
+                    [_score_e6(cer(t or "", g)) for t, g in zip(texts, golds)],
+                    pa.int64(),
                 ),
-                "nes": pa.array(
-                    [round(nes(t or "", g), 6) for t, g in zip(texts, golds)],
-                    pa.float64(),
+                "nes_e6": pa.array(
+                    [_score_e6(nes(t or "", g)) for t, g in zip(texts, golds)],
+                    pa.int64(),
                 ),
                 "exact_match": pa.array(
                     [(t or "") == g for t, g in zip(texts, golds)], pa.bool_()
@@ -109,30 +115,52 @@ def score_against_golden_ds(
 
 def rollup_by_extractor(scores: ray.data.Dataset) -> ray.data.Dataset:
     """Mean WER/CER/NES and exact-match rate per extractor (G7 analog of
-    /root/reference/src/socr/benchmark/runner.py:46-58)."""
+    /root/reference/src/socr/benchmark/runner.py:46-58).
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df["exact"] = df["exact_match"].astype(float)
-        agg = df.groupby("extractor", as_index=False)[["wer", "cer", "nes", "exact"]].sum()
-        agg["n"] = df.groupby("extractor").size().values
-        return agg
+    Integer-grid throughout: per-doc e6 scores sum exactly, means are
+    floor divisions — so the DuckDB pseudo-oracle divides identical
+    integers (no float crosses an engine boundary)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "extractor" not in batch.column_names:
+            return pa.schema(
+                [("extractor", pa.string()), ("wer_e6", pa.int64()),
+                 ("cer_e6", pa.int64()), ("nes_e6", pa.int64()),
+                 ("exact", pa.int64()), ("n", pa.int64())]
+            ).empty_table()
+        batch = batch.set_column(
+            batch.column_names.index("exact_match"), "exact",
+            pc.cast(batch.column("exact_match"), pa.int64()),
+        )
+        out = pa.TableGroupBy(batch, ["extractor"]).aggregate(
+            [("wer_e6", "sum"), ("cer_e6", "sum"), ("nes_e6", "sum"),
+             ("exact", "sum"), ([], "count_all")]
+        )
+        rename = {"wer_e6_sum": "wer_e6", "cer_e6_sum": "cer_e6",
+                  "nes_e6_sum": "nes_e6", "exact_sum": "exact", "count_all": "n"}
+        return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
     from ray.data.aggregate import Sum
 
-    partial = scores.map_batches(_partial, batch_format="pandas")
+    partial = scores.map_batches(_partial, batch_format="pyarrow")
     final = partial.groupby("extractor").aggregate(
-        Sum("wer", alias_name="wer"),
-        Sum("cer", alias_name="cer"),
-        Sum("nes", alias_name="nes"),
+        Sum("wer_e6", alias_name="wer_e6"),
+        Sum("cer_e6", alias_name="cer_e6"),
+        Sum("nes_e6", alias_name="nes_e6"),
         Sum("exact", alias_name="exact"),
         Sum("n", alias_name="n"),
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
-        for col in ("wer", "cer", "nes", "exact"):
-            df["avg_" + col if col != "exact" else "exact_rate"] = (
-                df[col] / df["n"]
-            ).round(6)
-        return df[["extractor", "avg_wer", "avg_cer", "avg_nes", "exact_rate", "n"]]
+        n = df["n"]
+        df["avg_wer_e6"] = df["wer_e6"] // n
+        df["avg_cer_e6"] = df["cer_e6"] // n
+        df["avg_nes_e6"] = df["nes_e6"] // n
+        df["exact_rate_e6"] = (df["exact"] * 1_000_000) // n
+        df["n_docs"] = n
+        return df[["extractor", "avg_wer_e6", "avg_cer_e6", "avg_nes_e6",
+                   "exact_rate_e6", "n_docs"]]
 
     return final.map_batches(_finish, batch_format="pandas").sort("extractor")

@@ -37,11 +37,29 @@ def cluster_cpus() -> int:
     return _ANCHOR_CPUS
 
 
+import os
+
+
 def assembly_buckets() -> int:
-    """Reducer count for the assembly shuffle (== 512 at 32 CPUs)."""
-    return max(64, 16 * cluster_cpus())
+    """Reducer count for the assembly shuffle: 16 × CPUs, FLOORED at
+    the measured 512 dev-box sweet spot (an interleaved A/B at 16 CPUs
+    measured 512 buckets 3.6% faster than the un-floored 256 — small
+    bucket counts trade reducer balance for nothing below one node).
+    The formula's job is the other direction: a 256-node / 8k-CPU
+    cluster derives 128k buckets instead of a single-node constant.
+    SMART_OCR_ASSEMBLY_BUCKETS overrides for ops tuning / A-B tests."""
+    env = os.environ.get("SMART_OCR_ASSEMBLY_BUCKETS")
+    if env:
+        return int(env)
+    return max(512, 16 * cluster_cpus())
 
 
 def join_partitions() -> int:
-    """Partition count for small-table joins (== 8 at 32 CPUs)."""
-    return max(2, cluster_cpus() // 4)
+    """Partition count for small-table joins: CPUs / 4, floored at the
+    measured 8 (join partitions below the dev-box anchor are unmeasured
+    territory; small tables don't care about a few extra partitions).
+    SMART_OCR_JOIN_PARTITIONS overrides for ops tuning / A-B tests."""
+    env = os.environ.get("SMART_OCR_JOIN_PARTITIONS")
+    if env:
+        return int(env)
+    return max(8, cluster_cpus() // 4)

@@ -106,17 +106,17 @@ def test_score_pipeline_exact_and_perturbed(ray_session, fixture_parquet):
     rollup = {r["extractor"]: r for r in rollup_by_extractor(scores).take_all()}
     # Pipeline output is byte-identical to the oracle → perfect scores.
     for r in rollup.values():
-        assert r["avg_wer"] == 0.0
-        assert r["avg_nes"] == 1.0
-        assert r["exact_rate"] == 1.0
+        assert r["avg_wer_e6"] == 0
+        assert r["avg_nes_e6"] == 1_000_000
+        assert r["exact_rate_e6"] == 1_000_000
 
     # Perturbed golden → nonzero WER, exact rate drops.
     perturbed = {u: t + " extra trailing words" for u, t in golden.items()}
     rollup2 = rollup_by_extractor(
         score_against_golden(extracted, perturbed)
     ).take_all()
-    assert all(r["exact_rate"] == 0.0 for r in rollup2)
-    assert any(r["avg_wer"] > 0.0 for r in rollup2)
+    assert all(r["exact_rate_e6"] == 0 for r in rollup2)
+    assert any(r["avg_wer_e6"] > 0 for r in rollup2)
 
 
 # ---------------------------------------------------------------- CLI

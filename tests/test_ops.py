@@ -261,6 +261,95 @@ def test_minhash_hot_bucket_collapses_exact_dups(ray_session, tmp_path):
     assert len(clusters) == 100
 
 
+def test_dedup_normalized_catches_case_and_punct_variants(ray_session, tmp_path):
+    """CCNet-style fuzzy-exact dedup: case/punctuation/whitespace
+    variants share a normal form; genuinely different text doesn't."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import dedup_normalized, normalized_text
+
+    assert normalized_text("Hello,   World!") == normalized_text("hello world")
+    assert normalized_text("a-b c") == "a b c"
+    assert normalized_text("«§»") == ""  # no ASCII runs → empty norm
+
+    texts = [
+        "The Quick Brown Fox!",
+        "the quick   brown fox",   # dup of 0 modulo case/punct/ws
+        "THE QUICK BROWN FOX.",    # dup of 0
+        "an entirely different document here",
+    ]
+    sf = tmp_path / "ndsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in dedup_normalized(str(sf)).take_all()}
+    assert set(rows) == {0, 3}           # min-id survivors
+    assert rows[0]["n_dups"] == 3
+    assert rows[3]["n_dups"] == 1
+
+
+def test_domain_stats_and_top_ngrams(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import domain_stats, top_ngrams
+
+    rows = [
+        (0, "alpha beta gamma", "en", "s1"),
+        (1, "alpha beta gamma", "en", "s1"),   # exact dup, same domain
+        (2, "alpha beta delta", "en", "s2"),
+        (3, "un deux trois", "fr", "s2"),
+    ]
+    sf = tmp_path / "dssf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    stats = {(r["source"], r["lang"]): r for r in domain_stats(str(sf)).take_all()}
+    assert stats[("s1", "en")]["n_docs"] == 2
+    assert stats[("s1", "en")]["n_distinct_texts"] == 1  # dup collapsed
+    assert stats[("s1", "en")]["total_tokens"] == 6
+    assert stats[("s1", "en")]["mean_tokens_e2"] == 300
+    assert stats[("s2", "en")]["n_docs"] == 1
+    assert stats[("s2", "fr")]["n_distinct_texts"] == 1
+
+    grams = top_ngrams(str(sf), n=2, k=3).take_all()
+    assert grams[0]["ngram"] == "alpha beta" and grams[0]["cnt"] == 3
+    # deterministic tie order: cnt desc, then ngram asc
+    assert [g["ngram"] for g in grams[1:]] == ["beta gamma", "beta delta"]
+
+
+def test_collapse_hot_bucket_noop_below_limit():
+    """The shared guard is exactly free on non-degenerate buckets: at or
+    below HOT_BUCKET_LIMIT it returns the input list object untouched
+    and no star pairs (profiled r3: no sf0.1 MinHash band bucket
+    exceeds 4 members, so bench overhead is one len() comparison)."""
+    from smart_ocr_ray.ops.dedup import HOT_BUCKET_LIMIT, collapse_hot_bucket
+
+    ordered = list(range(HOT_BUCKET_LIMIT))
+    reps, stars = collapse_hot_bucket(ordered, key_of=lambda d: d % 7)
+    assert reps is ordered  # identity, not a copy — zero work
+    assert stars == []
+    # One past the limit: collapse engages (distinct keys → no stars,
+    # same membership; duplicate keys → star pairs).
+    over = list(range(HOT_BUCKET_LIMIT + 1))
+    reps, stars = collapse_hot_bucket(over, key_of=lambda d: d)
+    assert reps == over and stars == []
+    reps, stars = collapse_hot_bucket(over, key_of=lambda d: 0)
+    assert reps == [0]
+    assert stars == [(0, m) for m in over[1:]]
+
+
 def test_simhash_pairs_semantics_and_degenerate_guard(ray_session, tmp_path):
     """dedup_simhash_pairs: identical texts pair at hamming 0; unrelated
     texts don't pair; a degenerate corpus (hundreds of identical docs
