@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": lambda sf: text_analysis.fingerprints(sf).drop_columns(["text_md5"]),
         "domain_stats": text_analysis.domain_stats,
         "top_bigrams": text_analysis.top_ngrams,
+        "contamination_check": text_analysis.contamination_check,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_normalized": dedup.dedup_normalized,
@@ -891,6 +892,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(n_tokens) * 100) // count(*) AS BIGINT) AS mean_tokens_e2,
                    CAST(count(DISTINCT text_md5) AS BIGINT) AS n_distinct_texts
             FROM d GROUP BY source, lang
+        """,
+        "contamination_check": r"""
+            -- n-gram decontamination sweep: any 8-gram shared with the
+            -- benchmark stand-in (the 20 lowest doc_ids) flags the doc.
+            WITH t AS (
+              SELECT doc_id, list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, u.g AS g FROM (
+                SELECT doc_id,
+                  CASE WHEN len(toks) >= 8
+                    THEN list_transform(range(1, len(toks) - 6),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                                             toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+                    ELSE [] END AS gl
+                FROM t
+              ), unnest(gl) AS u(g)
+            ),
+            bench AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+            bg AS (SELECT DISTINCT g.g FROM g JOIN bench b ON g.doc_id = b.doc_id),
+            hits AS (
+              SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+              FROM g JOIN bg ON g.g = bg.g
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
         """,
         "top_bigrams": r"""
             WITH t AS (

@@ -165,6 +165,68 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> ray.data.Dataset:
     )
 
 
+def contamination_check(
+    sf_dir: str, n: int = 8, bench_docs: int = 20, min_hits: int = 1
+) -> ray.data.Dataset:
+    """Benchmark-contamination sweep (the n-gram-overlap decontamination
+    pass a training pipeline runs before a data release, per the
+    published GPT-3/PaLM recipes): flag documents sharing any word
+    ``n``-gram with a benchmark set.
+
+    The benchmark here is a deterministic stand-in — the ``bench_docs``
+    lowest doc_ids (a real run would load the eval suites); its n-gram
+    set is SMALL and ships once via ``ray.put``, every batch doing a
+    vectorized set-membership count — the broadcast-small-side pattern,
+    never a shuffle join.
+
+    Output: (doc_id, n_hits = distinct overlapping n-grams,
+    contaminated = n_hits >= min_hits). Benchmark docs themselves are
+    excluded from the output (they trivially self-overlap)."""
+    import ray as _ray
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = table.column("doc_id").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:bench_docs]
+    bench_ids = {int(ids[i]) for i in order}
+    grams: set[str] = set()
+    for i in order:
+        toks = (table.column("text")[i].as_py() or "").lower().split()
+        grams.update(
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        )
+    ref = _ray.put((frozenset(grams), frozenset(bench_ids)))
+
+    def _check(batch: pa.Table) -> pa.Table:
+        bench_grams, bench = _ray.get(ref)
+        out_id, out_hits = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if int(doc_id) in bench:
+                continue
+            toks = (text or "").lower().split()
+            doc_grams = {
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            }
+            out_id.append(int(doc_id))
+            out_hits.append(len(doc_grams & bench_grams))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_hits": pa.array(out_hits, pa.int64()),
+                "contaminated": pa.array(
+                    [h >= min_hits for h in out_hits], pa.bool_()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(_check, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
     """doc_id, text_md5 (exact; SQL md5), n_winnow (winnowing
     fingerprint cardinality, rolling-hash based — rows-only check)."""

@@ -329,6 +329,33 @@ def test_domain_stats_and_top_ngrams(ray_session, tmp_path):
     assert [g["ngram"] for g in grams[1:]] == ["beta gamma", "beta delta"]
 
 
+def test_contamination_check_flags_benchmark_overlap(ray_session, tmp_path):
+    """Decontamination sweep: a doc sharing an 8-gram with a benchmark
+    doc is flagged; unrelated docs aren't; benchmark docs are excluded
+    from the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import contamination_check
+
+    bench_text = "the capital of france is paris and its river is the seine today"
+    leak = "QUESTION: " + bench_text + " ANSWER IGNORED"  # contains bench 8-grams
+    clean = "completely unrelated prose about deep sea vents and mineral chimneys forming slowly"
+    texts = [bench_text, clean, leak]
+    sf = tmp_path / "ccsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 10, 20], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in contamination_check(str(sf), bench_docs=1).take_all()}
+    assert set(rows) == {10, 20}       # benchmark doc 0 excluded
+    assert rows[20]["contaminated"] and rows[20]["n_hits"] >= 1
+    assert not rows[10]["contaminated"] and rows[10]["n_hits"] == 0
+
+
 def test_collapse_hot_bucket_noop_below_limit():
     """The shared guard is exactly free on non-degenerate buckets: at or
     below HOT_BUCKET_LIMIT it returns the input list object untouched
