@@ -184,6 +184,17 @@ def _q_multimodal(sf_dir: str):
     return feats.drop_columns(["features"])
 
 
+def _q_decode_real(sf_dir: str):
+    """REAL raster decode over deterministic 24-bit BMP payloads
+    derived from the documents table (incl. truncated-file failures):
+    a pixel-parsing codec (stdlib+numpy), not the FakeDecoder stand-in.
+    Features dropped from the hash (list column); dims/flags/errors are
+    the checked surface."""
+    from smart_ocr_ray.ops.multimodal import decode_rasters, raster_from_documents
+
+    return decode_rasters(raster_from_documents(sf_dir)).drop_columns(["features"])
+
+
 def _q_frames(sf_dir: str):
     """Frame-sampling media stage (row-expanding, bounded): one row per
     sampled frame with its byte slice dropped (metadata only, so the
@@ -447,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_frames,
+        "multimodal_decode_real": _q_decode_real,
     }
 
 
@@ -1108,6 +1120,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(value), 4) AS total_value
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC LIMIT 20
+        """,
+        "multimodal_decode_real": """
+            -- Writer/parser duality check: the raster corpus generator
+            -- (ops/multimodal.raster_from_documents) derives each BMP's
+            -- geometry from doc_id; the REAL decoder (PixmapDecoder)
+            -- must parse back exactly those dims, flag exactly the
+            -- every-7th truncated payloads, and report byte-accurate
+            -- truncation errors. All integer math — SQL reproduces the
+            -- expected output without decoding anything.
+            WITH g AS (
+              SELECT doc_id,
+                     8 + (doc_id % 48) AS w,
+                     8 + ((doc_id * 7) % 48) AS h,
+                     (doc_id % 7) <> 3 AS ok
+              FROM documents
+            ),
+            geom AS (
+              SELECT doc_id, w, h, ok,
+                     ((w * 3 + 3) // 4) * 4 * h AS need
+              FROM g
+            )
+            SELECT 'raster://doc/' || doc_id AS url,
+                   'bmp' AS fmt,
+                   CAST(CASE WHEN ok THEN w ELSE 0 END AS INTEGER) AS width,
+                   CAST(CASE WHEN ok THEN h ELSE 0 END AS INTEGER) AS height,
+                   ok AS decode_ok,
+                   CASE WHEN ok THEN ''
+                        ELSE printf('truncated BMP pixel data (%d/%d)',
+                                    54 + need // 2, 54 + need) END AS error
+            FROM geom
         """,
         "supplier_part_counts": """
             SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,

@@ -1,13 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-Image/audio decode libraries are not present in this container, so the
-decode kernel is a clearly-marked deterministic stand-in
-(``FakeDecoder``) — but the Ray-side contract is real and tested:
-binary column in, small batches (payload-size-aware), actor pool with
-per-actor setup, fixed output schema with feature vectors, and a
-``NotImplementedError`` seam (``RealDecoder``) where a real codec
-drops in.
+Compressed image/audio decode libraries are not present in this
+container, so the general decode kernel is a clearly-marked
+deterministic stand-in (``FakeDecoder``) with a ``NotImplementedError``
+seam (``RealDecoder``) where PIL/ffmpeg drops in. For uncompressed
+raster formats no library is needed: ``PixmapDecoder`` is a REAL
+pixel-parsing codec (24-bit BMP, binary PPM/PGM, stdlib+numpy) with
+typed decode-failure rows, exercised end-to-end against generated BMP
+bytes (including truncated files) by the ``multimodal_decode_real``
+query and its writer/parser-duality SQL oracle. The Ray-side contract
+is identical across all of them: binary column in, small
+payload-size-aware batches, actor pool with per-actor setup, fixed
+output schema with feature vectors.
 """
 
 from __future__ import annotations
@@ -64,15 +69,195 @@ class FakeDecoder:
 
 
 class RealDecoder:
-    """The seam for a real codec (PIL/ffmpeg/torchvision). Keeping the
-    class here pins the constructor/batch contract."""
+    """The seam for a full codec stack (PIL/ffmpeg/torchvision).
+    Keeping the class here pins the constructor/batch contract; for the
+    uncompressed raster formats parseable WITHOUT codec libraries (BMP
+    24-bit, binary PPM/PGM) a genuinely real decode path exists below —
+    ``PixmapDecoder``."""
 
     def __init__(self, *_args, **_kwargs):
         raise NotImplementedError(
-            "image/audio decode libraries are not available in this "
-            "environment; swap FakeDecoder for a real codec with the "
-            "same (batch: pa.Table['url','payload']) -> features contract"
+            "compressed image/audio decode libraries are not available "
+            "in this environment; swap FakeDecoder for a real codec "
+            "with the same (batch: pa.Table['url','payload']) -> "
+            "features contract, or use PixmapDecoder for uncompressed "
+            "BMP/PPM/PGM payloads"
         )
+
+
+def _parse_pnm(data: bytes):
+    """Binary PPM (P6) / PGM (P5) header + pixels → (w, h, channels,
+    ndarray). Raises ValueError on malformed/truncated payloads — the
+    real failure surface of a codec."""
+    if not (data.startswith(b"P6") or data.startswith(b"P5")):
+        raise ValueError("not a binary PNM")
+    channels = 3 if data.startswith(b"P6") else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":  # comment
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PNM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError("bad PNM dimensions")
+    need = w * h * channels
+    pixels = np.frombuffer(data, dtype=np.uint8, count=-1, offset=pos)
+    if len(pixels) < need:
+        raise ValueError(f"truncated PNM pixel data ({len(pixels)}/{need})")
+    return w, h, channels, pixels[:need].reshape(h, w, channels)
+
+
+def _parse_bmp(data: bytes):
+    """Uncompressed 24-bit BMP → (w, h, 3, ndarray). Bottom-up rows,
+    4-byte row padding. Raises ValueError on anything else."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = pixel_off + stride * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP pixel data ({len(data)}/{need})")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pixel_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return w, h, 3, rows[..., ::-1]  # BGR → RGB
+
+
+class PixmapDecoder:
+    """REAL decode + feature stage for uncompressed raster payloads
+    (24-bit BMP, binary PPM/PGM) — an actual pixel-parsing codec built
+    on stdlib + numpy, no image libraries. Malformed or truncated
+    payloads produce a typed ``decode_ok=False`` row (never a crash,
+    never a dropped row) — the failure surface a real pipeline must
+    absorb from a crawl. Deterministic 8-dim features from true pixel
+    statistics."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = {"url": [], "fmt": [], "width": [], "height": [],
+               "decode_ok": [], "error": [], "features": []}
+        for url, data in zip(urls, payloads):
+            data = data or b""
+            fmt, w, h, ok, err = "unknown", 0, 0, False, ""
+            feats = [0.0] * FEATURE_DIM
+            try:
+                if data.startswith(b"P6") or data.startswith(b"P5"):
+                    fmt = "ppm" if data.startswith(b"P6") else "pgm"
+                    w, h, ch, px = _parse_pnm(data)
+                elif data[:2] == b"BM":
+                    fmt = "bmp"
+                    w, h, ch, px = _parse_bmp(data)
+                else:
+                    raise ValueError("unrecognized raster format")
+                px = px.astype(np.float64)
+                rgb = px if px.shape[2] == 3 else np.repeat(px, 3, axis=2)
+                gray = rgb.mean(axis=2)
+                feats = [
+                    round(float(rgb[..., 0].mean()), 6),
+                    round(float(rgb[..., 1].mean()), 6),
+                    round(float(rgb[..., 2].mean()), 6),
+                    round(float(gray.std()), 6),
+                    round(float(np.log1p(w * h)), 6),
+                    round(w / h, 6),
+                    round(float((gray > 192).mean()), 6),
+                    round(float((gray < 64).mean()), 6),
+                ]
+                ok = True
+            except ValueError as exc:
+                err = str(exc)
+            out["url"].append(url)
+            out["fmt"].append(fmt)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["decode_ok"].append(ok)
+            out["error"].append(err)
+            out["features"].append(feats)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "decode_ok": pa.array(out["decode_ok"], pa.bool_()),
+                "error": pa.array(out["error"], pa.string()),
+                "features": pa.array(out["features"], pa.list_(pa.float64())),
+            }
+        )
+
+
+def decode_rasters(
+    media: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 16
+) -> ray.data.Dataset:
+    """Actor-pool REAL-decode stage over (url, payload) raster media —
+    same sizing rules as ``decode_features``."""
+    return media.map_batches(
+        PixmapDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
+    """Deterministic raster corpus derived from the documents table:
+    each doc's text bytes tile a w×h 24-bit BMP (sizes vary per doc) —
+    REAL format bytes for the real decoder, generated without any
+    image library. Every 7th doc is truncated mid-pixel-data so the
+    corpus exercises the decode-failure path end-to-end."""
+    import struct
+
+    def _make(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, payloads = [], []
+        for doc_id, text in zip(doc_ids, texts):
+            seed = (text or "").encode("utf-8") or b"\x00"
+            w = 8 + (doc_id % max_dim)
+            h = 8 + ((doc_id * 7) % max_dim)
+            stride = (w * 3 + 3) & ~3
+            need = stride * h
+            reps = -(-need // len(seed))
+            pixels = (seed * reps)[:need]
+            header = b"BM" + struct.pack("<IHHI", 54 + need, 0, 0, 54)
+            dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, need, 2835, 2835, 0, 0)
+            data = header + dib + pixels
+            if doc_id % 7 == 3:
+                data = data[: 54 + need // 2]  # truncated mid-pixels
+            urls.append(f"raster://doc/{doc_id}")
+            payloads.append(data)
+        return pa.Table.from_pydict(
+            {"url": pa.array(urls, pa.string()), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_make, batch_format="pyarrow")
 
 
 def decode_features(

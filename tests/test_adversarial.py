@@ -170,3 +170,64 @@ def test_frame_sampler_zero_byte_and_subframe_payloads(ray_session):
     assert len(by_url["u2"]) == 8             # hard cap honored
     assert all(len(r["payload"]) <= FRAME_BYTES for r in out)
     assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in out)
+
+
+def test_pixmap_decoder_real_formats_and_corruption():
+    """PixmapDecoder is a REAL pixel parser: known-value PPM/PGM/BMP
+    payloads decode to exact dims and channel means; truncated and
+    malformed payloads produce typed decode_ok=False rows."""
+    import struct
+
+    from smart_ocr_ray.ops.multimodal import PixmapDecoder
+
+    # 2x1 PPM: one red pixel, one blue pixel.
+    ppm = b"P6\n# comment\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+    # 2x2 PGM, all gray 128.
+    pgm = b"P5\n2 2\n255\n" + bytes([128] * 4)
+    # 2x2 24-bit BMP, all white (stride 8 with 2 pad bytes per row).
+    need = 8 * 2
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + need, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, need, 0, 0, 0, 0)
+           + (bytes([255] * 6) + b"\x00\x00") * 2)
+    rows = [
+        {"url": "ppm", "payload": ppm},
+        {"url": "pgm", "payload": pgm},
+        {"url": "bmp", "payload": bmp},
+        {"url": "trunc", "payload": ppm[:-3]},          # missing pixels
+        {"url": "garbage", "payload": b"\x89PNG not supported"},
+        {"url": "empty", "payload": b""},
+        {"url": "badhdr", "payload": b"P6\n0 0\n255\n"},
+    ]
+    out = {r["url"]: r for r in PixmapDecoder()(_media_batch(rows)).to_pylist()}
+
+    assert out["ppm"]["decode_ok"] and (out["ppm"]["width"], out["ppm"]["height"]) == (2, 1)
+    f = out["ppm"]["features"]
+    assert f[0] == 127.5 and f[1] == 0.0 and f[2] == 127.5  # mean R/G/B
+    assert out["pgm"]["decode_ok"] and out["pgm"]["features"][0] == 128.0
+    assert out["pgm"]["features"][3] == 0.0  # uniform gray → zero std
+    assert out["bmp"]["decode_ok"] and (out["bmp"]["width"], out["bmp"]["height"]) == (2, 2)
+    assert out["bmp"]["features"][:3] == [255.0, 255.0, 255.0]
+    assert out["bmp"]["features"][6] == 1.0  # all bright
+
+    for bad in ("trunc", "garbage", "empty", "badhdr"):
+        assert not out[bad]["decode_ok"], bad
+        assert out[bad]["error"], bad
+        assert out[bad]["features"] == [0.0] * 8, bad
+
+
+def test_raster_corpus_roundtrip(ray_session):
+    """Writer/parser duality on the deterministic raster corpus: the
+    real decoder recovers the generator's dims for every intact BMP and
+    flags exactly the every-7th truncated payloads."""
+    from smart_ocr_ray.ops.multimodal import decode_rasters, raster_from_documents
+
+    out = decode_rasters(raster_from_documents("/root/testdata/sf0.001")).take_all()
+    assert out
+    for r in out:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        if doc_id % 7 == 3:
+            assert not r["decode_ok"] and "truncated" in r["error"], r["url"]
+        else:
+            assert r["decode_ok"], (r["url"], r["error"])
+            assert r["width"] == 8 + doc_id % 48
+            assert r["height"] == 8 + (doc_id * 7) % 48
