@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
+        "embedding_neardup_clusters": similarity.embedding_neardup_clusters,
         # --- relational / windowed ---
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -599,8 +600,7 @@ def _hyperplane_lsh_sql() -> str:
         for b in range(16)
         for p in range(64)
     )
-    return f"""
-        WITH planes(pi, di, w) AS (VALUES {plane_rows}),
+    return f"""planes(pi, di, w) AS (VALUES {plane_rows}),
         elems AS (
           SELECT e.vec_id, u.s.i - 1 AS di, CAST(u.s.x AS DOUBLE) AS x
           FROM embeddings e,
@@ -621,14 +621,12 @@ def _hyperplane_lsh_sql() -> str:
           FROM bits l JOIN bits r
             ON l.band_idx = r.band_idx AND l.key_bits = r.key_bits AND l.vec_id < r.vec_id
         ),
-        pairs AS (
+        lsh_pairs AS (
           SELECT c.left_id, c.right_id,
                  CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT) AS cos_sim_e3
           FROM cand c JOIN embeddings a ON a.vec_id = c.left_id
                       JOIN embeddings b ON b.vec_id = c.right_id
-        )
-        SELECT left_id, right_id, cos_sim_e3 FROM pairs WHERE cos_sim_e3 >= 450
-    """
+        )"""
 
 
 def _extract_family_oracles() -> dict[str, str]:
@@ -744,7 +742,22 @@ def oracle_sql() -> dict[str, str]:
     minhash_base = _minhash_base_sql()
     return {
         **_extract_family_oracles(),
-        "embedding_neardup_lsh": _hyperplane_lsh_sql(),
+        "embedding_neardup_lsh": "WITH " + _hyperplane_lsh_sql() + """
+            SELECT left_id, right_id, cos_sim_e3
+            FROM lsh_pairs WHERE cos_sim_e3 >= 450
+        """,
+        "embedding_neardup_clusters": "WITH RECURSIVE " + _hyperplane_lsh_sql() + """,
+            p2 AS (SELECT left_id, right_id FROM lsh_pairs WHERE cos_sim_e3 >= 450),
+            edges AS (SELECT left_id AS node, right_id AS peer FROM p2
+                      UNION ALL SELECT right_id, left_id FROM p2),
+            reach(node, label) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.peer
+            )
+            SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
         "dedup_minhash_lsh": "WITH "
         + minhash_base
         + """

@@ -458,3 +458,27 @@ def embedding_neardup_lsh(
 
     verified = joined.map_batches(_verify, batch_format="pyarrow")
     return known.union(verified)
+
+
+def embedding_neardup_clusters(
+    sf_dir: str, threshold_e3: int = 450, max_rounds: int = 20
+) -> ray.data.Dataset:
+    """Embedding near-duplicate CLUSTERS: hyperplane-LSH candidate
+    pairs → distributed connected components (the same join-based
+    min-label propagation + pointer jumping as ``dedup_clusters``,
+    ``ops.dedup.cluster_pairs`` — labels never touch the driver).
+
+    Output: (vec_id, cluster_id = min vec_id of the component), sorted
+    by vec_id — the dedup-group table a curation pipeline samples one
+    representative from."""
+    from .dedup import cluster_pairs
+
+    pairs = embedding_neardup_lsh(sf_dir, threshold_e3=threshold_e3)
+    clusters = cluster_pairs(pairs.drop_columns(["cos_sim_e3"]), max_rounds=max_rounds)
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"vec_id": batch.column("doc_id"), "cluster_id": batch.column("cluster_id")}
+        )
+
+    return clusters.map_batches(_rename, batch_format="pyarrow")

@@ -461,6 +461,18 @@ def test_embedding_neardup_exact_and_lsh_recall(ray_session, tmp_path):
     recall = len(lsh) / len(truth)
     assert recall >= 0.8, f"LSH recall {recall:.2f} below floor"
 
+    # Cluster composition: every perturbed-copy cluster the LSH pairs
+    # connect collapses to one component labeled by its min vec_id.
+    from smart_ocr_ray.ops.similarity import embedding_neardup_clusters
+
+    comp = {r["vec_id"]: r["cluster_id"]
+            for r in embedding_neardup_clusters(str(sf), threshold_e3=950).take_all()}
+    assert comp  # the near-dup clusters produced components
+    for vec_id, label in comp.items():
+        assert label <= vec_id          # labels are component minima
+        assert label in comp and comp[label] == label  # representative is its own label
+        assert vec_id // 4 == label // 4  # members stay within their true cluster
+
 
 def test_embedding_lsh_degenerate_corpus_linear(ray_session, tmp_path):
     """Hot-bucket guard (r2 VERDICT item 1): thousands of byte-identical
