@@ -1134,6 +1134,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC LIMIT 20
         """,
+        "multimodal_frames": f"""
+            -- Frame-sampling metadata is pure byte-length arithmetic
+            -- over the SAME pages parquet the Ray query reads (the
+            -- pages corpus is content-signed in /tmp): n_frames =
+            -- ceil(len/4096), stride 2, cap 8 → indices range(0,
+            -- least(n_frames, 16), 2). Empty payloads emit no frames.
+            WITH pages AS (
+              SELECT url, octet_length(html) AS n_bytes
+              FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+              WHERE octet_length(html) > 0
+            ),
+            f AS (
+              SELECT url, CAST(ceil(n_bytes / 4096.0) AS BIGINT) AS n_frames
+              FROM pages
+            )
+            SELECT url,
+                   CAST(u.i AS INTEGER) AS frame_idx,
+                   CAST(u.i * 1000 AS BIGINT) AS ts_ms
+            FROM f, unnest(range(0, CAST(least(n_frames, 16) AS BIGINT), 2)) AS u(i)
+        """,
         "multimodal_decode_real": """
             -- Writer/parser duality check: the raster corpus generator
             -- (ops/multimodal.raster_from_documents) derives each BMP's

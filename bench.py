@@ -167,9 +167,11 @@ def run_bench() -> dict:
 
     if os.environ.get("GRAFT_BENCH_HEADLINE") != "1":
         timed("dedup_exact", dedup.dedup_exact)
+        timed("dedup_normalized", dedup.dedup_normalized)
         timed("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
         timed("ann_cosine_topk", similarity.ann_cosine_topk)
         timed("doc_quality", text_analysis.quality)
+        timed("domain_stats", text_analysis.domain_stats)
         timed("pricing_summary", relational.pricing_summary)
         timed("events_hourly", relational.events_hourly)
 
