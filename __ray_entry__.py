@@ -64,15 +64,18 @@ def _pages_path(sf_dir: str) -> str:
 
 
 def _e6(x: float) -> int:
-    """Integer-scale a float onto the 1e-6 grid with Python rounding.
+    """Integer-scale a float onto the 1e-6 grid.
 
     Used for per-doc agreement/confidence BOTH when writing the golden
     per-doc table and inside the Ray aggregation queries, so the two
     sides sum identical integers — float summation order and
     Python-vs-DuckDB round() divergence can never flip the value hash
     (the driver-gate lesson: integer grids, not round() on both sides).
+    One shared definition repo-wide: functions/grid.py.
     """
-    return int(round(float(x) * 1_000_000))
+    from smart_ocr_ray.functions.grid import e6
+
+    return e6(x)
 
 
 # sf dir the driver's oracle gate runs at. oracle_sql() takes no
@@ -80,6 +83,27 @@ def _e6(x: float) -> int:
 # per-doc golden table derived from the sf corpus) must know the gate's
 # scale up front; the local checker overrides via this env var.
 _ORACLE_SF = os.environ.get("SMART_OCR_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _code_sig() -> int:
+    """Content signature of the extraction code: crc over every .py in
+    the smart_ocr_ray package. The golden per-doc cache is keyed on
+    this as well as the corpus, so an extractor-semantics change can
+    never leave the pseudo-oracles validating stale expectations from
+    a previous code version's /tmp cache."""
+    import zlib
+
+    import smart_ocr_ray
+
+    root = os.path.dirname(os.path.abspath(smart_ocr_ray.__file__))
+    crc = 0
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for name in sorted(files):
+            if not name.endswith(".py"):
+                continue
+            with open(os.path.join(dirpath, name), "rb") as f:
+                crc = zlib.crc32(f.read(), crc)
+    return crc
 
 
 def _golden_docs_path(sf_dir: str) -> str:
@@ -101,7 +125,7 @@ def _golden_docs_path(sf_dir: str) -> str:
     from smart_ocr_ray.document import oracle_extract
 
     pages = _pages_path(sf_dir)
-    path = pages + "_golden"
+    path = f"{pages}_golden_{_code_sig():08x}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tables = [pq.read_table(f) for f in sorted(glob.glob(pages + "/*.parquet"))]
         t = pa.concat_tables(tables)
@@ -585,12 +609,12 @@ def _hyperplane_lsh_sql() -> str:
     band buckets join, and the pair verify uses the same integer-grid
     threshold as the Ray side.
 
-    All-pairs-in-bucket semantics are valid while distinct-vector
-    bucket populations stay under ``MAX_VERIFY_REPS`` (true for the sf
-    corpora): beyond that the Ray side's shared hot-bucket guard
+    All-pairs-in-bucket semantics are valid while every bucket
+    population stays ≤ ``HOT_BUCKET_LIMIT`` (true for the sf corpora):
+    beyond that the Ray side's shared hot-bucket guard
     (ops/dedup.collapse_hot_bucket) collapses byte-identical embeddings
-    to a representative star and caps verified reps with a logged
-    drop."""
+    to a representative star — preserving connected components, NOT the
+    all-pairs list — and caps verified reps with a logged drop."""
     import numpy as np
 
     rng = np.random.default_rng(42)
@@ -640,7 +664,11 @@ def _extract_family_oracles() -> dict[str, str]:
     suite); extract_pipeline/consensus/figures remain rows-only because
     their payload (full text bytes + span JSON) is the kernel, not an
     aggregate. Assumes the gate runs at ``_ORACLE_SF`` (the driver's
-    sf0.01; local checker overrides via SMART_OCR_ORACLE_SF)."""
+    sf0.01; local checker overrides via SMART_OCR_ORACLE_SF).
+
+    Raises whatever corpus-materialization raises — ``oracle_sql()``
+    catches it and degrades to rows-only for this family so the other
+    oracles survive a machine without the gate corpus."""
     docs = f"read_parquet('{_golden_docs_path(_ORACLE_SF)}')"
     return {
         "extract_metrics": f"""
@@ -738,10 +766,48 @@ def _extract_family_oracles() -> dict[str, str]:
     }
 
 
+def _frames_oracle_sql() -> str:
+    """Frame-sampling metadata is pure byte-length arithmetic over the
+    SAME pages parquet the Ray query reads (the pages corpus is
+    content-signed in /tmp): n_frames = ceil(len/4096), stride 2, cap 8
+    → indices range(0, least(n_frames, 16), 2). Empty payloads emit no
+    frames."""
+    return f"""
+        WITH pages AS (
+          SELECT url, octet_length(html) AS n_bytes
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+          WHERE octet_length(html) > 0
+        ),
+        f AS (
+          SELECT url, CAST(ceil(n_bytes / 4096.0) AS BIGINT) AS n_frames
+          FROM pages
+        )
+        SELECT url,
+               CAST(u.i AS INTEGER) AS frame_idx,
+               CAST(u.i * 1000 AS BIGINT) AS ts_ms
+        FROM f, unnest(range(0, CAST(least(n_frames, 16) AS BIGINT), 2)) AS u(i)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    # Corpus-dependent pseudo-oracles (they materialize the pages/golden
+    # tables for _ORACLE_SF at build time): degrade to rows-only rather
+    # than poisoning the whole dict when that corpus is unavailable.
+    corpus_dependent: dict[str, str] = {}
+    try:
+        corpus_dependent.update(_extract_family_oracles())
+        corpus_dependent["multimodal_frames"] = _frames_oracle_sql()
+    except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
+        import sys
+
+        print(
+            f"warning: extraction pseudo-oracles unavailable ({exc}); "
+            "those queries degrade to rows-only checks",
+            file=sys.stderr,
+        )
     minhash_base = _minhash_base_sql()
     return {
-        **_extract_family_oracles(),
+        **corpus_dependent,
         "embedding_neardup_lsh": "WITH " + _hyperplane_lsh_sql() + """
             SELECT left_id, right_id, cos_sim_e3
             FROM lsh_pairs WHERE cos_sim_e3 >= 450
@@ -792,11 +858,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d LEFT JOIN val v USING (doc_id)
             )
             -- same-bucket (top 16 bits) pairs within hamming <= 3;
-            -- valid while distinct-fingerprint bucket populations stay
-            -- under MAX_VERIFY_REPS (the Ray side's hot-bucket guard
-            -- collapses identical fingerprints beyond HOT_BUCKET_LIMIT,
-            -- which preserves exactly these pairs: identical
-            -- fingerprints pair at hamming 0 through their rep star).
+            -- valid while every bucket population stays <=
+            -- HOT_BUCKET_LIMIT (true for the sf corpora). Beyond that
+            -- the Ray side's guard collapses identical fingerprints to
+            -- a representative star — preserving connected components,
+            -- NOT this all-pairs list (a collapsed member no longer
+            -- pairs directly with a distinct near-neighbor).
             SELECT a.doc_id AS left_id, b.doc_id AS right_id,
                    CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
             FROM fp a JOIN fp b
@@ -1133,26 +1200,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(value), 4) AS total_value
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC LIMIT 20
-        """,
-        "multimodal_frames": f"""
-            -- Frame-sampling metadata is pure byte-length arithmetic
-            -- over the SAME pages parquet the Ray query reads (the
-            -- pages corpus is content-signed in /tmp): n_frames =
-            -- ceil(len/4096), stride 2, cap 8 → indices range(0,
-            -- least(n_frames, 16), 2). Empty payloads emit no frames.
-            WITH pages AS (
-              SELECT url, octet_length(html) AS n_bytes
-              FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
-              WHERE octet_length(html) > 0
-            ),
-            f AS (
-              SELECT url, CAST(ceil(n_bytes / 4096.0) AS BIGINT) AS n_frames
-              FROM pages
-            )
-            SELECT url,
-                   CAST(u.i AS INTEGER) AS frame_idx,
-                   CAST(u.i * 1000 AS BIGINT) AS ts_ms
-            FROM f, unnest(range(0, CAST(least(n_frames, 16) AS BIGINT), 2)) AS u(i)
         """,
         "multimodal_decode_real": """
             -- Writer/parser duality check: the raster corpus generator

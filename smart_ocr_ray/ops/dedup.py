@@ -99,14 +99,14 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
     hashed = read_documents(sf_dir).map_batches(_hash, batch_format="pyarrow")
     # Pre-aggregate per batch (partial min) before the shuffle so the
-    # all-to-all moves one row per distinct hash per block, not per doc.
+    # all-to-all moves one row per distinct hash per block, not per doc
+    # — as a vectorized Arrow hash-agg, not a Python dict loop.
     def _partial(batch: pa.Table) -> pa.Table:
-        ids: dict[str, int] = {}
-        for h, d in zip(batch.column("text_md5").to_pylist(), batch.column("doc_id").to_pylist()):
-            if h not in ids or d < ids[h]:
-                ids[h] = d
-        return pa.Table.from_pydict(
-            {"text_md5": list(ids.keys()), "doc_id": pa.array(list(ids.values()), pa.int64())}
+        out = pa.TableGroupBy(batch, ["text_md5"]).aggregate([("doc_id", "min")])
+        # name-based rename: pyarrow has moved group keys between first
+        # and last output position across versions
+        return out.rename_columns(
+            ["doc_id" if c == "doc_id_min" else c for c in out.column_names]
         )
 
     from ray.data.aggregate import Min
@@ -439,19 +439,11 @@ def dedup_normalized(sf_dir: str) -> ray.data.Dataset:
         )
 
     def _partial(batch: pa.Table) -> pa.Table:
-        ids: dict[str, int] = {}
-        counts: dict[str, int] = {}
-        for h, d in zip(batch.column("norm_md5").to_pylist(), batch.column("doc_id").to_pylist()):
-            counts[h] = counts.get(h, 0) + 1
-            if h not in ids or d < ids[h]:
-                ids[h] = d
-        return pa.Table.from_pydict(
-            {
-                "norm_md5": list(ids.keys()),
-                "doc_id": pa.array([ids[h] for h in ids], pa.int64()),
-                "n_dups": pa.array([counts[h] for h in ids], pa.int64()),
-            }
+        out = pa.TableGroupBy(batch, ["norm_md5"]).aggregate(
+            [("doc_id", "min"), ([], "count_all")]
         )
+        rename = {"doc_id_min": "doc_id", "count_all": "n_dups"}
+        return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
     from ray.data.aggregate import Min, Sum
 

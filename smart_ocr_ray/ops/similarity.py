@@ -272,16 +272,26 @@ class _HyperplaneStage:
         for b in range(self.n_bands):
             chunk = bits[:, b * r : (b + 1) * r].astype(np.int64)
             keys[:, b] = (b << r) | (chunk @ pow2)
+
+        def _vhash(vec_id: int, e) -> int:
+            arr = np.asarray(e, dtype=np.float32)
+            if not arr.any():
+                # Zero-norm vectors have cosine 0 with EVERYTHING,
+                # including byte-identical copies — a shared vhash would
+                # let the hot-bucket guard star them at e3=1000. A
+                # per-vec unique hash keeps them un-collapsed; the exact
+                # verify then rejects their pairs (dot = 0).
+                payload = b"zero:" + str(int(vec_id)).encode()
+            else:
+                payload = arr.tobytes()
+            return int.from_bytes(
+                hashlib.blake2b(payload, digest_size=8).digest(), "big", signed=True
+            )
+
         vhashes = np.fromiter(
             (
-                int.from_bytes(
-                    hashlib.blake2b(
-                        np.asarray(e, dtype=np.float32).tobytes(), digest_size=8
-                    ).digest(),
-                    "big",
-                    signed=True,
-                )
-                for e in batch.column("embedding").to_pylist()
+                _vhash(v, e)
+                for v, e in zip(vec_ids, batch.column("embedding").to_pylist())
             ),
             dtype=np.int64,
             count=n,
@@ -317,13 +327,15 @@ def embedding_neardup_lsh(
         all-to-all never moves embedding floats; vectors ship only into
         the candidate-pair verify join, O(candidates) total;
       * hot buckets get the shared representative-collapse guard
-        (``ops.dedup.collapse_hot_bucket``): byte-identical embeddings
-        (same vhash ⇒ cosine exactly 1.0) collapse to an id-min star at
-        e3=1000 with linearly many pairs, and verified representatives
-        are hard-capped with a logged drop. The SQL oracle reproduces
-        all-pairs semantics, valid while distinct-vector bucket
-        populations stay under ``MAX_VERIFY_REPS`` (true for the sf
-        corpora).
+        (``ops.dedup.collapse_hot_bucket``): byte-identical non-zero
+        embeddings (same vhash ⇒ cosine exactly 1.0) collapse to an
+        id-min star at e3=1000 with linearly many pairs, and verified
+        representatives are hard-capped with a logged drop. The SQL
+        oracle reproduces all-pairs semantics, valid while every bucket
+        population stays ≤ ``HOT_BUCKET_LIMIT`` (true for the sf
+        corpora) — once the guard engages, collapsed members pair only
+        with their representative, which preserves connected COMPONENTS
+        but not the all-pairs list.
     """
     from ray.data.aggregate import Max
 

@@ -87,13 +87,17 @@ def domain_stats(sf_dir: str) -> ray.data.Dataset:
     exact distinct-text count (content md5, so recrawled duplicates are
     visible per domain).
 
-    Distinct counting is exact and shuffle-light: per-batch (source,
-    lang, md5) dedup, then a groupby over (source, lang) counts
-    distinct hashes inside the (small) group."""
+    Skew-bounded two-stage shape: stage 1 groups by the FINE key
+    (source, lang, text_md5) — per-batch Arrow partials first, so the
+    shuffle moves one row per distinct text per block and no reducer
+    ever sees a whole hot domain; stage 2 aggregates the (already
+    distinct-text-sized) table by (source, lang), where
+    ``Count() == n_distinct_texts`` exactly because stage 1's key made
+    rows distinct."""
 
     def _prep(batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column("text").to_pylist()]
-        return pa.Table.from_pydict(
+        prepped = pa.Table.from_pydict(
             {
                 "source": batch.column("source"),
                 "lang": batch.column("lang"),
@@ -101,30 +105,46 @@ def domain_stats(sf_dir: str) -> ray.data.Dataset:
                 "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
             }
         )
+        out = pa.TableGroupBy(prepped, ["source", "lang", "text_md5"]).aggregate(
+            [("n_tokens", "sum"), ([], "count_all")]
+        )
+        rename = {"n_tokens_sum": "tok_sum", "count_all": "cnt"}
+        return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
-    def _rollup(group: pa.Table) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    per_text = (
+        read_documents(sf_dir)
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby(["source", "lang", "text_md5"])
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("tok_sum", alias_name="tok_sum"))
+    )
+
+    final = per_text.groupby(["source", "lang"]).aggregate(
+        Sum("cnt", alias_name="n_docs"),
+        Sum("tok_sum", alias_name="total_tokens"),
+        Count(alias_name="n_distinct_texts"),
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        n = group.num_rows
-        tokens = pc.sum(group.column("n_tokens")).as_py() or 0
-        distinct = pc.count_distinct(group.column("text_md5")).as_py()
+        mean = pc.divide(
+            pc.multiply(batch.column("total_tokens"), pa.scalar(100, pa.int64())),
+            batch.column("n_docs"),
+        )
         return pa.Table.from_pydict(
             {
-                "source": [group.column("source")[0].as_py()],
-                "lang": [group.column("lang")[0].as_py()],
-                "n_docs": pa.array([n], pa.int64()),
-                "total_tokens": pa.array([tokens], pa.int64()),
-                "mean_tokens_e2": pa.array([(tokens * 100) // n], pa.int64()),
-                "n_distinct_texts": pa.array([distinct], pa.int64()),
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_docs"),
+                "total_tokens": batch.column("total_tokens"),
+                "mean_tokens_e2": pc.cast(mean, pa.int64()),
+                "n_distinct_texts": pc.cast(batch.column("n_distinct_texts"), pa.int64()),
             }
         )
 
-    return (
-        read_documents(sf_dir)
-        .map_batches(_prep, batch_format="pyarrow")
-        .groupby(["source", "lang"])
-        .map_groups(_rollup, batch_format="pyarrow")
-    )
+    return final.map_batches(_finish, batch_format="pyarrow")
 
 
 def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> ray.data.Dataset:
@@ -184,17 +204,24 @@ def contamination_check(
     excluded from the output (they trivially self-overlap)."""
     import ray as _ray
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    table = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    # Driver loads ONLY the id column to pick the benchmark ids, then a
+    # predicate-pushdown read fetches just those bench_docs texts — the
+    # corpus text never materializes driver-side (the r2 anti-pattern).
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
     )
-    ids = table.column("doc_id").to_pylist()
-    order = sorted(range(len(ids)), key=lambda i: ids[i])[:bench_docs]
-    bench_ids = {int(ids[i]) for i in order}
+    bench_ids = {int(v) for v in sorted(ids.to_pylist())[:bench_docs]}
+    bench_table = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=pc.field("doc_id").isin(sorted(bench_ids)),
+    )
     grams: set[str] = set()
-    for i in order:
-        toks = (table.column("text")[i].as_py() or "").lower().split()
+    for text in bench_table.column("text").to_pylist():
+        toks = (text or "").lower().split()
         grams.update(
             " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
         )

@@ -91,6 +91,14 @@ def extract_pipeline(
         ),
         batch_format="pyarrow",
     )
+    # Resolve the assembly-bucket count ONCE, driver-side, and pass it
+    # into every stage instance: actors resolving it themselves could
+    # disagree (cluster scale-up mid-run, driver-only env override) and
+    # a modulus disagreement splits one url across buckets — silent
+    # assembly corruption.
+    from ..tuning import assembly_buckets
+
+    num_buckets = assembly_buckets()
     if use_actor_pool:
         if extract_concurrency is None:
             import ray
@@ -102,6 +110,7 @@ def extract_pipeline(
             fn_constructor_kwargs={
                 "max_retries": max_retries, "deadline_ms": deadline_ms,
                 "multi_extractor": multi_extractor, "consensus": consensus,
+                "num_buckets": num_buckets,
             },
             batch_format="pyarrow",
             batch_size=extract_batch_size,
@@ -112,6 +121,7 @@ def extract_pipeline(
         extractor = ExtractDocuments(
             max_retries=max_retries, deadline_ms=deadline_ms,
             multi_extractor=multi_extractor, consensus=consensus,
+            num_buckets=num_buckets,
         )
         units = exploded.map_batches(
             lambda b: extractor(b),

@@ -16,9 +16,7 @@ import ray.data
 from ..functions.editdist import cer, nes, wer_cased
 
 
-def _score_e6(x: float) -> int:
-    """Integer-grid score (1e-6): exact sums/means both engines."""
-    return int(round(float(x) * 1_000_000))
+from ..functions.grid import e6 as _score_e6  # one shared grid definition
 
 
 def score_against_golden(

@@ -90,17 +90,25 @@ class ExtractDocuments:
         deadline_ms: float = 30_000.0,
         multi_extractor: bool = False,
         consensus: str = "heuristic",
+        num_buckets: int | None = None,
     ):
         self.max_retries = max_retries
         self.deadline_ms = deadline_ms
         self.multi_extractor = multi_extractor
         self.consensus = consensus
-        # Resolved once at stage construction (driver side for the
-        # stateless path, actor __init__ for the pool path — the same
-        # cluster either way, so every task agrees on the bucket count).
-        from ..tuning import assembly_buckets
+        # The bucket count MUST be resolved exactly once per run, on
+        # the DRIVER, and passed in explicitly: resolving it inside
+        # actor __init__ would let actors created at different times
+        # (cluster scale-up mid-run, or a driver-only env override)
+        # disagree on the modulus — and rows of one url landing in
+        # different buckets silently corrupts assembly. The pipeline
+        # builder passes tuning.assembly_buckets(); the fallback here
+        # only serves direct driver-side construction in tests.
+        if num_buckets is None:
+            from ..tuning import assembly_buckets
 
-        self.num_buckets = assembly_buckets()
+            num_buckets = assembly_buckets()
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column("html")

@@ -40,6 +40,22 @@ def cluster_cpus() -> int:
 import os
 
 
+def _env_positive_int(name: str) -> int | None:
+    """Validated env override: a present-but-invalid value is a hard
+    error at resolution time (a 0 would otherwise surface later as a
+    ZeroDivisionError inside the extract stage's modulus)."""
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
+        return None
+    try:
+        val = int(raw)
+    except ValueError as exc:
+        raise ValueError(f"{name} must be a positive integer, got {raw!r}") from exc
+    if val <= 0:
+        raise ValueError(f"{name} must be a positive integer, got {val}")
+    return val
+
+
 def assembly_buckets() -> int:
     """Reducer count for the assembly shuffle: 16 × CPUs, FLOORED at
     the measured 512 dev-box sweet spot (an interleaved A/B at 16 CPUs
@@ -48,9 +64,9 @@ def assembly_buckets() -> int:
     The formula's job is the other direction: a 256-node / 8k-CPU
     cluster derives 128k buckets instead of a single-node constant.
     SMART_OCR_ASSEMBLY_BUCKETS overrides for ops tuning / A-B tests."""
-    env = os.environ.get("SMART_OCR_ASSEMBLY_BUCKETS")
-    if env:
-        return int(env)
+    env = _env_positive_int("SMART_OCR_ASSEMBLY_BUCKETS")
+    if env is not None:
+        return env
     return max(512, 16 * cluster_cpus())
 
 
@@ -59,7 +75,7 @@ def join_partitions() -> int:
     measured 8 (join partitions below the dev-box anchor are unmeasured
     territory; small tables don't care about a few extra partitions).
     SMART_OCR_JOIN_PARTITIONS overrides for ops tuning / A-B tests."""
-    env = os.environ.get("SMART_OCR_JOIN_PARTITIONS")
-    if env:
-        return int(env)
+    env = _env_positive_int("SMART_OCR_JOIN_PARTITIONS")
+    if env is not None:
+        return env
     return max(8, cluster_cpus() // 4)
