@@ -103,6 +103,10 @@ def _code_sig() -> int:
                 continue
             with open(os.path.join(dirpath, name), "rb") as f:
                 crc = zlib.crc32(f.read(), crc)
+    # The golden WRITER lives in this module (outside the package) —
+    # its schema changes must invalidate the cache too.
+    with open(os.path.abspath(__file__), "rb") as f:
+        crc = zlib.crc32(f.read(), crc)
     return crc
 
 
@@ -129,9 +133,12 @@ def _golden_docs_path(sf_dir: str) -> str:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tables = [pq.read_table(f) for f in sorted(glob.glob(pages + "/*.parquet"))]
         t = pa.concat_tables(tables)
+        import json
+
         rows = []
         for i in range(t.num_rows):
             g = oracle_extract(t["html"][i].as_py() or b"", t["text"][i].as_py() or "")
+            spans = json.loads(g["spans_json"] or "[]")
             rows.append(
                 {
                     "url": t["url"][i].as_py(),
@@ -143,6 +150,7 @@ def _golden_docs_path(sf_dir: str) -> str:
                     "agreement_e6": _e6(g["agreement"]),
                     "confidence_e6": _e6(g["confidence"]),
                     "attempt_failures": g["attempt_failures"],
+                    "n_figures": sum(1 for s in spans if s.get("kind") == "figure"),
                 }
             )
         tmp = path + ".tmp"
@@ -258,6 +266,22 @@ def _q_figures(sf_dir: str):
     from smart_ocr_ray.pipelines.figures import describe_figures
 
     return describe_figures(extract_from_parquet(_pages_path(sf_dir)))
+
+
+def _q_figure_counts(sf_dir: str):
+    """Per-url figure count through the DISTRIBUTED figure pass
+    (extract → describe_figures → groupby(url)): the pseudo-oracle
+    compares against the single-row kernel's span counts, gate-checking
+    the distributed figure extraction the same way score_vs_oracle
+    gate-checks text byte-identity. Caption TEXT stays pytest-pinned
+    (rule formatting isn't SQL)."""
+    from ray.data.aggregate import Count
+
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+    from smart_ocr_ray.pipelines.figures import describe_figures
+
+    figs = describe_figures(extract_from_parquet(_pages_path(sf_dir)))
+    return figs.groupby("url").aggregate(Count(alias_name="n_figures"))
 
 
 def _q_score(sf_dir: str):
@@ -444,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_consensus": _q_consensus,
         "extract_consensus_arbiter": _q_consensus_arbiter,
         "figure_captions": _q_figures,
+        "figure_counts": _q_figure_counts,
         "score_vs_oracle": _q_score,
         "calibration_profiles": _q_calibration,
         "failure_recovery": _q_recovery,
@@ -711,6 +736,12 @@ def _extract_family_oracles() -> dict[str, str]:
                    CAST(n_recovered AS BIGINT) AS n_recovered,
                    CAST((n_recovered * 1000000) // n_failures AS BIGINT) AS recovery_rate_e6
             FROM agg
+        """,
+        "figure_counts": f"""
+            -- Distributed figure pass vs the single-row kernel's span
+            -- counts (cap rules included — both sides post-cap).
+            SELECT url, CAST(n_figures AS BIGINT) AS n_figures
+            FROM {docs} WHERE n_figures > 0
         """,
         "score_vs_oracle": f"""
             -- The scored run compares the DISTRIBUTED pipeline's text

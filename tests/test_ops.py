@@ -520,6 +520,36 @@ def test_embedding_lsh_degenerate_corpus_linear(ray_session, tmp_path):
     assert elapsed < 60, f"degenerate corpus took {elapsed:.1f}s — guard not engaged?"
 
 
+def test_embedding_lsh_zero_vectors_never_pair(ray_session, tmp_path):
+    """Zero-norm embeddings (failed/null embeds are routinely
+    zero-filled) have cosine 0 with everything — even byte-identical
+    copies. A degenerate bucket of >HOT_BUCKET_LIMIT zero vectors must
+    NOT be starred at e3=1000 by the hot-bucket guard (review finding
+    r3): per-vec vhashes keep them un-collapsed and the exact verify
+    rejects their pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import embedding_neardup_lsh
+
+    n_zero = 300
+    vecs = [np.zeros(64, dtype=np.float32)] * n_zero
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(64)
+    vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+    sf = tmp_path / "zsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([x.tolist() for x in vecs], pa.list_(pa.float32())),
+        }),
+        sf / "embeddings.parquet",
+    )
+    pairs = embedding_neardup_lsh(str(sf), threshold_e3=450).take_all()
+    assert pairs == []  # no spurious e3=1000 stars among zero vectors
+
+
 def test_embedding_lsh_band_rows_are_compact(ray_session, tmp_path):
     """The band shuffle must not carry embedding floats (r2 VERDICT
     item 2): _HyperplaneStage emits only (vec_id, band_key, vhash)."""
