@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": text_analysis.domain_stats,
         "top_bigrams": text_analysis.top_ngrams,
         "contamination_check": text_analysis.contamination_check,
+        "quality_filter": text_analysis.quality_filter,
+        "stratified_sample": text_analysis.stratified_sample,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_normalized": dedup.dedup_normalized,
@@ -1015,6 +1017,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(n_tokens) * 100) // count(*) AS BIGINT) AS mean_tokens_e2,
                    CAST(count(DISTINCT text_md5) AS BIGINT) AS n_distinct_texts
             FROM d GROUP BY source, lang
+        """,
+        "quality_filter": f"""
+            -- Gopher-style keep/drop rules on integer grids, applied in
+            -- the exact order of ops/text_analysis.quality_filter.
+            WITH t AS (
+              SELECT doc_id, lang, coalesce(text,'') AS text,
+                CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, lang, text,
+                len(toks) AS n_tok,
+                coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS token_chars,
+                len(list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> x),
+                    x -> list_contains({_STOP_EN}, x))) AS stop_hits,
+                len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) AS n_sym,
+                length(text) AS n_chars
+              FROM t
+            ), r AS (
+              SELECT doc_id,
+                CASE WHEN n_tok < 50 THEN 'too_short'
+                     WHEN n_tok > 100000 THEN 'too_long'
+                     WHEN (token_chars * 100) // n_tok < 300
+                       OR (token_chars * 100) // n_tok > 1000 THEN 'word_length'
+                     WHEN n_sym * 10 > n_chars THEN 'symbol_ratio'
+                     WHEN lang = 'en' AND stop_hits < 2 THEN 'stopwords'
+                     ELSE '' END AS reason
+              FROM m
+            )
+            SELECT doc_id, reason = '' AS keep, reason FROM r
+        """,
+        "stratified_sample": """
+            -- Deterministic per-language sample: md5_number_lower ==
+            -- functions/hashing._hash64, so both engines keep the
+            -- identical rows.
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
+              CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300
+                        WHEN 'es' THEN 300 WHEN 'fr' THEN 300
+                        WHEN 'zh' THEN 150 ELSE 100 END
         """,
         "contamination_check": r"""
             -- n-gram decontamination sweep: any 8-gram shared with the

@@ -185,6 +185,88 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> ray.data.Dataset:
     )
 
 
+def quality_filter(
+    sf_dir: str, min_tokens: int = 50, max_tokens: int = 100_000
+) -> ray.data.Dataset:
+    """Gopher-style document quality filter (the keep/drop gate a
+    training pipeline runs before tokenization), with every rule on an
+    integer grid so the SQL oracle applies the identical comparisons:
+
+      1. too_short / too_long — token count outside [min, max]
+      2. word_length — mean word length (chars*100 // tokens) outside
+         [300, 1000] (3–10 chars)
+      3. symbol_ratio — >10% of characters outside [A-Za-z0-9 \\t\\n\\r]
+         (ASCII-centric by design, like the published filters: CJK text
+         fails here and would be routed to a per-script filter)
+      4. stopwords — English docs with <2 English stopword hits
+
+    Output: (doc_id, keep, reason) with reason = first failing rule.
+    Stateless vectorized map — no shuffle."""
+    import re
+
+    sym_re = re.compile(r"[^A-Za-z0-9 \t\n\r]")
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        out_keep, out_reason = [], []
+        for text, lang in zip(
+            batch.column("text").to_pylist(), batch.column("lang").to_pylist()
+        ):
+            text = text or ""
+            n_tok = token_count(text)
+            reason = ""
+            if n_tok < min_tokens:
+                reason = "too_short"
+            elif n_tok > max_tokens:
+                reason = "too_long"
+            elif not (300 <= (word_lengths_total(text) * 100) // n_tok <= 1000):
+                reason = "word_length"
+            elif len(sym_re.findall(text)) * 10 > len(text):
+                reason = "symbol_ratio"
+            elif lang == "en" and stopword_hits(text, "en") < 2:
+                reason = "stopwords"
+            out_keep.append(reason == "")
+            out_reason.append(reason)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "keep": pa.array(out_keep, pa.bool_()),
+                "reason": pa.array(out_reason, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(_filter, batch_format="pyarrow")
+
+
+def stratified_sample(
+    sf_dir: str, rates: dict[str, int] | None = None, default_permille: int = 100
+) -> ray.data.Dataset:
+    """Deterministic per-language stratified sample (the rebalancing
+    pass that caps over-represented languages in a training mix): keep
+    a doc iff ``md5-hash(doc_id) % 1000 < permille[lang]``. The hash is
+    content-stable (``functions.hashing._hash64`` == DuckDB's
+    ``md5_number_lower``), so the sample is reproducible across runs,
+    engines, and cluster sizes — no RNG state, no coordination.
+
+    Output: the sampled (doc_id, lang) rows."""
+    from ..functions.hashing import _hash64
+
+    rates = rates or {"en": 500, "de": 300, "es": 300, "fr": 300, "zh": 150}
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        keep = [
+            int(_hash64(str(int(d)))) % 1000
+            < rates.get(lang, default_permille)
+            for d, lang in zip(
+                batch.column("doc_id").to_pylist(), batch.column("lang").to_pylist()
+            )
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "lang": batch.column("lang")}
+        ).filter(pa.array(keep))
+
+    return read_documents(sf_dir).map_batches(_sample, batch_format="pyarrow")
+
+
 def contamination_check(
     sf_dir: str, n: int = 8, bench_docs: int = 20, min_hits: int = 1
 ) -> ray.data.Dataset:

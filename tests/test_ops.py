@@ -329,6 +329,56 @@ def test_domain_stats_and_top_ngrams(ray_session, tmp_path):
     assert [g["ngram"] for g in grams[1:]] == ["beta gamma", "beta delta"]
 
 
+def test_quality_filter_rules_and_order(ray_session, tmp_path):
+    """Gopher-style filter: each rule fires in order with its reason;
+    clean prose keeps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import quality_filter
+
+    clean = ("the committee reviewed the quarterly figures and it was for "
+             "a detailed discussion of market conditions that " * 3)
+    rows = [
+        (0, "too short", "en"),                               # too_short
+        (1, "x " * 60, "en"),                                 # word_length (mean 1)
+        (2, clean + "@@!! " * 40, "en"),                      # symbol_ratio
+        (3, ("lorem ipsum dolor sit amet " * 12), "en"),      # stopwords (no EN stopwords)
+        (4, clean, "en"),                                     # keep
+        (5, ("palabras sin stopwords ingleses aqui mismo " * 10), "es"),  # keep (rule 5 en-only)
+    ]
+    sf = tmp_path / "qfsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in quality_filter(str(sf)).take_all()}
+    assert out[0]["reason"] == "too_short"
+    assert out[1]["reason"] == "word_length"
+    assert out[2]["reason"] == "symbol_ratio"
+    assert out[3]["reason"] == "stopwords"
+    assert out[4]["keep"] and out[4]["reason"] == ""
+    assert out[5]["keep"]
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(ray_session):
+    from smart_ocr_ray.ops.text_analysis import stratified_sample
+
+    sf = "/root/testdata/sf0.01"
+    a = sorted(r["doc_id"] for r in stratified_sample(sf).take_all())
+    b = sorted(r["doc_id"] for r in stratified_sample(sf).take_all())
+    assert a == b and len(a) > 0  # reproducible, no RNG state
+    by_lang = {}
+    for r in stratified_sample(sf).take_all():
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # en keeps ~50%, zh ~15% — the rate shaping is visible.
+    assert by_lang.get("en", 0) > by_lang.get("zh", 0)
+
+
 def test_contamination_check_flags_benchmark_overlap(ray_session, tmp_path):
     """Decontamination sweep: a doc sharing an 8-gram with a benchmark
     doc is flagged; unrelated docs aren't; benchmark docs are excluded
