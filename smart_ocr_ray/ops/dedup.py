@@ -272,8 +272,17 @@ def cluster_pairs(
 
     # The edge list is the only thing kept hot across rounds (it is a
     # tiny fraction of the corpus — pairs, not documents); materializing
-    # it avoids re-running the upstream LSH every round.
-    edges = pairs.map_batches(_edges, batch_format="pyarrow").materialize()
+    # it avoids re-running the upstream LSH every round. The repartition
+    # launders any schema-less empty blocks the caller's pipeline left
+    # behind (map_batches skips empties so _edges cannot retype them,
+    # and an untyped block on either side of the label join raises
+    # ArrowInvalid — seen with the union-built embedding-LSH pairs on
+    # corpora where most blocks verify to zero pairs).
+    edges = (
+        pairs.map_batches(_edges, batch_format="pyarrow")
+        .repartition(join_partitions)
+        .materialize()
+    )
     if edges.count() == 0:
         return ray.data.from_arrow(
             pa.Table.from_pydict(
