@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "sessionize_events": relational.sessionize_events,
+        "events_asof_join": relational.events_asof_join,
         "top_users_by_value": relational.top_users_by_value,
         "supplier_part_counts": relational.supplier_part_counts,
         # --- multimodal plumbing ---
@@ -1268,6 +1269,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_value_e2
             FROM sessions GROUP BY user_id, session_seq
+        """,
+        "events_asof_join": """
+            -- Native DuckDB ASOF JOIN over the same deduped-rights
+            -- stream (one right event per (user, ts), max event_id —
+            -- mirrors the Ray side so tie-breaking is unambiguous).
+            WITH l AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, max(event_id) AS matched_event_id, ts
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            )
+            SELECT l.user_id, l.event_id, l.ts,
+                   r.matched_event_id,
+                   r.ts AS matched_ts,
+                   date_diff('microsecond', r.ts, l.ts) AS gap_us
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "top_users_by_value": """
             SELECT user_id, round(sum(value), 4) AS total_value

@@ -338,6 +338,77 @@ def top_users_by_value(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     )
 
 
+def events_asof_join(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+) -> ray.data.Dataset:
+    """AS-OF join — an operator Ray Data lacks natively, expressed as a
+    composition the brief prescribes: for every ``left_type`` event,
+    the most recent ``right_type`` event by the same user at-or-before
+    its timestamp (the attribution query: "which click preceded this
+    purchase").
+
+    Shape: filter both streams at the read → ``groupby(user_id)`` →
+    per-group sorted ``searchsorted`` carry-forward (vectorized numpy,
+    no Python row loop). Partitioning assumption (documented per the
+    brief): all events of one user fit one group — true for user-keyed
+    event logs; a pathological single-user firehose would need
+    time-bucketed salting with boundary carry-over.
+
+    Determinism: right events are deduped to one per (user, ts) by max
+    event_id before matching (mirrored in the SQL oracle, where raw
+    ASOF tie-breaking would otherwise be ambiguous). Left events with
+    no prior right event are dropped (inner as-of semantics).
+
+    Output: (user_id, event_id, ts, matched_event_id, matched_ts,
+    gap_us) — the gap on the exact integer microsecond grid.
+    """
+    events = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("matched_event_id", pa.int64()),
+            ("matched_ts", pa.timestamp("us")),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def _asof(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["event_type"] == left_type]
+        right = group[group["event_type"] == right_type]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        # Dedup rights per ts (keep max event_id), then sort by ts.
+        right = (
+            right.sort_values(["ts", "event_id"])
+            .drop_duplicates("ts", keep="last")
+            .reset_index(drop=True)
+        )
+        left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        r_ts = right["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        l_ts = left["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        hit = idx >= 0
+        matched = right.iloc[idx[hit]]
+        out = pd.DataFrame(
+            {
+                "user_id": left.loc[hit, "user_id"].to_numpy(),
+                "event_id": left.loc[hit, "event_id"].to_numpy(),
+                "ts": left.loc[hit, "ts"].to_numpy(),
+                "matched_event_id": matched["event_id"].to_numpy(),
+                "matched_ts": matched["ts"].to_numpy(),
+                "gap_us": l_ts[hit] - r_ts[idx[hit]],
+            }
+        )
+        return out
+
+    return events.groupby("user_id").map_groups(_asof, batch_format="pandas")
+
+
 def supplier_part_counts(sf_dir: str) -> ray.data.Dataset:
     """Distinct parts and total quantity per supplier from lineitem
     (exact distinct via per-batch sets merged in the final groupby)."""

@@ -329,6 +329,47 @@ def test_domain_stats_and_top_ngrams(ray_session, tmp_path):
     assert [g["ngram"] for g in grams[1:]] == ["beta gamma", "beta delta"]
 
 
+def test_events_asof_join_semantics(ray_session, tmp_path):
+    """As-of join: each left event matches the most recent right event
+    at-or-before its ts for the same user; no prior right → dropped;
+    equal-ts rights dedupe to max event_id."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # (event_id, ts_offset_s, user, type)
+        (1, 0, 7, "click"),
+        (2, 10, 7, "click"),      # latest click before the purchase
+        (3, 10, 7, "click"),      # same ts — max event_id wins
+        (4, 20, 7, "purchase"),
+        (5, 5, 8, "purchase"),    # user 8 has no prior click → dropped
+        (6, 30, 8, "click"),
+        (7, 30, 8, "purchase"),   # click at the SAME instant counts (<=)
+    ]
+    sf = tmp_path / "asofsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    out = {r["event_id"]: r for r in events_asof_join(str(sf)).take_all()}
+    assert set(out) == {4, 7}                       # purchase 5 dropped
+    assert out[4]["matched_event_id"] == 3          # equal-ts tie → max id
+    assert out[4]["gap_us"] == 10_000_000
+    assert out[7]["matched_event_id"] == 6 and out[7]["gap_us"] == 0
+
+
 def test_quality_filter_rules_and_order(ray_session, tmp_path):
     """Gopher-style filter: each rule fires in order with its reason;
     clean prose keeps."""
