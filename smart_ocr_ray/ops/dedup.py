@@ -80,6 +80,7 @@ from ..functions.hashing import (
     simhash,
 )
 from ..functions.textstats import content_md5
+from .grouped import map_key_groups
 from .text_analysis import read_documents
 
 
@@ -205,7 +206,9 @@ def dedup_minhash_lsh(
             }
         )
 
-    candidates = bands.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
+    # Singleton band buckets (the vast majority at any scale) never
+    # emit a pair: min_group_size=2 skips them without a UDF call.
+    candidates = map_key_groups(bands, "band_key", _pairs, min_group_size=2)
     # A pair can surface from several bands — final dedup keyed by pair.
     from ray.data.aggregate import Max
 
@@ -518,7 +521,7 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             {"left_id": left, "right_id": right, "hamming": ham}, schema=pair_schema
         )
 
-    return fp.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    return map_key_groups(fp, "bucket", _pairs, min_group_size=2)
 
 
 def ngram_jaccard_pairs(

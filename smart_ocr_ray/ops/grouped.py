@@ -1,0 +1,94 @@
+"""Vectorized group-wise mapping for bucket-shaped keys.
+
+``Dataset.groupby(key).map_groups(fn)`` is, in Ray 2.49, exactly
+``sort(key)`` followed by a per-block ``map_batches`` whose wrapper
+slices each group out of the block and invokes the UDF once per group
+(``ray/data/grouped_data.py::map_groups`` →
+``_apply_udf_to_groups``).  On LSH-bucket-shaped data — millions of
+buckets, almost all singletons — that per-group Python call + output
+table construction dominates end-to-end time (measured locally: a
+no-op ``map_groups`` over 80k MinHash band rows costs ~2.7 s at 32
+CPUs, vs ~0.5 s of actual signature math).
+
+``map_key_groups`` keeps the identical shuffle (the same
+``Dataset.sort`` call map_groups issues, so it inherits the same
+equal-keys-co-located-per-block guarantee) but detects group
+boundaries vectorized with ``pyarrow.compute`` and only invokes the
+UDF for groups of at least ``min_group_size`` rows.  For candidate
+pair generation (``min_group_size=2``) the singleton buckets — the
+overwhelming majority at any scale — cost one vectorized comparison
+each instead of a UDF call.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def group_bounds(block: pa.Table, keys: list[str]) -> np.ndarray:
+    """Group boundary offsets of a key-sorted block.
+
+    Returns the sorted offsets ``[0, b1, ..., n]`` such that rows
+    ``[b_i, b_{i+1})`` share the same key tuple.  Null keys compare
+    equal to nothing (a null row is its own group), matching
+    groupby-null semantics of one-group-per-null being safe for pair
+    generation.
+    """
+    n = block.num_rows
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    changed = np.zeros(n - 1, dtype=bool)
+    for key in keys:
+        col = block.column(key).combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        changed |= pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+    return np.concatenate(
+        ([0], np.flatnonzero(changed) + 1, [n])
+    ).astype(np.int64)
+
+
+def map_key_groups(
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    min_group_size: int = 1,
+    **map_batches_kwargs,
+) -> ray.data.Dataset:
+    """``groupby(key).map_groups(fn)`` with vectorized group slicing.
+
+    Semantics match ``map_groups`` with ``batch_format="pyarrow"`` for
+    UDFs whose output does not depend on UDF invocation order, plus
+    one extension: groups smaller than ``min_group_size`` are skipped
+    without invoking ``fn`` (for pair-generating UDFs, a singleton
+    bucket can never emit a pair — set ``min_group_size=2``).
+
+    ``fn`` must tolerate an empty input slice and return an
+    empty-but-typed table for it; that call pins the output schema on
+    blocks where no group qualifies.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _per_block(block: pa.Table) -> pa.Table:
+        block = block.combine_chunks()
+        bounds = group_bounds(block, keys)
+        outs = [
+            fn(block.slice(int(s), int(e - s)))
+            for s, e in zip(bounds[:-1], bounds[1:])
+            if e - s >= min_group_size
+        ]
+        if not outs:
+            return fn(block.slice(0, 0))
+        return pa.concat_tables(outs)
+
+    return ds.sort(keys).map_batches(
+        _per_block,
+        batch_format="pyarrow",
+        batch_size=None,
+        **map_batches_kwargs,
+    )

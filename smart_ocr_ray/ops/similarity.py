@@ -341,6 +341,7 @@ def embedding_neardup_lsh(
 
     from ..tuning import join_partitions
     from .dedup import HOT_BUCKET_LIMIT, collapse_hot_bucket
+    from .grouped import map_key_groups
 
     bands = read_embeddings(sf_dir).map_batches(
         _HyperplaneStage,
@@ -381,8 +382,7 @@ def embedding_neardup_lsh(
     # Pair-keyed dedup across bands. Max(e3) keeps a known-identical
     # verdict (1000) over a pending one (-1) for the same pair.
     candidates = (
-        bands.groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        map_key_groups(bands, "band_key", _bucket_pairs, min_group_size=2)
         .groupby(["left_id", "right_id"])
         .aggregate(Max("cos_sim_e3", alias_name="cos_sim_e3"))
         .materialize()  # tiny (candidate pairs); branched on below

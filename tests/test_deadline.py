@@ -87,13 +87,19 @@ def test_deadline_is_preemptive_not_posthoc():
     full = time.perf_counter() - t0
     assert len(units) == 400
 
-    arm(0.005)
-    t0 = time.perf_counter()
-    with pytest.raises(DeadlineExceeded):
-        extract_layout(payload, "")
-    aborted = time.perf_counter() - t0
+    # Best-of-3: a single scheduler preemption during one abort attempt
+    # (seen when the whole suite saturates the box) must not fail the
+    # claim that the abort path itself is fast.
+    samples = []
+    for _ in range(3):
+        arm(0.005)
+        t0 = time.perf_counter()
+        with pytest.raises(DeadlineExceeded):
+            extract_layout(payload, "")
+        samples.append(time.perf_counter() - t0)
+        disarm()
     # Generous bound for VM jitter; the point is "abort ≪ full parse".
-    assert aborted < full / 3
+    assert min(samples) < full / 3
 
 
 def test_completed_work_is_never_discarded():

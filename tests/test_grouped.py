@@ -1,0 +1,127 @@
+"""map_key_groups: vectorized group slicing vs Dataset.map_groups.
+
+Pins the contract ops/grouped.py relies on: identical output to
+``groupby(key).map_groups(fn, batch_format="pyarrow")`` for
+order-independent UDFs, singleton skipping under ``min_group_size=2``,
+and a typed empty table when no group qualifies.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from smart_ocr_ray.ops.grouped import group_bounds, map_key_groups
+
+
+def _mk_table(keys, vals):
+    return pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+
+
+def test_group_bounds_basic_and_nulls():
+    t = _mk_table([1, 1, 2, 2, 2, 3], [0, 1, 2, 3, 4, 5])
+    assert group_bounds(t, ["k"]).tolist() == [0, 2, 5, 6]
+    # Null keys: each null row is its own group (safe for pair gen).
+    t = _mk_table([None, None, 1, 1], [0, 1, 2, 3])
+    assert group_bounds(t, ["k"]).tolist() == [0, 1, 2, 4]
+    # Single row and empty block.
+    assert group_bounds(_mk_table([7], [0]), ["k"]).tolist() == [0, 1]
+    assert group_bounds(_mk_table([], []), ["k"]).tolist() == [0]
+
+
+def test_group_bounds_multi_key():
+    t = pa.table(
+        {
+            "a": [1, 1, 1, 2, 2],
+            "b": ["x", "x", "y", "y", "y"],
+            "v": [0, 1, 2, 3, 4],
+        }
+    )
+    assert group_bounds(t, ["a", "b"]).tolist() == [0, 2, 3, 5]
+
+
+def _make_group_summary():
+    """Order-independent per-group UDF: (key, n, sum_v).
+
+    Returned as a closure so cloudpickle ships it by value — a
+    module-level function in tests/ is pickled by reference and fails
+    to import on Ray workers.
+    """
+
+    def _group_summary(tbl: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("k", pa.int64()), ("n", pa.int64()), ("sum_v", pa.int64())]
+        )
+        if tbl.num_rows == 0:
+            return schema.empty_table()
+        vals = tbl.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": [tbl.column("k")[0].as_py()],
+                "n": [tbl.num_rows],
+                "sum_v": [int(vals.sum())],
+            },
+            schema=schema,
+        )
+
+    return _group_summary
+
+
+def test_map_key_groups_matches_map_groups(ray_session):
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 40, size=500)  # ~12 rows/group + singletons
+    vals = rng.integers(0, 1000, size=500)
+    rows = {"k": keys.astype("int64"), "v": vals.astype("int64")}
+
+    _group_summary = _make_group_summary()
+    ours = (
+        map_key_groups(
+            ray.data.from_arrow(pa.table(rows)).repartition(5),
+            "k",
+            _group_summary,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = (
+        ray.data.from_arrow(pa.table(rows))
+        .repartition(5)
+        .groupby("k")
+        .map_groups(_group_summary, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert ours.equals(ref)
+
+
+def test_min_group_size_skips_singletons(ray_session):
+    # keys 1..6 once each, key 9 three times, key 10 twice.
+    keys = [1, 2, 3, 4, 5, 6, 9, 9, 9, 10, 10]
+    vals = list(range(len(keys)))
+    _group_summary = _make_group_summary()
+    ds = ray.data.from_arrow(_mk_table(keys, vals))
+    out = (
+        map_key_groups(ds, "k", _group_summary, min_group_size=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [9, 10]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_all_singletons_yields_typed_empty(ray_session):
+    _group_summary = _make_group_summary()
+    ds = ray.data.from_arrow(_mk_table([1, 2, 3], [0, 1, 2]))
+    out = map_key_groups(ds, "k", _group_summary, min_group_size=2)
+    assert out.count() == 0
+    # Schema pinned by the UDF's empty-slice call, not inferred as null.
+    assert set(out.schema().names) == {"k", "n", "sum_v"}
+
+
+def test_empty_slice_contract():
+    empty = _make_group_summary()(_mk_table([], []))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["k", "n", "sum_v"]
