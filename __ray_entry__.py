@@ -458,6 +458,12 @@ def _q_chains(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_pii_scrub(sf_dir: str):
+    from smart_ocr_ray.ops.pii import pii_scrub
+
+    return pii_scrub(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from smart_ocr_ray.ops import dedup, relational, similarity, text_analysis
 
@@ -484,6 +490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": text_analysis.contamination_check,
         "quality_filter": text_analysis.quality_filter,
         "stratified_sample": text_analysis.stratified_sample,
+        "doc_length_quantiles": text_analysis.doc_length_quantiles,
+        "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_normalized": dedup.dedup_normalized,
@@ -506,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
+        "events_topk_per_hour": relational.events_topk_per_hour,
         "top_users_by_value": relational.top_users_by_value,
         "supplier_part_counts": relational.supplier_part_counts,
         # --- multimodal plumbing ---
@@ -1329,5 +1338,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
                    round(sum(l_quantity), 2) AS total_qty
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "pii_scrub": """
+            -- Identical RE2 patterns and scrub order as ops/pii.py
+            -- (pyarrow and DuckDB both run RE2); the deterministic
+            -- doc_id-derived PII seeding is inlined verbatim so the
+            -- gate exercises the match paths on the word-soup corpus.
+            WITH seeded AS (
+              SELECT doc_id,
+                coalesce(text, '') ||
+                CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com now'
+                  WHEN 1 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                              || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                              || ' today'
+                  ELSE ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' logged'
+                END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
+              len(regexp_extract_all(t,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+              md5(regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
+                AS scrubbed_md5
+            FROM seeded
+        """,
+        "doc_length_quantiles": """
+            -- Same integer-grid quantile definition as
+            -- ops/text_analysis.doc_length_quantiles: smallest length v
+            -- with cum_count(v) * 100 >= q * n_total.
+            WITH tok AS (
+              SELECT CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(
+                                   trim(coalesce(text, '')), '\\s+'))
+                     END AS n_tok
+              FROM documents
+            ), c AS (
+              SELECT n_tok, count(*) AS cnt FROM tok GROUP BY n_tok
+            ), w AS (
+              SELECT n_tok, sum(cnt) OVER (ORDER BY n_tok) AS cum FROM c
+            )
+            SELECT q.q AS quantile_pct, min(w.n_tok) AS n_tokens
+            FROM w, (SELECT count(*) AS n_total FROM tok) n,
+                 (VALUES (25), (50), (75), (90), (99)) q(q)
+            WHERE w.cum * 100 >= q.q * n.n_total
+            GROUP BY q.q
+        """,
+        "events_topk_per_hour": """
+            WITH r AS (
+              SELECT date_trunc('hour', ts) AS window_start, event_id,
+                     user_id, value,
+                     row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts)
+                       ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events
+            )
+            SELECT window_start, rnk, event_id, user_id, value
+            FROM r WHERE rnk <= 3
         """,
     }

@@ -353,3 +353,57 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
         )
 
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
+def doc_length_quantiles(
+    sf_dir: str, quantiles: tuple[int, ...] = (25, 50, 75, 90, 99)
+) -> "pa.Table":
+    """Exact token-length quantiles of the corpus, distributed as a
+    histogram aggregate: per-batch token counts → ``groupby(n_tokens)``
+    count → driver-side cumulative walk over the histogram.
+
+    The only thing the driver ever holds is the histogram — one row per
+    DISTINCT document length, bounded by the max token count (≤100k for
+    any real webtext corpus) regardless of corpus row count, so the
+    take_all() is scale-safe where a sort-based quantile would be an
+    all-to-all over every row.
+
+    Quantile definition (integer grid, shared verbatim with the SQL
+    oracle): the q-th percentile is the smallest length v with
+    ``cum_count(v) * 100 >= q * n_total``.
+    """
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "n_tokens": pa.array(
+                    [token_count(t or "") for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                )
+            }
+        )
+
+    hist = (
+        read_documents(sf_dir)
+        .map_batches(_tok, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .count()
+        .sort("n_tokens")
+        .take_all()
+    )
+    n_total = sum(r["count()"] for r in hist)
+    out_q, out_v = [], []
+    for q in quantiles:
+        cum = 0
+        for r in hist:
+            cum += r["count()"]
+            if cum * 100 >= q * n_total:
+                out_q.append(q)
+                out_v.append(int(r["n_tokens"]))
+                break
+    return pa.Table.from_pydict(
+        {
+            "quantile_pct": pa.array(out_q, pa.int64()),
+            "n_tokens": pa.array(out_v, pa.int64()),
+        }
+    )

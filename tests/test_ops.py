@@ -715,3 +715,99 @@ def test_sample_frames_bounded_and_sliced(ray_session):
     assert v1[1]["ts_ms"] == 2000
     assert "v2" not in by_url  # empty payload emits no frames
     assert len(by_url["v3"]) == 8  # hard cap bounds the blowup
+
+
+def test_doc_length_quantiles_known_distribution(ray_session, tmp_path):
+    """Histogram quantiles on a known distribution: 100 docs of length
+    1..100 tokens — the q-th percentile is exactly q tokens under the
+    cum*100 >= q*n rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import doc_length_quantiles
+
+    sf = tmp_path / "qsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([" ".join(["w"] * (i + 1)) for i in range(100)]),
+            "lang": pa.array(["en"] * 100),
+            "source": pa.array(["s"] * 100),
+            "n_chars": pa.array([0] * 100, pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["quantile_pct"]: r["n_tokens"]
+           for r in doc_length_quantiles(str(sf)).to_pylist()}
+    assert out == {25: 25, 50: 50, 75: 75, 90: 90, 99: 99}
+
+
+def test_events_topk_per_hour_ranks_and_ties(ray_session, tmp_path):
+    """Grouped top-k: 3 best values per hour, ties broken by event_id
+    ascending; hours with fewer than k events emit all of them."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_topk_per_hour
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # hour 0: five events, top-3 by value = ids 13 (9.0), 11 (5.0),
+        # 12 (5.0) — tie on 5.0 broken by id asc.
+        (10, 0, 1.0), (11, 1, 5.0), (12, 2, 5.0), (13, 3, 9.0), (14, 4, 2.0),
+        # hour 1: two events only.
+        (20, 60, 4.0), (21, 61, 7.0),
+    ]
+    sf = tmp_path / "topksf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[0] % 5 for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    out = events_topk_per_hour(str(sf)).take_all()
+    got = [(r["window_start"].hour, r["rnk"], r["event_id"]) for r in out]
+    assert got == [(0, 1, 13), (0, 2, 11), (0, 3, 12), (1, 1, 21), (1, 2, 20)]
+
+
+def test_events_topk_partial_combiner_is_lossless(ray_session, tmp_path):
+    """The per-block partial top-k cannot drop a global winner: run the
+    same input through 1 block and through many tiny blocks — identical
+    output."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_topk_per_hour
+
+    rng = np.random.default_rng(3)
+    n = 400
+    t0 = dt.datetime(2024, 1, 1)
+    table = pa.Table.from_pydict({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(
+            [t0 + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 4 * 3600, n)],
+            pa.timestamp("us")),
+        "user_id": pa.array((rng.integers(0, 9, n)).astype("int64")),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+    })
+    one = tmp_path / "one"; one.mkdir()
+    pq.write_table(table, one / "events.parquet")
+    many = tmp_path / "many"; many.mkdir()
+    # 40 row-groups → many input blocks → many partial combiners.
+    pq.write_table(table, many / "events.parquet", row_group_size=10)
+
+    a = events_topk_per_hour(str(one)).take_all()
+    b = events_topk_per_hour(str(many)).take_all()
+    assert a == b
+    assert len(a) == 4 * 3  # 4 busy hours × k
