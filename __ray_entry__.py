@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
+        "line_dedup": dedup.line_dedup,
         "dedup_normalized": dedup.dedup_normalized,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
@@ -1391,6 +1392,42 @@ def oracle_sql() -> dict[str, str]:
                  (VALUES (25), (50), (75), (90), (99)) q(q)
             WHERE w.cum * 100 >= q.q * n.n_total
             GROUP BY q.q
+        """,
+        "line_dedup": """
+            -- Fixed 8-token line windows (ops/dedup.line_dedup), hot =
+            -- line in >= 2 distinct docs, every copy removed, kept
+            -- lines rejoined with \\n in original order.
+            WITH tok AS (
+              SELECT doc_id,
+                CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+                END AS toks
+              FROM documents
+            ), u AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, (len(toks) + 7) // 8)) AS i
+              FROM tok
+            ), lines AS (
+              SELECT doc_id, i AS line_idx,
+                     array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+              FROM u
+            ), hot AS (
+              SELECT line
+              FROM (SELECT line, doc_id FROM lines GROUP BY line, doc_id)
+              GROUP BY line HAVING count(*) >= 2
+            ), reb AS (
+              SELECT l.doc_id, count(*) AS n_lines,
+                     count(*) FILTER (h.line IS NOT NULL) AS n_removed,
+                     coalesce(string_agg(l.line, chr(10) ORDER BY l.line_idx)
+                              FILTER (h.line IS NULL), '') AS cleaned
+              FROM lines l LEFT JOIN hot h ON l.line = h.line
+              GROUP BY l.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.n_lines, 0) AS n_lines,
+                   coalesce(r.n_removed, 0) AS n_removed,
+                   md5(coalesce(r.cleaned, '')) AS cleaned_md5
+            FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
         """,
         "events_topk_per_hour": """
             WITH r AS (

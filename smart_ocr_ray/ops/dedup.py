@@ -564,3 +564,137 @@ def ngram_jaccard_pairs(
         )
 
     return docs.map_batches(_pairs, batch_format="pyarrow")
+
+
+def line_dedup(
+    sf_dir: str, line_tokens: int = 8, min_docs: int = 2
+) -> ray.data.Dataset:
+    """Cross-corpus boilerplate line removal (the CCNet/RefinedWeb
+    line-dedup pass): a "line" is a fixed window of ``line_tokens``
+    whitespace tokens (the synthetic corpus has no newlines; fixed
+    windows give it real line structure reproducible in SQL), a line is
+    boilerplate when it appears in >= ``min_docs`` DISTINCT documents,
+    and every copy of a boilerplate line is removed from every document.
+
+    Output: (doc_id, n_lines, n_removed, cleaned_md5) where cleaned is
+    the kept lines joined with '\\n' in original order ('' when all
+    lines are removed or the document is empty).
+
+    Scale shape — nothing corpus-sized ever lands on the driver:
+
+      1. flat-map docs → (doc_id, line_idx, line): bounded expansion
+         (ceil(n_tok / line_tokens) rows/doc).
+      2. distinct (line, doc_id) via groupby-count, then groupby(line)
+         count = number of distinct docs per line; filter to the hot
+         set. Both are standard partial-combined shuffles keyed by the
+         line text.
+      3. lines ⟕ hot (left_outer hash join) tags each line row in
+         place — the hot set stays distributed (it can be huge on a
+         boilerplate-heavy crawl; a broadcast set would not scale).
+      4. one ``map_key_groups`` pass per doc_id rebuilds the cleaned
+         text (sorts the handful of lines per doc by line_idx).
+      5. documents ⟕ rebuild backfills docs with zero lines.
+    """
+    from ..functions.textstats import _TOKEN_RE, content_md5
+    from ..tuning import join_partitions as _jp
+    from .grouped import map_key_groups
+
+    docs = read_documents(sf_dir)
+    k = _jp()
+
+    def _lines(batch: pa.Table) -> pa.Table:
+        ids, idxs, lns = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t or "")
+            for i in range((len(toks) + line_tokens - 1) // line_tokens):
+                ids.append(int(d))
+                idxs.append(i)
+                lns.append(" ".join(toks[i * line_tokens : (i + 1) * line_tokens]))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "line_idx": pa.array(idxs, pa.int64()),
+                "line": pa.array(lns, pa.string()),
+            }
+        )
+
+    lines = docs.map_batches(_lines, batch_format="pyarrow")
+
+    # Distinct (line, doc_id) pairs, then docs-per-line; the count()
+    # columns are plumbing. repartition launders the schema-less empty
+    # blocks Aggregate can emit before the join (see cluster_pairs).
+    def _hot_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.greater_equal(batch.column("count()"), pa.scalar(min_docs))
+        out = batch.filter(mask).select(["line"]).rename_columns(["hot_line"])
+        # Explicit marker: Ray's hash join folds the right key into the
+        # left key column, so the joined output has no hot_line column —
+        # the surviving is_hot null/1 is the tag.
+        return out.append_column("is_hot", pa.array([1] * out.num_rows, pa.int8()))
+
+    hot = (
+        lines.groupby(["line", "doc_id"])
+        .count()
+        .drop_columns(["count()"])
+        .groupby("line")
+        .count()
+        .map_batches(_hot_only, batch_format="pyarrow")
+        .repartition(k)
+    )
+
+    tagged = lines.join(
+        hot, "left_outer", k, on=("line",), right_on=("hot_line",)
+    )
+
+    _REBUILD_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("cleaned_md5", pa.string()),
+        ]
+    )
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _REBUILD_SCHEMA.empty_table()
+        rows = sorted(group.to_pylist(), key=lambda r: r["line_idx"])
+        kept = [r["line"] for r in rows if r.get("is_hot") is None]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": [int(rows[0]["doc_id"])],
+                "n_lines": [len(rows)],
+                "n_removed": [len(rows) - len(kept)],
+                "cleaned_md5": [content_md5("\n".join(kept))],
+            },
+            schema=_REBUILD_SCHEMA,
+        )
+
+    rebuilt = map_key_groups(tagged, "doc_id", _rebuild).repartition(k)
+
+    # Backfill zero-line docs (empty text): documents ⟕ rebuilt.
+    ids_only = docs.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    joined = ids_only.join(rebuilt, "left_outer", k, on=("doc_id",))
+
+    _EMPTY_MD5 = content_md5("")
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pc.fill_null(batch.column("n_lines"), 0),
+                "n_removed": pc.fill_null(batch.column("n_removed"), 0),
+                "cleaned_md5": pc.fill_null(
+                    batch.column("cleaned_md5"), _EMPTY_MD5
+                ),
+            }
+        )
+
+    return joined.map_batches(_fill, batch_format="pyarrow")

@@ -811,3 +811,52 @@ def test_events_topk_partial_combiner_is_lossless(ray_session, tmp_path):
     b = events_topk_per_hour(str(many)).take_all()
     assert a == b
     assert len(a) == 4 * 3  # 4 busy hours × k
+
+
+def test_line_dedup_semantics(ray_session, tmp_path):
+    """Boilerplate line removal: a line shared by >=2 docs is removed
+    from ALL docs (every copy, incl. within-doc repeats); doc-local
+    repeats alone are kept; fully-boilerplate docs clean to ''."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import line_dedup
+
+    B = "b0 b1 b2 b3"              # boilerplate line (shared)
+    U1, U2, U3 = "u1 x y z", "u2 x y z", "u3 x y z"
+    texts = [
+        f"{B} {U1}",               # doc 0: boilerplate + unique
+        f"{B} {U2} {B}",           # doc 1: boilerplate twice
+        f"{U3} {U3}",              # doc 2: SAME line twice, one doc only
+        f"{B}",                    # doc 3: all boilerplate
+        "",                        # doc 4: empty
+    ]
+    sf = tmp_path / "ldsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    out = {r["doc_id"]: r for r in line_dedup(str(sf), line_tokens=4).take_all()}
+
+    assert (out[0]["n_lines"], out[0]["n_removed"]) == (2, 1)
+    assert out[0]["cleaned_md5"] == md5(U1)
+    # Every copy of the hot line goes, including doc 1's second one.
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 2)
+    assert out[1]["cleaned_md5"] == md5(U2)
+    # Within-doc repeat in a single doc is NOT boilerplate.
+    assert (out[2]["n_lines"], out[2]["n_removed"]) == (2, 0)
+    assert out[2]["cleaned_md5"] == md5(f"{U3}\n{U3}")
+    # Fully-boilerplate and empty docs both clean to ''.
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (1, 1)
+    assert out[3]["cleaned_md5"] == md5("")
+    assert (out[4]["n_lines"], out[4]["n_removed"]) == (0, 0)
+    assert out[4]["cleaned_md5"] == md5("")
