@@ -584,20 +584,19 @@ def line_dedup(
 
       1. flat-map docs → (doc_id, line_idx, line): bounded expansion
          (ceil(n_tok / line_tokens) rows/doc).
-      2. distinct (line, doc_id) via groupby-count, then groupby(line)
-         count = number of distinct docs per line; filter to the hot
-         set. Both are standard partial-combined shuffles keyed by the
-         line text.
-      3. lines ⟕ hot (left_outer hash join) tags each line row in
-         place — the hot set stays distributed (it can be huge on a
-         boilerplate-heavy crawl; a broadcast set would not scale).
-      4. one ``map_key_groups`` pass per doc_id rebuilds the cleaned
+      2. ONE ``sort(line, doc_id)`` co-locates each line's rows, then a
+         fully vectorized per-block pass tags hotness in place: distinct
+         docs per line group via ``np.add.reduceat`` over group bounds —
+         no per-group UDF calls, no second shuffle, no join against a
+         hot-set table (the hot set never materializes anywhere; on a
+         boilerplate-heavy crawl it would itself be corpus-scale).
+      3. one ``map_key_groups`` pass per doc_id rebuilds the cleaned
          text (sorts the handful of lines per doc by line_idx).
-      5. documents ⟕ rebuild backfills docs with zero lines.
+      4. documents ⟕ rebuild backfills docs with zero lines.
     """
     from ..functions.textstats import _TOKEN_RE, content_md5
     from ..tuning import join_partitions as _jp
-    from .grouped import map_key_groups
+    from .grouped import group_bounds, map_key_groups
 
     docs = read_documents(sf_dir)
     k = _jp()
@@ -622,31 +621,35 @@ def line_dedup(
 
     lines = docs.map_batches(_lines, batch_format="pyarrow")
 
-    # Distinct (line, doc_id) pairs, then docs-per-line; the count()
-    # columns are plumbing. repartition launders the schema-less empty
-    # blocks Aggregate can emit before the join (see cluster_pairs).
-    def _hot_only(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def _tag_block(block: pa.Table) -> pa.Table:
+        """Vectorized hotness tag for one line-sorted block: distinct
+        docs per line = count of rows starting a new (line, doc_id)
+        pair, summed per line group with np.add.reduceat.
 
-        mask = pc.greater_equal(batch.column("count()"), pa.scalar(min_docs))
-        out = batch.filter(mask).select(["line"]).rename_columns(["hot_line"])
-        # Explicit marker: Ray's hash join folds the right key into the
-        # left key column, so the joined output has no hot_line column —
-        # the surviving is_hot null/1 is the tag.
-        return out.append_column("is_hot", pa.array([1] * out.num_rows, pa.int8()))
+        The GLOBAL sort is on "line" alone — Ray's range-partitioned
+        sort only co-locates full sort-key tuples, so sorting by
+        (line, doc_id) could split one line's rows across blocks at a
+        doc_id boundary (observed: same line in 3 blocks). The
+        doc_id sub-order is re-established block-locally."""
+        if block.num_rows == 0:
+            return block.append_column("is_hot", pa.array([], pa.int8()))
+        block = block.sort_by(
+            [("line", "ascending"), ("doc_id", "ascending")]
+        ).combine_chunks()
+        n = block.num_rows
+        line_bounds = group_bounds(block, ["line"])
+        pair_bounds = group_bounds(block, ["line", "doc_id"])
+        new_pair = np.zeros(n, dtype=np.int64)
+        new_pair[pair_bounds[:-1]] = 1
+        docs_per_line = np.add.reduceat(new_pair, line_bounds[:-1])
+        sizes = np.diff(line_bounds)
+        is_hot = np.repeat(docs_per_line >= min_docs, sizes)
+        return block.append_column(
+            "is_hot", pa.array(is_hot.astype(np.int8), pa.int8())
+        )
 
-    hot = (
-        lines.groupby(["line", "doc_id"])
-        .count()
-        .drop_columns(["count()"])
-        .groupby("line")
-        .count()
-        .map_batches(_hot_only, batch_format="pyarrow")
-        .repartition(k)
-    )
-
-    tagged = lines.join(
-        hot, "left_outer", k, on=("line",), right_on=("hot_line",)
+    tagged = lines.sort("line").map_batches(
+        _tag_block, batch_format="pyarrow", batch_size=None
     )
 
     _REBUILD_SCHEMA = pa.schema(
@@ -662,7 +665,7 @@ def line_dedup(
         if group.num_rows == 0:
             return _REBUILD_SCHEMA.empty_table()
         rows = sorted(group.to_pylist(), key=lambda r: r["line_idx"])
-        kept = [r["line"] for r in rows if r.get("is_hot") is None]
+        kept = [r["line"] for r in rows if not r["is_hot"]]
         return pa.Table.from_pydict(
             {
                 "doc_id": [int(rows[0]["doc_id"])],

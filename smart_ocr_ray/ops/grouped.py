@@ -14,7 +14,16 @@ CPUs, vs ~0.5 s of actual signature math).
 ``Dataset.sort`` call map_groups issues, so it inherits the same
 equal-keys-co-located-per-block guarantee) but detects group
 boundaries vectorized with ``pyarrow.compute`` and only invokes the
-UDF for groups of at least ``min_group_size`` rows.  For candidate
+UDF for groups of at least ``min_group_size`` rows.
+
+CO-LOCATION INVARIANT: Ray's range-partitioned sort only guarantees
+that rows sharing the FULL sort-key tuple land in one block. Sorting
+by a superset of the grouping keys (e.g. sort by (line, doc_id) to
+group by line) can split one group across blocks at a secondary-key
+boundary — observed empirically, one key's rows spread over 3 blocks.
+This helper therefore always sorts by exactly the grouping keys; if a
+UDF needs a secondary order, re-sort inside the UDF (cheap, per
+group) or ``sort_by`` block-locally.  For candidate
 pair generation (``min_group_size=2``) the singleton buckets — the
 overwhelming majority at any scale — cost one vectorized comparison
 each instead of a UDF call.

@@ -414,31 +414,46 @@ def supplier_part_counts(sf_dir: str) -> ray.data.Dataset:
     (exact distinct via per-batch sets merged in the final groupby)."""
     lineitem = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey", "l_quantity"])
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.groupby("l_suppkey")
-            .agg(parts=("l_partkey", lambda s: list(set(s))), qty=("l_quantity", "sum"))
-            .reset_index()
-        )
+    from .grouped import map_key_groups
 
-    def _final(group: pd.DataFrame) -> pd.DataFrame:
-        parts: set = set()
-        for lst in group["parts"]:
-            parts.update(lst)
-        return pd.DataFrame(
-            {
-                "l_suppkey": [group["l_suppkey"].iloc[0]],
-                "n_parts": [len(parts)],
-                "total_qty": [round(float(group["qty"].sum()), 2)],
-            }
-        )
-
-    return (
-        lineitem.map_batches(_partial, batch_format="pandas")
-        .groupby("l_suppkey")
-        .map_groups(_final, batch_format="pandas")
-        .sort("l_suppkey")
+    out_schema = pa.schema(
+        [
+            ("l_suppkey", pa.int64()),
+            ("n_parts", pa.int64()),
+            ("total_qty", pa.float64()),
+        ]
     )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        # Arrow hash-agg on (suppkey, partkey): dedups pairs per block
+        # and pre-sums qty, so the shuffle moves one row per distinct
+        # pair per block — no Python part-id lists on the wire.
+        out = pa.TableGroupBy(batch, ["l_suppkey", "l_partkey"]).aggregate(
+            [("l_quantity", "sum")]
+        )
+        return out.rename_columns(
+            ["qty" if c == "l_quantity_sum" else c for c in out.column_names]
+        )
+
+    def _final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        parts = np.unique(group.column("l_partkey").to_numpy(zero_copy_only=False))
+        qty = group.column("qty").to_numpy(zero_copy_only=False).sum()
+        return pa.Table.from_pydict(
+            {
+                "l_suppkey": [group.column("l_suppkey")[0].as_py()],
+                "n_parts": [len(parts)],
+                "total_qty": [round(float(qty), 2)],
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(
+        lineitem.map_batches(_partial, batch_format="pyarrow"),
+        "l_suppkey",
+        _final,
+    ).sort("l_suppkey")
 
 
 def events_topk_per_hour(sf_dir: str, k: int = 3) -> ray.data.Dataset:

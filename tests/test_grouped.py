@@ -125,3 +125,31 @@ def test_empty_slice_contract():
     empty = _make_group_summary()(_mk_table([], []))
     assert empty.num_rows == 0
     assert empty.schema.names == ["k", "n", "sum_v"]
+
+
+def test_groups_never_split_across_blocks(ray_session):
+    """Regression: Ray's range-partitioned sort only co-locates FULL
+    sort-key tuples. map_key_groups must sort by exactly the grouping
+    keys — sorting by a superset (e.g. (k, v) to group by k) was
+    observed to split one key's rows across 3 blocks, yielding
+    duplicate per-group outputs."""
+    rng = np.random.default_rng(11)
+    n = 600
+    rows = {
+        "k": pa.array((rng.integers(0, 3, n)).astype("int64")),
+        "v": pa.array((rng.integers(0, 1000, n)).astype("int64")),
+    }
+    _group_summary = _make_group_summary()
+    out = (
+        map_key_groups(
+            ray.data.from_arrow(pa.table(rows)).repartition(12),
+            "k",
+            _group_summary,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # Exactly one output row per key — a split group would emit several.
+    assert out["k"].tolist() == [0, 1, 2]
+    assert int(out["n"].sum()) == n
