@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": text_analysis.quality_filter,
         "stratified_sample": text_analysis.stratified_sample,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1428,6 +1429,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_removed, 0) AS n_removed,
                    md5(coalesce(r.cleaned, '')) AS cleaned_md5
             FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        """,
+        "tfidf_top_terms": """
+            -- Integer-grid tf-idf (ops/text_analysis.tfidf_top_terms):
+            -- score = tf * ((1e6 * n_docs) // df); ties by term asc.
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     tf.tf * ((1000000 * n.n_docs) // df.df) AS score
+              FROM tf JOIN df USING (term),
+                   (SELECT count(*) AS n_docs FROM documents) n
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
         """,
         "events_topk_per_hour": """
             WITH r AS (

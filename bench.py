@@ -172,8 +172,14 @@ def run_bench() -> dict:
         timed("ann_cosine_topk", similarity.ann_cosine_topk)
         timed("doc_quality", text_analysis.quality)
         timed("domain_stats", text_analysis.domain_stats)
+        timed("line_dedup", dedup.line_dedup)
         timed("pricing_summary", relational.pricing_summary)
         timed("events_hourly", relational.events_hourly)
+        timed("supplier_part_counts", relational.supplier_part_counts)
+
+        from smart_ocr_ray.ops.pii import pii_scrub
+
+        timed("pii_scrub", pii_scrub)
 
     ray.shutdown()
 

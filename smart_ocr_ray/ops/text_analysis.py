@@ -407,3 +407,140 @@ def doc_length_quantiles(
             "n_tokens": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-document top-k terms by an integer-grid tf-idf:
+    ``score = tf * ((1_000_000 * n_docs) // df)`` — the idf factor is a
+    floor-divided integer ratio instead of a float log so the SQL
+    oracle computes bit-identical scores (ranking is order-isomorphic
+    to tf·(N/df) for fixed tf). Ties break by term ascending.
+
+    Scale shape: (doc_id, term, tf) rows are distinct per (doc, term);
+    df comes from a groupby(term) count over them; df joins BACK to the
+    term rows with a distributed hash join (the document-frequency
+    table is vocabulary-sized — corpus-scale on real webtext, so no
+    broadcast); per-doc top-k runs through a vectorized per-block
+    combiner (lossless: keeps k rows per (block, doc)) before the final
+    ``map_key_groups`` rank.
+    """
+    from collections import Counter
+
+    import numpy as np
+
+    from ..functions.textstats import _TOKEN_RE
+    from ..tuning import join_partitions as _jp
+    from .grouped import map_key_groups
+
+    docs = read_documents(sf_dir)
+    n_docs = docs.count()
+    jp = _jp()
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for term, tf in Counter(_TOKEN_RE.findall(t or "")).items():
+                ids.append(int(d))
+                terms.append(term)
+                tfs.append(tf)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(_tf, batch_format="pyarrow")
+
+    def _df_rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["df" if c == "count()" else c for c in batch.column_names]
+        )
+
+    # One row per distinct (doc, term) ⇒ count() == distinct docs.
+    df = (
+        tf.groupby("term")
+        .count()
+        .map_batches(_df_rename, batch_format="pyarrow")
+        .repartition(jp)  # launder aggregate empty blocks pre-join
+    )
+
+    scored_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score", pa.int64()),
+        ]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return scored_schema.empty_table()
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        score = tfv * ((1_000_000 * n_docs) // dfv)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "term": batch.column("term"),
+                "tf": batch.column("tf"),
+                "df": batch.column("df"),
+                "score": pa.array(score, pa.int64()),
+            },
+            schema=scored_schema,
+        )
+
+    scored = tf.join(df, "inner", jp, on=("term",)).map_batches(
+        _score, batch_format="pyarrow"
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("rnk", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score", pa.int64()),
+        ]
+    )
+
+    def _topk(tbl: pa.Table, *, ranked: bool) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table() if ranked else tbl
+        tbl = tbl.combine_chunks()
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        score = tbl.column("score").to_numpy(zero_copy_only=False)
+        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        # doc asc, score desc, term asc (lexsort: last key primary)
+        order = np.lexsort((terms, -score, doc))
+        ds_ = doc[order]
+        starts = np.concatenate(([0], np.flatnonzero(ds_[1:] != ds_[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        rank_in_group = np.arange(n) - np.repeat(starts, sizes)
+        keep_mask = rank_in_group < k
+        out = tbl.take(pa.array(order[keep_mask]))
+        if not ranked:
+            return out
+        return pa.Table.from_pydict(
+            {
+                "doc_id": out.column("doc_id"),
+                "rnk": pa.array(rank_in_group[keep_mask] + 1, pa.int64()),
+                "term": out.column("term"),
+                "tf": out.column("tf"),
+                "df": out.column("df"),
+                "score": out.column("score"),
+            },
+            schema=out_schema,
+        )
+
+    partial = scored.map_batches(
+        lambda b: _topk(b, ranked=False), batch_format="pyarrow"
+    )
+    return map_key_groups(partial, "doc_id", lambda g: _topk(g, ranked=True))

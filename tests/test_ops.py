@@ -860,3 +860,47 @@ def test_line_dedup_semantics(ray_session, tmp_path):
     assert out[3]["cleaned_md5"] == md5("")
     assert (out[4]["n_lines"], out[4]["n_removed"]) == (0, 0)
     assert out[4]["cleaned_md5"] == md5("")
+
+
+def test_tfidf_top_terms_ranking(ray_session, tmp_path):
+    """Integer-grid tf-idf: rare terms outrank common ones; tf scales
+    the score; ties break by term asc; empty docs emit nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import tfidf_top_terms
+
+    texts = [
+        "apple apple rare common",   # doc 0: tf(apple)=2, rare df=1
+        "banana common",             # doc 1
+        "cherry common",             # doc 2
+        "",                          # doc 3: empty
+    ]
+    sf = tmp_path / "tfsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = tfidf_top_terms(str(sf)).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["rnk"])
+
+    n = 4  # idf_e6(df) = (1e6 * 4) // df
+    # doc 0: apple tf=2 df=1 -> 8e6; rare tf=1 df=1 -> 4e6; common df=3 -> 1333333
+    d0 = [(r["term"], r["score"]) for r in by_doc[0]]
+    assert d0 == [("apple", 2 * 4_000_000), ("rare", 4_000_000),
+                  ("common", (1_000_000 * n) // 3)]
+    # doc 1: banana (df=1) beats common.
+    assert [r["term"] for r in by_doc[1]] == ["banana", "common"]
+    assert 3 not in by_doc  # empty doc emits no rows
+    # ranks are 1-based and consecutive
+    assert [r["rnk"] for r in by_doc[0]] == [1, 2, 3]
