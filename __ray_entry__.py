@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": dedup.dedup_normalized,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_survivors": dedup.dedup_survivors,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -890,6 +891,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "dedup_survivors": "WITH RECURSIVE "
+        + minhash_base
+        + """,
+            p2 AS (SELECT left_id, right_id FROM est WHERE e >= 0.7),
+            edges AS (SELECT left_id AS node, right_id AS peer FROM p2
+                      UNION ALL SELECT right_id, left_id FROM p2),
+            reach(node, label) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.peer
+            ),
+            comp AS (
+              SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            ex AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
+                       AS win_id
+              FROM documents
+            )
+            SELECT ex.doc_id,
+                   (CASE WHEN ex.doc_id <> ex.win_id THEN 'exact_dup'
+                         WHEN c.doc_id IS NOT NULL
+                              AND ex.doc_id <> c.cluster_id THEN 'near_dup'
+                         ELSE '' END) = '' AS keep,
+                   CASE WHEN ex.doc_id <> ex.win_id THEN 'exact_dup'
+                        WHEN c.doc_id IS NOT NULL
+                             AND ex.doc_id <> c.cluster_id THEN 'near_dup'
+                        ELSE '' END AS reason
+            FROM ex LEFT JOIN comp c ON ex.doc_id = c.doc_id
         """,
         "dedup_simhash": "WITH " + _SIMHASH_VAL_CTE + r"""
             SELECT d.doc_id,

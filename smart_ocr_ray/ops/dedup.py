@@ -701,3 +701,108 @@ def line_dedup(
         )
 
     return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
+    """The keep/drop verdict a training pipeline materializes after
+    dedup: per document, ``keep`` plus a ``reason`` —
+
+      * ``exact_dup`` — shares exact text with a lower doc_id,
+      * ``near_dup``  — in a MinHash near-dup cluster and not its
+        min-id representative (checked only for exact-group winners:
+        precedence is frozen and mirrored in SQL),
+      * ``''``        — survivor.
+
+    Composes ``dedup_exact`` (groupby min) and ``dedup_clusters``
+    (distributed connected components); the combination is two
+    left_outer joins on doc_id against loser lists that are strictly
+    smaller than the corpus (only duplicates appear in them).
+    """
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+    docs = read_documents(sf_dir)
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_md5": pa.array([content_md5(t) for t in texts], pa.string()),
+            }
+        )
+
+    hashed = docs.map_batches(_hash, batch_format="pyarrow")
+
+    def _rename_win(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["win_id" if c == "doc_id" else c for c in batch.column_names]
+        )
+
+    winners = (
+        dedup_exact(sf_dir)
+        .map_batches(_rename_win, batch_format="pyarrow")
+        .repartition(jp)
+    )
+
+    def _exact_losers(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(batch.column("doc_id"), batch.column("win_id"))
+        out = batch.filter(mask).select(["doc_id"])
+        return out.append_column(
+            "is_exact", pa.array([1] * out.num_rows, pa.int8())
+        )
+
+    # materialize(): a loser table with ZERO rows everywhere is
+    # schema-less (map_batches skips empty blocks, so nothing can
+    # retype them) and breaks the join below — branch on the count
+    # and skip the join instead. The tables hold only duplicate ids,
+    # far smaller than the corpus.
+    exact_losers = (
+        hashed.join(winners, "inner", jp, on=("text_md5",))
+        .map_batches(_exact_losers, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    def _near_losers(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(batch.column("doc_id"), batch.column("cluster_id"))
+        out = batch.filter(mask).select(["doc_id"])
+        return out.append_column(
+            "is_near", pa.array([1] * out.num_rows, pa.int8())
+        )
+
+    near_losers = (
+        dedup_clusters(sf_dir, threshold=threshold)
+        .map_batches(_near_losers, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    joined = docs.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    if exact_losers.count() > 0:
+        joined = joined.join(exact_losers, "left_outer", jp, on=("doc_id",))
+    if near_losers.count() > 0:
+        joined = joined.join(near_losers, "left_outer", jp, on=("doc_id",))
+
+    def _verdict(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = batch.column_names
+        exact = batch.column("is_exact").to_pylist() if "is_exact" in cols else [None] * n
+        near = batch.column("is_near").to_pylist() if "is_near" in cols else [None] * n
+        reasons = [
+            "exact_dup" if e else ("near_dup" if n else "")
+            for e, n in zip(exact, near)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "keep": pa.array([r == "" for r in reasons], pa.bool_()),
+                "reason": pa.array(reasons, pa.string()),
+            }
+        )
+
+    return joined.map_batches(_verdict, batch_format="pyarrow")

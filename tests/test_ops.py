@@ -904,3 +904,67 @@ def test_tfidf_top_terms_ranking(ray_session, tmp_path):
     assert 3 not in by_doc  # empty doc emits no rows
     # ranks are 1-based and consecutive
     assert [r["rnk"] for r in by_doc[0]] == [1, 2, 3]
+
+
+def test_dedup_survivors_reasons(ray_session, tmp_path):
+    """Keep/drop verdicts: exact-dup losers flagged exact_dup (wins over
+    near_dup), near-dup cluster non-representatives flagged near_dup,
+    everything else kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import dedup_survivors
+
+    # docs 0/1: byte-identical (exact pair, also trivially near-dup) —
+    # 0 survives both. docs 2/3: near-identical long texts (one token
+    # differs) -> near-dup pair, 2 survives. doc 4: unique.
+    base = " ".join(f"tok{i}" for i in range(60))
+    texts = [
+        "dup dup dup common words here",
+        "dup dup dup common words here",
+        base + " ending-one",
+        base + " ending-two",
+        "completely different text with its own words",
+    ]
+    sf = tmp_path / "survsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in dedup_survivors(str(sf)).take_all()}
+    assert len(out) == 5
+    assert out[0]["keep"] and out[0]["reason"] == ""
+    assert not out[1]["keep"] and out[1]["reason"] == "exact_dup"
+    assert out[2]["keep"] and out[2]["reason"] == ""
+    assert not out[3]["keep"] and out[3]["reason"] == "near_dup"
+    assert out[4]["keep"] and out[4]["reason"] == ""
+
+
+def test_dedup_survivors_no_duplicates_all_keep(ray_session, tmp_path):
+    """A corpus with no duplicates (empty loser tables — the schema-less
+    empty-join hazard) keeps every doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import dedup_survivors
+
+    texts = [f"unique document number {i} with distinct content {i*7}" for i in range(6)]
+    sf = tmp_path / "survsf2"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = dedup_survivors(str(sf)).take_all()
+    assert len(out) == 6 and all(r["keep"] and r["reason"] == "" for r in out)
