@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text_analysis.stratified_sample,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "doc_repetition": text_analysis.doc_repetition,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1462,6 +1463,53 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_removed, 0) AS n_removed,
                    md5(coalesce(r.cleaned, '')) AS cleaned_md5
             FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        """,
+        "doc_repetition": """
+            -- Gopher repetition signals on integer grids
+            -- (ops/text_analysis.doc_repetition): 8-token windows match
+            -- line_dedup's windowing; bigrams join with ' ' (tokens are
+            -- \\S+ so the join is collision-free vs tuple counting).
+            WITH tok AS (
+              SELECT doc_id,
+                CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+                END AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(toks) AS n,
+                CASE WHEN len(toks) = 0 THEN 0
+                     ELSE (1000000 * len(list_distinct(toks))) // len(toks)
+                END AS ttr_e6
+              FROM tok
+            ), lines AS (
+              SELECT doc_id, count(*) AS n_lines,
+                     count(DISTINCT line) AS d_lines
+              FROM (
+                SELECT doc_id,
+                       array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line
+                FROM (SELECT doc_id, toks,
+                             unnest(range(0, (len(toks) + 7) // 8)) AS i
+                      FROM tok) u
+              ) GROUP BY doc_id
+            ), big AS (
+              SELECT doc_id, max(c) AS top
+              FROM (
+                SELECT doc_id, bg, count(*) AS c
+                FROM (
+                  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bg
+                  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+                        FROM tok WHERE len(toks) >= 2) v
+                ) GROUP BY doc_id, bg
+              ) GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.ttr_e6,
+                   coalesce((1000000 * (l.n_lines - l.d_lines)) // l.n_lines, 0)
+                     AS dup_line_frac_e6,
+                   CASE WHEN b.n >= 2 THEN (1000000 * g.top * 2) // b.n
+                        ELSE 0 END AS top_bigram_frac_e6
+            FROM base b
+            LEFT JOIN lines l USING (doc_id)
+            LEFT JOIN big g USING (doc_id)
         """,
         "tfidf_top_terms": """
             -- Integer-grid tf-idf (ops/text_analysis.tfidf_top_terms):

@@ -544,3 +544,58 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         lambda b: _topk(b, ranked=False), batch_format="pyarrow"
     )
     return map_key_groups(partial, "doc_id", lambda g: _topk(g, ranked=True))
+
+
+def doc_repetition(sf_dir: str, line_tokens: int = 8) -> ray.data.Dataset:
+    """Per-document repetition signals (the Gopher repetition-filter
+    family), all on integer grids shared verbatim with the SQL oracle:
+
+      * ``ttr_e6``          — type/token ratio: (1e6 * distinct_tokens)
+                              // n_tokens (0 for empty docs)
+      * ``dup_line_frac_e6``— duplicated fixed-window "lines":
+                              (1e6 * (n_lines - distinct_lines)) //
+                              n_lines over ``line_tokens``-token windows
+                              (the corpus has no newlines; same
+                              windowing as ``line_dedup``)
+      * ``top_bigram_frac_e6`` — tokens covered by the most frequent
+                              bigram: (1e6 * top_count * 2) // n_tokens
+                              (0 when n_tokens < 2; ties don't matter —
+                              only the max count enters)
+
+    Stateless vectorized map — no shuffle; a pure streaming stage at
+    any corpus size.
+    """
+    from collections import Counter
+
+    from ..functions.textstats import _TOKEN_RE
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ttr, dup_line, top_bigram = [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall(t or "")
+            n = len(toks)
+            ttr.append((1_000_000 * len(set(toks))) // n if n else 0)
+            n_lines = (n + line_tokens - 1) // line_tokens
+            if n_lines:
+                lines = {
+                    " ".join(toks[i * line_tokens : (i + 1) * line_tokens])
+                    for i in range(n_lines)
+                }
+                dup_line.append((1_000_000 * (n_lines - len(lines))) // n_lines)
+            else:
+                dup_line.append(0)
+            if n >= 2:
+                top = max(Counter(zip(toks, toks[1:])).values())
+                top_bigram.append((1_000_000 * top * 2) // n)
+            else:
+                top_bigram.append(0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ttr_e6": pa.array(ttr, pa.int64()),
+                "dup_line_frac_e6": pa.array(dup_line, pa.int64()),
+                "top_bigram_frac_e6": pa.array(top_bigram, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")

@@ -968,3 +968,44 @@ def test_dedup_survivors_no_duplicates_all_keep(ray_session, tmp_path):
     )
     out = dedup_survivors(str(sf)).take_all()
     assert len(out) == 6 and all(r["keep"] and r["reason"] == "" for r in out)
+
+
+def test_doc_repetition_signals(ray_session, tmp_path):
+    """Gopher repetition signals: known-answer docs for ttr, duplicate
+    windows, and top-bigram coverage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import read_documents  # noqa: F401
+    from smart_ocr_ray.ops.text_analysis import doc_repetition
+
+    W = " ".join(["w"] * 8)                      # one 8-token window
+    texts = [
+        "a b c d",                               # all distinct: ttr 1e6
+        "a a a a",                               # ttr 250000; bigram (a,a)x3 -> 1500000//... (1e6*3*2)//4
+        f"{W} {W}",                              # two identical windows -> dup 500000
+        "",                                      # empty: all zeros
+        "solo",                                  # n=1: no bigram
+    ]
+    sf = tmp_path / "repsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in doc_repetition(str(sf)).take_all()}
+    assert out[0]["ttr_e6"] == 1_000_000
+    assert out[0]["dup_line_frac_e6"] == 0
+    # "a b c d": top bigram count 1, coverage (1e6*1*2)//4 = 500000
+    assert out[0]["top_bigram_frac_e6"] == 500_000
+    assert out[1]["ttr_e6"] == 250_000
+    assert out[1]["top_bigram_frac_e6"] == (1_000_000 * 3 * 2) // 4
+    assert out[2]["dup_line_frac_e6"] == 500_000
+    assert out[3] == {"doc_id": 3, "ttr_e6": 0, "dup_line_frac_e6": 0,
+                      "top_bigram_frac_e6": 0}
+    assert out[4]["ttr_e6"] == 1_000_000 and out[4]["top_bigram_frac_e6"] == 0
