@@ -110,9 +110,17 @@ def _code_sig() -> int:
     return crc
 
 
-def _golden_docs_path(sf_dir: str) -> str:
+_GOLDEN_MODES = {
+    "single": {},
+    "consensus": {"multi_extractor": True},
+    "arbiter": {"multi_extractor": True, "consensus": "arbiter"},
+}
+
+
+def _golden_docs_path(sf_dir: str, mode: str = "single") -> str:
     """Materialize the per-doc single-row-oracle table for ``sf_dir``
-    (cached under /tmp next to the pages corpus, same content signing).
+    in the given consensus ``mode`` (cached under /tmp next to the
+    pages corpus, same content signing; one table per mode).
 
     This powers the extraction-aggregate pseudo-oracles (VERDICT r2
     item 5): the extraction KERNEL is pinned by the pytest byte-identity
@@ -129,15 +137,21 @@ def _golden_docs_path(sf_dir: str) -> str:
     from smart_ocr_ray.document import oracle_extract
 
     pages = _pages_path(sf_dir)
-    path = f"{pages}_golden_{_code_sig():08x}"
+    suffix = "" if mode == "single" else f"_{mode}"
+    path = f"{pages}_golden{suffix}_{_code_sig():08x}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tables = [pq.read_table(f) for f in sorted(glob.glob(pages + "/*.parquet"))]
         t = pa.concat_tables(tables)
         import json
 
+        import hashlib
+
         rows = []
         for i in range(t.num_rows):
-            g = oracle_extract(t["html"][i].as_py() or b"", t["text"][i].as_py() or "")
+            html = t["html"][i].as_py() or b""
+            g = oracle_extract(
+                html, t["text"][i].as_py() or "", **_GOLDEN_MODES[mode]
+            )
             spans = json.loads(g["spans_json"] or "[]")
             rows.append(
                 {
@@ -151,11 +165,52 @@ def _golden_docs_path(sf_dir: str) -> str:
                     "confidence_e6": _e6(g["confidence"]),
                     "attempt_failures": g["attempt_failures"],
                     "n_figures": sum(1 for s in spans if s.get("kind") == "figure"),
+                    # Full kernel row (pseudo-oracle for extract_pipeline
+                    # itself: the distributed output must byte-match the
+                    # sequential kernel per url THROUGH the gate).
+                    "lang": t["lang"][i].as_py(),
+                    "content_hash": hashlib.sha256(html).hexdigest(),
+                    "n_bytes": len(html),
+                    "extracted_text": g["extracted_text"],
+                    "spans_json": g["spans_json"],
+                    "n_units": int(g["n_units"]),
+                    "char_count": int(g["char_count"]),
+                    "agreement": float(g["agreement"]),
+                    "confidence": float(g["confidence"]),
                 }
             )
         tmp = path + ".tmp"
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(pa.Table.from_pylist(rows), os.path.join(tmp, "golden.parquet"))
+        if mode == "single":
+            # Sequential figure-caption table (pseudo-oracle for
+            # figure_captions): the same per-span caption kernel the
+            # distributed pass applies, run over the kernel spans.
+            from smart_ocr_ray.functions.captions import (
+                classify_figure_type,
+                describe_figure,
+            )
+
+            fig_rows = []
+            for r in rows:
+                text = r["extracted_text"] or ""
+                for span in json.loads(r["spans_json"] or "[]"):
+                    if span.get("kind") != "figure":
+                        continue
+                    meta = span.get("meta", "")
+                    fig_rows.append(
+                        {
+                            "url": r["url"],
+                            "unit_id": int(span.get("unit_id", 0)),
+                            "figure_type": classify_figure_type(meta, text),
+                            "description": describe_figure(meta, text),
+                            "start": int(span.get("start", 0)),
+                            "end": int(span.get("end", 0)),
+                        }
+                    )
+            pq.write_table(
+                pa.Table.from_pylist(fig_rows), os.path.join(tmp, "figures.parquet")
+            )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -711,7 +766,64 @@ def _extract_family_oracles() -> dict[str, str]:
     catches it and degrades to rows-only for this family so the other
     oracles survive a machine without the gate corpus."""
     docs = f"read_parquet('{_golden_docs_path(_ORACLE_SF)}')"
+    _CONSENSUS_COLS = """
+            SELECT url, lang, content_hash, n_bytes, attempt_failures,
+                   route, extractor, audit_passed, failure_mode,
+                   CAST(n_units AS BIGINT) AS n_units,
+                   CAST(word_count AS BIGINT) AS word_count,
+                   CAST(char_count AS BIGINT) AS char_count,
+                   agreement, confidence
+            FROM """
+    consensus_docs = f"read_parquet('{_golden_docs_path(_ORACLE_SF, 'consensus')}')"
+    arbiter_docs = f"read_parquet('{_golden_docs_path(_ORACLE_SF, 'arbiter')}')"
     return {
+        # Multi-extractor / arbiter rows vs the sequential kernel run in
+        # the same mode (text/spans dropped to mirror _q_consensus*).
+        "extract_consensus": _CONSENSUS_COLS + consensus_docs,
+        "extract_consensus_arbiter": _CONSENSUS_COLS + arbiter_docs,
+        "multimodal_features": f"""
+            -- FakeDecoder's content-derived dims + checksum reproduced
+            -- in SQL (digest basis is the lowercase hex of the payload
+            -- precisely so this is expressible: DuckDB sha256 is
+            -- VARCHAR-only). hex-pair -> byte value via strpos.
+            WITH d AS (
+              SELECT url, sha256(lower(hex(coalesce(html, ''::BLOB)))) AS dg
+              FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+            ), b AS (
+              SELECT url, dg,
+                16 * (strpos('0123456789abcdef', substr(dg, 1, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(dg, 2, 1)) - 1) AS byte0,
+                16 * (strpos('0123456789abcdef', substr(dg, 3, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(dg, 4, 1)) - 1) AS byte1
+              FROM d
+            )
+            SELECT url, 64 + byte0 % 192 AS width, 64 + byte1 % 192 AS height,
+                   substr(dg, 1, 16) AS checksum
+            FROM b
+        """,
+        "figure_captions": f"""
+            -- Sequential caption kernel over the kernel spans vs the
+            -- distributed figure pass (unit_id int32 in Ray — cast).
+            SELECT url, CAST(unit_id AS BIGINT) AS unit_id, figure_type,
+                   description, start, "end"
+            FROM read_parquet(
+              '{os.path.join(os.path.dirname(_golden_docs_path(_ORACLE_SF)), "figures.parquet")}')
+        """,
+        "extract_pipeline": f"""
+            -- The byte-identity contract THROUGH the value-hash gate:
+            -- the distributed pipeline's full per-url row (text bytes,
+            -- span JSON, lineage, counts) must equal the sequential
+            -- single-row kernel's. Column set matches _q_extract
+            -- (warc_ts/processing_ms dropped as non-deterministic).
+            SELECT url, lang, content_hash, n_bytes, extracted_text,
+                   spans_json, attempt_failures, route, extractor,
+                   audit_passed, failure_mode,
+                   CAST(n_units AS BIGINT) AS n_units,
+                   CAST(word_count AS BIGINT) AS word_count,
+                   CAST(char_count AS BIGINT) AS char_count,
+                   agreement, confidence
+            FROM {docs}
+        """,
         "extract_metrics": f"""
             SELECT route, failure_mode,
                    CAST(count(*) AS BIGINT) AS n_docs,

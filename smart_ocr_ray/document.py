@@ -468,7 +468,17 @@ def _rebase_spans(frags: list[dict], merged_text: str) -> list[dict]:
     return out
 
 
-def oracle_extract(html: bytes, text_layer: str) -> dict:
+def oracle_extract(
+    html: bytes,
+    text_layer: str,
+    multi_extractor: bool = False,
+    consensus: str = "heuristic",
+) -> dict:
     """Single-row oracle: process a whole document with no chunking and
-    assemble. The Ray pipeline's per-url output must byte-match this."""
-    return assemble_units(process_payload(html, text_layer))
+    assemble. The Ray pipeline's per-url output must byte-match this —
+    in every consensus mode (the kwargs mirror the pipeline's)."""
+    return assemble_units(
+        process_payload(
+            html, text_layer, multi_extractor=multi_extractor, consensus=consensus
+        )
+    )

@@ -44,7 +44,13 @@ class FakeDecoder:
         widths, heights, checksums, feats = [], [], [], []
         for data in payloads:
             data = data or b""
-            digest = hashlib.sha256(data).digest()
+            # Digest over the lowercase-hex form (not raw bytes): the
+            # stand-in's contract is only "deterministic content-derived
+            # dims + checksum", and the hex basis lets the DuckDB oracle
+            # reproduce it exactly — sha256/md5 there are VARCHAR-only,
+            # so a raw-BLOB digest would be unverifiable through the
+            # value-hash gate (sha256(lower(hex(payload))) in SQL).
+            digest = hashlib.sha256(data.hex().encode()).digest()
             # "Decoded" dimensions derive deterministically from content.
             widths.append(64 + digest[0] % 192)
             heights.append(64 + digest[1] % 192)
