@@ -208,8 +208,23 @@ def _golden_docs_path(sf_dir: str, mode: str = "single") -> str:
                             "end": int(span.get("end", 0)),
                         }
                     )
+            fig_schema = pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("unit_id", pa.int64()),
+                    ("figure_type", pa.string()),
+                    ("description", pa.string()),
+                    ("start", pa.int64()),
+                    ("end", pa.int64()),
+                ]
+            )
+            # Explicit schema: from_pylist([]) would write a ZERO-column
+            # parquet, and _SUCCESS would seal that poisoned cache — the
+            # figure_captions oracle would then fail on a figure-less
+            # corpus until /tmp was cleared by hand.
             pq.write_table(
-                pa.Table.from_pylist(fig_rows), os.path.join(tmp, "figures.parquet")
+                pa.Table.from_pylist(fig_rows, schema=fig_schema),
+                os.path.join(tmp, "figures.parquet"),
             )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
         if os.path.exists(path):

@@ -713,12 +713,17 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
         precedence is frozen and mirrored in SQL),
       * ``''``        — survivor.
 
-    Composes ``dedup_exact`` (groupby min) and ``dedup_clusters``
-    (distributed connected components); the combination is two
+    Exact losers come from ONE pass over the hashed corpus: a
+    ``map_key_groups`` on text_md5 with ``min_group_size=2`` emits
+    every non-min doc_id per duplicate group (singleton hashes — the
+    vast majority — never invoke the UDF; no winners aggregate, no
+    join, no second corpus read). Near losers reuse ``dedup_clusters``
+    (distributed connected components). The combination is two
     left_outer joins on doc_id against loser lists that are strictly
     smaller than the corpus (only duplicates appear in them).
     """
     from ..tuning import join_partitions as _jp
+    from .grouped import map_key_groups
 
     jp = _jp()
     docs = read_documents(sf_dir)
@@ -734,24 +739,19 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
 
     hashed = docs.map_batches(_hash, batch_format="pyarrow")
 
-    def _rename_win(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["win_id" if c == "doc_id" else c for c in batch.column_names]
-        )
+    _LOSER_SCHEMA = pa.schema([("doc_id", pa.int64()), ("is_exact", pa.int8())])
 
-    winners = (
-        dedup_exact(sf_dir)
-        .map_batches(_rename_win, batch_format="pyarrow")
-        .repartition(jp)
-    )
-
-    def _exact_losers(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.not_equal(batch.column("doc_id"), batch.column("win_id"))
-        out = batch.filter(mask).select(["doc_id"])
-        return out.append_column(
-            "is_exact", pa.array([1] * out.num_rows, pa.int8())
+    def _exact_losers(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return _LOSER_SCHEMA.empty_table()
+        losers = ids[ids != ids.min()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(losers, pa.int64()),
+                "is_exact": pa.array(np.ones(len(losers), dtype=np.int8), pa.int8()),
+            },
+            schema=_LOSER_SCHEMA,
         )
 
     # materialize(): a loser table with ZERO rows everywhere is
@@ -760,8 +760,7 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
     # and skip the join instead. The tables hold only duplicate ids,
     # far smaller than the corpus.
     exact_losers = (
-        hashed.join(winners, "inner", jp, on=("text_md5",))
-        .map_batches(_exact_losers, batch_format="pyarrow")
+        map_key_groups(hashed, "text_md5", _exact_losers, min_group_size=2)
         .repartition(jp)
         .materialize()
     )
@@ -789,13 +788,17 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
         joined = joined.join(near_losers, "left_outer", jp, on=("doc_id",))
 
     def _verdict(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        n_rows = batch.num_rows
         cols = batch.column_names
-        exact = batch.column("is_exact").to_pylist() if "is_exact" in cols else [None] * n
-        near = batch.column("is_near").to_pylist() if "is_near" in cols else [None] * n
+        exact = (
+            batch.column("is_exact").to_pylist() if "is_exact" in cols else [None] * n_rows
+        )
+        near = (
+            batch.column("is_near").to_pylist() if "is_near" in cols else [None] * n_rows
+        )
         reasons = [
-            "exact_dup" if e else ("near_dup" if n else "")
-            for e, n in zip(exact, near)
+            "exact_dup" if e else ("near_dup" if nr else "")
+            for e, nr in zip(exact, near)
         ]
         return pa.Table.from_pydict(
             {

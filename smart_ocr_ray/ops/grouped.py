@@ -61,6 +61,31 @@ def group_bounds(block: pa.Table, keys: list[str]) -> np.ndarray:
     ).astype(np.int64)
 
 
+def block_topk(
+    group: np.ndarray, order_keys: tuple, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-group top-k selection for one block.
+
+    ``group`` is the group id per row; ``order_keys`` are the within-
+    group sort keys in ``np.lexsort`` order (LAST is most significant;
+    negate a numeric key for descending). Returns ``(take, ranks)``:
+    row indices of the kept rows (at most ``k`` per group, in rank
+    order) and their 1-based ranks.
+
+    This is the single home of the boundary/rank index arithmetic the
+    grouped top-k operators share (events_topk_per_hour,
+    embedding_knn_graph, tfidf_top_terms).
+    """
+    n = len(group)
+    order = np.lexsort((*order_keys, group))
+    gs = group[order]
+    starts = np.concatenate(([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1))
+    sizes = np.diff(np.concatenate((starts, [n])))
+    rank_in_group = np.arange(n) - np.repeat(starts, sizes)
+    keep = rank_in_group < k
+    return order[keep], rank_in_group[keep] + 1
+
+
 def map_key_groups(
     ds: ray.data.Dataset,
     key: str | list[str],

@@ -469,7 +469,7 @@ def events_topk_per_hour(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     import numpy as np
     import pyarrow.compute as pc
 
-    from .grouped import map_key_groups
+    from .grouped import block_topk, map_key_groups
 
     events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
@@ -486,26 +486,21 @@ def events_topk_per_hour(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     def _block_topk(tbl: pa.Table, *, ranked: bool) -> pa.Table:
         """Vectorized per-hour top-k of one block (must already carry
         ``window_start``). With ``ranked`` emit 1-based ranks."""
-        n = tbl.num_rows
-        if n == 0:
+        if tbl.num_rows == 0:
             return out_schema.empty_table() if ranked else tbl
+        tbl = tbl.combine_chunks()
         hour = tbl.column("window_start").to_numpy(zero_copy_only=False)
         value = tbl.column("value").to_numpy(zero_copy_only=False)
         eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
-        # hour asc, value desc, event_id asc (np.lexsort: last key primary)
-        order = np.lexsort((eid, -value, hour.astype("int64")))
-        hs = hour[order].astype("int64")
-        starts = np.concatenate(([0], np.flatnonzero(hs[1:] != hs[:-1]) + 1))
-        sizes = np.diff(np.concatenate((starts, [n])))
-        rank_in_group = np.arange(n) - np.repeat(starts, sizes)
-        keep = order[rank_in_group < k]
-        out = tbl.take(pa.array(keep))
+        # hour asc; within: value desc, event_id asc.
+        take, ranks = block_topk(hour.astype("int64"), (eid, -value), k)
+        out = tbl.take(pa.array(take))
         if not ranked:
             return out
         return pa.Table.from_pydict(
             {
                 "window_start": out.column("window_start"),
-                "rnk": pa.array(rank_in_group[rank_in_group < k] + 1, pa.int64()),
+                "rnk": pa.array(ranks, pa.int64()),
                 "event_id": out.column("event_id"),
                 "user_id": out.column("user_id"),
                 "value": out.column("value"),

@@ -551,34 +551,29 @@ def embedding_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
             }
         )
 
+    from .grouped import block_topk, map_key_groups
+
     def _topk(tbl: pa.Table, *, ranked: bool) -> pa.Table:
-        n = tbl.num_rows
-        if n == 0:
+        if tbl.num_rows == 0:
             return out_schema.empty_table() if ranked else tbl
         tbl = tbl.combine_chunks()
         vec = tbl.column("vec_id").to_numpy(zero_copy_only=False)
         sim = tbl.column("cos_sim_e3").to_numpy(zero_copy_only=False)
         nbr = tbl.column("nbr").to_numpy(zero_copy_only=False)
-        order = np.lexsort((nbr, -sim, vec))
-        vs = vec[order]
-        starts = np.concatenate(([0], np.flatnonzero(vs[1:] != vs[:-1]) + 1))
-        sizes = np.diff(np.concatenate((starts, [n])))
-        rank_in_group = np.arange(n) - np.repeat(starts, sizes)
-        keep = rank_in_group < k
-        out = tbl.take(pa.array(order[keep]))
+        # vec asc; within: cos_sim desc, neighbor id asc.
+        take, ranks = block_topk(vec, (nbr, -sim), k)
+        out = tbl.take(pa.array(take))
         if not ranked:
             return out
         return pa.Table.from_pydict(
             {
                 "vec_id": out.column("vec_id"),
-                "rnk": pa.array(rank_in_group[keep] + 1, pa.int64()),
+                "rnk": pa.array(ranks, pa.int64()),
                 "nbr": out.column("nbr"),
                 "cos_sim_e3": out.column("cos_sim_e3"),
             },
             schema=out_schema,
         )
-
-    from .grouped import map_key_groups
 
     partial = pairs.map_batches(_sym, batch_format="pyarrow").map_batches(
         lambda b: _topk(b, ranked=False), batch_format="pyarrow"

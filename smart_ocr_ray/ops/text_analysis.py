@@ -510,28 +510,24 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         ]
     )
 
+    from .grouped import block_topk
+
     def _topk(tbl: pa.Table, *, ranked: bool) -> pa.Table:
-        n = tbl.num_rows
-        if n == 0:
+        if tbl.num_rows == 0:
             return out_schema.empty_table() if ranked else tbl
         tbl = tbl.combine_chunks()
         doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         score = tbl.column("score").to_numpy(zero_copy_only=False)
         terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
-        # doc asc, score desc, term asc (lexsort: last key primary)
-        order = np.lexsort((terms, -score, doc))
-        ds_ = doc[order]
-        starts = np.concatenate(([0], np.flatnonzero(ds_[1:] != ds_[:-1]) + 1))
-        sizes = np.diff(np.concatenate((starts, [n])))
-        rank_in_group = np.arange(n) - np.repeat(starts, sizes)
-        keep_mask = rank_in_group < k
-        out = tbl.take(pa.array(order[keep_mask]))
+        # doc asc; within: score desc, term asc.
+        take, ranks = block_topk(doc, (terms, -score), k)
+        out = tbl.take(pa.array(take))
         if not ranked:
             return out
         return pa.Table.from_pydict(
             {
                 "doc_id": out.column("doc_id"),
-                "rnk": pa.array(rank_in_group[keep_mask] + 1, pa.int64()),
+                "rnk": pa.array(ranks, pa.int64()),
                 "term": out.column("term"),
                 "tf": out.column("tf"),
                 "df": out.column("df"),

@@ -1026,9 +1026,7 @@ def test_embedding_knn_graph_contract(ray_session):
     for vec, rs in by_vec.items():
         rs.sort(key=lambda r: r["rnk"])
         assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
-        sims = [r["cos_sim_e3"] for r in rs]
-        assert sims == sorted(sims, reverse=True) or any(
-            sims[i] == sims[i + 1] and rs[i]["nbr"] < rs[i + 1]["nbr"]
-            for i in range(len(sims) - 1)
-        )
+        # Total order: similarity desc, neighbor id asc on ties.
+        pairs = [(-r["cos_sim_e3"], r["nbr"]) for r in rs]
+        assert pairs == sorted(pairs)
         assert len(rs) <= 5
