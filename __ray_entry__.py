@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "embedding_neardup_clusters": similarity.embedding_neardup_clusters,
         "embedding_knn_graph": similarity.embedding_knn_graph,
+        "embedding_kmeans": similarity.embedding_kmeans,
         # --- relational / windowed ---
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -763,6 +764,98 @@ def _hyperplane_lsh_sql() -> str:
           FROM cand c JOIN embeddings a ON a.vec_id = c.left_id
                       JOIN embeddings b ON b.vec_id = c.right_id
         )"""
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2) -> str:
+    """Oracle for ``embedding_kmeans``: the full Lloyd iteration chain
+    as CTEs, arithmetic EXACT on both engines (no margin analysis).
+
+    Components quantize to the 1e-6 int grid with the identical
+    ``round`` expression (verified component-exact vs np.round on every
+    sf corpus); dot products and squared norms of int-grid vectors are
+    exact integers ≪ 2^53, so ``dot / sqrt(qn * cn)`` is
+    correctly-rounded IEEE from identical inputs — bit-identical
+    similarities, deterministic argmax (ties → lowest ci on both
+    sides). Centroid updates are int64 SUMs (order-free) and
+    ``floor(sum / count)`` (floor of a correctly-rounded division whose
+    true non-integer quotient sits ≥ 1/count from any integer — floor
+    cannot flip). Empty clusters COALESCE to the previous centroid,
+    mirroring the Ray side."""
+    # qf/qn recomputed per reference; DuckDB CSE handles the repetition.
+    sql = f"""kq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    kv AS (
+      SELECT vec_id, qe,
+             list_transform(qe, x -> CAST(x AS DOUBLE)) AS qf,
+             list_inner_product(list_transform(qe, x -> CAST(x AS DOUBLE)),
+                                list_transform(qe, x -> CAST(x AS DOUBLE))) AS qn
+      FROM kq
+    ),
+    cents0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, qe AS c
+      FROM kq WHERE vec_id < {k}
+    )"""
+    for j in range(n_iter):
+        sql += f""",
+    csim{j} AS (
+      SELECT v.vec_id, v.qe, c.ci,
+             CASE WHEN v.qn = 0 OR c.cn = 0 THEN -2.0
+                  ELSE list_inner_product(v.qf, c.cf) / sqrt(v.qn * c.cn) END AS sim
+      FROM kv v CROSS JOIN (
+        SELECT ci, list_transform(c, x -> CAST(x AS DOUBLE)) AS cf,
+               list_inner_product(list_transform(c, x -> CAST(x AS DOUBLE)),
+                                  list_transform(c, x -> CAST(x AS DOUBLE))) AS cn
+        FROM cents{j}
+      ) c
+    ),
+    ka{j} AS (
+      SELECT vec_id, qe, ci FROM (
+        SELECT vec_id, qe, ci,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, ci ASC) AS rn
+        FROM csim{j}
+      ) WHERE rn = 1
+    ),
+    ksum{j} AS (
+      SELECT ci, dim, SUM(val) AS s FROM (
+        SELECT ci, unnest(qe) AS val, unnest(range(len(qe))) AS dim FROM ka{j}
+      ) GROUP BY ci, dim
+    ),
+    kcnt{j} AS (SELECT ci, count(*) AS n FROM ka{j} GROUP BY ci),
+    km{j} AS (
+      SELECT s.ci,
+             list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT)
+                  ORDER BY s.dim) AS c
+      FROM ksum{j} s JOIN kcnt{j} c ON c.ci = s.ci
+      GROUP BY s.ci
+    ),
+    cents{j + 1} AS (
+      SELECT p.ci, COALESCE(m.c, p.c) AS c
+      FROM cents{j} p LEFT JOIN km{j} m ON m.ci = p.ci
+    )"""
+    sql += f""",
+    kfinal AS (
+      SELECT v.vec_id, c.ci,
+             CASE WHEN v.qn = 0 OR c.cn = 0 THEN -2.0
+                  ELSE list_inner_product(v.qf, c.cf) / sqrt(v.qn * c.cn) END AS sim
+      FROM kv v CROSS JOIN (
+        SELECT ci, list_transform(c, x -> CAST(x AS DOUBLE)) AS cf,
+               list_inner_product(list_transform(c, x -> CAST(x AS DOUBLE)),
+                                  list_transform(c, x -> CAST(x AS DOUBLE))) AS cn
+        FROM cents{n_iter}
+      ) c
+    ),
+    klabel AS (
+      SELECT vec_id, ci, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, ci ASC) AS rn
+      FROM kfinal
+    )"""
+    return sql
 
 
 def _extract_family_oracles() -> dict[str, str]:
@@ -999,6 +1092,11 @@ def oracle_sql() -> dict[str, str]:
               FROM sym
             )
             SELECT vec_id, rnk, nbr, cos_sim_e3 FROM r WHERE rnk <= 5
+        """,
+        "embedding_kmeans": "WITH " + _kmeans_sql() + """
+            SELECT vec_id, ci AS cluster,
+                   CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_e6
+            FROM klabel WHERE rn = 1
         """,
         "embedding_neardup_clusters": "WITH RECURSIVE " + _hyperplane_lsh_sql() + """,
             p2 AS (SELECT left_id, right_id FROM lsh_pairs WHERE cos_sim_e3 >= 450),

@@ -170,6 +170,7 @@ def run_bench() -> dict:
         timed("dedup_normalized", dedup.dedup_normalized)
         timed("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
         timed("ann_cosine_topk", similarity.ann_cosine_topk)
+        timed("embedding_kmeans", similarity.embedding_kmeans)
         timed("doc_quality", text_analysis.quality)
         timed("domain_stats", text_analysis.domain_stats)
         timed("line_dedup", dedup.line_dedup)

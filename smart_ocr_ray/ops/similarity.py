@@ -579,3 +579,180 @@ def embedding_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         lambda b: _topk(b, ranked=False), batch_format="pyarrow"
     )
     return map_key_groups(partial, "vec_id", lambda g: _topk(g, ranked=True))
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means (Lloyd) over the embedding corpus.
+# ---------------------------------------------------------------------------
+
+_KMEANS_GRID = 1_000_000  # component quantization grid (1e-6)
+
+
+def _quantize_embeddings(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, quantized int64 matrix) for one Arrow batch.
+
+    Components land on the 1e-6 integer grid via ``round(x_f64 * 1e6)``
+    — the identical expression DuckDB's oracle uses
+    (``round(CAST(x AS DOUBLE)*1000000)``), verified component-exact on
+    every test corpus. All downstream arithmetic (dot products, norms,
+    per-cluster sums) is exact int64, so both engines derive
+    bit-identical centroids and similarities: the oracle needs no
+    argmax-margin analysis at all.
+    """
+    vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
+    )
+    return vec_ids, np.round(emb * _KMEANS_GRID).astype(np.int64)
+
+
+def _cosine_vs_centroids(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact-integer cosine: (n, k) f64 similarities of quantized rows
+    ``q`` vs quantized centroids ``cents``.
+
+    dot and both squared norms are exact int64 (|component| ≤ 1e6 ⇒
+    dot ≤ d·1e12 ≪ 2^53), so the f64 expression
+    ``dot / sqrt(qn * cn)`` is IEEE-correctly-rounded from identical
+    integers in numpy and DuckDB — bit-identical results. Zero-norm
+    rows or centroids get sentinel −2.0 (below any cosine) on both
+    sides.
+    """
+    dot = (q @ cents.T).astype(np.float64)
+    qn = (q * q).sum(axis=1).astype(np.float64)  # exact ints in f64
+    cn = (cents * cents).sum(axis=1).astype(np.float64)
+    denom2 = qn[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = dot / np.sqrt(denom2)
+    sim[denom2 == 0] = -2.0
+    return sim
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = 8, n_iter: int = 2
+) -> ray.data.Dataset:
+    """Distributed spherical k-means (Lloyd's algorithm) over the
+    embedding corpus — the clustering pass semantic-dedup and
+    diversity-balanced sampling pipelines run before per-cluster
+    sampling (SemDeDup-style; reference has no embedding ops — novel
+    scale operator per SURVEY §2 'beyond the reference').
+
+    Semantics (frozen, mirrored exactly by the SQL oracle):
+      * init: centroids = quantized embeddings of ``vec_id < k``
+        (deterministic, filter-pushdown at the read — no sort pass);
+      * assign: argmax cosine, ties → lowest centroid index
+        (np.argmax order = SQL ``row_number ... ORDER BY sim DESC,
+        ci ASC``);
+      * update: component-wise ``floor(sum / count)`` back onto the
+        int grid (exact: int64 sums, floor of a correctly-rounded f64
+        division whose true non-integer quotients sit ≥ 1/count from
+        any integer); empty clusters keep their previous centroid;
+      * after ``n_iter`` updates, one labeling pass emits
+        (vec_id, cluster, cos_sim_e6 = floor(sim·1e6)).
+
+    Scale shape: the corpus is NEVER shuffled — each iteration is one
+    streaming ``map_batches`` pass emitting k partial-sum rows per
+    block (k × d int64 + count), reduced by a tiny ``map_key_groups``
+    on the cluster id; only the k reduced centroid rows reach the
+    driver (k·d ints per iteration, independent of corpus size).
+    Centroids broadcast once per iteration via ``ray.put``.
+    """
+    from .grouped import map_key_groups
+
+    if k < 1 or n_iter < 0:
+        raise ValueError("k must be >= 1 and n_iter >= 0")
+
+    emb = read_embeddings(sf_dir)
+
+    init_rows = sorted(
+        emb.filter(expr=f"vec_id < {k}").take_all(), key=lambda r: r["vec_id"]
+    )
+    if not init_rows:
+        raise ValueError(f"no vectors with vec_id < {k} to seed centroids")
+    cents = np.round(
+        np.asarray([r["embedding"] for r in init_rows], dtype=np.float64)
+        * _KMEANS_GRID
+    ).astype(np.int64)
+    k_eff, dim = cents.shape
+
+    partial_schema = pa.schema(
+        [("ci", pa.int64()), ("psum", pa.list_(pa.int64())), ("cnt", pa.int64())]
+    )
+
+    for _ in range(n_iter):
+        cents_ref = ray.put(cents)
+
+        def _partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            if batch.num_rows == 0:
+                return partial_schema.empty_table()
+            _, q = _quantize_embeddings(batch)
+            assign = np.argmax(_cosine_vs_centroids(q, c), axis=1)
+            psums = np.zeros((k_eff, dim), dtype=np.int64)
+            np.add.at(psums, assign, q)
+            cnts = np.bincount(assign, minlength=k_eff)
+            nz = np.nonzero(cnts)[0]
+            return pa.Table.from_pydict(
+                {
+                    "ci": pa.array(nz, pa.int64()),
+                    "psum": pa.array(psums[nz].tolist(), pa.list_(pa.int64())),
+                    "cnt": pa.array(cnts[nz], pa.int64()),
+                },
+                schema=partial_schema,
+            )
+
+        def _reduce(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return partial_schema.empty_table()
+            sums = np.asarray(group.column("psum").to_pylist(), dtype=np.int64).sum(
+                axis=0
+            )
+            return pa.Table.from_pydict(
+                {
+                    "ci": group.column("ci").slice(0, 1),
+                    "psum": pa.array([sums.tolist()], pa.list_(pa.int64())),
+                    "cnt": pa.array(
+                        [int(np.sum(group.column("cnt").to_numpy()))], pa.int64()
+                    ),
+                },
+                schema=partial_schema,
+            )
+
+        reduced = map_key_groups(
+            emb.map_batches(_partials, batch_format="pyarrow"), "ci", _reduce
+        ).take_all()
+
+        new_cents = cents.copy()  # empty clusters keep their centroid
+        for row in reduced:
+            ci = int(row["ci"])
+            cnt = int(row["cnt"])
+            if cnt > 0:
+                new_cents[ci] = np.floor_divide(
+                    np.asarray(row["psum"], dtype=np.int64), cnt
+                )
+        cents = new_cents
+
+    final_ref = ray.put(cents)
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()), ("cos_sim_e6", pa.int64())]
+    )
+
+    def _label(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        vec_ids, q = _quantize_embeddings(batch)
+        sim = _cosine_vs_centroids(q, c)
+        assign = np.argmax(sim, axis=1)
+        best = sim[np.arange(len(assign)), assign]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "cos_sim_e6": pa.array(
+                    np.floor(best * _KMEANS_GRID).astype(np.int64), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return emb.map_batches(_label, batch_format="pyarrow")

@@ -1030,3 +1030,96 @@ def test_embedding_knn_graph_contract(ray_session):
         pairs = [(-r["cos_sim_e3"], r["nbr"]) for r in rs]
         assert pairs == sorted(pairs)
         assert len(rs) <= 5
+
+
+def test_embedding_kmeans_separated_groups(ray_session, tmp_path):
+    """Spherical k-means over two well-separated direction groups
+    (k=3, seeds: one per group + one exact duplicate of seed 0):
+    every vector lands with its group after 2 Lloyd iterations, the
+    duplicated seed's cluster drains empty (keep-previous-centroid +
+    min-ci tie-break ⇒ no vector labeled with it), a zero vector gets
+    the −2 sentinel similarity, and the labels match an exact numpy
+    mirror of the integer-grid iteration."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import embedding_kmeans
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    a_axis = np.zeros(dim); a_axis[0] = 1.0
+    b_axis = np.zeros(dim); b_axis[1] = 1.0
+    vecs = [a_axis, b_axis, a_axis.copy()]  # seeds 0,1 + duplicate of 0
+    for axis in (a_axis, b_axis):
+        for _ in range(20):
+            v = axis + 0.05 * rng.standard_normal(dim)
+            vecs.append(v / np.linalg.norm(v))
+    vecs.append(np.zeros(dim))  # degenerate zero vector
+    ids = list(range(len(vecs)))
+
+    sf = tmp_path / "kmsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }),
+        sf / "embeddings.parquet",
+    )
+
+    rows = embedding_kmeans(str(sf), k=3, n_iter=2).take_all()
+    got = {r["vec_id"]: (r["cluster"], r["cos_sim_e6"]) for r in rows}
+    assert len(got) == len(ids)
+
+    # Exact numpy mirror of the integer-grid Lloyd iteration.
+    q = np.round(
+        np.asarray([np.asarray(v, dtype=np.float32) for v in vecs], dtype=np.float64)
+        * 1_000_000
+    ).astype(np.int64)
+
+    def sims(mat, cents):
+        dot = (mat @ cents.T).astype(np.float64)
+        qn = (mat * mat).sum(axis=1).astype(np.float64)
+        cn = (cents * cents).sum(axis=1).astype(np.float64)
+        d2 = qn[:, None] * cn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = dot / np.sqrt(d2)
+        s[d2 == 0] = -2.0
+        return s
+
+    cents = q[:3].copy()
+    for _ in range(2):
+        a = np.argmax(sims(q, cents), axis=1)
+        new = cents.copy()
+        for ci in range(3):
+            members = q[a == ci]
+            if len(members):
+                new[ci] = np.floor_divide(members.sum(axis=0), len(members))
+        cents = new
+    final = sims(q, cents)
+    a = np.argmax(final, axis=1)
+    e6 = np.floor(final[np.arange(len(a)), a] * 1_000_000).astype(np.int64)
+    for i in ids:
+        assert got[i] == (a[i], e6[i]), f"vec {i}: {got[i]} != {(a[i], e6[i])}"
+
+    # Semantic checks on top of the mirror: the two direction groups
+    # never mix. Cluster 2 (the duplicated seed) drains empty during
+    # iterations — ties go to min ci — so its centroid stays the
+    # PRISTINE a-axis; at labeling it wins back the on-axis vectors
+    # (and any noise member closer to the axis than to cluster 0's
+    # noise-shifted mean), so a-side labels span {0, 2} while b-side
+    # stays pure {1}.
+    a_side = {got[i][0] for i in (0, 2, *range(3, 23))}
+    assert a_side <= {0, 2} and 0 in a_side and 2 in a_side
+    assert {got[i][0] for i in (1, *range(23, 43))} == {1}
+    assert all(got[i][1] >= 950_000 for i in range(43))
+    # Exact-axis vector: cluster 2's iter-2 centroid is the mean of the
+    # on-axis vectors plus its few recaptured near-axis members, so the
+    # similarity is near-1 but no longer exactly 1.
+    assert got[0][0] == 2 and got[0][1] >= 999_000
+    # Zero vector: sentinel similarity, tie-broken to cluster 0.
+    zero_id = len(ids) - 1
+    assert got[zero_id] == (0, -2_000_000)
