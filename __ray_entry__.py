@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_repetition": text_analysis.doc_repetition,
+        "bm25_topk": text_analysis.bm25_topk,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1773,6 +1774,43 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
+        """,
+        "bm25_topk": """
+            -- Exact-integer BM25, k1=6/5, b=3/4 (ops/text_analysis.bm25_topk):
+            -- sat_e6 = (1e6*44*A*tf) // (20*A*tf + 6*A + 18*dl*N);
+            -- idf_e6 = (1e6*(N-df+1)) // (df+1); score = sum(idf*sat//1e6).
+            -- HUGEINT mirrors the engine's arbitrary-precision Python ints.
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+            ), corpus AS (
+              SELECT count(*) AS n_docs, sum(dl) AS n_tok FROM dl
+            ), q(term) AS (
+              VALUES ('join'), ('window'), ('scan')
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok JOIN q USING (term) GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), contrib AS (
+              SELECT tf.doc_id, dl.dl,
+                     ((CAST(1000000 AS HUGEINT) * (c.n_docs - df.df + 1))
+                        // (df.df + 1))
+                     * ((CAST(1000000 AS HUGEINT) * 44 * c.n_tok * tf.tf)
+                        // (CAST(20 AS HUGEINT) * c.n_tok * tf.tf
+                            + 6 * c.n_tok + 18 * dl.dl * c.n_docs))
+                     // 1000000 AS part
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id, corpus c
+            )
+            SELECT doc_id, dl, CAST(sum(part) AS BIGINT) AS score_e6
+            FROM contrib GROUP BY doc_id, dl
+            HAVING sum(part) > 0
+            ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
         """,
         "events_topk_per_hour": """
             WITH r AS (

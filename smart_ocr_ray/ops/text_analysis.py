@@ -595,3 +595,148 @@ def doc_repetition(sf_dir: str, line_tokens: int = 8) -> ray.data.Dataset:
         )
 
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
+BM25_QUERY_TERMS: tuple[str, ...] = ("join", "window", "scan")
+
+
+def bm25_topk(
+    sf_dir: str,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Top-k documents for a fixed term query under an exact-integer
+    BM25 (k1 = 1.2, b = 0.75) — the ranked-retrieval primitive quality
+    pipelines use for targeted corpus probes (and the scoring core of
+    a distributed search index).
+
+    The classic float formula is rewritten as exact integer rationals
+    so the DuckDB oracle computes bit-identical scores:
+
+      * saturation  tf·(k1+1) / (tf + k1·(1−b + b·dl·N/A)) with
+        k1 = 6/5, b = 3/4 multiplies out to the integer ratio
+        ``44·A·tf / (20·A·tf + 6·A + 18·dl·N)``; the engine keeps
+        ``sat_e6 = (1e6·44·A·tf) // (20·A·tf + 6·A + 18·dl·N)``.
+      * idf uses the log-free rational surrogate
+        ``idf_e6 = (1e6·(N − df + 1)) // (df + 1)`` — strictly
+        decreasing in df, same high-low ordering family as the log idf
+        for fixed queries.
+      * per-term contribution ``idf_e6 · sat_e6 // 1e6`` summed over
+        query terms ⇒ ``score_e6``; ranking score desc, doc_id asc.
+
+    Arithmetic is Python int (arbitrary precision) on the Ray side and
+    HUGEINT in the oracle, so no corpus size overflows the grid.
+
+    Scale shape: two streaming passes over ``documents``. Pass 1
+    reduces per-block partials (df per query term, doc/token totals)
+    through a |q|+1-row groupby — only those rows reach the driver.
+    Pass 2 scores each doc block-locally against the broadcast stats
+    (a handful of ints), keeps a lossless per-block top-k, and the
+    final sort+limit runs over ≤ k·blocks rows. The corpus itself is
+    never shuffled.
+    """
+    from collections import Counter
+
+    from ..functions.textstats import _TOKEN_RE
+
+    qset = frozenset(query_terms)
+    docs = read_documents(sf_dir)
+
+    stats_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_tok", pa.int64()),
+        ]
+    )
+
+    def _partial_stats(batch: pa.Table) -> pa.Table:
+        n_docs = 0
+        n_tok = 0
+        df: dict[str, int] = dict.fromkeys(qset, 0)
+        for t in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall(t or "")
+            if not toks:
+                continue
+            n_docs += 1
+            n_tok += len(toks)
+            for qt in qset.intersection(toks):
+                df[qt] += 1
+        terms = sorted(qset) + [""]
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array([df[t] for t in sorted(qset)] + [0], pa.int64()),
+                "n_docs": pa.array([0] * len(qset) + [n_docs], pa.int64()),
+                "n_tok": pa.array([0] * len(qset) + [n_tok], pa.int64()),
+            },
+            schema=stats_schema,
+        )
+
+    stats_rows = (
+        docs.map_batches(_partial_stats, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["df", "n_docs", "n_tok"])
+        .take_all()
+    )
+    df_by_term = {r["term"]: int(r["sum(df)"]) for r in stats_rows if r["term"]}
+    totals = next(r for r in stats_rows if not r["term"])
+    n_corpus_docs = int(totals["sum(n_docs)"])
+    n_corpus_tok = int(totals["sum(n_tok)"])
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("dl", pa.int64()), ("score_e6", pa.int64())]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or n_corpus_tok == 0:
+            return out_schema.empty_table()
+        ids_out, dl_out, score_out = [], [], []
+        a_tot, n_tot = n_corpus_tok, n_corpus_docs
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t or "")
+            dl = len(toks)
+            if not dl:
+                continue
+            hits = Counter(tk for tk in toks if tk in qset)
+            score = 0
+            for term, tf in hits.items():
+                dfv = df_by_term.get(term, 0)
+                if dfv == 0:
+                    continue
+                idf_e6 = (1_000_000 * (n_tot - dfv + 1)) // (dfv + 1)
+                sat_e6 = (1_000_000 * 44 * a_tot * tf) // (
+                    20 * a_tot * tf + 6 * a_tot + 18 * dl * n_tot
+                )
+                score += idf_e6 * sat_e6 // 1_000_000
+            if score > 0:
+                ids_out.append(int(d))
+                dl_out.append(dl)
+                score_out.append(score)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "dl": pa.array(dl_out, pa.int64()),
+                "score_e6": pa.array(score_out, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        # Lossless combiner: global top-k ⊆ union of per-block top-k.
+        if batch.num_rows <= k:
+            return batch
+        import numpy as np
+
+        score = batch.column("score_e6").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -score))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    scored = docs.map_batches(_score, batch_format="pyarrow").map_batches(
+        _block_topk, batch_format="pyarrow"
+    )
+    return scored.sort(["score_e6", "doc_id"], descending=[True, False]).limit(k)

@@ -1123,3 +1123,67 @@ def test_embedding_kmeans_separated_groups(ray_session, tmp_path):
     # Zero vector: sentinel similarity, tie-broken to cluster 0.
     zero_id = len(ids) - 1
     assert got[zero_id] == (0, -2_000_000)
+
+
+def test_bm25_topk_exact_integer_scores(ray_session, tmp_path):
+    """BM25 on the frozen integer grid: scores match the rational
+    formula exactly; docs without query terms (or empty) are excluded;
+    short docs get the length-normalization boost; ranking is score
+    desc, doc_id asc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bm25_topk
+
+    texts = [
+        "join join scan filler",            # doc 0: dl=4, join×2, scan×1
+        "window other other other other other",  # doc 1: dl=6, window×1
+        "nothing here at all",              # doc 2: dl=4, no query terms
+        "",                                 # doc 3: empty — not in N or A
+        "join",                             # doc 4: dl=1, join×1
+    ]
+    sf = tmp_path / "bmsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+
+    n, a = 4, 15  # docs 0,1,2,4 have tokens; 4+6+4+1 tokens total
+    df = {"join": 2, "window": 1, "scan": 1}
+
+    def expected(tf_map, dl):
+        s = 0
+        for term, tf in tf_map.items():
+            idf_e6 = (1_000_000 * (n - df[term] + 1)) // (df[term] + 1)
+            sat_e6 = (1_000_000 * 44 * a * tf) // (
+                20 * a * tf + 6 * a + 18 * dl * n
+            )
+            s += idf_e6 * sat_e6 // 1_000_000
+        return s
+
+    want = {
+        0: expected({"join": 2, "scan": 1}, 4),
+        1: expected({"window": 1}, 6),
+        4: expected({"join": 1}, 1),
+    }
+
+    rows = bm25_topk(str(sf)).take_all()
+    got = {r["doc_id"]: (r["dl"], r["score_e6"]) for r in rows}
+    assert set(got) == {0, 1, 4}  # docs 2 (no hits) and 3 (empty) absent
+    assert got[0] == (4, want[0])
+    assert got[1] == (6, want[1])
+    assert got[4] == (1, want[4])
+    # Result arrives ranked: score desc, doc_id asc.
+    ranked = [r["doc_id"] for r in rows]
+    assert ranked == sorted(want, key=lambda d: (-want[d], d))
+    # Length normalization: a 1-token doc's single 'join' saturation
+    # exceeds doc 0's (same idf, smaller dl ⇒ bigger sat).
+    sat_d4 = (1_000_000 * 44 * a) // (20 * a + 6 * a + 18 * 1 * n)
+    sat_d0_tf1 = (1_000_000 * 44 * a) // (20 * a + 6 * a + 18 * 4 * n)
+    assert sat_d4 > sat_d0_tf1
