@@ -535,7 +535,7 @@ def _q_pii_scrub(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from smart_ocr_ray.ops import dedup, relational, similarity, text_analysis
+    from smart_ocr_ray.ops import dedup, graph, relational, similarity, text_analysis
 
     return {
         # --- extraction pipeline family (byte-identity enforced in pytest) ---
@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_clusters": similarity.embedding_neardup_clusters,
         "embedding_knn_graph": similarity.embedding_knn_graph,
         "embedding_kmeans": similarity.embedding_kmeans,
+        "graph_pagerank": graph.graph_pagerank,
         # --- relational / windowed ---
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -1058,6 +1059,56 @@ def _frames_oracle_sql() -> str:
     """
 
 
+def _pagerank_sql(n_iter: int = 3, knn_k: int = 5) -> str:
+    """Oracle for ``graph_pagerank``: unrolled integer power iteration
+    over the k-NN edge set (ops/graph.py). Every step is exact BIGINT
+    floor arithmetic — pr//odeg contributions, (15·1e12)//(100·N) base,
+    (85·sum)//100 damping — so DuckDB and the Ray engine derive
+    bit-identical ranks regardless of summation order."""
+    ctes = [
+        f"""sym AS (
+              SELECT left_id AS vec_id, right_id AS nbr, cos_sim_e3 FROM lsh_pairs
+              UNION ALL
+              SELECT right_id, left_id, cos_sim_e3 FROM lsh_pairs
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim_e3 DESC, nbr ASC) AS rnk
+              FROM sym
+            ),
+            edges AS (
+              SELECT vec_id AS src, nbr AS dst FROM rk WHERE rnk <= {knn_k}
+            ),
+            outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+            nodes AS (SELECT vec_id FROM embeddings),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            p0 AS (
+              SELECT vec_id, 1000000000000 // nn.n AS pr
+              FROM nodes CROSS JOIN nn
+            )"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""s{i} AS (
+              SELECT e.dst AS vec_id, sum(p.pr // o.odeg) AS c
+              FROM edges e
+              JOIN p{i - 1} p ON e.src = p.vec_id
+              JOIN outdeg o ON e.src = o.src
+              GROUP BY e.dst
+            ),
+            p{i} AS (
+              SELECT nodes.vec_id,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * coalesce(s{i}.c, 0)) // 100 AS pr
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN s{i} ON nodes.vec_id = s{i}.vec_id
+            )"""
+        )
+    return ",\n            ".join(ctes) + f"""
+            SELECT vec_id, pr AS pr_e12 FROM p{n_iter}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     # Corpus-dependent pseudo-oracles (they materialize the pages/golden
     # tables for _ORACLE_SF at build time): degrade to rows-only rather
@@ -1094,6 +1145,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, rnk, nbr, cos_sim_e3 FROM r WHERE rnk <= 5
         """,
+        "graph_pagerank": (
+            "WITH " + _hyperplane_lsh_sql() + ",\n            " + _pagerank_sql()
+        ),
         "embedding_kmeans": "WITH " + _kmeans_sql() + """
             SELECT vec_id, ci AS cluster,
                    CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_e6

@@ -1,0 +1,187 @@
+"""Graph analytics over candidate graphs derived from the corpus.
+
+PageRank over the approximate k-NN graph is the centrality pass
+web-corpus curation runs to weight documents by neighborhood density
+(and the canonical iterative-join workload: each power-iteration step
+is one distributed hash join + one shuffle aggregate over the edge
+table, the same shape as ``dedup.cluster_pairs``' label propagation).
+
+All rank arithmetic lives on an exact integer grid (1e-12) with
+floor-division damping, so every engine — numpy here, DuckDB in the
+oracle — derives bit-identical ranks: integer sums are
+order-independent, which a float PageRank is not.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+PR_SCALE = 10**12  # rank grid (1e-12); damping = 85/100 exactly
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def graph_pagerank(
+    sf_dir: str,
+    n_iter: int = 3,
+    edges: ray.data.Dataset | None = None,
+    nodes: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Integer-grid PageRank over the directed approximate k-NN graph
+    (``similarity.embedding_knn_graph``): per node, its rank after
+    ``n_iter`` power iterations on the 1e-12 grid.
+
+    Frozen semantics (mirrored exactly by the SQL oracle):
+      * nodes = every ``vec_id`` in ``embeddings`` (isolated vectors
+        included); N = node count; pr0 = SCALE // N for all nodes;
+      * per edge (src → dst): contribution = pr[src] // outdeg[src]
+        (exact floor division — deterministic, order-free);
+      * pr'[v] = (15·SCALE) // (100·N) + (85 · Σ contribs[v]) // 100
+        — the simplified PageRank without dangling-mass
+        redistribution, so sink-node mass leaks by design (< 15% per
+        iteration here: every vector with any LSH candidate has
+        out-edges).
+
+    Scale shape: the embedding corpus is read once (k-NN graph build);
+    afterwards every iteration touches only the O(V·k) edge table —
+    one hash join of the V-row rank table against edges on src, one
+    groupby(dst) integer sum, and a union with a zero row per node so
+    contribution-less nodes survive the aggregate without an outer
+    join. Edge and zero tables are materialized once into the object
+    store (they are k-NN-sized, corpus-independent of payload bytes);
+    ranks never touch the driver.
+
+    ``edges``/``nodes`` exist for tests: pass (src, dst) and (vec_id)
+    datasets to run the iteration core on a hand-built graph.
+    """
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+
+    if nodes is None:
+        nodes = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+    if edges is None:
+        from .similarity import embedding_knn_graph
+
+        knn = embedding_knn_graph(sf_dir)
+
+        def _to_edges(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "src": pa.array(
+                        batch.column("vec_id").to_pylist(), pa.int64()
+                    ),
+                    "dst": pa.array(batch.column("nbr").to_pylist(), pa.int64()),
+                }
+            )
+
+        edges = knn.map_batches(_to_edges, batch_format="pyarrow")
+
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.schema([("vec_id", pa.int64()), ("pr_e12", pa.int64())]).empty_table()
+        )
+    base = (15 * PR_SCALE) // (100 * n_nodes)
+    pr0 = PR_SCALE // n_nodes
+
+    # Static per-iteration inputs, materialized once (k-NN-graph-sized,
+    # not corpus-sized): edges carrying their src outdegree, and a zero
+    # contribution row per node (keeps contribution-less nodes in the
+    # groupby without an outer join).
+    deg_schema = pa.schema([("src", pa.int64()), ("odeg", pa.int64())])
+
+    def _deg_rename(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return deg_schema.empty_table()
+        return batch.rename_columns(
+            ["odeg" if c == "count()" else c for c in batch.column_names]
+        )
+
+    outdeg = (
+        edges.groupby("src")
+        .count()
+        .map_batches(_deg_rename, batch_format="pyarrow")
+        .repartition(jp)  # launder aggregate empty blocks pre-join
+    )
+    edges_w = edges.join(outdeg, "inner", jp, on=("src",)).materialize()
+
+    zero_schema = pa.schema([("vec_id", pa.int64()), ("c", pa.int64())])
+
+    def _zeros(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(batch.column("vec_id").to_pylist(), pa.int64()),
+                "c": pa.array([0] * batch.num_rows, pa.int64()),
+            },
+            schema=zero_schema,
+        )
+
+    zeros = nodes.map_batches(_zeros, batch_format="pyarrow").materialize()
+
+    rank_schema = pa.schema([("vec_id", pa.int64()), ("pr", pa.int64())])
+
+    def _init(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(batch.column("vec_id").to_pylist(), pa.int64()),
+                "pr": pa.array([pr0] * batch.num_rows, pa.int64()),
+            },
+            schema=rank_schema,
+        )
+
+    ranks = nodes.map_batches(_init, batch_format="pyarrow").repartition(jp)
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        # Join folded the right key (src) into vec_id; per-edge rows.
+        if batch.num_rows == 0:
+            return zero_schema.empty_table()
+        import numpy as np
+
+        pr = batch.column("pr").to_numpy(zero_copy_only=False)
+        odeg = batch.column("odeg").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(
+                    batch.column("dst").to_pylist(), pa.int64()
+                ),
+                "c": pa.array(np.floor_divide(pr, odeg), pa.int64()),
+            },
+            schema=zero_schema,
+        )
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return rank_schema.empty_table()
+        import numpy as np
+
+        s = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        pr = base + np.floor_divide(PR_DAMP_NUM * s, PR_DAMP_DEN)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(batch.column("vec_id").to_pylist(), pa.int64()),
+                "pr": pa.array(pr, pa.int64()),
+            },
+            schema=rank_schema,
+        )
+
+    for _ in range(n_iter):
+        contribs = ranks.join(
+            edges_w, "inner", jp, on=("vec_id",), right_on=("src",)
+        ).map_batches(_contrib, batch_format="pyarrow")
+        ranks = (
+            contribs.union(zeros)
+            .groupby("vec_id")
+            .sum("c")
+            .map_batches(_apply, batch_format="pyarrow")
+            .repartition(jp)  # launder empties before the next join
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["pr_e12" if c == "pr" else c for c in batch.column_names]
+        )
+
+    return ranks.map_batches(_final, batch_format="pyarrow")

@@ -1187,3 +1187,40 @@ def test_bm25_topk_exact_integer_scores(ray_session, tmp_path):
     sat_d4 = (1_000_000 * 44 * a) // (20 * a + 6 * a + 18 * 1 * n)
     sat_d0_tf1 = (1_000_000 * 44 * a) // (20 * a + 6 * a + 18 * 4 * n)
     assert sat_d4 > sat_d0_tf1
+
+
+def test_graph_pagerank_hand_built_graph(ray_session):
+    """Integer-grid PageRank on an explicit graph: hub concentrates
+    rank, isolated node stays at the base term, values match an
+    independent driver-side recurrence exactly."""
+    import ray.data
+
+    from smart_ocr_ray.ops.graph import PR_SCALE, graph_pagerank
+
+    # 0→1, 1→2, 2→0 (cycle); 0→3, 1→3, 2→3 (hub 3); 4 isolated.
+    srcs = [0, 1, 2, 0, 1, 2]
+    dsts = [1, 2, 0, 3, 3, 3]
+    nodes = ray.data.from_items([{"vec_id": i} for i in range(5)])
+    edges = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in zip(srcs, dsts)]
+    )
+
+    n_iter, n = 3, 5
+    got = {
+        r["vec_id"]: r["pr_e12"]
+        for r in graph_pagerank("", n_iter=n_iter, edges=edges, nodes=nodes).take_all()
+    }
+
+    # Independent reference: plain dict/loop recurrence, same grid.
+    outdeg = {0: 2, 1: 2, 2: 2}
+    pr = {v: PR_SCALE // n for v in range(5)}
+    base = (15 * PR_SCALE) // (100 * n)
+    for _ in range(n_iter):
+        contrib = {v: 0 for v in range(5)}
+        for s, d in zip(srcs, dsts):
+            contrib[d] += pr[s] // outdeg[s]
+        pr = {v: base + (85 * contrib[v]) // 100 for v in range(5)}
+
+    assert got == pr
+    # Hub 3 outranks cycle members; isolated node 4 sits at the base.
+    assert got[3] > got[0] == got[1] == got[2] > got[4] == base
