@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_repetition": text_analysis.doc_repetition,
         "bm25_topk": text_analysis.bm25_topk,
+        "unigram_surprisal": text_analysis.unigram_surprisal,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1828,6 +1829,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
+        """,
+        "unigram_surprisal": """
+            -- Integer unigram-LM surprisal (ops/text_analysis.unigram_surprisal):
+            -- bits(t) = bit_length(A // cf(t)); per doc sum + e3 mean.
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), cf AS (
+              SELECT term, sum(tf) AS cf FROM tf GROUP BY term
+            ), tot AS (
+              SELECT CAST(sum(cf) AS BIGINT) AS a FROM cf
+            ), contrib AS (
+              SELECT tf.doc_id, tf.tf,
+                     tf.tf * length(to_base(CAST(t.a // cf.cf AS BIGINT), 2))
+                       AS bits
+              FROM tf JOIN cf USING (term) CROSS JOIN tot t
+            )
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+                   (1000 * CAST(sum(bits) AS BIGINT))
+                     // CAST(sum(tf) AS BIGINT) AS mean_bits_e3
+            FROM contrib GROUP BY doc_id
         """,
         "bm25_topk": """
             -- Exact-integer BM25, k1=6/5, b=3/4 (ops/text_analysis.bm25_topk):

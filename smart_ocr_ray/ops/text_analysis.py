@@ -597,6 +597,131 @@ def doc_repetition(sf_dir: str, line_tokens: int = 8) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
 
 
+def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Per-document unigram-LM surprisal — the CCNet-style
+    "perplexity filter" signal (docs whose tokens are rare under the
+    corpus language model score high and get routed to the tail
+    quality bucket), on an exact integer grid:
+
+      * per token t: ``bits(t) = bit_length(A // cf(t))`` where A is
+        the corpus token total and cf the token's corpus frequency —
+        an integer ⌊log2⌋+1 surrogate for −log p(t), exact on both
+        engines (numpy ``frexp`` exponent here, DuckDB
+        ``length(to_base(x, 2))`` in the oracle; exact below 2^53);
+      * per doc: ``surprisal_bits = Σ tf·bits``, ``n_tokens = Σ tf``,
+        ``mean_bits_e3 = (1000·surprisal_bits) // n_tokens``.
+
+    Scale shape: identical to ``tfidf_top_terms`` — (doc, term, tf)
+    rows, a vocabulary-sized corpus-frequency groupby joined back with
+    a distributed hash join (never broadcast: real-webtext vocabulary
+    is corpus-scale), then a per-doc integer-sum groupby. The single
+    driver scalar is A.
+    """
+    from collections import Counter
+
+    import numpy as np
+
+    from ..functions.textstats import _TOKEN_RE
+    from ..tuning import join_partitions as _jp
+    from .grouped import map_key_groups
+
+    jp = _jp()
+    docs = read_documents(sf_dir)
+
+    tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for term, tf in Counter(_TOKEN_RE.findall(t or "")).items():
+                ids.append(int(d))
+                terms.append(term)
+                tfs.append(tf)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            },
+            schema=tf_schema,
+        )
+
+    tf = docs.map_batches(_tf, batch_format="pyarrow")
+    a_total = int(tf.sum("tf") or 0)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("surprisal_bits", pa.int64()),
+            ("mean_bits_e3", pa.int64()),
+        ]
+    )
+    if a_total == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    cf_schema = pa.schema([("term", pa.string()), ("cf", pa.int64())])
+
+    def _cf_rename(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cf_schema.empty_table()
+        return batch.rename_columns(
+            ["cf" if c == "sum(tf)" else c for c in batch.column_names]
+        )
+
+    cf = (
+        tf.groupby("term")
+        .sum("tf")
+        .map_batches(_cf_rename, batch_format="pyarrow")
+        .repartition(jp)  # launder aggregate empty blocks pre-join
+    )
+
+    contrib_schema = pa.schema(
+        [("doc_id", pa.int64()), ("tf", pa.int64()), ("bits", pa.int64())]
+    )
+
+    def _bits(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return contrib_schema.empty_table()
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False)
+        cfv = batch.column("cf").to_numpy(zero_copy_only=False)
+        # bit_length via the frexp exponent: exact for ints < 2^53.
+        blen = np.frexp((a_total // cfv).astype(np.float64))[1].astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tf": batch.column("tf"),
+                "bits": pa.array(tfv * blen, pa.int64()),
+            },
+            schema=contrib_schema,
+        )
+
+    contrib = tf.join(cf, "inner", jp, on=("term",)).map_batches(
+        _bits, batch_format="pyarrow"
+    )
+
+    def _finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        n_tok = int(pa.compute.sum(group.column("tf")).as_py())
+        bits = int(pa.compute.sum(group.column("bits")).as_py())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                "n_tokens": pa.array([n_tok], pa.int64()),
+                "surprisal_bits": pa.array([bits], pa.int64()),
+                "mean_bits_e3": pa.array([(1000 * bits) // n_tok], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(contrib, "doc_id", _finish)
+
+
 BM25_QUERY_TERMS: tuple[str, ...] = ("join", "window", "scan")
 
 

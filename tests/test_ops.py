@@ -1224,3 +1224,36 @@ def test_graph_pagerank_hand_built_graph(ray_session):
     assert got == pr
     # Hub 3 outranks cycle members; isolated node 4 sits at the base.
     assert got[3] > got[0] == got[1] == got[2] > got[4] == base
+
+
+def test_unigram_surprisal_known_counts(ray_session, tmp_path):
+    """bits(t) = bit_length(A // cf): rare tokens carry more bits than
+    common ones; per-doc sums and the e3 mean match hand-computed
+    values; empty docs emit nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import unigram_surprisal
+
+    texts = ["a a b", "a c", ""]
+    sf = tmp_path / "ussf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    # A = 5; cf(a)=3, cf(b)=cf(c)=1.
+    # bits(a) = bitlen(5//3=1) = 1; bits(b) = bits(c) = bitlen(5) = 3.
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_bits"], r["mean_bits_e3"])
+        for r in unigram_surprisal(str(sf)).take_all()
+    }
+    assert got == {
+        0: (3, 2 * 1 + 3, (1000 * 5) // 3),   # "a a b"
+        1: (2, 1 + 3, (1000 * 4) // 2),        # "a c"
+    }
