@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "substring_dedup": dedup.substring_dedup,
         # --- similarity search ---
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -1829,6 +1830,40 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
+        """,
+        "substring_dedup": """
+            -- Sliding 13-token repeated-substring coverage
+            -- (ops/dedup.substring_dedup): hot = window md5 in >= 2
+            -- distinct docs; covered = union of [pos, pos+13) spans
+            -- via the sorted-gap identity 13 + sum(least(gap, 13)).
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), win AS (
+              SELECT doc_id, len(toks) AS dl, CAST(g.i AS BIGINT) AS pos,
+                     md5(array_to_string(
+                       list_slice(toks, g.i + 1, g.i + 13), ' ')) AS wkey
+              FROM tok, unnest(range(0, len(toks) - 12)) AS g(i)
+            ), hot AS (
+              SELECT wkey FROM win
+              GROUP BY wkey HAVING count(DISTINCT doc_id) >= 2
+            ), hw AS (
+              SELECT w.doc_id, w.dl, w.pos,
+                     lag(w.pos) OVER (
+                       PARTITION BY w.doc_id ORDER BY w.pos) AS prev
+              FROM win w JOIN hot USING (wkey)
+            )
+            SELECT doc_id,
+                   max(dl) AS n_tokens,
+                   max(dl) - 12 AS n_windows,
+                   count(*) AS n_hot_windows,
+                   CAST(sum(CASE WHEN prev IS NULL THEN 13
+                                 ELSE least(pos - prev, 13) END) AS BIGINT)
+                     AS covered_tokens,
+                   (1000000 * CAST(sum(CASE WHEN prev IS NULL THEN 13
+                                            ELSE least(pos - prev, 13) END)
+                                   AS BIGINT)) // max(dl) AS coverage_e6
+            FROM hw GROUP BY doc_id
         """,
         "unigram_surprisal": """
             -- Integer unigram-LM surprisal (ops/text_analysis.unigram_surprisal):

@@ -809,3 +809,129 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
         )
 
     return joined.map_batches(_verdict, batch_format="pyarrow")
+
+
+def substring_dedup(
+    sf_dir: str, window_tokens: int = 13, min_docs: int = 2
+) -> ray.data.Dataset:
+    """Exact repeated-substring detection (the sliding-window variant
+    of "Deduplicating Training Data Makes Language Models Better" —
+    Lee et al. 2022, arXiv:2107.06499, which removes verbatim spans
+    repeated across a corpus): every ``window_tokens``-token SLIDING
+    window (stride 1, unlike ``line_dedup``'s disjoint windows) is
+    keyed by its md5; a window text occurring in >= ``min_docs``
+    DISTINCT documents is "hot", and each affected document reports
+    how much of it is covered by hot spans.
+
+    Output, one row per document with at least one hot window:
+    (doc_id, n_tokens, n_windows, n_hot_windows, covered_tokens,
+    coverage_e6) where covered_tokens is the size of the UNION of the
+    hot [pos, pos+w) intervals (exact: w + Σ min(gap, w) over sorted
+    starts) and coverage_e6 = (1e6·covered) // n_tokens.
+
+    Scale shape (mirrors ``line_dedup``): the window table is
+    O(corpus tokens) rows of (doc_id, dl, pos, 16-byte md5) — document
+    text never enters the shuffle; ONE ``sort(wkey)`` co-locates each
+    window's rows and a vectorized block pass tags hotness in place
+    (``np.add.reduceat`` over group bounds — no per-group UDF, no
+    second shuffle, no hot-set join; a boilerplate-heavy crawl's hot
+    set is itself corpus-scale and never materializes); the surviving
+    hot rows — only duplicates — flow through one ``map_key_groups``
+    per-doc coverage pass.
+    """
+    from ..functions.textstats import _TOKEN_RE, content_md5
+    from .grouped import group_bounds, map_key_groups
+    from .text_analysis import read_documents as _read_docs
+
+    w = window_tokens
+    docs = _read_docs(sf_dir)
+
+    win_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("dl", pa.int64()),
+            ("pos", pa.int64()),
+            ("wkey", pa.string()),
+        ]
+    )
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        ids, dls, poss, keys = [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(t or "")
+            dl = len(toks)
+            for i in range(dl - w + 1):
+                ids.append(int(d))
+                dls.append(dl)
+                poss.append(i)
+                keys.append(content_md5(" ".join(toks[i : i + w])))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "wkey": pa.array(keys, pa.string()),
+            },
+            schema=win_schema,
+        )
+
+    wins = docs.map_batches(_windows, batch_format="pyarrow")
+
+    def _tag_block(block: pa.Table) -> pa.Table:
+        """Hot-tag one wkey-sorted block, then drop the cold rows.
+        Global sort is on wkey ALONE (range-partitioned sort only
+        co-locates full key tuples); doc_id sub-order is restored
+        block-locally for the distinct-doc count."""
+        if block.num_rows == 0:
+            return win_schema.empty_table()
+        block = block.sort_by(
+            [("wkey", "ascending"), ("doc_id", "ascending")]
+        ).combine_chunks()
+        n = block.num_rows
+        key_bounds = group_bounds(block, ["wkey"])
+        pair_bounds = group_bounds(block, ["wkey", "doc_id"])
+        new_pair = np.zeros(n, dtype=np.int64)
+        new_pair[pair_bounds[:-1]] = 1
+        docs_per_key = np.add.reduceat(new_pair, key_bounds[:-1])
+        sizes = np.diff(key_bounds)
+        is_hot = np.repeat(docs_per_key >= min_docs, sizes)
+        return block.filter(pa.array(is_hot))
+
+    hot = wins.sort("wkey").map_batches(
+        _tag_block, batch_format="pyarrow", batch_size=None
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_windows", pa.int64()),
+            ("n_hot_windows", pa.int64()),
+            ("covered_tokens", pa.int64()),
+            ("coverage_e6", pa.int64()),
+        ]
+    )
+
+    def _coverage(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        pos = np.sort(group.column("pos").to_numpy(zero_copy_only=False))
+        dl = int(group.column("dl")[0].as_py())
+        covered = w + int(np.minimum(np.diff(pos), w).sum())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                "n_tokens": pa.array([dl], pa.int64()),
+                "n_windows": pa.array([dl - w + 1], pa.int64()),
+                "n_hot_windows": pa.array([len(pos)], pa.int64()),
+                "covered_tokens": pa.array([covered], pa.int64()),
+                "coverage_e6": pa.array(
+                    [(1_000_000 * covered) // dl], pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(hot, "doc_id", _coverage)

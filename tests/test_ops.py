@@ -1257,3 +1257,46 @@ def test_unigram_surprisal_known_counts(ray_session, tmp_path):
         0: (3, 2 * 1 + 3, (1000 * 5) // 3),   # "a a b"
         1: (2, 1 + 3, (1000 * 4) // 2),        # "a c"
     }
+
+
+def test_substring_dedup_sliding_coverage(ray_session, tmp_path):
+    """Sliding-window repeated-substring detection: cross-doc spans are
+    hot, overlapping hot windows union into one covered interval, docs
+    without repeats are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import substring_dedup
+
+    texts = [
+        "x y z k1 k2 k3 k4",        # doc 0: shares "x y z" with doc 1
+        "q r x y z s t",            # doc 1
+        "unique tokens only here",  # doc 2: no repeats -> absent
+        "a b c d e f",              # docs 3/4 share 3 overlapping windows
+        "a b c d e zz",
+    ]
+    sf = tmp_path / "sssf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_windows"], r["n_hot_windows"],
+            r["covered_tokens"], r["coverage_e6"],
+        )
+        for r in substring_dedup(str(sf), window_tokens=3).take_all()
+    }
+    assert got == {
+        0: (7, 5, 1, 3, 3_000_000 // 7),
+        1: (7, 5, 1, 3, 3_000_000 // 7),
+        # Overlapping hot windows at pos 0,1,2 union to [0,5): 5 tokens.
+        3: (6, 4, 3, 5, 5_000_000 // 6),
+        4: (6, 4, 3, 5, 5_000_000 // 6),
+    }
