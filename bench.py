@@ -174,7 +174,13 @@ def run_bench() -> dict:
         timed("doc_quality", text_analysis.quality)
         timed("domain_stats", text_analysis.domain_stats)
         timed("line_dedup", dedup.line_dedup)
+        timed("substring_dedup", dedup.substring_dedup)
         timed("tfidf_top_terms", text_analysis.tfidf_top_terms)
+        timed("bm25_topk", text_analysis.bm25_topk)
+
+        from smart_ocr_ray.ops.graph import graph_pagerank
+
+        timed("graph_pagerank", graph_pagerank)
         timed("pricing_summary", relational.pricing_summary)
         timed("events_hourly", relational.events_hourly)
         timed("supplier_part_counts", relational.supplier_part_counts)

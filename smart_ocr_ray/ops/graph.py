@@ -20,12 +20,22 @@ import ray.data
 PR_SCALE = 10**12  # rank grid (1e-12); damping = 85/100 exactly
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
+# Below this edge count the power iteration runs driver-local on numpy
+# int64 (identical recurrence, bit-identical output): a rank vector +
+# edge list this small costs less than ONE distributed join's fixed
+# overhead (~1 s/wide-op on this box; measured 15 s of pure overhead
+# for 3 iterations over 2.5k edges). The distributed join loop below
+# is the scale path and is pinned by the same test through both
+# branches.
+LOCAL_ITER_MAX_EDGES = 2**21
+
 
 def graph_pagerank(
     sf_dir: str,
     n_iter: int = 3,
     edges: ray.data.Dataset | None = None,
     nodes: ray.data.Dataset | None = None,
+    local_max_edges: int = LOCAL_ITER_MAX_EDGES,
 ) -> ray.data.Dataset:
     """Integer-grid PageRank over the directed approximate k-NN graph
     (``similarity.embedding_knn_graph``): per node, its rank after
@@ -86,6 +96,10 @@ def graph_pagerank(
         )
     base = (15 * PR_SCALE) // (100 * n_nodes)
     pr0 = PR_SCALE // n_nodes
+
+    edges = edges.materialize()
+    if edges.count() <= local_max_edges:
+        return _pagerank_local(nodes, edges, n_nodes, n_iter, base, pr0)
 
     # Static per-iteration inputs, materialized once (k-NN-graph-sized,
     # not corpus-sized): edges carrying their src outdegree, and a zero
@@ -185,3 +199,48 @@ def graph_pagerank(
         )
 
     return ranks.map_batches(_final, batch_format="pyarrow")
+
+
+def _pagerank_local(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    n_nodes: int,
+    n_iter: int,
+    base: int,
+    pr0: int,
+) -> ray.data.Dataset:
+    """Driver-local power iteration for small graphs: the identical
+    integer recurrence on dense numpy int64 (np.add.at accumulation is
+    exact — no float ever enters), bit-identical to the distributed
+    join loop (asserted by the pytest hand-graph test through both
+    branches)."""
+    import numpy as np
+
+    node_ids = np.sort(
+        np.fromiter(
+            (r["vec_id"] for r in nodes.take_all()), dtype=np.int64, count=n_nodes
+        )
+    )
+    edge_rows = edges.take_all()
+    src = np.fromiter((r["src"] for r in edge_rows), dtype=np.int64)
+    dst = np.fromiter((r["dst"] for r in edge_rows), dtype=np.int64)
+    si = np.searchsorted(node_ids, src)
+    di = np.searchsorted(node_ids, dst)
+    odeg = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(odeg, si, 1)
+
+    pr = np.full(n_nodes, pr0, dtype=np.int64)
+    for _ in range(n_iter):
+        contrib = np.zeros(n_nodes, dtype=np.int64)
+        if len(si):
+            np.add.at(contrib, di, pr[si] // odeg[si])
+        pr = base + (PR_DAMP_NUM * contrib) // PR_DAMP_DEN
+
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(node_ids, pa.int64()),
+                "pr_e12": pa.array(pr, pa.int64()),
+            }
+        )
+    )

@@ -1210,6 +1210,14 @@ def test_graph_pagerank_hand_built_graph(ray_session):
         r["vec_id"]: r["pr_e12"]
         for r in graph_pagerank("", n_iter=n_iter, edges=edges, nodes=nodes).take_all()
     }
+    # Force the distributed join loop (local_max_edges=0): bit-identical.
+    got_dist = {
+        r["vec_id"]: r["pr_e12"]
+        for r in graph_pagerank(
+            "", n_iter=n_iter, edges=edges, nodes=nodes, local_max_edges=0
+        ).take_all()
+    }
+    assert got == got_dist
 
     # Independent reference: plain dict/loop recurrence, same grid.
     outdeg = {0: 2, 1: 2, 2: 2}
