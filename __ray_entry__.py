@@ -585,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_clusters": similarity.embedding_neardup_clusters,
         "embedding_knn_graph": similarity.embedding_knn_graph,
         "embedding_kmeans": similarity.embedding_kmeans,
+        "semdedup_sample": similarity.semdedup_sample,
         "graph_pagerank": graph.graph_pagerank,
         # --- relational / windowed ---
         "pricing_summary": relational.pricing_summary,
@@ -1154,6 +1155,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, ci AS cluster,
                    CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_e6
             FROM klabel WHERE rn = 1
+        """,
+        "semdedup_sample": "WITH " + _kmeans_sql() + """,
+            labeled AS (
+              SELECT vec_id, ci AS cluster,
+                     CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_e6
+              FROM klabel WHERE rn = 1
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY cos_sim_e6 DESC, vec_id ASC) AS rnk
+              FROM labeled
+            )
+            SELECT cluster, rnk, vec_id, cos_sim_e6
+            FROM ranked WHERE rnk <= 10
         """,
         "embedding_neardup_clusters": "WITH RECURSIVE " + _hyperplane_lsh_sql() + """,
             p2 AS (SELECT left_id, right_id FROM lsh_pairs WHERE cos_sim_e3 >= 450),

@@ -756,3 +756,62 @@ def embedding_kmeans(
         )
 
     return emb.map_batches(_label, batch_format="pyarrow")
+
+
+def semdedup_sample(sf_dir: str, m: int = 10) -> ray.data.Dataset:
+    """SemDeDup-style diversity sampling (Abbas et al. 2023,
+    arXiv:2303.09540): after spherical k-means partitions the embedding
+    corpus, keep the ``m`` most-central vectors per cluster — the
+    per-cluster representative subset semantic-dedup pipelines feed to
+    training mixes (the full method drops near-identical members; the
+    centrality top-m is its deterministic, oracle-checkable core).
+
+    Ranking within a cluster: cos_sim_e6 desc, vec_id asc — both on
+    ``embedding_kmeans``' exact integer grid, so the SQL oracle (the
+    kmeans CTE chain + a row_number window) is bit-identical.
+
+    Scale shape: inherits kmeans' streaming passes (corpus never
+    shuffles during clustering); the sampling itself moves only
+    O(clusters·m) rows — a lossless per-block top-m combiner runs
+    BEFORE the single small shuffle, the final rank via
+    ``map_key_groups``.
+    """
+    from .grouped import block_topk, map_key_groups
+
+    labeled = embedding_kmeans(sf_dir)
+
+    out_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("rnk", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("cos_sim_e6", pa.int64()),
+        ]
+    )
+
+    def _topm(tbl: pa.Table, *, ranked: bool) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table() if ranked else tbl
+        tbl = tbl.combine_chunks()
+        cl = tbl.column("cluster").to_numpy(zero_copy_only=False)
+        sim = tbl.column("cos_sim_e6").to_numpy(zero_copy_only=False)
+        vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        # cluster asc; within: cos_sim desc, vec_id asc.
+        take, ranks = block_topk(cl, (vid, -sim), m)
+        out = tbl.take(pa.array(take))
+        if not ranked:
+            return out
+        return pa.Table.from_pydict(
+            {
+                "cluster": out.column("cluster"),
+                "rnk": pa.array(ranks, pa.int64()),
+                "vec_id": out.column("vec_id"),
+                "cos_sim_e6": out.column("cos_sim_e6"),
+            },
+            schema=out_schema,
+        )
+
+    partial = labeled.map_batches(
+        lambda b: _topm(b, ranked=False), batch_format="pyarrow"
+    )
+    return map_key_groups(partial, "cluster", lambda g: _topm(g, ranked=True))

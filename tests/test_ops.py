@@ -1308,3 +1308,36 @@ def test_substring_dedup_sliding_coverage(ray_session, tmp_path):
         3: (6, 4, 3, 5, 5_000_000 // 6),
         4: (6, 4, 3, 5, 5_000_000 // 6),
     }
+
+
+def test_semdedup_sample_contract(ray_session):
+    """Per-cluster top-m centrality sample: consistent with the kmeans
+    labeling, ranks 1..n_m consecutive per cluster, ordered by
+    cos_sim_e6 desc with vec_id tie-break, never more than m rows."""
+    from smart_ocr_ray.ops.similarity import embedding_kmeans, semdedup_sample
+
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r["vec_id"]: (r["cluster"], r["cos_sim_e6"])
+        for r in embedding_kmeans(sf).take_all()
+    }
+    by_cluster = {}
+    for r in semdedup_sample(sf, m=10).take_all():
+        by_cluster.setdefault(r["cluster"], []).append(r)
+
+    for cl, rows in by_cluster.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert len(rows) <= 10
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        # Members carry the kmeans labeling verbatim.
+        for r in rows:
+            assert labels[r["vec_id"]] == (cl, r["cos_sim_e6"])
+        # Ordered by centrality desc, vec_id asc.
+        keys = [(-r["cos_sim_e6"], r["vec_id"]) for r in rows]
+        assert keys == sorted(keys)
+        # The rank-1 row is the true argmax of the full cluster.
+        best = min(
+            (v for v in labels.items() if v[1][0] == cl),
+            key=lambda v: (-v[1][1], v[0]),
+        )
+        assert rows[0]["vec_id"] == best[0]
