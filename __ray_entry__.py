@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": text_analysis.doc_repetition,
         "bm25_topk": text_analysis.bm25_topk,
         "unigram_surprisal": text_analysis.unigram_surprisal,
+        "token_packing": text_analysis.token_packing,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1846,6 +1847,28 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
+        """,
+        "token_packing": """
+            -- Concat-and-chunk sequence packing (ops/text_analysis.
+            -- token_packing): docs concatenated in doc_id order, sliced
+            -- into 512-token windows; prefix sums are exact integers.
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_tok
+              FROM t
+            )
+            SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS first_window,
+                   CAST((start_tok + n_tokens - 1) // 512 AS BIGINT)
+                     AS last_window
+            FROM c
         """,
         "substring_dedup": """
             -- Sliding 13-token repeated-substring coverage

@@ -865,3 +865,103 @@ def bm25_topk(
         _block_topk, batch_format="pyarrow"
     )
     return scored.sort(["score_e6", "doc_id"], descending=[True, False]).limit(k)
+
+
+def token_packing(
+    sf_dir: str, budget: int = 512, bucket: int = 4096
+) -> ray.data.Dataset:
+    """GPT-style sequence packing (concat-and-chunk): documents are
+    concatenated in doc_id order and sliced into fixed ``budget``-token
+    training windows; per document, report where its tokens land —
+    (doc_id, n_tokens, start_tok, first_window, last_window). This is
+    the placement map an LLM pretraining loader materializes before
+    writing packed shards (boundary-crossing docs =
+    ``last_window > first_window``).
+
+    The core primitive is a DISTRIBUTED PREFIX SUM, expressed as
+    two-level aggregation instead of a sequential scan:
+
+      1. one streaming pass emits (doc_id, g = doc_id // bucket,
+         n_tokens) for non-empty docs;
+      2. a bucket-sum groupby reduces to corpus/bucket rows; only
+         those reach the driver, which prefix-sums them in g order and
+         broadcasts the per-bucket start offsets (``ray.put`` once);
+      3. one ``map_key_groups`` pass per bucket sorts its ≤``bucket``
+         docs by doc_id, local-cumsums, and adds the bucket offset.
+
+    Exact and deterministic at any parallelism: token counts are
+    integers, bucket boundaries are pure doc_id arithmetic. Driver
+    state is O(n_docs / bucket) ints — raise ``bucket`` for trillion-
+    row corpora.
+    """
+    import numpy as np
+
+    from ..functions.textstats import _TOKEN_RE
+    from .grouped import map_key_groups
+
+    docs = read_documents(sf_dir)
+
+    tok_schema = pa.schema(
+        [("doc_id", pa.int64()), ("g", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        ids, gs, ns = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            n = len(_TOKEN_RE.findall(t or ""))
+            if n:
+                ids.append(int(d))
+                gs.append(int(d) // bucket)
+                ns.append(n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "g": pa.array(gs, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+            },
+            schema=tok_schema,
+        )
+
+    toks = docs.map_batches(_tok, batch_format="pyarrow")
+
+    bucket_rows = sorted(
+        toks.groupby("g").sum("n_tokens").take_all(), key=lambda r: r["g"]
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    for r in bucket_rows:
+        offsets[int(r["g"])] = running
+        running += int(r["sum(n_tokens)"])
+    offsets_ref = ray.put(offsets)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("first_window", pa.int64()),
+            ("last_window", pa.int64()),
+        ]
+    )
+
+    def _pack(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        group = group.sort_by([("doc_id", "ascending")]).combine_chunks()
+        off = ray.get(offsets_ref)[int(group.column("g")[0].as_py())]
+        n = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        start = off + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": group.column("doc_id"),
+                "n_tokens": group.column("n_tokens"),
+                "start_tok": pa.array(start, pa.int64()),
+                "first_window": pa.array(start // budget, pa.int64()),
+                "last_window": pa.array((start + n - 1) // budget, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(toks, "g", _pack)

@@ -1341,3 +1341,49 @@ def test_semdedup_sample_contract(ray_session):
             key=lambda v: (-v[1][1], v[0]),
         )
         assert rows[0]["vec_id"] == best[0]
+
+
+def test_token_packing_distributed_prefix_sum(ray_session, tmp_path):
+    """Concat-and-chunk packing: global prefix sums are exact across
+    bucket boundaries (bucket=3 forces multi-bucket offsets), empty
+    docs vanish without consuming positions, window spans follow
+    floor arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import token_packing
+
+    # token counts per doc: 3, 4, 0 (empty), 7, 2, 6, 1
+    texts = [
+        "a b c", "d e f g", "", "h i j k l m n", "o p", "q r s t u v", "w",
+    ]
+    sf = tmp_path / "tpsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    budget = 5
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_tok"], r["first_window"], r["last_window"]
+        )
+        for r in token_packing(str(sf), budget=budget, bucket=3).take_all()
+    }
+    # Reference: sequential scan over non-empty docs in doc_id order.
+    want, cum = {}, 0
+    for d, t in enumerate(texts):
+        n = len(t.split())
+        if not n:
+            continue
+        want[d] = (n, cum, cum // budget, (cum + n - 1) // budget)
+        cum += n
+    assert got == want
+    assert 2 not in got  # the empty doc holds no window position
+    # Doc 3 (7 tokens starting at 7) spans windows 1..2.
+    assert got[3] == (7, 7, 1, 2)
