@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": text_analysis.bm25_topk,
         "unigram_surprisal": text_analysis.unigram_surprisal,
         "token_packing": text_analysis.token_packing,
+        "mixture_weights": text_analysis.mixture_weights,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1847,6 +1848,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
+        """,
+        "mixture_weights": """
+            -- Uniform-target source reweighting (ops/text_analysis.
+            -- mixture_weights): weight_e6 = (1e6*total)//(n_sources*n).
+            WITH c AS (
+              SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+            ), t AS (
+              SELECT count(*) AS n_sources, sum(n_docs) AS total FROM c
+            )
+            SELECT c.source, c.n_docs,
+                   CAST((1000000 * t.total) // (t.n_sources * c.n_docs)
+                        AS BIGINT) AS weight_e6
+            FROM c CROSS JOIN t
         """,
         "token_packing": """
             -- Concat-and-chunk sequence packing (ops/text_analysis.

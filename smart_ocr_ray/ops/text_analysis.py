@@ -965,3 +965,48 @@ def token_packing(
         )
 
     return map_key_groups(toks, "g", _pack)
+
+
+def mixture_weights(sf_dir: str) -> ray.data.Dataset:
+    """Per-source data-mixing weights: the up/down-sampling factor
+    that rebalances the corpus to a uniform-over-sources target mix
+    (the "data mixture" step pretraining recipes apply after quality
+    filtering — Pile/Dolma-style source reweighting, with uniform as
+    the deterministic oracle-checkable target):
+
+        weight_e6(s) = (1e6 · total_docs) // (n_sources · n_docs(s))
+
+    — >1e6 means up-sample, <1e6 down-sample, exact integers on both
+    engines.
+
+    Scale shape: one groupby(source) count (the per-domain table —
+    domain-sized, stays a Dataset); the only driver state is two ints
+    (total docs, source count); the weight map is a streaming
+    ``map_batches`` over the counts table.
+    """
+    docs = read_documents(sf_dir)
+    counts = docs.groupby("source").count()
+    n_sources = counts.count()
+    total = int(counts.sum("count()") or 0)
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()), ("weight_e6", pa.int64())]
+    )
+
+    def _weight(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        import numpy as np
+
+        n = batch.column("count()").to_numpy(zero_copy_only=False)
+        w = np.floor_divide(1_000_000 * total, n_sources * n)
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(n, pa.int64()),
+                "weight_e6": pa.array(w, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return counts.map_batches(_weight, batch_format="pyarrow")

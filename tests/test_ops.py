@@ -1282,6 +1282,7 @@ def test_substring_dedup_sliding_coverage(ray_session, tmp_path):
         "unique tokens only here",  # doc 2: no repeats -> absent
         "a b c d e f",              # docs 3/4 share 3 overlapping windows
         "a b c d e zz",
+        "too short",                # doc 5: fewer tokens than the window
     ]
     sf = tmp_path / "sssf"; sf.mkdir()
     pq.write_table(
@@ -1387,3 +1388,59 @@ def test_token_packing_distributed_prefix_sum(ray_session, tmp_path):
     assert 2 not in got  # the empty doc holds no window position
     # Doc 3 (7 tokens starting at 7) spans windows 1..2.
     assert got[3] == (7, 7, 1, 2)
+
+
+def test_mixture_weights_uniform_target(ray_session, tmp_path):
+    """Uniform-over-sources reweighting: weight_e6 = (1e6*total) //
+    (n_sources*n_docs); scarce sources up-sample (>1e6), dominant ones
+    down-sample (<1e6), exact integers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import mixture_weights
+
+    sources = ["big"] * 6 + ["mid"] * 3 + ["rare"]
+    sf = tmp_path / "mwsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(sources)), pa.int64()),
+            "text": pa.array(["tok"] * len(sources)),
+            "lang": pa.array(["en"] * len(sources)),
+            "source": pa.array(sources),
+            "n_chars": pa.array([3] * len(sources), pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["weight_e6"])
+        for r in mixture_weights(str(sf)).take_all()
+    }
+    # total=10, n_sources=3 → weight = 1e7 // (3*n)
+    assert got == {
+        "big": (6, 10_000_000 // 18),
+        "mid": (3, 10_000_000 // 9),
+        "rare": (1, 10_000_000 // 3),
+    }
+    assert got["big"][1] < 1_000_000 < got["rare"][1]
+
+
+def test_bm25_topk_no_hits_empty(ray_session, tmp_path):
+    """A corpus containing none of the query terms returns no rows
+    (df=0 terms contribute nothing rather than dividing by zero)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bm25_topk
+
+    sf = tmp_path / "bmnone"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma delta"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([10, 11], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    assert bm25_topk(str(sf)).take_all() == []
