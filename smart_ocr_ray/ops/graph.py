@@ -14,6 +14,7 @@ order-independent, which a float PageRank is not.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -79,12 +80,7 @@ def graph_pagerank(
 
         def _to_edges(batch: pa.Table) -> pa.Table:
             return pa.Table.from_pydict(
-                {
-                    "src": pa.array(
-                        batch.column("vec_id").to_pylist(), pa.int64()
-                    ),
-                    "dst": pa.array(batch.column("nbr").to_pylist(), pa.int64()),
-                }
+                {"src": batch.column("vec_id"), "dst": batch.column("nbr")}
             )
 
         edges = knn.map_batches(_to_edges, batch_format="pyarrow")
@@ -105,21 +101,9 @@ def graph_pagerank(
     # not corpus-sized): edges carrying their src outdegree, and a zero
     # contribution row per node (keeps contribution-less nodes in the
     # groupby without an outer join).
-    deg_schema = pa.schema([("src", pa.int64()), ("odeg", pa.int64())])
+    from .grouped import rename_agg
 
-    def _deg_rename(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return deg_schema.empty_table()
-        return batch.rename_columns(
-            ["odeg" if c == "count()" else c for c in batch.column_names]
-        )
-
-    outdeg = (
-        edges.groupby("src")
-        .count()
-        .map_batches(_deg_rename, batch_format="pyarrow")
-        .repartition(jp)  # launder aggregate empty blocks pre-join
-    )
+    outdeg = rename_agg(edges.groupby("src").count(), {"count()": "odeg"}, jp)
     edges_w = edges.join(outdeg, "inner", jp, on=("src",)).materialize()
 
     zero_schema = pa.schema([("vec_id", pa.int64()), ("c", pa.int64())])
@@ -127,8 +111,8 @@ def graph_pagerank(
     def _zeros(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "vec_id": pa.array(batch.column("vec_id").to_pylist(), pa.int64()),
-                "c": pa.array([0] * batch.num_rows, pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "c": pa.array(np.zeros(batch.num_rows, dtype=np.int64), pa.int64()),
             },
             schema=zero_schema,
         )
@@ -140,8 +124,10 @@ def graph_pagerank(
     def _init(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
-                "vec_id": pa.array(batch.column("vec_id").to_pylist(), pa.int64()),
-                "pr": pa.array([pr0] * batch.num_rows, pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "pr": pa.array(
+                    np.full(batch.num_rows, pr0, dtype=np.int64), pa.int64()
+                ),
             },
             schema=rank_schema,
         )
@@ -152,15 +138,11 @@ def graph_pagerank(
         # Join folded the right key (src) into vec_id; per-edge rows.
         if batch.num_rows == 0:
             return zero_schema.empty_table()
-        import numpy as np
-
         pr = batch.column("pr").to_numpy(zero_copy_only=False)
         odeg = batch.column("odeg").to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict(
             {
-                "vec_id": pa.array(
-                    batch.column("dst").to_pylist(), pa.int64()
-                ),
+                "vec_id": batch.column("dst"),
                 "c": pa.array(np.floor_divide(pr, odeg), pa.int64()),
             },
             schema=zero_schema,
@@ -169,13 +151,11 @@ def graph_pagerank(
     def _apply(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return rank_schema.empty_table()
-        import numpy as np
-
         s = batch.column("sum(c)").to_numpy(zero_copy_only=False)
         pr = base + np.floor_divide(PR_DAMP_NUM * s, PR_DAMP_DEN)
         return pa.Table.from_pydict(
             {
-                "vec_id": pa.array(batch.column("vec_id").to_pylist(), pa.int64()),
+                "vec_id": batch.column("vec_id"),
                 "pr": pa.array(pr, pa.int64()),
             },
             schema=rank_schema,
@@ -213,9 +193,11 @@ def _pagerank_local(
     integer recurrence on dense numpy int64 (np.add.at accumulation is
     exact — no float ever enters), bit-identical to the distributed
     join loop (asserted by the pytest hand-graph test through both
-    branches)."""
-    import numpy as np
-
+    branches). Edges must reference node ids from ``nodes`` — a
+    malformed edge list raises here rather than silently crediting
+    the wrong node (the distributed branch would instead drop unknown
+    srcs / emit phantom dst rows, so strictness keeps the two
+    branches from diverging quietly)."""
     node_ids = np.sort(
         np.fromiter(
             (r["vec_id"] for r in nodes.take_all()), dtype=np.int64, count=n_nodes
@@ -226,6 +208,13 @@ def _pagerank_local(
     dst = np.fromiter((r["dst"] for r in edge_rows), dtype=np.int64)
     si = np.searchsorted(node_ids, src)
     di = np.searchsorted(node_ids, dst)
+    if len(src) and not (
+        (si < n_nodes).all()
+        and (di < n_nodes).all()
+        and (node_ids[np.minimum(si, n_nodes - 1)] == src).all()
+        and (node_ids[np.minimum(di, n_nodes - 1)] == dst).all()
+    ):
+        raise ValueError("pagerank edges reference ids absent from nodes")
     odeg = np.zeros(n_nodes, dtype=np.int64)
     np.add.at(odeg, si, 1)
 

@@ -126,3 +126,22 @@ def map_key_groups(
         batch_size=None,
         **map_batches_kwargs,
     )
+
+
+def rename_agg(
+    ds: ray.data.Dataset, renames: dict[str, str], launder_partitions: int
+) -> ray.data.Dataset:
+    """Rename aggregate output columns (``count()`` / ``sum(x)``) and
+    repartition to launder the schema-less empty blocks Ray 2.49
+    aggregates emit (they break downstream joins with ArrowInvalid
+    FieldRef — see ops/dedup.cluster_pairs). One home for the
+    workaround instead of a per-op copy."""
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [renames.get(c, c) for c in batch.column_names]
+        )
+
+    return ds.map_batches(_rename, batch_format="pyarrow").repartition(
+        launder_partitions
+    )

@@ -455,18 +455,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
     tf = docs.map_batches(_tf, batch_format="pyarrow")
 
-    def _df_rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["df" if c == "count()" else c for c in batch.column_names]
-        )
+    from .grouped import rename_agg
 
     # One row per distinct (doc, term) ⇒ count() == distinct docs.
-    df = (
-        tf.groupby("term")
-        .count()
-        .map_batches(_df_rename, batch_format="pyarrow")
-        .repartition(jp)  # launder aggregate empty blocks pre-join
-    )
+    df = rename_agg(tf.groupby("term").count(), {"count()": "df"}, jp)
 
     scored_schema = pa.schema(
         [
@@ -651,7 +643,14 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
         )
 
     tf = docs.map_batches(_tf, batch_format="pyarrow")
-    a_total = int(tf.sum("tf") or 0)
+
+    # Materialize the vocabulary-sized cf table once: A derives from it
+    # (Σcf = Σtf) without a separate corpus pass, and the join below
+    # reads it from the object store instead of re-running the groupby.
+    from .grouped import rename_agg
+
+    cf = rename_agg(tf.groupby("term").sum("tf"), {"sum(tf)": "cf"}, jp).materialize()
+    a_total = int(cf.sum("cf") or 0)
 
     out_schema = pa.schema(
         [
@@ -663,22 +662,6 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     )
     if a_total == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-
-    cf_schema = pa.schema([("term", pa.string()), ("cf", pa.int64())])
-
-    def _cf_rename(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return cf_schema.empty_table()
-        return batch.rename_columns(
-            ["cf" if c == "sum(tf)" else c for c in batch.column_names]
-        )
-
-    cf = (
-        tf.groupby("term")
-        .sum("tf")
-        .map_batches(_cf_rename, batch_format="pyarrow")
-        .repartition(jp)  # launder aggregate empty blocks pre-join
-    )
 
     contrib_schema = pa.schema(
         [("doc_id", pa.int64()), ("tf", pa.int64()), ("bits", pa.int64())]
@@ -924,17 +907,36 @@ def token_packing(
             schema=tok_schema,
         )
 
-    toks = docs.map_batches(_tok, batch_format="pyarrow")
+    # Materialized: (doc_id, g, n_tokens) is three int64s per doc —
+    # tiny next to the text — and both the bucket-sum pass and the
+    # packing pass read it, so the corpus is tokenized exactly once.
+    toks = docs.map_batches(_tok, batch_format="pyarrow").materialize()
 
     bucket_rows = sorted(
         toks.groupby("g").sum("n_tokens").take_all(), key=lambda r: r["g"]
     )
-    offsets: dict[int, int] = {}
-    running = 0
-    for r in bucket_rows:
-        offsets[int(r["g"])] = running
-        running += int(r["sum(n_tokens)"])
-    offsets_ref = ray.put(offsets)
+    off_keys = np.fromiter((r["g"] for r in bucket_rows), dtype=np.int64)
+    off_vals = np.concatenate(
+        (
+            [0],
+            np.cumsum(
+                np.fromiter(
+                    (r["sum(n_tokens)"] for r in bucket_rows), dtype=np.int64
+                )
+            )[:-1],
+        )
+    ) if len(bucket_rows) else np.zeros(0, dtype=np.int64)
+    offsets_ref = ray.put((off_keys, off_vals))
+
+    def _add_off(batch: pa.Table) -> pa.Table:
+        # Vectorized bucket-offset lookup, one ray.get per BATCH (not
+        # per group): searchsorted against the sorted bucket keys.
+        keys, vals = ray.get(offsets_ref)
+        g = batch.column("g").to_numpy(zero_copy_only=False)
+        off = vals[np.searchsorted(keys, g)]
+        return batch.append_column("off", pa.array(off, pa.int64()))
+
+    toks = toks.map_batches(_add_off, batch_format="pyarrow")
 
     out_schema = pa.schema(
         [
@@ -950,7 +952,7 @@ def token_packing(
         if group.num_rows == 0:
             return out_schema.empty_table()
         group = group.sort_by([("doc_id", "ascending")]).combine_chunks()
-        off = ray.get(offsets_ref)[int(group.column("g")[0].as_py())]
+        off = int(group.column("off")[0].as_py())
         n = group.column("n_tokens").to_numpy(zero_copy_only=False)
         start = off + np.concatenate(([0], np.cumsum(n)[:-1]))
         return pa.Table.from_pydict(
@@ -985,7 +987,9 @@ def mixture_weights(sf_dir: str) -> ray.data.Dataset:
     ``map_batches`` over the counts table.
     """
     docs = read_documents(sf_dir)
-    counts = docs.groupby("source").count()
+    # Materialized once (domain-sized): the two scalar reductions and
+    # the weight map below otherwise each re-run the corpus groupby.
+    counts = docs.groupby("source").count().materialize()
     n_sources = counts.count()
     total = int(counts.sum("count()") or 0)
 
