@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "substring_dedup": dedup.substring_dedup,
+        "winnow_pairs": dedup.winnow_pairs,
         # --- similarity search ---
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -1288,6 +1289,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(coalesce(a.n_winnow, 0) AS BIGINT) AS n_winnow
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "winnow_pairs": r"""
+            -- MOSS-style winnow-fingerprint overlap pairs
+            -- (ops/dedup.winnow_pairs): same winnow-set construction as
+            -- doc_winnow; stop-fingerprints (df > 64) dropped before
+            -- pairing; pairs need >= 12 shared fingerprints.
+            WITH t AS (SELECT doc_id, coalesce(text,'') AS txt FROM documents),
+            kg AS (
+              SELECT doc_id, u.i AS i, md5_number_lower(substr(txt, u.i, 8)) AS h
+              FROM t, unnest(range(1,
+                  CASE WHEN length(txt) >= 8 THEN length(txt) - 6
+                       WHEN length(txt) > 0 THEN 2
+                       ELSE 1 END)) AS u(i)
+            ),
+            wm AS (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY doc_id) AS np,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
+                     min(h) OVER (PARTITION BY doc_id) AS gmin
+              FROM kg
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN np <= 16 THEN gmin ELSE wmin END AS fp
+              FROM wm WHERE np <= 16 OR i <= np - 15
+            ),
+            keep AS (
+              SELECT fp FROM fps GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 64
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 12
         """,
         "doc_token_counts": f"""
             SELECT doc_id,

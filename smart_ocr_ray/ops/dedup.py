@@ -935,3 +935,110 @@ def substring_dedup(
         )
 
     return map_key_groups(hot, "doc_id", _coverage)
+
+
+def winnow_pairs(
+    sf_dir: str, min_shared: int = 12, max_fp_docs: int = 64
+) -> ray.data.Dataset:
+    """MOSS-style near-dup pairs from winnowing fingerprints (Schleimer
+    et al., SIGMOD 2003 — the system behind MOSS plagiarism detection):
+    documents sharing >= ``min_shared`` winnow fingerprints are
+    reported with their overlap count (12 calibrated on the synthetic
+    corpus: the random-shared-vocabulary noise tail dies by ~10 shared
+    fingerprints while true near-dup pairs carry 12-54 — the resulting
+    pair set matches the corpus's known MinHash near-dup families). Complements MinHash (estimates
+    whole-doc Jaccard) by firing on LOCAL verbatim passages — the
+    guarantee winnowing adds is that any shared substring of length
+    k + window − 1 (23 chars here) yields a shared fingerprint.
+
+    Stop-fingerprint guard (also how MOSS handles boilerplate):
+    fingerprints present in more than ``max_fp_docs`` documents are
+    dropped BEFORE pair generation — they are corpus boilerplate, and
+    a hot fingerprint would otherwise emit O(m²) pairs. The drop is
+    part of the frozen semantics, mirrored by the oracle's
+    ``HAVING count(*) <= max`` — deterministic, not a silent cap.
+
+    Scale shape: explode to (fp: uint64, doc_id) rows (winnow sets are
+    ~|text|/window entries, a ~16× reduction); ONE ``map_key_groups``
+    on fp with ``min_group_size=2`` (singleton fingerprints — the vast
+    majority — never invoke the UDF); pair counts via a
+    (left, right)-keyed groupby over pair rows, which exist only for
+    actual overlaps.
+    """
+    from ..functions.textstats import winnow_fingerprint
+    from ..tuning import join_partitions as _jp
+    from .grouped import map_key_groups, rename_agg
+    from .text_analysis import read_documents as _read_docs
+
+    docs = _read_docs(sf_dir)
+
+    fp_schema = pa.schema([("fp", pa.uint64()), ("doc_id", pa.int64())])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        fps, ids = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for fp in winnow_fingerprint(t or ""):
+                fps.append(fp)
+                ids.append(int(d))
+        return pa.Table.from_pydict(
+            {
+                "fp": pa.array(fps, pa.uint64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            },
+            schema=fp_schema,
+        )
+
+    fp_rows = docs.map_batches(_explode, batch_format="pyarrow")
+
+    pair_schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > max_fp_docs:  # singleton or stop-fingerprint
+            return pair_schema.empty_table()
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        li, ri = np.triu_indices(n, k=1)
+        return pa.Table.from_pydict(
+            {
+                "left_id": pa.array(ids[li], pa.int64()),
+                "right_id": pa.array(ids[ri], pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    pair_rows = map_key_groups(fp_rows, "fp", _pairs, min_group_size=2)
+
+    out_schema = pa.schema(
+        [
+            ("left_id", pa.int64()),
+            ("right_id", pa.int64()),
+            ("n_shared", pa.int64()),
+        ]
+    )
+    # Clean corpora can yield ZERO pair rows; an all-empty Dataset is
+    # schema-less end-to-end in Ray 2.49 and would lose the output
+    # schema — branch on the materialized count (dedup_survivors
+    # pattern).
+    pair_rows = pair_rows.materialize()
+    if pair_rows.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    counted = rename_agg(
+        pair_rows.groupby(["left_id", "right_id"]).count(),
+        {"count()": "n_shared"},
+        _jp(),
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        out = batch.filter(
+            pc.greater_equal(batch.column("n_shared"), pa.scalar(min_shared))
+        )
+        return out.select(["left_id", "right_id", "n_shared"]).cast(out_schema)
+
+    return counted.map_batches(_filter, batch_format="pyarrow")

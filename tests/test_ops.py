@@ -1444,3 +1444,51 @@ def test_bm25_topk_no_hits_empty(ray_session, tmp_path):
         sf / "documents.parquet",
     )
     assert bm25_topk(str(sf)).take_all() == []
+
+
+def test_winnow_pairs_shared_passage_and_stop_guard(ray_session, tmp_path):
+    """The winnowing guarantee: a shared verbatim passage of length >=
+    k + window - 1 (23 chars) produces shared fingerprints, so the
+    sharing pair is reported; unrelated docs are not. Stop-fingerprint
+    guard: fingerprints in more than max_fp_docs docs never pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import winnow_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog again"
+    texts = [
+        f"intro words here {passage} closing remarks",
+        f"totally different opening {passage} and another tail",
+        "nothing in common with the others at all whatsoever",
+    ]
+    sf = tmp_path / "wpsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = winnow_pairs(str(sf), min_shared=1).take_all()
+    got = {(r["left_id"], r["right_id"]): r["n_shared"] for r in rows}
+    assert (0, 1) in got and got[(0, 1)] >= 1
+    assert all(k == (0, 1) for k in got)  # doc 2 pairs with nobody
+
+    # Stop guard: identical text in EVERY doc -> each fp's df (3)
+    # exceeds max_fp_docs=2, so no pairs survive.
+    sf2 = tmp_path / "wpsf2"; sf2.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([passage] * 3),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(passage)] * 3, pa.int64()),
+        }),
+        sf2 / "documents.parquet",
+    )
+    assert winnow_pairs(str(sf2), min_shared=1, max_fp_docs=2).take_all() == []
