@@ -990,7 +990,9 @@ def winnow_pairs(
             schema=fp_schema,
         )
 
-    fp_rows = docs.map_batches(_explode, batch_format="pyarrow")
+    # Small batches parallelize the per-char-k-gram md5 loop (the
+    # dominant cost) across the pool instead of one task per block.
+    fp_rows = docs.map_batches(_explode, batch_format="pyarrow", batch_size=128)
 
     pair_schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
 

@@ -231,3 +231,47 @@ def test_raster_corpus_roundtrip(ray_session):
             assert r["decode_ok"], (r["url"], r["error"])
             assert r["width"] == 8 + doc_id % 48
             assert r["height"] == 8 + (doc_id * 7) % 48
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_span_union_gap_identity(positions, w):
+    """The sorted-gap identity substring_dedup and its SQL oracle both
+    use — covered = w + Σ min(gap, w) — equals the brute-force union of
+    [pos, pos+w) intervals for ANY position multiset."""
+    import numpy as np
+
+    pos = np.sort(np.unique(np.asarray(positions, dtype=np.int64)))
+    fast = w + int(np.minimum(np.diff(pos), w).sum())
+    brute = len({p + i for p in pos for i in range(w)})
+    assert fast == brute
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_token_packing_window_invariants(counts, budget):
+    """Window arithmetic invariants for any doc-length sequence: spans
+    are contiguous, consecutive docs abut exactly, and total windows =
+    ceil(total_tokens / budget)."""
+    cum = 0
+    last_end = None
+    for n in counts:
+        if n == 0:
+            continue
+        start = cum
+        first, last = start // budget, (start + n - 1) // budget
+        assert first <= last
+        if last_end is not None:
+            assert first in (last_end, last_end + 1) or start % budget == 0
+            # The next doc starts exactly where the previous ended.
+        cum += n
+        last_end = last
+    total = sum(counts)
+    if total:
+        assert last_end == (total - 1) // budget
