@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": text_analysis.unigram_surprisal,
         "token_packing": text_analysis.token_packing,
         "mixture_weights": text_analysis.mixture_weights,
+        "hll_registers": text_analysis.hll_registers,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1886,6 +1887,22 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
+        """,
+        "hll_registers": """
+            -- HyperLogLog registers b=8 (ops/text_analysis.
+            -- hll_registers): register = h % 256, rank = 57 minus the
+            -- bit length of the remaining 56 bits (57 when zero).
+            WITH h AS (
+              SELECT md5_number_lower(coalesce(text, '')) AS hv FROM documents
+            ), r AS (
+              SELECT CAST(hv % 256 AS BIGINT) AS register,
+                     CASE WHEN hv // 256 = 0 THEN 57
+                          ELSE 57 - length(to_base(CAST(hv // 256 AS BIGINT), 2))
+                     END AS rank
+              FROM h
+            )
+            SELECT register, CAST(max(rank) AS BIGINT) AS max_rank
+            FROM r GROUP BY register
         """,
         "mixture_weights": """
             -- Uniform-target source reweighting (ops/text_analysis.

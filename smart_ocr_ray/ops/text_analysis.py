@@ -1014,3 +1014,54 @@ def mixture_weights(sf_dir: str) -> ray.data.Dataset:
         )
 
     return counts.map_batches(_weight, batch_format="pyarrow")
+
+
+def hll_registers(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog register table for distinct-text cardinality
+    (Flajolet et al. 2007) — the constant-memory sketch a crawl
+    pipeline maintains to track distinct-document counts across
+    trillions of rows without a distinct shuffle.
+
+    256 registers (b=8) over the 64-bit md5-derived text hash (the
+    same ``_kgram_hash64`` the winnowing family uses, so DuckDB's
+    ``md5_number_lower`` recomputes it exactly): register = low 8
+    bits; rank = position of the highest set bit in the remaining 56
+    (57 − bit_length, 57 when they are all zero); register value =
+    max rank observed. The float cardinality estimate (harmonic-mean
+    α correction) is a trivial driver-side epilogue over 256 ints —
+    the REGISTERS are the exact, oracle-checkable state, emitted here.
+
+    Scale shape: duplicates cannot change a max, so no distinct pass
+    is needed anywhere — each block reduces to ≤256 (register, rank)
+    partial rows and the shuffle carries only those; the groupby max
+    is register-keyed (256 groups) regardless of corpus size.
+    """
+    from ..functions.textstats import _kgram_hash64
+    from ..tuning import join_partitions as _jp
+    from .grouped import rename_agg
+
+    docs = read_documents(sf_dir)
+
+    part_schema = pa.schema([("register", pa.int64()), ("rank", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        for t in batch.column("text").to_pylist():
+            h = _kgram_hash64(t or "")
+            idx = h & 0xFF
+            v = h >> 8
+            rank = 57 - v.bit_length() if v else 57
+            if rank > regs.get(idx, 0):
+                regs[idx] = rank
+        return pa.Table.from_pydict(
+            {
+                "register": pa.array(sorted(regs), pa.int64()),
+                "rank": pa.array([regs[k] for k in sorted(regs)], pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partial = docs.map_batches(_partial, batch_format="pyarrow")
+    return rename_agg(
+        partial.groupby("register").max("rank"), {"max(rank)": "max_rank"}, _jp()
+    )

@@ -1492,3 +1492,53 @@ def test_winnow_pairs_shared_passage_and_stop_guard(ray_session, tmp_path):
         sf2 / "documents.parquet",
     )
     assert winnow_pairs(str(sf2), min_shared=1, max_fp_docs=2).take_all() == []
+
+
+def test_hll_registers_exact_and_dup_insensitive(ray_session, tmp_path):
+    """Registers match an independent bit-ops reference, and
+    duplicating documents changes nothing (max is dup-insensitive) —
+    the property that makes the sketch shuffle-free at scale."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import hll_registers
+
+    def write(sf, texts):
+        sf.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict({
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }),
+            sf / "documents.parquet",
+        )
+
+    texts = [f"document number {i} payload" for i in range(40)]
+    write(tmp_path / "h1", texts)
+    write(tmp_path / "h2", texts * 3)  # every doc duplicated 3x
+
+    def reference(ts):
+        regs = {}
+        for t in ts:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+            idx, v = h & 0xFF, h >> 8
+            rank = 57 - v.bit_length() if v else 57
+            regs[idx] = max(regs.get(idx, 0), rank)
+        return regs
+
+    got1 = {
+        r["register"]: r["max_rank"]
+        for r in hll_registers(str(tmp_path / "h1")).take_all()
+    }
+    got2 = {
+        r["register"]: r["max_rank"]
+        for r in hll_registers(str(tmp_path / "h2")).take_all()
+    }
+    assert got1 == reference(texts)
+    assert got2 == got1  # duplicates are invisible to the sketch
+    assert all(1 <= v <= 57 for v in got1.values())
