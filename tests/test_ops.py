@@ -1542,3 +1542,37 @@ def test_hll_registers_exact_and_dup_insensitive(ray_session, tmp_path):
     assert got1 == reference(texts)
     assert got2 == got1  # duplicates are invisible to the sketch
     assert all(1 <= v <= 57 for v in got1.values())
+
+
+def test_token_packing_sparse_doc_ids(ray_session, tmp_path):
+    """Sparse doc_ids spanning empty buckets: the bucket-offset lookup
+    must hit each doc's own bucket exactly (searchsorted over only the
+    NON-EMPTY bucket keys)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import token_packing
+
+    ids = [0, 5000, 9000]           # buckets 0, 1, 2 with bucket=4096
+    texts = ["a b c", "d e", "f g h i"]
+    sf = tmp_path / "tpsparse"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {
+        r["doc_id"]: (r["start_tok"], r["first_window"], r["last_window"])
+        for r in token_packing(str(sf), budget=4).take_all()
+    }
+    # Global concat order: 3 + 2 + 4 tokens.
+    assert got == {
+        0: (0, 0, 0),        # tokens 0-2 -> window 0
+        5000: (3, 0, 1),     # tokens 3-4 -> windows 0..1
+        9000: (5, 1, 2),     # tokens 5-8 -> windows 1..2
+    }
