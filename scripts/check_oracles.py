@@ -22,7 +22,15 @@ def to_pandas(result) -> pd.DataFrame:
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if len(df.columns) == 0:
+            # Ray 2.49's to_pandas drops ALL columns for 0-row
+            # datasets even when ds.schema() knows them; rebuild the
+            # empty frame from the schema so column comparison works.
+            sch = result.schema()
+            if sch is not None and sch.names:
+                df = pa.schema(list(zip(sch.names, sch.types))).empty_table().to_pandas()
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result

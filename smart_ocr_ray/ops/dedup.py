@@ -563,7 +563,21 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return docs.map_batches(_pairs, batch_format="pyarrow")
+    out = docs.map_batches(_pairs, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # All-empty-block datasets lose their column schema through
+        # to_pandas()/joins in Ray 2.49 (found at sf0.1, where no pair
+        # clears the threshold) — hand back one typed empty block.
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("left_id", pa.int64()),
+                    ("right_id", pa.int64()),
+                    ("jaccard_sim", pa.float64()),
+                ]
+            ).empty_table()
+        )
+    return out
 
 
 def line_dedup(
