@@ -1949,7 +1949,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE trim(coalesce(text, '')) <> ''
             ), win AS (
               SELECT doc_id, len(toks) AS dl, CAST(g.i AS BIGINT) AS pos,
-                     md5(array_to_string(
+                     md5_number_lower(array_to_string(
                        list_slice(toks, g.i + 1, g.i + 13), ' ')) AS wkey
               FROM tok, unnest(range(0, len(toks) - 12)) AS g(i)
             ), hot AS (

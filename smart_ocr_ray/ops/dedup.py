@@ -853,7 +853,7 @@ def substring_dedup(
     hot rows — only duplicates — flow through one ``map_key_groups``
     per-doc coverage pass.
     """
-    from ..functions.textstats import _TOKEN_RE, content_md5
+    from ..functions.textstats import _TOKEN_RE, _kgram_hash64
     from .grouped import group_bounds, map_key_groups
     from .text_analysis import read_documents as _read_docs
 
@@ -865,7 +865,7 @@ def substring_dedup(
             ("doc_id", pa.int64()),
             ("dl", pa.int64()),
             ("pos", pa.int64()),
-            ("wkey", pa.string()),
+            ("wkey", pa.uint64()),
         ]
     )
 
@@ -880,13 +880,13 @@ def substring_dedup(
                 ids.append(int(d))
                 dls.append(dl)
                 poss.append(i)
-                keys.append(content_md5(" ".join(toks[i : i + w])))
+                keys.append(_kgram_hash64(" ".join(toks[i : i + w])))
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "dl": pa.array(dls, pa.int64()),
                 "pos": pa.array(poss, pa.int64()),
-                "wkey": pa.array(keys, pa.string()),
+                "wkey": pa.array(keys, pa.uint64()),
             },
             schema=win_schema,
         )
