@@ -563,21 +563,20 @@ def ngram_jaccard_pairs(
             }
         )
 
-    out = docs.map_batches(_pairs, batch_format="pyarrow").materialize()
-    if out.count() == 0:
-        # All-empty-block datasets lose their column schema through
-        # to_pandas()/joins in Ray 2.49 (found at sf0.1, where no pair
-        # clears the threshold) — hand back one typed empty block.
-        return ray.data.from_arrow(
-            pa.schema(
-                [
-                    ("left_id", pa.int64()),
-                    ("right_id", pa.int64()),
-                    ("jaccard_sim", pa.float64()),
-                ]
-            ).empty_table()
-        )
-    return out
+    # At sf0.1 no pair clears the threshold — 0-row datasets are
+    # schema-less in Ray 2.49; hand back one typed block instead.
+    from .grouped import typed_if_empty
+
+    return typed_if_empty(
+        docs.map_batches(_pairs, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("left_id", pa.int64()),
+                ("right_id", pa.int64()),
+                ("jaccard_sim", pa.float64()),
+            ]
+        ),
+    )
 
 
 def line_dedup(
@@ -1033,10 +1032,9 @@ def winnow_pairs(
             ("n_shared", pa.int64()),
         ]
     )
-    # Clean corpora can yield ZERO pair rows; an all-empty Dataset is
-    # schema-less end-to-end in Ray 2.49 and would lose the output
-    # schema — branch on the materialized count (dedup_survivors
-    # pattern).
+    # Clean corpora can yield ZERO pair rows: short-circuit with a
+    # typed empty OUTPUT block — running the aggregate over an empty
+    # table would go schema-less again downstream (Ray 2.49).
     pair_rows = pair_rows.materialize()
     if pair_rows.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())

@@ -145,3 +145,15 @@ def rename_agg(
     return ds.map_batches(_rename, batch_format="pyarrow").repartition(
         launder_partitions
     )
+
+
+def typed_if_empty(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Materialize ``ds`` and, if it has zero rows, replace it with one
+    typed empty block. Ray 2.49 all-empty datasets are schema-less
+    end-to-end (``to_pandas()`` drops every column, joins raise
+    ArrowInvalid FieldRef) — the companion workaround to
+    ``rename_agg``, one home instead of a per-op copy."""
+    ds = ds.materialize()
+    if ds.count() == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    return ds
