@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "substring_dedup": dedup.substring_dedup,
         "winnow_pairs": dedup.winnow_pairs,
+        "winnow_clusters": dedup.winnow_clusters,
         # --- similarity search ---
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -1066,6 +1067,47 @@ def _frames_oracle_sql() -> str:
     """
 
 
+def _winnow_pairs_sql() -> str:
+    """Shared CTE chain for the winnowing-overlap oracles
+    (ops/dedup.winnow_pairs / winnow_clusters): same winnow-set
+    construction as doc_winnow; stop-fingerprints (df > 64) dropped
+    before pairing; pairs need >= 12 shared fingerprints. Ends in the
+    ``wpairs`` CTE."""
+    return r"""t AS (SELECT doc_id, coalesce(text,'') AS txt FROM documents),
+            kg AS (
+              SELECT doc_id, u.i AS i, md5_number_lower(substr(txt, u.i, 8)) AS h
+              FROM t, unnest(range(1,
+                  CASE WHEN length(txt) >= 8 THEN length(txt) - 6
+                       WHEN length(txt) > 0 THEN 2
+                       ELSE 1 END)) AS u(i)
+            ),
+            wm AS (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY doc_id) AS np,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
+                     min(h) OVER (PARTITION BY doc_id) AS gmin
+              FROM kg
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN np <= 16 THEN gmin ELSE wmin END AS fp
+              FROM wm WHERE np <= 16 OR i <= np - 15
+            ),
+            keep AS (
+              SELECT fp FROM fps GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 64
+            ),
+            wpairs AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 12
+            )"""
+
+
 def _pagerank_sql(n_iter: int = 3, knn_k: int = 5) -> str:
     """Oracle for ``graph_pagerank``: unrolled integer power iteration
     over the k-NN edge set (ops/graph.py). Every step is exact BIGINT
@@ -1291,42 +1333,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(coalesce(a.n_winnow, 0) AS BIGINT) AS n_winnow
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
-        "winnow_pairs": r"""
-            -- MOSS-style winnow-fingerprint overlap pairs
-            -- (ops/dedup.winnow_pairs): same winnow-set construction as
-            -- doc_winnow; stop-fingerprints (df > 64) dropped before
-            -- pairing; pairs need >= 12 shared fingerprints.
-            WITH t AS (SELECT doc_id, coalesce(text,'') AS txt FROM documents),
-            kg AS (
-              SELECT doc_id, u.i AS i, md5_number_lower(substr(txt, u.i, 8)) AS h
-              FROM t, unnest(range(1,
-                  CASE WHEN length(txt) >= 8 THEN length(txt) - 6
-                       WHEN length(txt) > 0 THEN 2
-                       ELSE 1 END)) AS u(i)
+        "winnow_pairs": "WITH " + _winnow_pairs_sql() + """
+            SELECT left_id, right_id, n_shared FROM wpairs
+        """,
+        "winnow_clusters": "WITH RECURSIVE " + _winnow_pairs_sql() + """,
+            edges AS (
+              SELECT left_id AS node, right_id AS peer FROM wpairs
+              UNION ALL SELECT right_id, left_id FROM wpairs
             ),
-            wm AS (
-              SELECT doc_id, i,
-                     count(*) OVER (PARTITION BY doc_id) AS np,
-                     min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
-                     min(h) OVER (PARTITION BY doc_id) AS gmin
-              FROM kg
-            ),
-            fps AS (
-              SELECT DISTINCT doc_id,
-                     CASE WHEN np <= 16 THEN gmin ELSE wmin END AS fp
-              FROM wm WHERE np <= 16 OR i <= np - 15
-            ),
-            keep AS (
-              SELECT fp FROM fps GROUP BY fp
-              HAVING count(*) BETWEEN 2 AND 64
+            reach(node, label) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.peer
             )
-            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-                   CAST(count(*) AS BIGINT) AS n_shared
-            FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-            HAVING count(*) >= 12
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "doc_token_counts": f"""
             SELECT doc_id,

@@ -1056,3 +1056,25 @@ def winnow_pairs(
         return out.select(["left_id", "right_id", "n_shared"]).cast(out_schema)
 
     return counted.map_batches(_filter, batch_format="pyarrow")
+
+
+def winnow_clusters(
+    sf_dir: str, min_shared: int = 12, max_rounds: int = 20
+) -> ray.data.Dataset:
+    """Winnowing near-duplicate CLUSTERS: MOSS-style fingerprint-overlap
+    pairs (``winnow_pairs``) composed with distributed connected
+    components (``cluster_pairs`` — join-based min-label propagation
+    with pointer jumping; labels never touch the driver). The
+    passage-plagiarism analog of ``dedup_clusters``: documents chained
+    by shared verbatim passages collapse into one group even when the
+    two ends share nothing directly.
+
+    Output: (doc_id, cluster_id = min doc_id of the component)."""
+    pairs = winnow_pairs(sf_dir, min_shared=min_shared)
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+            ).empty_table()
+        )
+    return cluster_pairs(pairs.drop_columns(["n_shared"]), max_rounds=max_rounds)

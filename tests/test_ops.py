@@ -1576,3 +1576,38 @@ def test_token_packing_sparse_doc_ids(ray_session, tmp_path):
         5000: (3, 0, 1),     # tokens 3-4 -> windows 0..1
         9000: (5, 1, 2),     # tokens 5-8 -> windows 1..2
     }
+
+
+def test_winnow_clusters_transitive_chain(ray_session, tmp_path):
+    """A—B share passage X, B—C share passage Y, A—C share nothing:
+    connected components still collapse all three into one cluster
+    labeled by the min doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import winnow_clusters
+
+    px = "alpha beta gamma delta epsilon zeta eta theta"
+    py_ = "one two three four five six seven eight nine"
+    texts = [
+        f"doc a starts {px} ends",
+        f"doc b holds {px} and also {py_} inside",
+        f"doc c carries {py_} only",
+        "the unrelated fourth document stands alone here",
+    ]
+    sf = tmp_path / "wcsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in winnow_clusters(str(sf), min_shared=1).take_all()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}  # one component, min-id label; doc 3 absent
