@@ -1070,7 +1070,9 @@ def winnow_clusters(
     two ends share nothing directly.
 
     Output: (doc_id, cluster_id = min doc_id of the component)."""
-    pairs = winnow_pairs(sf_dir, min_shared=min_shared)
+    # Materialized: the zero-pair branch count() would otherwise run
+    # the full winnow pipeline once and cluster_pairs a second time.
+    pairs = winnow_pairs(sf_dir, min_shared=min_shared).materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(
             pa.schema(
