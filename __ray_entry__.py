@@ -4,12 +4,14 @@ Ray is initialised by the driver BEFORE this module is imported; no
 function here (or in smart_ocr_ray) calls ``ray.init``/``ray.shutdown``.
 
 ``queries()`` covers the operator families of SURVEY.md §2 plus the
-training-data ops (dedup, similarity search, text analysis, multimodal
-plumbing). Where the semantics are exactly SQL-expressible the matching
-``oracle_sql()`` entry lets the driver verify values against DuckDB;
-pipeline/approximate/stateful ops are rows-only by design (extraction
-byte-identity is enforced by the pytest golden suite instead — see
-tests/test_pipeline_golden.py).
+training-data ops (dedup, similarity search, graph, sketches, text
+analysis, packing/mixing, multimodal plumbing). EVERY query has a
+matching ``oracle_sql()`` entry — exact-integer grids, literal
+injection, and sequential-kernel pseudo-oracles make even the
+extraction family, iterative algorithms (k-means, PageRank, connected
+components) and approximate structures (LSH, HLL) value-checkable in
+DuckDB; extraction byte-identity is additionally enforced by the
+pytest golden suite (tests/test_pipeline_golden.py).
 """
 
 from __future__ import annotations
