@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph": similarity.embedding_knn_graph,
         "embedding_kmeans": similarity.embedding_kmeans,
         "semdedup_sample": similarity.semdedup_sample,
+        "cluster_quality": similarity.cluster_quality,
         "graph_pagerank": graph.graph_pagerank,
         # --- relational / windowed ---
         "pricing_summary": relational.pricing_summary,
@@ -1203,6 +1204,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, ci AS cluster,
                    CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_e6
             FROM klabel WHERE rn = 1
+        """,
+        "cluster_quality": "WITH " + _kmeans_sql() + """,
+            labeled AS (SELECT vec_id, ci AS cluster FROM klabel WHERE rn = 1),
+            toks AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+              UNION ALL
+              SELECT doc_id, 0 FROM documents WHERE trim(coalesce(text, '')) = ''
+            )
+            SELECT l.cluster,
+                   count(*) AS n_docs,
+                   CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+                   (100 * CAST(sum(t.n_tokens) AS BIGINT)) // count(*)
+                     AS mean_tokens_e2
+            FROM labeled l JOIN toks t ON l.vec_id = t.doc_id
+            GROUP BY l.cluster
         """,
         "semdedup_sample": "WITH " + _kmeans_sql() + """,
             labeled AS (

@@ -815,3 +815,83 @@ def semdedup_sample(sf_dir: str, m: int = 10) -> ray.data.Dataset:
         lambda b: _topm(b, ranked=False), batch_format="pyarrow"
     )
     return map_key_groups(partial, "cluster", lambda g: _topm(g, ranked=True))
+
+
+def cluster_quality(sf_dir: str) -> ray.data.Dataset:
+    """Per-semantic-cluster text-quality rollup — the cross-modal
+    curation signal (SemDeDup/DataComp-style pipelines drop or
+    down-weight whole embedding clusters whose member TEXTS look bad):
+    k-means labels from the embedding table joined to whitespace token
+    counts from the documents table on vec_id = doc_id, aggregated per
+    cluster.
+
+    Output: (cluster, n_docs, total_tokens, mean_tokens_e2) over the
+    embedded subset of the corpus (inner join — at sf0.1 embeddings
+    cover 2000 of 5000 docs by construction).
+
+    Scale shape: the only new wide op is ONE distributed hash join of
+    two id-keyed tables (labels are O(corpus), token counts stream out
+    of the documents scan); the per-cluster aggregate is k-row tiny.
+    """
+    import pyarrow.compute as pc
+
+    from ..tuning import join_partitions as _jp
+    from .grouped import map_key_groups
+
+    jp = _jp()
+    labeled = embedding_kmeans(sf_dir)
+
+    def _labels_only(batch: pa.Table) -> pa.Table:
+        return batch.select(["vec_id", "cluster"])
+
+    labels = labeled.map_batches(_labels_only, batch_format="pyarrow").repartition(jp)
+
+    toks_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import token_count
+
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(
+                    [token_count(t or "") for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            },
+            schema=toks_schema,
+        )
+
+    toks = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_tok, batch_format="pyarrow")
+        .repartition(jp)
+    )
+
+    joined = labels.join(toks, "inner", jp, on=("vec_id",), right_on=("doc_id",))
+
+    out_schema = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
+            ("mean_tokens_e2", pa.int64()),
+        ]
+    )
+
+    def _agg(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        n = group.num_rows
+        tot = int(pc.sum(group.column("n_tokens")).as_py())
+        return pa.Table.from_pydict(
+            {
+                "cluster": group.column("cluster").slice(0, 1),
+                "n_docs": pa.array([n], pa.int64()),
+                "total_tokens": pa.array([tot], pa.int64()),
+                "mean_tokens_e2": pa.array([(100 * tot) // n], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(joined, "cluster", _agg)

@@ -1611,3 +1611,34 @@ def test_winnow_clusters_transitive_chain(ray_session, tmp_path):
         for r in winnow_clusters(str(sf), min_shared=1).take_all()
     }
     assert got == {0: 0, 1: 0, 2: 0}  # one component, min-id label; doc 3 absent
+
+
+def test_cluster_quality_cross_modal_join(ray_session):
+    """The embedding-cluster × document-text join: per-cluster doc
+    counts sum to the embedded-corpus size, token totals match the
+    kmeans labeling joined to per-doc token counts independently."""
+    from smart_ocr_ray.functions.textstats import token_count
+    from smart_ocr_ray.ops.similarity import cluster_quality, embedding_kmeans
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    labels = {r["vec_id"]: r["cluster"] for r in embedding_kmeans(sf).take_all()}
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ntok = {
+        d: token_count(t or "")
+        for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    }
+    want = {}
+    for vid, cl in labels.items():
+        n, tot = want.get(cl, (0, 0))
+        want[cl] = (n + 1, tot + ntok[vid])
+
+    got = {
+        r["cluster"]: (r["n_docs"], r["total_tokens"], r["mean_tokens_e2"])
+        for r in cluster_quality(sf).take_all()
+    }
+    assert {c: (n, t) for c, (n, t, _) in got.items()} == want
+    assert sum(n for n, _, _ in got.values()) == len(labels)
+    for c, (n, t, m) in got.items():
+        assert m == (100 * t) // n
