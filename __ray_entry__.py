@@ -1205,11 +1205,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_e6
             FROM klabel WHERE rn = 1
         """,
-        "cluster_quality": "WITH " + _kmeans_sql() + """,
+        "cluster_quality": "WITH " + _kmeans_sql() + f""",
             labeled AS (SELECT vec_id, ci AS cluster FROM klabel WHERE rn = 1),
             toks AS (
-              SELECT doc_id,
-                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+              SELECT doc_id, len({_TOKENS}) AS n_tokens
               FROM documents WHERE trim(coalesce(text, '')) <> ''
               UNION ALL
               SELECT doc_id, 0 FROM documents WHERE trim(coalesce(text, '')) = ''

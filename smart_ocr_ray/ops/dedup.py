@@ -1069,14 +1069,11 @@ def winnow_clusters(
     by shared verbatim passages collapse into one group even when the
     two ends share nothing directly.
 
-    Output: (doc_id, cluster_id = min doc_id of the component)."""
-    # Materialized: the zero-pair branch count() would otherwise run
-    # the full winnow pipeline once and cluster_pairs a second time.
-    pairs = winnow_pairs(sf_dir, min_shared=min_shared).materialize()
-    if pairs.count() == 0:
-        return ray.data.from_arrow(
-            pa.schema(
-                [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
-            ).empty_table()
-        )
-    return cluster_pairs(pairs.drop_columns(["n_shared"]), max_rounds=max_rounds)
+    Output: (doc_id, cluster_id = min doc_id of the component).
+    ``cluster_pairs`` materializes the edge table once and handles the
+    zero-pair corpus itself — same one-line composition as
+    ``dedup_clusters`` / ``embedding_neardup_clusters``."""
+    return cluster_pairs(
+        winnow_pairs(sf_dir, min_shared=min_shared).drop_columns(["n_shared"]),
+        max_rounds=max_rounds,
+    )

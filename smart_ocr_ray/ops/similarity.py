@@ -846,25 +846,15 @@ def cluster_quality(sf_dir: str) -> ray.data.Dataset:
 
     labels = labeled.map_batches(_labels_only, batch_format="pyarrow").repartition(jp)
 
-    toks_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
-
-    def _tok(batch: pa.Table) -> pa.Table:
-        from ..functions.textstats import token_count
-
-        return pa.Table.from_pydict(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(
-                    [token_count(t or "") for t in batch.column("text").to_pylist()],
-                    pa.int64(),
-                ),
-            },
-            schema=toks_schema,
-        )
+    # Reuse the oracle-pinned token-count stage (one home for the
+    # frozen token semantics) and drop its sub-word column.
+    from .text_analysis import token_counts
 
     toks = (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(_tok, batch_format="pyarrow")
+        token_counts(sf_dir)
+        .map_batches(
+            lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+        )
         .repartition(jp)
     )
 
