@@ -731,10 +731,18 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
     every non-min doc_id per duplicate group (singleton hashes — the
     vast majority — never invoke the UDF; no winners aggregate, no
     join, no second corpus read). Near losers reuse ``dedup_clusters``
-    (distributed connected components). The combination is two
-    left_outer joins on doc_id against loser lists that are strictly
-    smaller than the corpus (only duplicates appear in them).
+    (distributed connected components). Both loser lists carry a
+    ``reason_code`` (1=exact, 2=near); a union + groupby-Min collapses
+    a doc flagged by both to its highest-precedence reason, so the
+    verdict needs exactly ONE left_outer join against a loser table
+    strictly smaller than the corpus. (A previous two-chained-join
+    shape was flaky: the first join's all-unmatched blocks reach the
+    second join's hash-shuffle finalize with a null-typed fill column
+    and raise ArrowInvalid — the same block-schema hazard documented
+    at ``cluster_pairs``.)
     """
+    from ray.data.aggregate import Min
+
     from ..tuning import join_partitions as _jp
     from .grouped import map_key_groups
 
@@ -752,7 +760,7 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
 
     hashed = docs.map_batches(_hash, batch_format="pyarrow")
 
-    _LOSER_SCHEMA = pa.schema([("doc_id", pa.int64()), ("is_exact", pa.int8())])
+    _LOSER_SCHEMA = pa.schema([("doc_id", pa.int64()), ("reason_code", pa.int8())])
 
     def _exact_losers(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
@@ -762,56 +770,75 @@ def dedup_survivors(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(losers, pa.int64()),
-                "is_exact": pa.array(np.ones(len(losers), dtype=np.int8), pa.int8()),
+                "reason_code": pa.array(np.ones(len(losers), dtype=np.int8), pa.int8()),
             },
             schema=_LOSER_SCHEMA,
         )
 
-    # materialize(): a loser table with ZERO rows everywhere is
-    # schema-less (map_batches skips empty blocks, so nothing can
-    # retype them) and breaks the join below — branch on the count
-    # and skip the join instead. The tables hold only duplicate ids,
-    # far smaller than the corpus.
-    exact_losers = (
-        map_key_groups(hashed, "text_md5", _exact_losers, min_group_size=2)
-        .repartition(jp)
-        .materialize()
-    )
+    exact_losers = map_key_groups(hashed, "text_md5", _exact_losers, min_group_size=2)
 
     def _near_losers(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         mask = pc.not_equal(batch.column("doc_id"), batch.column("cluster_id"))
         out = batch.filter(mask).select(["doc_id"])
-        return out.append_column(
-            "is_near", pa.array([1] * out.num_rows, pa.int8())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "reason_code": pa.array([2] * out.num_rows, pa.int8()),
+            },
+            schema=_LOSER_SCHEMA,
         )
 
-    near_losers = (
-        dedup_clusters(sf_dir, threshold=threshold)
-        .map_batches(_near_losers, batch_format="pyarrow")
+    near_losers = dedup_clusters(sf_dir, threshold=threshold).map_batches(
+        _near_losers, batch_format="pyarrow"
+    )
+
+    def _retype(batch: pa.Table) -> pa.Table:
+        # groupby emits the Min under its alias with a widened type and
+        # may emit schema-less empty blocks; re-pin the loser schema so
+        # the join below sees one block schema (hazard note above).
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return _LOSER_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "reason_code": batch.column("reason_code").cast(pa.int8()),
+            },
+            schema=_LOSER_SCHEMA,
+        )
+
+    # One doc can be both an exact and a near loser (byte-identical
+    # texts are trivially near-identical): Min keeps the
+    # highest-precedence reason (exact=1 < near=2). materialize():
+    # a loser table with ZERO rows everywhere is schema-less
+    # (map_batches skips empty blocks, so nothing can retype them) and
+    # breaks the join below — branch on the count and skip the join
+    # instead. The table holds only duplicate ids, far smaller than
+    # the corpus; the repartition launders empty blocks.
+    losers = (
+        exact_losers.union(near_losers)
+        .groupby("doc_id")
+        .aggregate(Min("reason_code", alias_name="reason_code"))
+        .map_batches(_retype, batch_format="pyarrow")
         .repartition(jp)
         .materialize()
     )
 
     joined = docs.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
-    if exact_losers.count() > 0:
-        joined = joined.join(exact_losers, "left_outer", jp, on=("doc_id",))
-    if near_losers.count() > 0:
-        joined = joined.join(near_losers, "left_outer", jp, on=("doc_id",))
+    if losers.count() > 0:
+        joined = joined.join(losers, "left_outer", jp, on=("doc_id",))
 
     def _verdict(batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
         cols = batch.column_names
-        exact = (
-            batch.column("is_exact").to_pylist() if "is_exact" in cols else [None] * n_rows
-        )
-        near = (
-            batch.column("is_near").to_pylist() if "is_near" in cols else [None] * n_rows
+        codes = (
+            batch.column("reason_code").to_pylist()
+            if "reason_code" in cols
+            else [None] * n_rows
         )
         reasons = [
-            "exact_dup" if e else ("near_dup" if nr else "")
-            for e, nr in zip(exact, near)
+            "exact_dup" if c == 1 else ("near_dup" if c == 2 else "") for c in codes
         ]
         return pa.Table.from_pydict(
             {
