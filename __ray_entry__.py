@@ -569,6 +569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": text_analysis.unigram_surprisal,
         "token_packing": text_analysis.token_packing,
         "mixture_weights": text_analysis.mixture_weights,
+        "source_caps": text_analysis.source_caps,
+        "ccnet_buckets": text_analysis.ccnet_buckets,
         "hll_registers": text_analysis.hll_registers,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
@@ -620,6 +622,39 @@ _STOP_EN = "['the','and','of','to','a','in','is','that','it','for']"
 _STOP_DE = "['der','die','das','und','ist','nicht','ein','mit','zu','von']"
 _STOP_ES = "['el','la','de','que','y','en','un','por','con','para']"
 _STOP_FR = "['le','la','de','et','est','un','une','dans','pour','que']"
+
+
+def _surprisal_ctes() -> str:
+    """CTE chain reproducing ``ops/text_analysis.unigram_surprisal``
+    in ANSI SQL — bits(t) = bit_length(A // cf(t)) via
+    ``length(to_base(x, 2))`` — ending in ``surp(doc_id, n_tokens,
+    surprisal_bits, mean_bits_e3)``. Shared by the unigram_surprisal
+    and ccnet_buckets oracles."""
+    return """
+            tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), cf AS (
+              SELECT term, sum(tf) AS cf FROM tf GROUP BY term
+            ), tot AS (
+              SELECT CAST(sum(cf) AS BIGINT) AS a FROM cf
+            ), contrib AS (
+              SELECT tf.doc_id, tf.tf,
+                     tf.tf * length(to_base(CAST(t.a // cf.cf AS BIGINT), 2))
+                       AS bits
+              FROM tf JOIN cf USING (term) CROSS JOIN tot t
+            ), surp AS (
+              SELECT doc_id,
+                     CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+                     (1000 * CAST(sum(bits) AS BIGINT))
+                       // CAST(sum(tf) AS BIGINT) AS mean_bits_e3
+              FROM contrib GROUP BY doc_id
+            )"""
 
 
 def _minhash_base_sql() -> str:
@@ -1957,6 +1992,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS weight_e6
             FROM c CROSS JOIN t
         """,
+        "source_caps": f"""
+            -- Per-source document cap (ops/text_analysis.source_caps):
+            -- keep the 3 longest docs per source, n_tokens desc then
+            -- doc_id asc; rnk is the 1-based rank.
+            WITH t AS (
+              SELECT source, doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len({_TOKENS}) END AS n_tokens
+              FROM documents
+            ), r AS (
+              SELECT source, doc_id, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_tokens DESC, doc_id) AS rnk
+              FROM t
+            )
+            SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM r WHERE rnk <= 3
+        """,
         "token_packing": """
             -- Concat-and-chunk sequence packing (ops/text_analysis.
             -- token_packing): docs concatenated in doc_id order, sliced
@@ -2016,29 +2071,40 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": """
             -- Integer unigram-LM surprisal (ops/text_analysis.unigram_surprisal):
             -- bits(t) = bit_length(A // cf(t)); per doc sum + e3 mean.
-            WITH tok AS (
-              SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-              FROM documents WHERE trim(coalesce(text, '')) <> ''
-            ), tf AS (
-              SELECT doc_id, term, count(*) AS tf
-              FROM tok GROUP BY doc_id, term
-            ), cf AS (
-              SELECT term, sum(tf) AS cf FROM tf GROUP BY term
-            ), tot AS (
-              SELECT CAST(sum(cf) AS BIGINT) AS a FROM cf
-            ), contrib AS (
-              SELECT tf.doc_id, tf.tf,
-                     tf.tf * length(to_base(CAST(t.a // cf.cf AS BIGINT), 2))
-                       AS bits
-              FROM tf JOIN cf USING (term) CROSS JOIN tot t
+            WITH """ + _surprisal_ctes() + """
+            SELECT doc_id, n_tokens, surprisal_bits, mean_bits_e3
+            FROM surp
+        """,
+        "ccnet_buckets": """
+            -- CCNet head/middle/tail perplexity buckets per language
+            -- (ops/text_analysis.ccnet_buckets): c1/c2 are the smallest
+            -- mean_bits_e3 with cum*3 >= n (resp. 2n) per lang; bucket
+            -- by value comparison so boundary ties share a bucket.
+            WITH """ + _surprisal_ctes() + """,
+            j AS (
+              SELECT s.doc_id, d.lang, s.mean_bits_e3
+              FROM surp s JOIN documents d USING (doc_id)
+            ), n AS (
+              SELECT lang, count(*) AS n FROM j GROUP BY lang
+            ), hist AS (
+              SELECT lang, mean_bits_e3 AS v, count(*) AS c
+              FROM j GROUP BY lang, mean_bits_e3
+            ), cum AS (
+              SELECT lang, v,
+                     sum(c) OVER (PARTITION BY lang ORDER BY v) AS cumc
+              FROM hist
+            ), c1 AS (
+              SELECT cum.lang, min(v) AS cut FROM cum JOIN n USING (lang)
+              WHERE cumc * 3 >= n.n GROUP BY cum.lang
+            ), c2 AS (
+              SELECT cum.lang, min(v) AS cut FROM cum JOIN n USING (lang)
+              WHERE cumc * 3 >= 2 * n.n GROUP BY cum.lang
             )
-            SELECT doc_id,
-                   CAST(sum(tf) AS BIGINT) AS n_tokens,
-                   CAST(sum(bits) AS BIGINT) AS surprisal_bits,
-                   (1000 * CAST(sum(bits) AS BIGINT))
-                     // CAST(sum(tf) AS BIGINT) AS mean_bits_e3
-            FROM contrib GROUP BY doc_id
+            SELECT j.doc_id, j.lang, j.mean_bits_e3,
+                   CASE WHEN j.mean_bits_e3 <= c1.cut THEN 'head'
+                        WHEN j.mean_bits_e3 <= c2.cut THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM j JOIN c1 USING (lang) JOIN c2 USING (lang)
         """,
         "bm25_topk": """
             -- Exact-integer BM25, k1=6/5, b=3/4 (ops/text_analysis.bm25_topk):

@@ -1065,3 +1065,190 @@ def hll_registers(sf_dir: str) -> ray.data.Dataset:
     return rename_agg(
         partial.groupby("register").max("rank"), {"max(rank)": "max_rank"}, _jp()
     )
+
+
+def source_caps(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-source document cap — the "at most k documents per host"
+    rule crawl pipelines apply against SEO farms and boilerplate mills
+    (one hostname contributing millions of near-identical pages must
+    not dominate the training mix; cf. the per-domain caps in C4/Dolma
+    corpus construction). Keeps the k LONGEST documents per source
+    (n_tokens desc, doc_id asc for determinism) and reports their rank:
+
+        (source, rnk, doc_id, n_tokens)        rnk in 1..k
+
+    Scale shape (mirrors ``relational.events_topk_per_hour``): a
+    vectorized PER-BLOCK top-k combiner runs before the shuffle — at
+    most k rows per (block, source) ever enter the all-to-all, so the
+    shuffle moves O(sources × k), not O(corpus). Within a block,
+    sources are factorized with ``np.unique`` (exact codes — no hash
+    collisions); the final per-source top-k runs via
+    ``map_key_groups`` on the source string.
+    """
+    import numpy as np
+
+    from .grouped import block_topk, map_key_groups
+
+    docs = read_documents(sf_dir)
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("rnk", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def _block_topk(tbl: pa.Table, *, ranked: bool) -> pa.Table:
+        """Top-k per source of one (source, doc_id, n_tokens) block."""
+        if tbl.num_rows == 0:
+            return out_schema.empty_table() if ranked else tbl
+        tbl = tbl.combine_chunks()
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(src, return_inverse=True)
+        n_tok = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        take, ranks = block_topk(codes, (doc, -n_tok), k)
+        out = tbl.take(pa.array(take))
+        if not ranked:
+            return out
+        return pa.Table.from_pydict(
+            {
+                "source": out.column("source"),
+                "rnk": pa.array(ranks, pa.int64()),
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "n_tokens": out.column("n_tokens").cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tbl = pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(
+                    [token_count(t or "") for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+        return _block_topk(tbl, ranked=False)
+
+    def _final(group: pa.Table) -> pa.Table:
+        return _block_topk(group, ranked=True)
+
+    return map_key_groups(
+        docs.map_batches(_partial, batch_format="pyarrow"), "source", _final
+    ).sort(["source", "rnk"])
+
+
+def ccnet_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): per LANGUAGE, split documents into head /
+    middle / tail thirds by language-model surprisal — the step CCNet
+    uses to route low-perplexity (head) webtext into training and
+    quarantine the tail. The LM signal is ``unigram_surprisal``'s
+    exact-integer ``mean_bits_e3`` (low bits = well-modeled = head).
+
+    Output: (doc_id, lang, mean_bits_e3, bucket) for every non-empty
+    document, bucket in {'head','middle','tail'}.
+
+    Cutoff definition (integer grid, shared verbatim with the SQL
+    oracle): within a language of n docs, c1 is the smallest
+    mean_bits_e3 value v with ``cum_count(v) * 3 >= n`` and c2 the
+    smallest with ``cum_count(v) * 3 >= 2n``; bucket = head if
+    v <= c1, middle if v <= c2, else tail. Boundary TIES share a
+    bucket (CCNet cuts on the percentile value, not the row).
+
+    Scale shape: cutoffs come from a ``groupby(lang, mean_bits_e3)``
+    HISTOGRAM — the driver holds one row per distinct (lang, bits)
+    value (bounded by the value grid, not the corpus) exactly like
+    ``doc_length_quantiles``; the bucket map is then a broadcast
+    lookup inside one streaming ``map_batches`` pass. No corpus-wide
+    sort, no per-lang map_groups materialization.
+    """
+    import numpy as np
+    import ray
+
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+    docs = read_documents(sf_dir)
+    # repartition launders the schema-less empty blocks map_key_groups
+    # leaves on sparse corpora (most blocks own no doc group) — an
+    # untyped block on either join side raises ArrowInvalid (see the
+    # hazard note at dedup.cluster_pairs).
+    surp = unigram_surprisal(sf_dir).repartition(jp)
+
+    lang_tbl = docs.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+    joined_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("mean_bits_e3", pa.int64())]
+    )
+
+    def _project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return joined_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "mean_bits_e3": batch.column("mean_bits_e3").cast(pa.int64()),
+            },
+            schema=joined_schema,
+        )
+
+    # Materialized: both the histogram pass and the bucket map read it,
+    # so the surprisal join runs exactly once. Three fixed-width
+    # columns per doc — tiny next to the corpus text.
+    joined = (
+        surp.join(lang_tbl, "inner", jp, on=("doc_id",))
+        .map_batches(_project, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    hist = (
+        joined.groupby(["lang", "mean_bits_e3"])
+        .count()
+        .sort(["lang", "mean_bits_e3"])
+        .take_all()
+    )
+    totals: dict[str, int] = {}
+    for r in hist:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["count()"]
+    cuts: dict[str, tuple[int, int]] = {}
+    cum: dict[str, int] = {}
+    for r in hist:
+        lang, v = r["lang"], int(r["mean_bits_e3"])
+        c = cum.get(lang, 0) + r["count()"]
+        cum[lang] = c
+        n = totals[lang]
+        c1, c2 = cuts.get(lang, (None, None))
+        if c1 is None and c * 3 >= n:
+            c1 = v
+        if c2 is None and c * 3 >= 2 * n:
+            c2 = v
+        cuts[lang] = (c1, c2)
+
+    cuts_ref = ray.put(cuts)
+    out_schema = joined_schema.append(pa.field("bucket", pa.string()))
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cut = ray.get(cuts_ref)
+        langs = batch.column("lang").to_pylist()
+        bits = batch.column("mean_bits_e3").to_numpy(zero_copy_only=False)
+        buckets = [
+            "head"
+            if v <= cut[l][0]
+            else ("middle" if v <= cut[l][1] else "tail")
+            for l, v in zip(langs, bits)
+        ]
+        return batch.append_column("bucket", pa.array(buckets, pa.string()))
+
+    return joined.map_batches(_bucket, batch_format="pyarrow")

@@ -1642,3 +1642,89 @@ def test_cluster_quality_cross_modal_join(ray_session):
     assert sum(n for n, _, _ in got.values()) == len(labels)
     for c, (n, t, m) in got.items():
         assert m == (100 * t) // n
+
+
+def test_source_caps_keeps_k_longest_per_source(ray_session, tmp_path):
+    """Per-source cap: only the 3 longest docs per source survive,
+    ranked by n_tokens desc then doc_id asc (ties deterministic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import source_caps
+
+    # source "farm": 5 docs of decreasing length (2 must be dropped,
+    # incl. a tie on n_tokens broken by doc_id); "solo": 1 doc.
+    texts = [
+        "a b c d e",    # farm, 5 tok -> rnk 1
+        "a b c d",      # farm, 4 tok -> rnk 2
+        "a b c",        # farm, 3 tok -> rnk 3 (doc_id 2 beats doc_id 3)
+        "x y z",        # farm, 3 tok -> dropped (tie, higher doc_id)
+        "q",            # farm, 1 tok -> dropped
+        "only doc",     # solo, 2 tok -> rnk 1
+    ]
+    sources = ["farm"] * 5 + ["solo"]
+    sf = tmp_path / "capsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = [
+        (r["source"], r["rnk"], r["doc_id"], r["n_tokens"])
+        for r in source_caps(str(sf)).take_all()
+    ]
+    assert rows == [
+        ("farm", 1, 0, 5),
+        ("farm", 2, 1, 4),
+        ("farm", 3, 2, 3),
+        ("solo", 1, 5, 2),
+    ]
+
+
+def test_ccnet_buckets_order_and_ties(ray_session, tmp_path):
+    """Per-lang perplexity thirds: buckets follow mean_bits_e3 order
+    (low bits = head), every third is populated, and equal-surprisal
+    docs (byte-identical texts) always share a bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import ccnet_buckets
+
+    # 6 docs, one language, engineered corpus frequencies (A=32 total
+    # tokens): mean_bits_e3 = 2000,2000,4000,5000,6000,6000 → with n=6
+    # the cutoffs land at c1=2000, c2=5000 → head/head/middle/middle/
+    # tail/tail. Docs 0-1 are byte-identical (the boundary-tie case).
+    texts = [
+        "the the the the the the the the",  # cf(the)=16 → 2 bits
+        "the the the the the the the the",
+        "aa aa aa aa",                        # cf(aa)=4 → 4 bits
+        "bb bb",                              # cf(bb)=2 → 5 bits
+        "cc dd",                              # singletons → 6 bits
+        "ee ff gg hh ii jj kk ll",            # singletons → 6 bits
+    ]
+    sf = tmp_path / "ccnetsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = sorted(
+        ccnet_buckets(str(sf)).take_all(), key=lambda r: (r["mean_bits_e3"], r["doc_id"])
+    )
+    assert len(rows) == 6
+    order = {"head": 0, "middle": 1, "tail": 2}
+    seq = [order[r["bucket"]] for r in rows]
+    assert seq == sorted(seq), "buckets must be monotone in mean_bits_e3"
+    assert set(seq) == {0, 1, 2}, "all three buckets populated"
+    tied = {r["doc_id"]: r["bucket"] for r in rows if r["doc_id"] in (0, 1)}
+    assert tied[0] == tied[1], "equal-surprisal docs share a bucket"
