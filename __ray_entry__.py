@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": text_analysis.mixture_weights,
         "source_caps": text_analysis.source_caps,
         "ccnet_buckets": text_analysis.ccnet_buckets,
+        "dsir_weights": text_analysis.dsir_weights,
         "hll_registers": text_analysis.hll_registers,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
@@ -1521,6 +1522,68 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             )
             SELECT doc_id, reason = '' AS keep, reason FROM r
+        """,
+        "dsir_weights": f"""
+            -- DSIR hashed-ngram importance weights (ops/text_analysis.
+            -- dsir_weights): buckets = md5_number_lower(gram) % 256,
+            -- target = quality_filter passers, Laplace-smoothed
+            -- bit-length log-prob surrogate; weight_bits =
+            -- sum(c * (bits_raw - bits_target)).
+            WITH t AS (
+              SELECT doc_id, lang, coalesce(text,'') AS text,
+                CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, lang, text,
+                len(toks) AS n_tok,
+                coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS token_chars,
+                len(list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> x),
+                    x -> list_contains({_STOP_EN}, x))) AS stop_hits,
+                len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) AS n_sym,
+                length(text) AS n_chars
+              FROM t
+            ), keepf AS (
+              SELECT doc_id,
+                NOT (n_tok < 50 OR n_tok > 100000
+                     OR (token_chars * 100) // n_tok < 300
+                     OR (token_chars * 100) // n_tok > 1000
+                     OR n_sym * 10 > n_chars
+                     OR (lang = 'en' AND stop_hits < 2)) AS keep
+              FROM m
+            ), g AS (
+              SELECT doc_id, unnest(toks) AS gram FROM t
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+              FROM t
+            ), b AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(gram) % 256 AS BIGINT) AS bucket
+              FROM g
+            ), cnt AS (
+              SELECT bucket,
+                     count(*) AS c_raw,
+                     sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS c_tgt
+              FROM b JOIN keepf k USING (doc_id) GROUP BY bucket
+            ), tot AS (
+              SELECT CAST(sum(c_raw) AS BIGINT) + 256 AS ar,
+                     CAST(sum(c_tgt) AS BIGINT) + 256 AS at
+              FROM cnt
+            ), bits AS (
+              SELECT bucket,
+                     length(to_base(CAST(t2.ar // (c_raw + 1) AS BIGINT), 2))
+                   - length(to_base(CAST(t2.at // (c_tgt + 1) AS BIGINT), 2))
+                       AS delta
+              FROM cnt CROSS JOIN tot t2
+            ), dc AS (
+              SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(sum(c * delta) AS BIGINT) AS weight_bits
+            FROM dc JOIN bits USING (bucket) GROUP BY doc_id
         """,
         "stratified_sample": """
             -- Deterministic per-language sample: md5_number_lower ==

@@ -185,6 +185,35 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> ray.data.Dataset:
     )
 
 
+_SYM_RE = None
+
+
+def quality_reason(
+    text: str, lang: str, min_tokens: int = 50, max_tokens: int = 100_000
+) -> str:
+    """First failing Gopher-style rule for one document ('' = keep).
+    The single home of the rule chain — shared by ``quality_filter``
+    and ``dsir_weights``'s target-set definition, and mirrored
+    verbatim by both SQL oracles."""
+    global _SYM_RE
+    if _SYM_RE is None:
+        import re
+
+        _SYM_RE = re.compile(r"[^A-Za-z0-9 \t\n\r]")
+    n_tok = token_count(text)
+    if n_tok < min_tokens:
+        return "too_short"
+    if n_tok > max_tokens:
+        return "too_long"
+    if not (300 <= (word_lengths_total(text) * 100) // n_tok <= 1000):
+        return "word_length"
+    if len(_SYM_RE.findall(text)) * 10 > len(text):
+        return "symbol_ratio"
+    if lang == "en" and stopword_hits(text, "en") < 2:
+        return "stopwords"
+    return ""
+
+
 def quality_filter(
     sf_dir: str, min_tokens: int = 50, max_tokens: int = 100_000
 ) -> ray.data.Dataset:
@@ -202,28 +231,13 @@ def quality_filter(
 
     Output: (doc_id, keep, reason) with reason = first failing rule.
     Stateless vectorized map — no shuffle."""
-    import re
-
-    sym_re = re.compile(r"[^A-Za-z0-9 \t\n\r]")
 
     def _filter(batch: pa.Table) -> pa.Table:
         out_keep, out_reason = [], []
         for text, lang in zip(
             batch.column("text").to_pylist(), batch.column("lang").to_pylist()
         ):
-            text = text or ""
-            n_tok = token_count(text)
-            reason = ""
-            if n_tok < min_tokens:
-                reason = "too_short"
-            elif n_tok > max_tokens:
-                reason = "too_long"
-            elif not (300 <= (word_lengths_total(text) * 100) // n_tok <= 1000):
-                reason = "word_length"
-            elif len(sym_re.findall(text)) * 10 > len(text):
-                reason = "symbol_ratio"
-            elif lang == "en" and stopword_hits(text, "en") < 2:
-                reason = "stopwords"
+            reason = quality_reason(text or "", lang, min_tokens, max_tokens)
             out_keep.append(reason == "")
             out_reason.append(reason)
         return pa.Table.from_pydict(
@@ -1252,3 +1266,129 @@ def ccnet_buckets(sf_dir: str) -> ray.data.Dataset:
         return batch.append_column("bucket", pa.array(buckets, pa.string()))
 
     return joined.map_batches(_bucket, batch_format="pyarrow")
+
+
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(sf_dir: str) -> ray.data.Dataset:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling — Xie et al. 2023, arXiv:2302.03169): score every raw
+    document by how much more likely it is under a TARGET distribution
+    than under the raw corpus, using hashed n-gram bag-of-words models.
+    Documents with positive weight look like the target; importance
+    resampling then samples proportionally to exp(weight).
+
+    Frozen deterministic instantiation (mirrored bit-for-bit in SQL):
+
+      * features: unigrams + bigrams of the whitespace tokens, hashed
+        into ``DSIR_BUCKETS`` (256) buckets via
+        ``_hash64(gram) % 256`` (== DuckDB ``md5_number_lower``);
+      * target set: documents passing ``quality_filter`` (the shared
+        ``quality_reason`` rule chain) — DSIR's "formal text" target
+        stood in by the quality gate so the op needs no external data;
+      * integer log-probability surrogate (same ``bit_length`` grid as
+        ``unigram_surprisal``), Laplace-smoothed:
+        ``bits_x(b) = bit_length(A_x // (cnt_x(b)+1))``,
+        ``A_x = total grams in x + 256``;
+      * per doc: ``weight_bits = Σ_b c_b(doc) · (bits_raw(b) −
+        bits_target(b))`` — ≈ log2 p_target(doc)/p_raw(doc).
+
+    Output: (doc_id, n_grams, weight_bits) for every document with at
+    least one token.
+
+    Scale shape: TWO streaming passes over the text, zero corpus-scale
+    shuffles. Pass 1 bincounts gram buckets per batch (a 256-row
+    partial per batch) and a ``groupby(bucket)`` reduces to exactly
+    256 rows — the only driver state. The 256-entry delta table is
+    broadcast via ``ray.put`` and pass 2 scores each doc locally.
+    """
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import _hash64
+    from ..functions.textstats import _TOKEN_RE
+
+    B = DSIR_BUCKETS
+    docs = read_documents(sf_dir)
+
+    def _bucket_counts(text: str) -> np.ndarray:
+        toks = _TOKEN_RE.findall(text)
+        counts = np.zeros(B, np.int64)
+        for g in toks:
+            counts[int(_hash64(g)) % B] += 1
+        for a, b2 in zip(toks, toks[1:]):
+            counts[int(_hash64(a + " " + b2)) % B] += 1
+        return counts
+
+    cnt_schema = pa.schema(
+        [("bucket", pa.int64()), ("c_raw", pa.int64()), ("c_tgt", pa.int64())]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        raw = np.zeros(B, np.int64)
+        tgt = np.zeros(B, np.int64)
+        for text, lang in zip(
+            batch.column("text").to_pylist(), batch.column("lang").to_pylist()
+        ):
+            c = _bucket_counts(text or "")
+            raw += c
+            if quality_reason(text or "", lang) == "":
+                tgt += c
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(np.arange(B), pa.int64()),
+                "c_raw": pa.array(raw, pa.int64()),
+                "c_tgt": pa.array(tgt, pa.int64()),
+            },
+            schema=cnt_schema,
+        )
+
+    cnt_rows = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum(["c_raw", "c_tgt"])
+        .take_all()
+    )
+    c_raw = np.zeros(B, np.int64)
+    c_tgt = np.zeros(B, np.int64)
+    for r in cnt_rows:
+        c_raw[r["bucket"]] = r["sum(c_raw)"]
+        c_tgt[r["bucket"]] = r["sum(c_tgt)"]
+    a_raw = int(c_raw.sum()) + B
+    a_tgt = int(c_tgt.sum()) + B
+
+    def _bits(a_total: int, cnt: np.ndarray) -> np.ndarray:
+        # bit_length via the frexp exponent: exact for ints < 2^53.
+        return np.frexp((a_total // (cnt + 1)).astype(np.float64))[1].astype(np.int64)
+
+    delta = _bits(a_raw, c_raw) - _bits(a_tgt, c_tgt)
+    delta_ref = ray.put(delta)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("weight_bits", pa.int64())]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        d = ray.get(delta_ref)
+        ids, n_grams, weights = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            c = _bucket_counts(text or "")
+            n = int(c.sum())
+            if n == 0:
+                continue
+            ids.append(int(doc_id))
+            n_grams.append(n)
+            weights.append(int(np.dot(c, d)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "weight_bits": pa.array(weights, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")

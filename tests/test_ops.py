@@ -1728,3 +1728,44 @@ def test_ccnet_buckets_order_and_ties(ray_session, tmp_path):
     assert set(seq) == {0, 1, 2}, "all three buckets populated"
     tied = {r["doc_id"]: r["bucket"] for r in rows if r["doc_id"] in (0, 1)}
     assert tied[0] == tied[1], "equal-surprisal docs share a bucket"
+
+
+def test_dsir_weights_favor_target_like_docs(ray_session, tmp_path):
+    """DSIR: docs sharing vocabulary with the target set (quality-filter
+    passers) must score a higher importance weight than docs whose
+    grams only ever appear in filtered-out text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import dsir_weights, quality_reason
+
+    # 4 long clean docs (pass the filter; vocabulary A) + 4 short
+    # spammy docs (fail 'too_short'; vocabulary B) + 2 probes below.
+    good = "the data and pipeline of tokens " + " ".join(
+        f"clean{i} words the and of" for i in range(12)
+    )
+    bad = "zzz buy spam now"
+    # probe docs FAIL the filter too (too_short) so they contribute
+    # nothing to the target counts — pure held-out queries.
+    probe_good = "the data and pipeline of tokens"
+    probe_bad = "zzz buy spam now again"
+    texts = [good] * 4 + [bad] * 4 + [probe_good, probe_bad]
+    assert quality_reason(good, "en") == ""
+    assert quality_reason(bad, "en") == "too_short"
+    sf = tmp_path / "dsirsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(str(sf)).take_all()}
+    assert len(out) == 10
+    pg, pb = out[8], out[9]
+    # per-gram mean so the two probes' different lengths don't matter
+    assert pg["weight_bits"] * pb["n_grams"] > pb["weight_bits"] * pg["n_grams"]
+    assert pg["n_grams"] == 2 * 6 - 1
