@@ -312,6 +312,21 @@ def _q_frames(sf_dir: str):
     return frames.drop_columns(["payload"])
 
 
+def _q_link_graph(sf_dir: str):
+    """Outlink extraction + page-graph degrees over the html payloads
+    (the Common-Crawl "wat" analog)."""
+    from smart_ocr_ray.ops.links import link_graph
+
+    return link_graph(_pages_path(sf_dir))
+
+
+def _q_link_pagerank(sf_dir: str):
+    """PageRank over the real page link graph."""
+    from smart_ocr_ray.ops.links import link_pagerank
+
+    return link_pagerank(_pages_path(sf_dir))
+
+
 def _q_consensus(sf_dir: str):
     """Multi-extractor mode (C5/D5): every extractor runs, consensus
     selects; agreement and attempt counts surface per doc."""
@@ -572,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_caps": text_analysis.source_caps,
         "ccnet_buckets": text_analysis.ccnet_buckets,
         "dsir_weights": text_analysis.dsir_weights,
+        "link_graph": _q_link_graph,
+        "link_pagerank": _q_link_pagerank,
         "hll_registers": text_analysis.hll_registers,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
@@ -1106,6 +1123,81 @@ def _frames_oracle_sql() -> str:
     """
 
 
+def _link_ctes() -> str:
+    """Shared CTE prefix of the link-family oracles: a pure regexp
+    scan of the html payloads (the Ray side walks a stdlib HTMLParser
+    DOM) — agreement on well-formed markup cross-checks the parser.
+    HTML pages are non-empty payloads without the %FIX-LAYOUT magic
+    (hex-prefix compare on the raw BLOB: layout payloads hold
+    compressed bytes, decode() must never see them); internal links
+    (href starting '/') resolve against the page's scheme+host. Ends
+    in ``h(url, s)``, ``a(url, href)``, ``e(src, dst)``."""
+    return f"""pages AS (
+          SELECT url, html
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+          WHERE octet_length(html) > 0
+            AND NOT starts_with(hex(html), '254649582D4C41594F5554')
+        ), h AS (
+          SELECT url, decode(html) AS s FROM pages
+        ), a AS (
+          SELECT url, unnest(regexp_extract_all(s, 'href="([^"]*)"', 1)) AS href
+          FROM h
+        ), e AS (
+          SELECT a.url AS src,
+                 regexp_extract(a.url, '^(https?://[^/]+)', 1) || a.href AS dst
+          FROM a WHERE a.href LIKE '/%'
+        )"""
+
+
+def _link_graph_oracle_sql() -> str:
+    """Per-page degree rollup over the regexp-harvested link graph;
+    edges count only when the target url exists in the corpus."""
+    return f"""
+        WITH {_link_ctes()}, o AS (
+          SELECT h.url,
+                 count(a.href) AS out_links,
+                 coalesce(sum(CASE WHEN a.href LIKE '/%' THEN 1 ELSE 0 END), 0)
+                   AS out_internal
+          FROM h LEFT JOIN a ON h.url = a.url GROUP BY h.url
+        ), ind AS (
+          SELECT e.dst AS url, count(*) AS ind
+          FROM e JOIN h ON e.dst = h.url GROUP BY e.dst
+        )
+        SELECT o.url, CAST(o.out_links AS BIGINT) AS out_links,
+               CAST(o.out_internal AS BIGINT) AS out_internal,
+               CAST(coalesce(ind.ind, 0) AS BIGINT) AS in_degree
+        FROM o LEFT JOIN ind ON o.url = ind.url
+    """
+
+
+def _link_pagerank_sql(n_iter: int = 3) -> str:
+    """Oracle for ``link_pagerank``: the regexp link harvest mapped to
+    int64 node ids (md5_number_lower(url) % 2^63 == the Ray side's
+    _hash64(url) % 2^63), existing-target edges, the shared integer
+    iteration, and a final id→url join."""
+    return (
+        f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS vec_id
+          FROM h
+        ), nodes AS (
+          SELECT vec_id FROM ids
+        ), edges AS (
+          SELECT si.vec_id AS src, di.vec_id AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+        ),
+        """
+        + _pagerank_iter_sql(n_iter).replace(
+            f"SELECT vec_id, pr AS pr_e12 FROM p{n_iter}",
+            f"""SELECT ids.url, p{n_iter}.pr AS pr_e12
+            FROM p{n_iter} JOIN ids ON p{n_iter}.vec_id = ids.vec_id""",
+        )
+    )
+
+
 def _winnow_pairs_sql() -> str:
     """Shared CTE chain for the winnowing-overlap oracles
     (ops/dedup.winnow_pairs / winnow_clusters): same winnow-set
@@ -1147,28 +1239,18 @@ def _winnow_pairs_sql() -> str:
             )"""
 
 
-def _pagerank_sql(n_iter: int = 3, knn_k: int = 5) -> str:
-    """Oracle for ``graph_pagerank``: unrolled integer power iteration
-    over the k-NN edge set (ops/graph.py). Every step is exact BIGINT
-    floor arithmetic — pr//odeg contributions, (15·1e12)//(100·N) base,
-    (85·sum)//100 damping — so DuckDB and the Ray engine derive
-    bit-identical ranks regardless of summation order."""
+def _pagerank_iter_sql(n_iter: int = 3) -> str:
+    """Shared unrolled integer power iteration (ops/graph.py
+    semantics): assumes CTEs ``edges(src, dst)`` and ``nodes(vec_id)``
+    are already defined; emits outdeg/nn/p0..pN CTEs and ends with the
+    ``SELECT vec_id, pr AS pr_e12`` of the final iteration. Every step
+    is exact BIGINT floor arithmetic — pr//odeg contributions,
+    (15·1e12)//(100·N) base, (85·sum)//100 damping — so DuckDB and the
+    Ray engine derive bit-identical ranks regardless of summation
+    order. Used by the graph_pagerank (k-NN edges) and link_pagerank
+    (real html link edges) oracles."""
     ctes = [
-        f"""sym AS (
-              SELECT left_id AS vec_id, right_id AS nbr, cos_sim_e3 FROM lsh_pairs
-              UNION ALL
-              SELECT right_id, left_id, cos_sim_e3 FROM lsh_pairs
-            ),
-            rk AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY cos_sim_e3 DESC, nbr ASC) AS rnk
-              FROM sym
-            ),
-            edges AS (
-              SELECT vec_id AS src, nbr AS dst FROM rk WHERE rnk <= {knn_k}
-            ),
-            outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
-            nodes AS (SELECT vec_id FROM embeddings),
+        """outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
             nn AS (SELECT count(*) AS n FROM nodes),
             p0 AS (
               SELECT vec_id, 1000000000000 // nn.n AS pr
@@ -1197,6 +1279,29 @@ def _pagerank_sql(n_iter: int = 3, knn_k: int = 5) -> str:
         """
 
 
+def _pagerank_sql(n_iter: int = 3, knn_k: int = 5) -> str:
+    """Oracle for ``graph_pagerank``: k-NN edge construction from the
+    hyperplane-LSH candidate pairs + the shared integer iteration."""
+    return (
+        f"""sym AS (
+              SELECT left_id AS vec_id, right_id AS nbr, cos_sim_e3 FROM lsh_pairs
+              UNION ALL
+              SELECT right_id, left_id, cos_sim_e3 FROM lsh_pairs
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim_e3 DESC, nbr ASC) AS rnk
+              FROM sym
+            ),
+            edges AS (
+              SELECT vec_id AS src, nbr AS dst FROM rk WHERE rnk <= {knn_k}
+            ),
+            nodes AS (SELECT vec_id FROM embeddings),
+            """
+        + _pagerank_iter_sql(n_iter)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # Corpus-dependent pseudo-oracles (they materialize the pages/golden
     # tables for _ORACLE_SF at build time): degrade to rows-only rather
@@ -1205,6 +1310,8 @@ def oracle_sql() -> dict[str, str]:
     try:
         corpus_dependent.update(_extract_family_oracles())
         corpus_dependent["multimodal_frames"] = _frames_oracle_sql()
+        corpus_dependent["link_graph"] = _link_graph_oracle_sql()
+        corpus_dependent["link_pagerank"] = _link_pagerank_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

@@ -190,6 +190,13 @@ def run_bench() -> dict:
 
         timed("pii_scrub", pii_scrub)
 
+        from smart_ocr_ray.ops.links import link_graph
+
+        timed("link_graph", lambda _sf: link_graph(pages_path))
+        timed("dsir_weights", text_analysis.dsir_weights)
+        timed("source_caps", text_analysis.source_caps)
+        timed("ccnet_buckets", text_analysis.ccnet_buckets)
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

@@ -31,7 +31,7 @@ from .extractors.layout import build_payload
 # Bump whenever generated content changes: cache keys (e.g. the driver
 # pages-corpus cache under /tmp) include this so stale corpora are
 # never served after a fixtures change.
-FIXTURES_VERSION = 2
+FIXTURES_VERSION = 3
 
 # Own econ-flavored prose (authored for this repo; plays the role of the
 # reference's 8-sentence block — not copied from it).
@@ -111,12 +111,41 @@ def _soup_paragraphs(words: list[str], rng: random.Random, n_paras: int = 2) -> 
     return paras
 
 
-def _page_html(paras: list[str], extra: str = "", title: str = "Fixture Document") -> bytes:
+def _page_html(
+    paras: list[str], extra: str = "", title: str = "Fixture Document",
+    related: str = "",
+) -> bytes:
     body = "\n".join(f"<p>{p}</p>" for p in paras)
     return (
         f"<html><head><title>{title}</title></head><body>\n"
-        f"<h1>{title}</h1>\n{body}\n{extra}</body></html>"
+        f"<h1>{title}</h1>\n{body}\n{extra}{related}</body></html>"
     ).encode("utf-8")
+
+
+def related_targets(i: int) -> list[int]:
+    """Deterministic cross-page link targets of page ``i`` — earlier
+    pages ``i-1``, ``i//2``, ``i//3`` (deduped, never self), so every
+    corpus prefix is closed under links and low-id pages are hubs
+    (realistic in-degree skew for the link-graph operators)."""
+    out: list[int] = []
+    for j in (i - 1, i // 2, i // 3):
+        if 0 <= j != i and j not in out:
+            out.append(j)
+    return out
+
+
+def _related_links(i: int) -> str:
+    """Pure-anchor related-pages block: 100% link density, so the DOM
+    boilerplate stripper removes it (MAX_LINK_DENSITY) and extraction
+    goldens are unchanged — the links exist only for the link-graph
+    operators to harvest."""
+    targets = related_targets(i)
+    if not targets:
+        return ""
+    items = " ".join(
+        f'<a href="/{class_of(j)}/{j:06d}">related page {j}</a>' for j in targets
+    )
+    return f'<div class="related-pages">{items}</div>'
 
 
 _NAV = (
@@ -217,6 +246,7 @@ def build_row(i: int, seed: int = 42, source_words: list[str] | None = None,
     """Build one deterministic pages-table row."""
     cls = class_of(i)
     rng = random.Random((seed << 32) | i)
+    rel = _related_links(i)
     if source_words:
         paras = _soup_paragraphs(source_words, rng)
     else:
@@ -230,14 +260,14 @@ def build_row(i: int, seed: int = 42, source_words: list[str] | None = None,
     text: str
 
     if cls == "prose":
-        html = _page_html(paras)
+        html = _page_html(paras, related=rel)
         text = text_layer
     elif cls == "boilerplate":
         article = "\n".join(f"<p>{p}</p>" for p in paras)
         html = (
             f"<html><head><title>News</title></head><body>{_NAV}"
             f'<div class="content"><article><h1>Policy Review</h1>{article}</article></div>'
-            f"{_SIDEBAR}{_LINKFARM}{_FOOTER}</body></html>"
+            f"{_SIDEBAR}{_LINKFARM}{rel}{_FOOTER}</body></html>"
         ).encode("utf-8")
         text = ""
     elif cls == "table":
@@ -249,17 +279,17 @@ def build_row(i: int, seed: int = 42, source_words: list[str] | None = None,
         table_html = "<table>" + "".join(
             "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>" for row in cells
         ) + "</table>"
-        html = _page_html(paras, extra=table_html)
+        html = _page_html(paras, extra=table_html, related=rel)
         # Single-token-per-line text layer (≥15 lines, columnar heuristic).
         tokens = [c for row in cells for c in row] + text_layer.split()[:12]
         text = "\n".join(tokens[:21])
     elif cls == "equation":
         extra = "<p>$$\\frac{\\partial y}{\\partial t} = \\alpha y$$</p>"
-        html = _page_html(paras, extra=extra)
+        html = _page_html(paras, extra=extra, related=rel)
         text = text_layer + "\n\n$$\\frac{\\partial y}{\\partial t} = \\alpha y$$"
     elif cls == "figure":
         extra = '<img src="fig1.png" alt="Output gap chart"><p>Figure 1 shows the estimated output gap.</p>'
-        html = _page_html(paras, extra=extra)
+        html = _page_html(paras, extra=extra, related=rel)
         text = text_layer
     elif cls == "scanned":
         n_pages = 1 + (i % 3)
@@ -312,14 +342,14 @@ def build_row(i: int, seed: int = 42, source_words: list[str] | None = None,
             + "A closing remark follows the loop."
         )
         repeated_line = "Repeated navigation crumb line here<br>" * 6
-        html = _page_html(paras, extra=f"<p>{repeated_line}</p><p>{loop_sentence}</p>")
+        html = _page_html(paras, extra=f"<p>{repeated_line}</p><p>{loop_sentence}</p>", related=rel)
         text = ""
     elif cls == "unicode":
         uni = (
             "“Smart quotes” and ‘single’ quotes, an em—dash, "
             "an en–dash, ellipsis… and the ﬁne ﬂuent ligatures."
         )
-        html = _page_html(paras, extra=f"<p>{uni}</p>").replace(b"\n", b"\r\n")
+        html = _page_html(paras, extra=f"<p>{uni}</p>", related=rel).replace(b"\n", b"\r\n")
         text = text_layer + "\n\n" + uni
     else:  # empty
         html = b""

@@ -1,0 +1,312 @@
+"""Link-graph operators over the pages corpus — the outlink/WAT side
+of a web-extraction pipeline (Common Crawl ships exactly this as its
+"wat" metadata: every anchor target per page, and the host/page graph
+built from them).
+
+Frozen semantics (mirrored by an INDEPENDENT DuckDB regexp oracle —
+the Ray side walks a real stdlib-``html.parser`` DOM, the SQL side
+scans ``href="..."`` attributes; agreement on well-formed markup is
+the cross-check):
+
+  * a page participates iff its payload is HTML (non-empty, not a
+    ``%FIX-LAYOUT`` binary payload — ``functions/assess.sniff_doc_kind``);
+  * its outlinks are the ``href`` values of its ``<a>`` tags, in
+    document order, duplicates kept;
+  * site-internal links (href starting ``/``) resolve against the
+    page's own scheme+host; everything else is external;
+  * the page graph keeps only resolved edges whose target exists in
+    the corpus (dangling links are counted but form no edge).
+
+Scale shape: outlink extraction is a stateless ``map_batches`` pass
+(the parse state is per-row); only the EDGE LIST — (src, dst) string
+pairs, ~3 rows/page, payload-free — enters any shuffle. In-degree is
+one ``groupby(dst)`` count over edges; the final join is
+per-page-rows ⋈ degree-table on url (both corpus-scale but narrow).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.assess import sniff_doc_kind
+
+
+class _AnchorCollector(HTMLParser):
+    """Collects href attribute values of <a> tags in document order."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.hrefs.append(value)
+
+    handle_startendtag = handle_starttag
+
+
+def page_hrefs(html: bytes) -> list[str]:
+    """Anchor hrefs of one page ('' kind-sniffed non-HTML → [])."""
+    if sniff_doc_kind(html) != "html":
+        return []
+    parser = _AnchorCollector()
+    parser.feed(html.decode("utf-8", errors="replace"))
+    return parser.hrefs
+
+
+def _host(url: str) -> str:
+    """scheme://host prefix of a url (everything before the 3rd '/')."""
+    parts = url.split("/", 3)
+    return "/".join(parts[:3]) if len(parts) >= 3 else url
+
+
+_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+_PAGE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("out_links", pa.int64()),
+        ("out_internal", pa.int64()),
+    ]
+)
+
+
+def _read_pages(pages_path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(pages_path, columns=["url", "html"])
+
+
+def page_links(pages_path: str) -> ray.data.Dataset:
+    """Resolved site-internal outlink edges, one row per anchor:
+    (src, dst) with dst = page host + href. Duplicates kept (a page
+    linking twice contributes two edges)."""
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            host = _host(url)
+            for href in page_hrefs(html or b""):
+                if href.startswith("/"):
+                    srcs.append(url)
+                    dsts.append(host + href)
+        return pa.Table.from_pydict(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())},
+            schema=_EDGE_SCHEMA,
+        )
+
+    return _read_pages(pages_path).map_batches(_edges, batch_format="pyarrow")
+
+
+def link_graph(pages_path: str) -> ray.data.Dataset:
+    """Per-page degree rollup over the corpus link graph:
+
+        (url, out_links, out_internal, in_degree)
+
+    for every HTML page — out_links counts ALL anchors, out_internal
+    the site-internal subset, in_degree the internal links arriving
+    from other corpus pages (dangling targets never count).
+    """
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+    pages = _read_pages(pages_path)
+
+    def _per_page(batch: pa.Table) -> pa.Table:
+        urls, outs, ints = [], [], []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if sniff_doc_kind(html or b"") != "html":
+                continue
+            hrefs = page_hrefs(html or b"")
+            urls.append(url)
+            outs.append(len(hrefs))
+            ints.append(sum(1 for h in hrefs if h.startswith("/")))
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(urls, pa.string()),
+                "out_links": pa.array(outs, pa.int64()),
+                "out_internal": pa.array(ints, pa.int64()),
+            },
+            schema=_PAGE_SCHEMA,
+        )
+
+    # Materialized: the in-degree aggregation joins back onto it, and
+    # it is three narrow columns per page (payloads already dropped).
+    per_page = (
+        pages.map_batches(_per_page, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    # Edges whose target is a real corpus page: inner join against the
+    # page-url table, then count per target. Only (src, dst) strings
+    # shuffle — never payloads.
+    url_tbl = per_page.map_batches(
+        lambda b: b.select(["url"]), batch_format="pyarrow"
+    )
+    edges = page_links(pages_path).repartition(jp)
+    ind_schema = pa.schema([("url", pa.string()), ("in_degree", pa.int64())])
+
+    def _retype_ind(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "dst" not in batch.column_names:
+            return ind_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("dst").cast(pa.string()),
+                "in_degree": batch.column("count()").cast(pa.int64()),
+            },
+            schema=ind_schema,
+        )
+
+    in_deg = (
+        edges.join(
+            url_tbl.map_batches(
+                lambda b: b.rename_columns(["dst"]), batch_format="pyarrow"
+            ),
+            "inner",
+            jp,
+            on=("dst",),
+        )
+        .groupby("dst")
+        .count()
+        .map_batches(_retype_ind, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    out_schema = _PAGE_SCHEMA.append(pa.field("in_degree", pa.int64()))
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        ind = (
+            pc.fill_null(batch.column("in_degree"), 0)
+            if "in_degree" in batch.column_names
+            else pa.array([0] * n, pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url"),
+                "out_links": batch.column("out_links"),
+                "out_internal": batch.column("out_internal"),
+                "in_degree": ind.cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    joined = per_page
+    if in_deg.count() > 0:
+        joined = per_page.join(in_deg, "left_outer", jp, on=("url",))
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
+    """Integer-grid PageRank over the REAL page link graph (the
+    centrality signal crawl curation uses to weight pages by link
+    authority), reusing ``graph.graph_pagerank``'s distributed
+    iteration core — every power step is one hash join + one groupby
+    sum over the edge table; ranks never touch the driver.
+
+    Node ids are ``_hash64(url) % 2^63`` (== DuckDB
+    ``md5_number_lower(url) % 2^63`` — int64-safe, collision odds
+    ~n²/2^64); nodes are the corpus's HTML pages, edges the resolved
+    internal links whose target exists. Output: (url, pr_e12).
+    """
+    from ..functions.hashing import _hash64
+    from ..tuning import join_partitions as _jp
+    from .graph import graph_pagerank
+
+    jp = _jp()
+    M = 2**63
+
+    id_schema = pa.schema([("vec_id", pa.int64()), ("url", pa.string())])
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return id_schema.empty_table()
+        urls = batch.column("url").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array([int(_hash64(u)) % M for u in urls], pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=id_schema,
+        )
+
+    # Node table: html pages only (link_graph's page filter), three
+    # narrow columns; reused by the final rank→url join.
+    nodes_urls = (
+        link_graph(pages_path)
+        .map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        .map_batches(_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def _edge_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return edge_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(
+                    [int(_hash64(u)) % M for u in batch.column("src").to_pylist()],
+                    pa.int64(),
+                ),
+                "dst": pa.array(
+                    [int(_hash64(u)) % M for u in batch.column("dst").to_pylist()],
+                    pa.int64(),
+                ),
+            },
+            schema=edge_schema,
+        )
+
+    # Edges restricted to existing targets: inner join on the node set
+    # (dangling links carry no rank mass, matching link_graph).
+    node_ids = nodes_urls.map_batches(
+        lambda b: b.select(["vec_id"]).rename_columns(["dst"]),
+        batch_format="pyarrow",
+    )
+    edges = (
+        page_links(pages_path)
+        .map_batches(_edge_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .join(node_ids, "inner", jp, on=("dst",))
+        .repartition(jp)
+    )
+
+    ranks = graph_pagerank(
+        "",  # sf_dir unused: nodes+edges supplied
+        n_iter=n_iter,
+        edges=edges,
+        nodes=nodes_urls.map_batches(
+            lambda b: b.select(["vec_id"]), batch_format="pyarrow"
+        ),
+    )
+
+    out_schema = pa.schema([("url", pa.string()), ("pr_e12", pa.int64())])
+
+    def _out(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "pr_e12": batch.column("pr_e12").cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ranks.repartition(jp)
+        .join(nodes_urls, "inner", jp, on=("vec_id",))
+        .map_batches(_out, batch_format="pyarrow")
+    )

@@ -1769,3 +1769,107 @@ def test_dsir_weights_favor_target_like_docs(ray_session, tmp_path):
     # per-gram mean so the two probes' different lengths don't matter
     assert pg["weight_bits"] * pb["n_grams"] > pb["weight_bits"] * pg["n_grams"]
     assert pg["n_grams"] == 2 * 6 - 1
+
+
+def test_link_graph_degrees_match_fixture_targets(ray_session, tmp_path):
+    """Page-graph degrees over the html payloads equal the closed-form
+    expectation from the fixture link rule (targets i-1, i//2, i//3 on
+    html-class pages; binary/empty pages contribute and receive no
+    anchor edges but CAN be link targets... dangling targets to
+    non-html pages still resolve because in-degree joins on page url,
+    which exists for every corpus row that is html-kind)."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import (
+        build_row,
+        class_of,
+        generate_pages,
+        related_targets,
+    )
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.ops.links import link_graph, page_hrefs
+
+    n = 40
+    table = generate_pages(n)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    # closed-form expectation from the fixture rule + the DOM parse of
+    # each single row (independent of the distributed path under test)
+    url_of = {i: f"https://fixture.test/{class_of(i)}/{i:06d}" for i in range(n)}
+    html_kind = {
+        i: sniff_doc_kind(table.column("html")[i].as_py() or b"") == "html"
+        for i in range(n)
+    }
+    exp_out = {}
+    exp_in = {i: 0 for i in range(n)}
+    for i in range(n):
+        if not html_kind[i]:
+            continue
+        hrefs = page_hrefs(table.column("html")[i].as_py() or b"")
+        exp_out[i] = len(hrefs)
+        for h in hrefs:
+            for j in range(n):
+                if h == f"/{class_of(j)}/{j:06d}":
+                    exp_in[j] += 1
+    rows = {r["url"]: r for r in link_graph(str(pdir)).take_all()}
+    assert len(rows) == sum(html_kind.values())
+    for i in range(n):
+        if not html_kind[i]:
+            assert url_of[i] not in rows
+            continue
+        r = rows[url_of[i]]
+        assert r["out_links"] == exp_out[i]
+        assert r["in_degree"] == exp_in[i]
+        # every html page with class targets links to them
+        want = {
+            f"/{class_of(j)}/{j:06d}" for j in related_targets(i)
+        }
+        got = set(page_hrefs(table.column("html")[i].as_py() or b""))
+        assert want <= got
+    # hub skew exists: low-id pages collect multiple in-links
+    assert max(exp_in.values()) >= 3
+
+
+def test_link_pagerank_matches_pure_python_recurrence(ray_session, tmp_path):
+    """Distributed link PageRank == a sequential integer recurrence
+    over the same DOM-harvested edges (hubs must outrank leaves)."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.ops.links import _host, link_pagerank, page_hrefs
+
+    n = 30
+    table = generate_pages(n)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls, htmls = table.column("url").to_pylist(), table.column("html").to_pylist()
+    nodes = [u for u, h in zip(urls, htmls) if sniff_doc_kind(h or b"") == "html"]
+    node_set = set(nodes)
+    edges = []
+    for u, h in zip(urls, htmls):
+        if u not in node_set:
+            continue
+        for href in page_hrefs(h or b""):
+            if href.startswith("/"):
+                dst = _host(u) + href
+                if dst in node_set:
+                    edges.append((u, dst))
+    SCALE, N = 10**12, len(nodes)
+    pr = {u: SCALE // N for u in nodes}
+    odeg = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    for _ in range(3):
+        contrib = {u: 0 for u in nodes}
+        for s, d in edges:
+            contrib[d] += pr[s] // odeg[s]
+        pr = {u: (15 * SCALE) // (100 * N) + (85 * contrib[u]) // 100 for u in nodes}
+
+    got = {r["url"]: r["pr_e12"] for r in link_pagerank(str(pdir)).take_all()}
+    assert got == pr
+    # link hubs (low-id pages) collect rank above the uniform floor
+    floor = (15 * SCALE) // (100 * N)
+    assert max(got.values()) > 2 * floor
