@@ -327,6 +327,13 @@ def _q_link_pagerank(sf_dir: str):
     return link_pagerank(_pages_path(sf_dir))
 
 
+def _q_anchor_texts(sf_dir: str):
+    """Incoming anchor-text term counts per target page."""
+    from smart_ocr_ray.ops.links import anchor_texts
+
+    return anchor_texts(_pages_path(sf_dir))
+
+
 def _q_consensus(sf_dir: str):
     """Multi-extractor mode (C5/D5): every extractor runs, consensus
     selects; agreement and attempt counts surface per doc."""
@@ -589,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": text_analysis.dsir_weights,
         "link_graph": _q_link_graph,
         "link_pagerank": _q_link_pagerank,
+        "anchor_texts": _q_anchor_texts,
         "hll_registers": text_analysis.hll_registers,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
@@ -1198,6 +1206,32 @@ def _link_pagerank_sql(n_iter: int = 3) -> str:
     )
 
 
+def _anchor_texts_sql() -> str:
+    """Oracle for ``anchor_texts``: aligned (href, inner-text) pairs
+    from flat anchors via two grouped regexp extractions zipped
+    together (the Ray side runs an HTMLParser state machine — nested
+    markup voids an anchor's text on BOTH sides); internal targets
+    resolved against the page host, existing targets only, whitespace
+    term split, (url, term) counts."""
+    return f"""
+        WITH {_link_ctes()}, z AS (
+          SELECT url,
+                 unnest(list_zip(
+                   regexp_extract_all(s, '<a href="(/[^"]*)">([^<]*)</a>', 1),
+                   regexp_extract_all(s, '<a href="(/[^"]*)">([^<]*)</a>', 2)
+                 )) AS p
+          FROM h
+        ), terms AS (
+          SELECT regexp_extract(url, '^(https?://[^/]+)', 1) || p[1] AS dst,
+                 unnest(regexp_split_to_array(trim(p[2]), '\\s+')) AS term
+          FROM z WHERE trim(p[2]) <> ''
+        )
+        SELECT t.dst AS url, t.term, CAST(count(*) AS BIGINT) AS n_refs
+        FROM terms t JOIN h ON t.dst = h.url
+        GROUP BY t.dst, t.term
+    """
+
+
 def _winnow_pairs_sql() -> str:
     """Shared CTE chain for the winnowing-overlap oracles
     (ops/dedup.winnow_pairs / winnow_clusters): same winnow-set
@@ -1312,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["multimodal_frames"] = _frames_oracle_sql()
         corpus_dependent["link_graph"] = _link_graph_oracle_sql()
         corpus_dependent["link_pagerank"] = _link_pagerank_sql()
+        corpus_dependent["anchor_texts"] = _anchor_texts_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

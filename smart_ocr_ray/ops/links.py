@@ -310,3 +310,125 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
         .join(nodes_urls, "inner", jp, on=("vec_id",))
         .map_batches(_out, batch_format="pyarrow")
     )
+
+
+class _AnchorTextCollector(HTMLParser):
+    """Collects (href, inner text) of FLAT <a> elements — the
+    oracle-expressible subset (the regexp side matches
+    ``<a href="...">text</a>`` without nested markup); a nested tag
+    inside an anchor voids its text, matching the regexp's behavior."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._text: list[str] = []
+        self._flat = True
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._href = next(
+                (v for k, v in attrs if k == "href" and v is not None), None
+            )
+            self._text = []
+            self._flat = True
+        elif self._href is not None:
+            self._flat = False
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._text.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._href is not None:
+            if self._flat:
+                self.pairs.append((self._href, "".join(self._text)))
+            self._href = None
+
+
+def anchor_texts(pages_path: str) -> ray.data.Dataset:
+    """Incoming anchor-text profile — for every corpus page, the
+    words other pages use when linking TO it (the classic link-based
+    relevance/labeling signal; Common Crawl's WAT metadata carries
+    exactly these anchor strings):
+
+        (url, term, n_refs)   term = whitespace token of an anchor's
+                              inner text, counted over every internal
+                              flat anchor whose target is ``url``.
+
+    Scale shape: anchor harvest is the stateless per-page pass; per
+    batch, (dst, term) counts pre-combine in a Counter so the shuffle
+    moves one row per distinct (dst, term) per block; one
+    ``groupby(dst, term)`` sum and one inner join against the corpus
+    page set (dangling targets drop, as in ``link_graph``).
+    """
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+    at_schema = pa.schema(
+        [("url", pa.string()), ("term", pa.string()), ("n_refs", pa.int64())]
+    )
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if sniff_doc_kind(html or b"") != "html":
+                continue
+            host = _host(url)
+            parser = _AnchorTextCollector()
+            parser.feed((html or b"").decode("utf-8", errors="replace"))
+            for href, text in parser.pairs:
+                if not href.startswith("/"):
+                    continue
+                for term in text.split():
+                    counts[(host + href, term)] += 1
+        keys = list(counts.keys())
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "n_refs": pa.array(list(counts.values()), pa.int64()),
+            },
+            schema=at_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    def _retype(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return at_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "term": batch.column("term").cast(pa.string()),
+                "n_refs": batch.column("n_refs").cast(pa.int64()),
+            },
+            schema=at_schema,
+        )
+
+    counted = (
+        _read_pages(pages_path)
+        .map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["url", "term"])
+        .aggregate(Sum("n_refs", alias_name="n_refs"))
+        .map_batches(_retype, batch_format="pyarrow")
+        .repartition(jp)
+    )
+
+    # Existing-target filter: html page urls only (mirrors link_graph).
+    def _urls(batch: pa.Table) -> pa.Table:
+        urls = [
+            u
+            for u, h in zip(
+                batch.column("url").to_pylist(), batch.column("html").to_pylist()
+            )
+            if sniff_doc_kind(h or b"") == "html"
+        ]
+        return pa.Table.from_pydict({"url": pa.array(urls, pa.string())})
+
+    page_urls = _read_pages(pages_path).map_batches(_urls, batch_format="pyarrow")
+    return counted.join(page_urls.repartition(jp), "inner", jp, on=("url",))

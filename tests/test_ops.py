@@ -1873,3 +1873,45 @@ def test_link_pagerank_matches_pure_python_recurrence(ray_session, tmp_path):
     # link hubs (low-id pages) collect rank above the uniform floor
     floor = (15 * SCALE) // (100 * N)
     assert max(got.values()) > 2 * floor
+
+
+def test_anchor_texts_counts_and_nested_voiding(ray_session, tmp_path):
+    """Incoming anchor-text counts: terms aggregate across referring
+    pages; nested markup voids an anchor's text (regexp-parity rule);
+    dangling targets drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import anchor_texts
+
+    def page(body):
+        return f"<html><body>{body}</body></html>".encode()
+
+    rows = [
+        ("https://h.test/a", page('<a href="/b">good stuff</a> <a href="/b">good</a>')),
+        ("https://h.test/b", page('<a href="/a">back <b>bold</b></a>'
+                                  '<a href="/missing">dangling words</a>')),
+        ("https://h.test/c", page('<a href="/a">plain text</a>')),
+    ]
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([r[0] for r in rows]),
+            "warc_ts": pa.array([0] * 3, pa.timestamp("us")),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+            "text": pa.array([""] * 3),
+            "lang": pa.array(["en"] * 3),
+        }),
+        pdir / "pages.parquet",
+    )
+    got = {
+        (r["url"], r["term"]): r["n_refs"]
+        for r in anchor_texts(str(pdir)).take_all()
+    }
+    assert got == {
+        ("https://h.test/b", "good"): 2,
+        ("https://h.test/b", "stuff"): 1,
+        ("https://h.test/a", "plain"): 1,
+        ("https://h.test/a", "text"): 1,
+        # /a's nested-<b> anchor voided; /missing dangling dropped
+    }
