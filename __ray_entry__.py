@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
+        "bloom_dedup": dedup.bloom_dedup,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1664,6 +1665,38 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             )
             SELECT doc_id, reason = '' AS keep, reason FROM r
+        """,
+        "bloom_dedup": """
+            -- Broadcast-Bloom incremental dedup (ops/dedup.bloom_dedup):
+            -- old snapshot = even doc_id; 4 x 16-bit slices of the
+            -- md5_number_lower text hash index a 65536-bit filter;
+            -- new (odd) docs are maybe_dup iff all 4 bits are set.
+            WITH oldh AS (
+              SELECT CAST(md5_number_lower(coalesce(text, '')) AS HUGEINT) AS h
+              FROM documents WHERE doc_id % 2 = 0
+            ), bits AS (
+              SELECT DISTINCT CAST(u.b AS BIGINT) AS bit FROM oldh,
+                unnest([h % 65536,
+                        (h // 65536) % 65536,
+                        (h // 4294967296) % 65536,
+                        (h // 281474976710656) % 65536]) AS u(b)
+            ), newd AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+                     CAST(md5_number_lower(coalesce(text, '')) AS HUGEINT) AS h
+              FROM documents WHERE doc_id % 2 = 1
+            ), slices AS (
+              SELECT doc_id, CAST(u.b AS BIGINT) AS bit FROM newd,
+                unnest([h % 65536,
+                        (h // 65536) % 65536,
+                        (h // 4294967296) % 65536,
+                        (h // 281474976710656) % 65536]) AS u(b)
+            ), hits AS (
+              SELECT s.doc_id, bool_and(b.bit IS NOT NULL) AS maybe_dup
+              FROM slices s LEFT JOIN bits b ON s.bit = b.bit
+              GROUP BY s.doc_id
+            )
+            SELECT n.doc_id, n.text_md5, h2.maybe_dup
+            FROM newd n JOIN hits h2 USING (doc_id)
         """,
         "dsir_weights": f"""
             -- DSIR hashed-ngram importance weights (ops/text_analysis.

@@ -1104,3 +1104,102 @@ def winnow_clusters(
         winnow_pairs(sf_dir, min_shared=min_shared).drop_columns(["n_shared"]),
         max_rounds=max_rounds,
     )
+
+
+BLOOM_BITS = 1 << 16  # 65536-bit filter, 4 hash functions
+BLOOM_K = 4
+
+
+def bloom_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Incremental-crawl dedup via a broadcast Bloom filter — the
+    cross-snapshot variant of exact dedup: a NEW crawl is probed
+    against a compact sketch of the PREVIOUS snapshot, so the old
+    corpus never re-shuffles (at 100 TB the old snapshot exists only
+    as this 8 KiB bitset per worker). Snapshot split is deterministic:
+    old = even doc_id, new = odd doc_id.
+
+    Frozen arithmetic (mirrored bit-for-bit in SQL): the 64-bit text
+    hash ``_hash64(text)`` (== DuckDB ``md5_number_lower``) yields
+    ``BLOOM_K`` = 4 indexes — its 16-bit slices ``(h >> 16·j) & 0xFFFF``
+    — into a ``BLOOM_BITS`` = 65536-bit filter. A new doc is
+    ``maybe_dup`` iff all 4 bits are set (false positives possible by
+    design — the op reports the sketch's answer, and ``fp_possible``
+    marks rows whose exact text is NOT in the old snapshot so tests
+    and the oracle can count real false positives).
+
+    Scale shape: TWO streaming passes, no corpus shuffle. Pass 1 emits
+    each old doc's ≤4 distinct bit indexes, pre-deduped per batch (a
+    ≤65536-row partial); a ``groupby(bit)`` reduces to the set-bit
+    table (≤65536 rows — the only driver state) which broadcasts via
+    ``ray.put``. Pass 2 probes new docs locally. The exact-membership
+    flag used by ``fp_possible`` rides the same sketch: it joins the
+    old snapshot's distinct text_md5 set ONLY in the oracle/test — the
+    operator itself reports ``maybe_dup`` plus the doc's own hash so
+    the gate can verify both.
+    """
+    import ray
+
+    from ..functions.hashing import _hash64
+
+    docs = read_documents(sf_dir)
+
+    bit_schema = pa.schema([("bit", pa.int64())])
+
+    def _old_bits(batch: pa.Table) -> pa.Table:
+        bits: set[int] = set()
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if int(doc_id) % 2 != 0:
+                continue
+            h = int(_hash64(text or ""))
+            for j in range(BLOOM_K):
+                bits.add((h >> (16 * j)) & (BLOOM_BITS - 1))
+        return pa.Table.from_pydict(
+            {"bit": pa.array(sorted(bits), pa.int64())}, schema=bit_schema
+        )
+
+    set_bits = (
+        docs.map_batches(_old_bits, batch_format="pyarrow")
+        .groupby("bit")
+        .count()
+        .take_all()
+    )
+    bitset = np.zeros(BLOOM_BITS, dtype=bool)
+    for r in set_bits:
+        bitset[r["bit"]] = True
+    bitset_ref = ray.put(bitset)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text_md5", pa.string()),
+            ("maybe_dup", pa.bool_()),
+        ]
+    )
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bitset_ref)
+        ids, md5s, dups = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if int(doc_id) % 2 == 0:
+                continue
+            h = int(_hash64(text or ""))
+            hit = all(
+                bs[(h >> (16 * j)) & (BLOOM_BITS - 1)] for j in range(BLOOM_K)
+            )
+            ids.append(int(doc_id))
+            md5s.append(content_md5(text or ""))
+            dups.append(bool(hit))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text_md5": pa.array(md5s, pa.string()),
+                "maybe_dup": pa.array(dups, pa.bool_()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(_probe, batch_format="pyarrow")

@@ -1915,3 +1915,36 @@ def test_anchor_texts_counts_and_nested_voiding(ray_session, tmp_path):
         ("https://h.test/a", "text"): 1,
         # /a's nested-<b> anchor voided; /missing dangling dropped
     }
+
+
+def test_bloom_dedup_hits_and_misses(ray_session, tmp_path):
+    """Broadcast-Bloom incremental dedup: odd docs sharing an even
+    doc's exact text probe positive; fresh odd docs probe negative
+    (65536-bit filter over a handful of old texts — false-positive
+    odds are ~(n*4/65536)^4, negligible here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import bloom_dedup
+
+    texts = [
+        "old snapshot text alpha",   # 0 old
+        "old snapshot text alpha",   # 1 new == old -> dup
+        "old snapshot text beta",    # 2 old
+        "completely fresh content",  # 3 new -> not dup
+        "another old page gamma",    # 4 old
+        "old snapshot text beta",    # 5 new == old -> dup
+    ]
+    sf = tmp_path / "bloomsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r["maybe_dup"] for r in bloom_dedup(str(sf)).take_all()}
+    assert out == {1: True, 3: False, 5: True}
