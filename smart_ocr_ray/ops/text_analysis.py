@@ -1270,6 +1270,25 @@ def ccnet_buckets(sf_dir: str) -> ray.data.Dataset:
 
 DSIR_BUCKETS = 256
 
+# Gram→bucket memo, per worker process (module-level so it survives
+# across batches): natural text repeats grams heavily (Zipf), and the
+# per-doc Counter already collapses within-doc repeats, so each
+# DISTINCT gram is md5-hashed once per worker. Bounded: cleared when
+# it outgrows a reasonable working set.
+_DSIR_MEMO: dict[str, int] = {}
+
+
+def _dsir_bucket(g: str) -> int:
+    b = _DSIR_MEMO.get(g)
+    if b is None:
+        from ..functions.hashing import _hash64
+
+        if len(_DSIR_MEMO) > 2_000_000:
+            _DSIR_MEMO.clear()
+        b = int(_hash64(g)) % DSIR_BUCKETS
+        _DSIR_MEMO[g] = b
+    return b
+
 
 def dsir_weights(sf_dir: str) -> ray.data.Dataset:
     """DSIR-style importance weights (Data Selection via Importance
@@ -1313,12 +1332,14 @@ def dsir_weights(sf_dir: str) -> ray.data.Dataset:
     docs = read_documents(sf_dir)
 
     def _bucket_counts(text: str) -> np.ndarray:
+        from collections import Counter
+
         toks = _TOKEN_RE.findall(text)
         counts = np.zeros(B, np.int64)
-        for g in toks:
-            counts[int(_hash64(g)) % B] += 1
-        for a, b2 in zip(toks, toks[1:]):
-            counts[int(_hash64(a + " " + b2)) % B] += 1
+        grams = Counter(toks)
+        grams.update(map(" ".join, zip(toks, toks[1:])))
+        for g, c in grams.items():
+            counts[_dsir_bucket(g)] += c
         return counts
 
     cnt_schema = pa.schema(
