@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "anchor_texts": _q_anchor_texts,
         "hll_registers": text_analysis.hll_registers,
+        "cms_heavy_hitters": text_analysis.cms_heavy_hitters,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1820,6 +1821,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "cms_heavy_hitters": r"""
+            -- Count-min-sketch estimates for the exact top-20 unigrams
+            -- (ops/text_analysis.cms_heavy_hitters): row j indexes
+            -- token t at (md5_number_lower(t) >> 16j) % 1024; the
+            -- estimate is the min over the 4 cells (>= exact always).
+            WITH t AS (
+              SELECT list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), tok AS (
+              SELECT u.g AS term FROM t, unnest(toks) AS u(g)
+            ), cnt AS (
+              SELECT term, count(*) AS c FROM tok GROUP BY term
+            ), h AS (
+              SELECT term, c,
+                     CAST(md5_number_lower(term) AS HUGEINT) AS hv
+              FROM cnt
+            ), cells AS (
+              SELECT 0 AS j, CAST(hv % 1024 AS BIGINT) AS col, sum(c) AS cell
+              FROM h GROUP BY col
+              UNION ALL
+              SELECT 1, CAST((hv // 65536) % 1024 AS BIGINT), sum(c)
+              FROM h GROUP BY 2
+              UNION ALL
+              SELECT 2, CAST((hv // 4294967296) % 1024 AS BIGINT), sum(c)
+              FROM h GROUP BY 2
+              UNION ALL
+              SELECT 3, CAST((hv // 281474976710656) % 1024 AS BIGINT), sum(c)
+              FROM h GROUP BY 2
+            ), cand AS (
+              SELECT term, c, hv FROM h ORDER BY c DESC, term ASC LIMIT 20
+            ), lookup AS (
+              SELECT term, 0 AS j, CAST(hv % 1024 AS BIGINT) AS col FROM cand
+              UNION ALL
+              SELECT term, 1, CAST((hv // 65536) % 1024 AS BIGINT) FROM cand
+              UNION ALL
+              SELECT term, 2, CAST((hv // 4294967296) % 1024 AS BIGINT) FROM cand
+              UNION ALL
+              SELECT term, 3, CAST((hv // 281474976710656) % 1024 AS BIGINT)
+              FROM cand
+            )
+            SELECT cand.term, CAST(cand.c AS BIGINT) AS exact_cnt,
+                   CAST(min(cells.cell) AS BIGINT) AS cms_est
+            FROM cand
+            JOIN lookup ON cand.term = lookup.term
+            JOIN cells ON lookup.j = cells.j AND lookup.col = cells.col
+            GROUP BY cand.term, cand.c
         """,
         "ngram_jaccard_pairs": """
             WITH d AS (

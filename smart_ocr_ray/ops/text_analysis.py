@@ -1413,3 +1413,86 @@ def dsir_weights(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_score, batch_format="pyarrow")
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = 20) -> "pa.Table":
+    """Count-min-sketch frequency estimates for the corpus's top-k
+    tokens (Cormode & Muthukrishnan 2005) — the streaming heavy-hitter
+    primitive a 100-TB pipeline uses when the exact vocabulary groupby
+    is too wide: a fixed ``CMS_DEPTH × CMS_WIDTH`` counter grid absorbs
+    any token stream, and estimates only ever OVER-count
+    (``cms_est >= exact_cnt``).
+
+    Frozen arithmetic (mirrored in SQL): row j of the sketch indexes
+    token t at ``(_hash64(t) >> 16·j) % 1024`` (== DuckDB
+    ``(md5_number_lower // 2^(16j)) % 1024``); tokens are the
+    ``lower().split()`` stream (same tokenization as ``top_ngrams``).
+    Candidates are the EXACT top-k unigrams (count desc, term asc), so
+    the output pins both the sketch and its error against truth:
+
+        (term, exact_cnt, cms_est)
+
+    Scale shape: one streaming pass emits ≤4096 partial cell rows per
+    batch (per-batch Counter collapse first); a ``groupby(row, col)``
+    reduces to exactly 4096 driver-held ints regardless of corpus or
+    vocabulary size. The exact candidate list reuses ``top_ngrams``'s
+    distinct-per-block combine. No broadcast, no corpus shuffle.
+    """
+    import numpy as np
+
+    from ..functions.hashing import _hash64
+
+    D, W = CMS_DEPTH, CMS_WIDTH
+    docs = read_documents(sf_dir)
+
+    cell_schema = pa.schema(
+        [("row", pa.int64()), ("col", pa.int64()), ("cell", pa.int64())]
+    )
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        grid = np.zeros((D, W), np.int64)
+        for t in batch.column("text").to_pylist():
+            for term, c in Counter((t or "").lower().split()).items():
+                h = int(_hash64(term))
+                for j in range(D):
+                    grid[j, (h >> (16 * j)) % W] += c
+        rows, cols = np.nonzero(grid)
+        return pa.Table.from_pydict(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "cell": pa.array(grid[rows, cols], pa.int64()),
+            },
+            schema=cell_schema,
+        )
+
+    cell_rows = (
+        docs.map_batches(_cells, batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .sum("cell")
+        .take_all()
+    )
+    grid = np.zeros((D, W), np.int64)
+    for r in cell_rows:
+        grid[r["row"], r["col"]] = r["sum(cell)"]
+
+    cand = top_ngrams(sf_dir, n=1, k=k).take_all()
+    terms = [r["ngram"] for r in cand]
+    exact = [int(r["cnt"]) for r in cand]
+    ests = []
+    for t in terms:
+        h = int(_hash64(t))
+        ests.append(int(min(grid[j, (h >> (16 * j)) % W] for j in range(D))))
+    return pa.Table.from_pydict(
+        {
+            "term": pa.array(terms, pa.string()),
+            "exact_cnt": pa.array(exact, pa.int64()),
+            "cms_est": pa.array(ests, pa.int64()),
+        }
+    )

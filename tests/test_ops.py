@@ -1948,3 +1948,30 @@ def test_bloom_dedup_hits_and_misses(ray_session, tmp_path):
     )
     out = {r["doc_id"]: r["maybe_dup"] for r in bloom_dedup(str(sf)).take_all()}
     assert out == {1: True, 3: False, 5: True}
+
+
+def test_cms_heavy_hitters_overcounts_only(ray_session, tmp_path):
+    """CMS invariant: estimates never undercount, and with a tiny
+    vocabulary (no collisions plausible at 4x1024) they are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import cms_heavy_hitters
+
+    texts = ["alpha alpha beta", "alpha beta gamma", "beta beta beta delta"]
+    sf = tmp_path / "cmssf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["term"]: r for r in cms_heavy_hitters(str(sf)).to_pylist()}
+    assert out["beta"]["exact_cnt"] == 5 and out["alpha"]["exact_cnt"] == 3
+    for r in out.values():
+        assert r["cms_est"] >= r["exact_cnt"]
+    assert out["beta"]["cms_est"] == 5  # no collisions in a 5-term vocab
