@@ -79,30 +79,89 @@ def _read_pages(pages_path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(pages_path, columns=["url", "html"])
 
 
+_PARSED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("out_links", pa.int64()),
+        ("out_internal", pa.int64()),
+        ("dsts", pa.list_(pa.string())),
+    ]
+)
+
+
+def _parsed_pages(pages_path: str) -> ray.data.Dataset:
+    """ONE HTML parse of the corpus, materialized: per html page, its
+    anchor counts plus the resolved internal targets as a list column.
+    Every link operator (degrees, edges, pagerank) derives from this
+    narrow table, so a query composing several of them parses each
+    payload exactly once — payload bytes never survive past this map."""
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        urls, outs, ints, dsts = [], [], [], []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if sniff_doc_kind(html or b"") != "html":
+                continue
+            hrefs = page_hrefs(html or b"")
+            host = _host(url)
+            urls.append(url)
+            outs.append(len(hrefs))
+            internal = [host + h for h in hrefs if h.startswith("/")]
+            ints.append(len(internal))
+            dsts.append(internal)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(urls, pa.string()),
+                "out_links": pa.array(outs, pa.int64()),
+                "out_internal": pa.array(ints, pa.int64()),
+                "dsts": pa.array(dsts, pa.list_(pa.string())),
+            },
+            schema=_PARSED_SCHEMA,
+        )
+
+    from ..tuning import join_partitions as _jp
+
+    return (
+        _read_pages(pages_path)
+        .map_batches(_parse, batch_format="pyarrow")
+        .repartition(_jp())
+        .materialize()
+    )
+
+
+def _parsed_edges(parsed: ray.data.Dataset) -> ray.data.Dataset:
+    """(src, dst) edge rows from the parsed table — a vectorized Arrow
+    list explode, no re-parse."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "dsts" not in batch.column_names:
+            return _EDGE_SCHEMA.empty_table()
+        lists = batch.column("dsts").combine_chunks()
+        parents = pc.list_parent_indices(lists)
+        return pa.Table.from_pydict(
+            {
+                "src": batch.column("url").take(parents),
+                "dst": pc.list_flatten(lists),
+            },
+            schema=_EDGE_SCHEMA,
+        )
+
+    return parsed.map_batches(_explode, batch_format="pyarrow")
+
+
 def page_links(pages_path: str) -> ray.data.Dataset:
     """Resolved site-internal outlink edges, one row per anchor:
     (src, dst) with dst = page host + href. Duplicates kept (a page
     linking twice contributes two edges)."""
-
-    def _edges(batch: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
-        for url, html in zip(
-            batch.column("url").to_pylist(), batch.column("html").to_pylist()
-        ):
-            host = _host(url)
-            for href in page_hrefs(html or b""):
-                if href.startswith("/"):
-                    srcs.append(url)
-                    dsts.append(host + href)
-        return pa.Table.from_pydict(
-            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())},
-            schema=_EDGE_SCHEMA,
-        )
-
-    return _read_pages(pages_path).map_batches(_edges, batch_format="pyarrow")
+    return _parsed_edges(_parsed_pages(pages_path))
 
 
-def link_graph(pages_path: str) -> ray.data.Dataset:
+def link_graph(
+    pages_path: str, parsed: ray.data.Dataset | None = None
+) -> ray.data.Dataset:
     """Per-page degree rollup over the corpus link graph:
 
         (url, out_links, out_internal, in_degree)
@@ -114,43 +173,20 @@ def link_graph(pages_path: str) -> ray.data.Dataset:
     from ..tuning import join_partitions as _jp
 
     jp = _jp()
-    pages = _read_pages(pages_path)
-
-    def _per_page(batch: pa.Table) -> pa.Table:
-        urls, outs, ints = [], [], []
-        for url, html in zip(
-            batch.column("url").to_pylist(), batch.column("html").to_pylist()
-        ):
-            if sniff_doc_kind(html or b"") != "html":
-                continue
-            hrefs = page_hrefs(html or b"")
-            urls.append(url)
-            outs.append(len(hrefs))
-            ints.append(sum(1 for h in hrefs if h.startswith("/")))
-        return pa.Table.from_pydict(
-            {
-                "url": pa.array(urls, pa.string()),
-                "out_links": pa.array(outs, pa.int64()),
-                "out_internal": pa.array(ints, pa.int64()),
-            },
-            schema=_PAGE_SCHEMA,
-        )
-
-    # Materialized: the in-degree aggregation joins back onto it, and
-    # it is three narrow columns per page (payloads already dropped).
-    per_page = (
-        pages.map_batches(_per_page, batch_format="pyarrow")
-        .repartition(jp)
-        .materialize()
+    if parsed is None:
+        parsed = _parsed_pages(pages_path)
+    per_page = parsed.map_batches(
+        lambda b: b.select(["url", "out_links", "out_internal"]),
+        batch_format="pyarrow",
     )
 
     # Edges whose target is a real corpus page: inner join against the
     # page-url table, then count per target. Only (src, dst) strings
     # shuffle — never payloads.
-    url_tbl = per_page.map_batches(
+    url_tbl = parsed.map_batches(
         lambda b: b.select(["url"]), batch_format="pyarrow"
     )
-    edges = page_links(pages_path).repartition(jp)
+    edges = _parsed_edges(parsed).repartition(jp)
     ind_schema = pa.schema([("url", pa.string()), ("in_degree", pa.int64())])
 
     def _retype_ind(batch: pa.Table) -> pa.Table:
@@ -240,11 +276,13 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
             schema=id_schema,
         )
 
-    # Node table: html pages only (link_graph's page filter), three
-    # narrow columns; reused by the final rank→url join.
+    # ONE corpus parse shared by the node table and the edge list.
+    parsed = _parsed_pages(pages_path)
+
+    # Node table: html pages only, (vec_id, url); reused by the final
+    # rank→url join.
     nodes_urls = (
-        link_graph(pages_path)
-        .map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        parsed.map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
         .map_batches(_ids, batch_format="pyarrow")
         .repartition(jp)
         .materialize()
@@ -276,7 +314,7 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     edges = (
-        page_links(pages_path)
+        _parsed_edges(parsed)
         .map_batches(_edge_ids, batch_format="pyarrow")
         .repartition(jp)
         .join(node_ids, "inner", jp, on=("dst",))
