@@ -334,6 +334,13 @@ def _q_anchor_texts(sf_dir: str):
     return anchor_texts(_pages_path(sf_dir))
 
 
+def _q_corpus_curation(sf_dir: str):
+    """End-to-end keep-list: quality gate → dedup → per-source cap."""
+    from smart_ocr_ray.ops.curation import corpus_curation
+
+    return corpus_curation(sf_dir)
+
+
 def _q_consensus(sf_dir: str):
     """Multi-extractor mode (C5/D5): every extractor runs, consensus
     selects; agreement and attempt counts surface per doc."""
@@ -607,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
+        "corpus_curation": _q_corpus_curation,
         "bloom_dedup": dedup.bloom_dedup,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
@@ -682,6 +690,44 @@ def _surprisal_ctes() -> str:
                      (1000 * CAST(sum(bits) AS BIGINT))
                        // CAST(sum(tf) AS BIGINT) AS mean_bits_e3
               FROM contrib GROUP BY doc_id
+            )"""
+
+
+def _survivors_ctes() -> str:
+    """CTE chain of the dedup keep-list (assumes ``_minhash_base_sql``'s
+    ``est`` CTE is in scope): MinHash pairs ≥0.7 → recursive connected
+    components → exact-dup window → ``sverdict(doc_id, keep, reason)``.
+    Shared by the dedup_survivors and corpus_curation oracles."""
+    return """
+            p2 AS (SELECT left_id, right_id FROM est WHERE e >= 0.7),
+            edges AS (SELECT left_id AS node, right_id AS peer FROM p2
+                      UNION ALL SELECT right_id, left_id FROM p2),
+            reach(node, label) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.peer
+            ),
+            comp AS (
+              SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            ex AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
+                       AS win_id
+              FROM documents
+            ),
+            sverdict AS (
+              SELECT ex.doc_id,
+                     (CASE WHEN ex.doc_id <> ex.win_id THEN 'exact_dup'
+                           WHEN c.doc_id IS NOT NULL
+                                AND ex.doc_id <> c.cluster_id THEN 'near_dup'
+                           ELSE '' END) = '' AS keep,
+                     CASE WHEN ex.doc_id <> ex.win_id THEN 'exact_dup'
+                          WHEN c.doc_id IS NOT NULL
+                               AND ex.doc_id <> c.cluster_id THEN 'near_dup'
+                          ELSE '' END AS reason
+              FROM ex LEFT JOIN comp c ON ex.doc_id = c.doc_id
             )"""
 
 
@@ -1452,35 +1498,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_survivors": "WITH RECURSIVE "
         + minhash_base
-        + """,
-            p2 AS (SELECT left_id, right_id FROM est WHERE e >= 0.7),
-            edges AS (SELECT left_id AS node, right_id AS peer FROM p2
-                      UNION ALL SELECT right_id, left_id FROM p2),
-            reach(node, label) AS (
-              SELECT node, node FROM (SELECT DISTINCT node FROM edges)
-              UNION
-              SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.peer
-            ),
-            comp AS (
-              SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-              FROM reach GROUP BY node
-            ),
-            ex AS (
-              SELECT doc_id,
-                     min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
-                       AS win_id
+        + ","
+        + _survivors_ctes()
+        + """
+            SELECT doc_id, keep, reason FROM sverdict
+        """,
+        "corpus_curation": "WITH RECURSIVE "
+        + minhash_base
+        + ","
+        + _survivors_ctes()
+        + f""",
+            -- quality chain (qt/qm names: minhash_base owns 't')
+            qt AS (
+              SELECT doc_id, lang, source, coalesce(text,'') AS text,
+                CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
               FROM documents
+            ), qm AS (
+              SELECT doc_id, source,
+                len(toks) AS n_tok,
+                coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS token_chars,
+                len(list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> x),
+                    x -> list_contains({_STOP_EN}, x))) AS stop_hits,
+                len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) AS n_sym,
+                length(text) AS n_chars, lang
+              FROM qt
+            ), qr AS (
+              SELECT doc_id, source,
+                n_tok AS n_tokens,
+                CASE WHEN n_tok < 50 THEN 'too_short'
+                     WHEN n_tok > 100000 THEN 'too_long'
+                     WHEN (token_chars * 100) // n_tok < 300
+                       OR (token_chars * 100) // n_tok > 1000 THEN 'word_length'
+                     WHEN n_sym * 10 > n_chars THEN 'symbol_ratio'
+                     WHEN lang = 'en' AND stop_hits < 2 THEN 'stopwords'
+                     ELSE '' END AS qreason
+              FROM qm
+            ), elig AS (
+              SELECT q.doc_id, q.source, q.n_tokens
+              FROM qr q JOIN sverdict s USING (doc_id)
+              WHERE q.qreason = '' AND s.reason = ''
+            ), ranked AS (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rnk
+              FROM elig
             )
-            SELECT ex.doc_id,
-                   (CASE WHEN ex.doc_id <> ex.win_id THEN 'exact_dup'
-                         WHEN c.doc_id IS NOT NULL
-                              AND ex.doc_id <> c.cluster_id THEN 'near_dup'
+            SELECT q.doc_id,
+                   (CASE WHEN q.qreason <> '' THEN q.qreason
+                         WHEN s.reason <> '' THEN s.reason
+                         WHEN r.rnk IS NULL OR r.rnk > 3 THEN 'source_cap'
                          ELSE '' END) = '' AS keep,
-                   CASE WHEN ex.doc_id <> ex.win_id THEN 'exact_dup'
-                        WHEN c.doc_id IS NOT NULL
-                             AND ex.doc_id <> c.cluster_id THEN 'near_dup'
+                   CASE WHEN q.qreason <> '' THEN q.qreason
+                        WHEN s.reason <> '' THEN s.reason
+                        WHEN r.rnk IS NULL OR r.rnk > 3 THEN 'source_cap'
                         ELSE '' END AS reason
-            FROM ex LEFT JOIN comp c ON ex.doc_id = c.doc_id
+            FROM qr q JOIN sverdict s USING (doc_id)
+            LEFT JOIN ranked r USING (doc_id)
         """,
         "dedup_simhash": "WITH " + _SIMHASH_VAL_CTE + r"""
             SELECT d.doc_id,

@@ -1101,24 +1101,52 @@ def source_caps(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """
     import numpy as np
 
-    from .grouped import block_topk, map_key_groups
-
     docs = read_documents(sf_dir)
 
-    out_schema = pa.schema(
-        [
-            ("source", pa.string()),
-            ("rnk", pa.int64()),
-            ("doc_id", pa.int64()),
-            ("n_tokens", pa.int64()),
-        ]
-    )
+    def _tokenize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(
+                    [token_count(t or "") for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return topk_per_source(
+        docs.map_batches(_tokenize, batch_format="pyarrow"), k
+    ).sort(["source", "rnk"])
+
+
+TOPK_SOURCE_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("rnk", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ]
+)
+
+
+def topk_per_source(tbl_ds: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Shared grouped top-k core over a (source, doc_id, n_tokens)
+    dataset (``source_caps`` runs it on the whole corpus,
+    ``curation.corpus_curation`` on the quality+dedup survivors):
+    per-block top-k combiner → map_key_groups final rank."""
+    import numpy as np
+
+    from .grouped import block_topk, map_key_groups
 
     def _block_topk(tbl: pa.Table, *, ranked: bool) -> pa.Table:
-        """Top-k per source of one (source, doc_id, n_tokens) block."""
-        if tbl.num_rows == 0:
-            return out_schema.empty_table() if ranked else tbl
-        tbl = tbl.combine_chunks()
+        if tbl.num_rows == 0 or "source" not in tbl.column_names:
+            return TOPK_SOURCE_SCHEMA.empty_table() if ranked else \
+                pa.schema(
+                    [("source", pa.string()), ("doc_id", pa.int64()),
+                     ("n_tokens", pa.int64())]
+                ).empty_table()
+        tbl = tbl.select(["source", "doc_id", "n_tokens"]).combine_chunks()
         src = tbl.column("source").to_numpy(zero_copy_only=False)
         _, codes = np.unique(src, return_inverse=True)
         n_tok = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
@@ -1134,28 +1162,18 @@ def source_caps(sf_dir: str, k: int = 3) -> ray.data.Dataset:
                 "doc_id": out.column("doc_id").cast(pa.int64()),
                 "n_tokens": out.column("n_tokens").cast(pa.int64()),
             },
-            schema=out_schema,
+            schema=TOPK_SOURCE_SCHEMA,
         )
 
     def _partial(batch: pa.Table) -> pa.Table:
-        tbl = pa.Table.from_pydict(
-            {
-                "source": batch.column("source"),
-                "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "n_tokens": pa.array(
-                    [token_count(t or "") for t in batch.column("text").to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        )
-        return _block_topk(tbl, ranked=False)
+        return _block_topk(batch, ranked=False)
 
     def _final(group: pa.Table) -> pa.Table:
         return _block_topk(group, ranked=True)
 
     return map_key_groups(
-        docs.map_batches(_partial, batch_format="pyarrow"), "source", _final
-    ).sort(["source", "rnk"])
+        tbl_ds.map_batches(_partial, batch_format="pyarrow"), "source", _final
+    )
 
 
 def ccnet_buckets(sf_dir: str) -> ray.data.Dataset:

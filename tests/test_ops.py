@@ -1975,3 +1975,43 @@ def test_cms_heavy_hitters_overcounts_only(ray_session, tmp_path):
     for r in out.values():
         assert r["cms_est"] >= r["exact_cnt"]
     assert out["beta"]["cms_est"] == 5  # no collisions in a 5-term vocab
+
+
+def test_corpus_curation_stage_precedence(ray_session, tmp_path):
+    """Composed keep-list: quality reason wins over dup reason wins over
+    source_cap; the cap ranks only among quality+dedup survivors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.curation import corpus_curation
+
+    long = lambda tag, n: " ".join(
+        f"{tag}{i} the and of to common words here" for i in range(n)
+    )
+    texts = [
+        long("a", 10),     # 0: eligible, 80 tok -> rnk1
+        long("b", 9),      # 1: eligible, 72 tok -> rnk2
+        long("c", 8),      # 2: eligible, 64 tok -> rnk3
+        long("d", 7),      # 3: eligible, 56 tok -> rnk4 -> source_cap
+        long("a", 10),     # 4: exact dup of 0 -> exact_dup (quality passes)
+        "too short",       # 5: quality 'too_short' wins
+    ]
+    sf = tmp_path / "cursf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["host"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in corpus_curation(str(sf)).take_all()}
+    assert len(out) == 6
+    assert [out[i]["reason"] for i in range(6)] == [
+        "", "", "", "source_cap", "exact_dup", "too_short",
+    ]
+    assert [out[i]["keep"] for i in range(6)] == [
+        True, True, True, False, False, False,
+    ]
