@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "hll_registers": text_analysis.hll_registers,
         "cms_heavy_hitters": text_analysis.cms_heavy_hitters,
+        "bpe_pair_counts": text_analysis.bpe_pair_counts,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1894,6 +1895,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "bpe_pair_counts": r"""
+            -- First BPE merge round (ops/text_analysis.bpe_pair_counts):
+            -- adjacent character pairs inside lowercased words, weighted
+            -- by word frequency; top-20, count desc / pair asc.
+            WITH w AS (
+              SELECT u.w AS word, count(*) AS c FROM (
+                SELECT list_filter(
+                  str_split_regex(lower(coalesce(text,'')), '\s+'),
+                  x -> x <> '') AS toks
+                FROM documents
+              ), unnest(toks) AS u(w)
+              GROUP BY u.w
+            ), p AS (
+              SELECT substr(word, CAST(u.i AS INTEGER), 2) AS pair,
+                     sum(c) AS cnt
+              FROM w, unnest(range(1, length(word))) AS u(i)
+              GROUP BY pair
+            )
+            SELECT pair, CAST(cnt AS BIGINT) AS cnt
+            FROM p ORDER BY cnt DESC, pair ASC LIMIT 20
         """,
         "cms_heavy_hitters": r"""
             -- Count-min-sketch estimates for the exact top-20 unigrams

@@ -1514,3 +1514,48 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20) -> "pa.Table":
             "cms_est": pa.array(ests, pa.int64()),
         }
     )
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """The first BPE merge round of tokenizer training (Sennrich et al.
+    2016, arXiv:1508.07909): corpus-wide counts of ADJACENT SYMBOL
+    PAIRS inside words, whose argmax is the first merge a BPE
+    tokenizer learns. Words are the lowercased whitespace tokens;
+    symbols are their characters; a word occurring c times contributes
+    c to each of its adjacent pairs (standard BPE counting). Output:
+    the top-k pairs, (pair, cnt), count desc / pair asc.
+
+    Scale shape (the tokenizer-training primitive at corpus scale):
+    per-batch word Counter → per-word pair expansion into a pair
+    Counter — both collapse repeats before anything leaves the task —
+    then ONE ``groupby(pair)`` sum over the distinct-pair-per-block
+    partials and a tiny top-k sort. The corpus text never shuffles,
+    and the pair table is alphabet²-bounded per block.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        words: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            words.update((t or "").lower().split())
+        pairs: Counter = Counter()
+        for w, c in words.items():
+            for a, b in zip(w, w[1:]):
+                pairs[a + b] += c
+        return pa.Table.from_pydict(
+            {
+                "pair": pa.array(list(pairs.keys()), pa.string()),
+                "cnt": pa.array(list(pairs.values()), pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "pair"], descending=[True, False])
+        .limit(k)
+    )

@@ -2015,3 +2015,27 @@ def test_corpus_curation_stage_precedence(ray_session, tmp_path):
     assert [out[i]["keep"] for i in range(6)] == [
         True, True, True, False, False, False,
     ]
+
+
+def test_bpe_pair_counts_known_answer(ray_session, tmp_path):
+    """First BPE merge: 'aaab aaab ab' -> pair counts aa=4, ab=3
+    (word-frequency-weighted adjacent char pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bpe_pair_counts
+
+    texts = ["aaab aaab", "ab"]
+    sf = tmp_path / "bpesf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(str(sf)).take_all()]
+    assert rows == [("aa", 4), ("ab", 3)]
