@@ -175,6 +175,11 @@ def link_graph(
     jp = _jp()
     if parsed is None:
         parsed = _parsed_pages(pages_path)
+    out_schema_empty = _PAGE_SCHEMA.append(pa.field("in_degree", pa.int64()))
+    if parsed.count() == 0:
+        # all-binary/empty corpus: the materialized parse is schema-less
+        # (map_batches skips empty blocks) and would break the joins.
+        return ray.data.from_arrow(out_schema_empty.empty_table())
     per_page = parsed.map_batches(
         lambda b: b.select(["url", "out_links", "out_internal"]),
         batch_format="pyarrow",
@@ -278,6 +283,10 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
 
     # ONE corpus parse shared by the node table and the edge list.
     parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:  # all-binary corpus: no nodes (guard as in link_graph)
+        return ray.data.from_arrow(
+            pa.schema([("url", pa.string()), ("pr_e12", pa.int64())]).empty_table()
+        )
 
     # Node table: html pages only, (vec_id, url); reused by the final
     # rank→url join.

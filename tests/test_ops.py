@@ -2039,3 +2039,119 @@ def test_bpe_pair_counts_known_answer(ray_session, tmp_path):
     )
     rows = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(str(sf)).take_all()]
     assert rows == [("aa", 4), ("ab", 3)]
+
+
+def test_link_graph_no_html_pages(ray_session, tmp_path):
+    """A corpus of only binary/empty payloads yields a typed empty
+    link graph (no schema-less-block crash in the joins)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import link_graph
+
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(["https://h.test/a", "https://h.test/b"]),
+            "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+            "html": pa.array([b"%FIX-LAYOUT junk", b""], pa.binary()),
+            "text": pa.array(["", ""]),
+            "lang": pa.array(["en", "en"]),
+        }),
+        pdir / "pages.parquet",
+    )
+    out = link_graph(str(pdir)).take_all()
+    assert out == []
+
+
+def test_ccnet_buckets_single_doc_lang(ray_session, tmp_path):
+    """n=1 per language: the only doc is its own head cutoff."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import ccnet_buckets
+
+    sf = tmp_path / "ccsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["ein deutscher satz", "one english sentence"]),
+            "lang": pa.array(["de", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([18, 20], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(str(sf)).take_all()}
+    assert out == {0: "head", 1: "head"}
+
+
+def test_dsir_weights_empty_target_set(ray_session, tmp_path):
+    """Every doc fails the quality gate (all too_short): the target
+    model is pure Laplace smoothing and weights are still defined."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import dsir_weights
+
+    texts = ["short one", "short two", ""]
+    sf = tmp_path / "dsir0"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = dsir_weights(str(sf)).take_all()
+    assert {r["doc_id"] for r in out} == {0, 1}  # empty doc emits no row
+    assert all(isinstance(r["weight_bits"], int) for r in out)
+
+
+def test_corpus_curation_all_filtered(ray_session, tmp_path):
+    """Everything fails quality: no eligible set, no source_cap rows,
+    every reason is the quality reason."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.curation import corpus_curation
+
+    texts = ["tiny", "also tiny"]
+    sf = tmp_path / "curall"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(2), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = corpus_curation(str(sf)).take_all()
+    assert len(out) == 2
+    assert all(not r["keep"] and r["reason"] == "too_short" for r in out)
+
+
+def test_link_pagerank_no_html_pages(ray_session, tmp_path):
+    """All-binary corpus: pagerank over zero nodes is a typed empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import link_pagerank
+
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(["https://h.test/a"]),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"%FIX-LAYOUT junk"], pa.binary()),
+            "text": pa.array([""]),
+            "lang": pa.array(["en"]),
+        }),
+        pdir / "pages.parquet",
+    )
+    assert link_pagerank(str(pdir)).take_all() == []
