@@ -197,6 +197,10 @@ def run_bench() -> dict:
         timed("source_caps", text_analysis.source_caps)
         timed("ccnet_buckets", text_analysis.ccnet_buckets)
 
+        from smart_ocr_ray.ops.curation import corpus_curation
+
+        timed("corpus_curation", corpus_curation)
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0
