@@ -642,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
+        "events_range_join": relational.events_range_join,
         "events_topk_per_hour": relational.events_topk_per_hour,
         "top_users_by_value": relational.top_users_by_value,
         "supplier_part_counts": relational.supplier_part_counts,
@@ -2144,6 +2145,21 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', r.ts, l.ts) AS gap_us
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_range_join": """
+            -- Interval join on the global time axis: every purchase
+            -- strictly after an error and within 10 minutes of it.
+            -- DuckDB plans this as an IEJoin; the Ray side produces
+            -- each pair exactly once via window-width time buckets
+            -- (left rows replicated to the 2 buckets their window
+            -- overlaps, pairs owned by the right row's bucket).
+            SELECT l.event_id AS left_id, l.ts AS left_ts,
+                   r.event_id AS right_id, r.ts AS right_ts,
+                   date_diff('microsecond', l.ts, r.ts) AS gap_us
+            FROM events l JOIN events r
+              ON r.ts > l.ts
+             AND r.ts <= l.ts + INTERVAL 600 SECOND
+            WHERE l.event_type = 'error' AND r.event_type = 'purchase'
         """,
         "top_users_by_value": """
             SELECT user_id, round(sum(value), 4) AS total_value

@@ -370,6 +370,55 @@ def test_events_asof_join_semantics(ray_session, tmp_path):
     assert out[7]["matched_event_id"] == 6 and out[7]["gap_us"] == 0
 
 
+def test_events_range_join_semantics(ray_session, tmp_path):
+    """Range join: every purchase strictly after an error within the
+    window, across users; window end inclusive; bucket-boundary pairs
+    (left near a bucket edge, right in the next bucket) are produced
+    exactly once via the 2-bucket left replication."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    W = 600  # window/bucket width in seconds
+    rows = [
+        # (event_id, ts_offset_s, user, type)
+        (1, 0, 7, "error"),
+        (2, 0, 8, "purchase"),        # same instant — NOT after → excluded
+        (3, 1, 8, "purchase"),        # in window, other user → pair
+        (4, W, 9, "purchase"),        # exactly ts+W → inclusive end, pair
+        (5, W + 1, 9, "purchase"),    # just past the window → excluded
+        (6, W - 5, 5, "error"),       # left 5s before bucket 0 ends...
+        (7, W + 2, 5, "purchase"),    # ...right in bucket 1 → cross-bucket pair
+        (8, 3 * W, 1, "error"),       # no purchases in its window
+    ]
+    sf = tmp_path / "rjsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    out = events_range_join(str(sf), window_s=W).take_all()
+    pairs = sorted((r["left_id"], r["right_id"]) for r in out)
+    # error 1 → purchases 3 and 4 (same-instant 2 and past-window 5 out);
+    # error 6 → purchases 4, 5 and 7 (4 at +5s, 5 at +6s, 7 cross-bucket);
+    # each pair exactly once (no replication duplicates).
+    assert pairs == [(1, 3), (1, 4), (6, 4), (6, 5), (6, 7)]
+    gaps = {(r["left_id"], r["right_id"]): r["gap_us"] for r in out}
+    assert gaps[(1, 4)] == W * 1_000_000          # inclusive end
+    assert gaps[(6, 7)] == 7 * 1_000_000          # cross-bucket pair
+    assert all(0 < g <= W * 1_000_000 for g in gaps.values())
+
+
 def test_quality_filter_rules_and_order(ray_session, tmp_path):
     """Gopher-style filter: each rule fires in order with its reason;
     clean prose keeps."""
