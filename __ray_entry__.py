@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": relational.sessionize_events,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
+        "events_hll_hourly": relational.events_hll_hourly,
         "events_topk_per_hour": relational.events_topk_per_hour,
         "top_users_by_value": relational.top_users_by_value,
         "supplier_part_counts": relational.supplier_part_counts,
@@ -2160,6 +2161,26 @@ def oracle_sql() -> dict[str, str]:
               ON r.ts > l.ts
              AND r.ts <= l.ts + INTERVAL 600 SECOND
             WHERE l.event_type = 'error' AND r.event_type = 'purchase'
+        """,
+        "events_hll_hourly": """
+            -- Per-hour HyperLogLog registers b=6 over the user hash
+            -- (ops/relational.events_hll_hourly): register = h % 64,
+            -- rank = 59 minus the bit length of the remaining 58 bits
+            -- (59 when zero), max-merged per (window, register).
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS window_start,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+              FROM events
+            ), r AS (
+              SELECT window_start,
+                     CAST(hv % 64 AS BIGINT) AS register,
+                     CASE WHEN hv // 64 = 0 THEN 59
+                          ELSE 59 - length(to_base(CAST(hv // 64 AS BIGINT), 2))
+                     END AS rank
+              FROM h
+            )
+            SELECT window_start, register, CAST(max(rank) AS BIGINT) AS max_rank
+            FROM r GROUP BY window_start, register
         """,
         "top_users_by_value": """
             SELECT user_id, round(sum(value), 4) AS total_value

@@ -533,6 +533,105 @@ def events_range_join(
     return map_key_groups(tagged, "bucket", _match, min_group_size=2)
 
 
+def events_hll_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Windowed sketch aggregate: per-hour HyperLogLog registers for
+    distinct-user cardinality — the streaming-analytics shape ("unique
+    visitors per hour") a crawl/telemetry pipeline maintains without a
+    per-window distinct shuffle. Composes the corpus-level HLL
+    (``text_analysis.hll_registers``, Flajolet et al. 2007) with the
+    tumbling hour window of ``events_hourly``.
+
+    64 registers (b=6) per window over the md5-derived 64-bit user
+    hash (``_kgram_hash64(str(user_id))`` == DuckDB
+    ``md5_number_lower(CAST(user_id AS VARCHAR))``): register = low 6
+    bits, rank = 59 − bit_length of the remaining 58 bits (59 when
+    zero), register value = max rank. The float estimate is a
+    driver-side epilogue (``hll_estimate``); the REGISTERS are the
+    exact, oracle-checkable state emitted here.
+
+    Scale shape: duplicates cannot change a max, so each block reduces
+    to ≤ 64 × windows-in-block partial rows (users deduped per block
+    first — one md5 per distinct user per block); the shuffle carries
+    only those and the final groupby is (window, register)-keyed,
+    bounded by 64 × windows regardless of event volume.
+
+    Output: (window_start, register, max_rank).
+    """
+    from ..functions.textstats import _kgram_hash64
+    from ..tuning import join_partitions as _jp
+    from .grouped import rename_agg
+
+    events = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    part_schema = pa.schema(
+        [
+            ("window_start", pa.timestamp("us")),
+            ("register", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ws = (
+            pc.floor_temporal(batch.column("ts"), unit="hour")
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        # One md5 per distinct user per block, then a (window, user)
+        # dedup — registers are max-merged so within-block dedup is free.
+        uniq_users, inv = np.unique(users, return_inverse=True)
+        reg_of = np.empty(len(uniq_users), dtype=np.int64)
+        rank_of = np.empty(len(uniq_users), dtype=np.int64)
+        for i, u in enumerate(uniq_users):
+            h = _kgram_hash64(str(int(u)))
+            reg_of[i] = h & 0x3F
+            v = h >> 6
+            rank_of[i] = 59 - v.bit_length() if v else 59
+        regs: dict[tuple[int, int], int] = {}
+        for w, ui in zip(ws, inv):
+            key = (int(w), int(reg_of[ui]))
+            r = int(rank_of[ui])
+            if r > regs.get(key, 0):
+                regs[key] = r
+        keys = sorted(regs)
+        return pa.Table.from_pydict(
+            {
+                "window_start": pa.array([k[0] for k in keys], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "register": pa.array([k[1] for k in keys], pa.int64()),
+                "rank": pa.array([regs[k] for k in keys], pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    partial = events.map_batches(_partial, batch_format="pyarrow")
+    return rename_agg(
+        partial.groupby(["window_start", "register"]).max("rank"),
+        {"max(rank)": "max_rank"},
+        _jp(),
+    )
+
+
+def hll_estimate(max_ranks: dict[int, int], m: int = 64) -> float:
+    """HyperLogLog cardinality estimate from one window's registers
+    (the driver-side epilogue over ``events_hll_hourly`` output).
+    Standard corrections: harmonic mean with α_64 = 0.709, linear
+    counting below 2.5m when empty registers remain."""
+    import math
+
+    zeros = m - len(max_ranks)
+    s = zeros * 1.0 + sum(2.0 ** -r for r in max_ranks.values())
+    est = 0.709 * m * m / s
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est
+
+
 def supplier_part_counts(sf_dir: str) -> ray.data.Dataset:
     """Distinct parts and total quantity per supplier from lineitem
     (exact distinct via per-batch sets merged in the final groupby)."""

@@ -419,6 +419,56 @@ def test_events_range_join_semantics(ray_session, tmp_path):
     assert all(0 < g <= W * 1_000_000 for g in gaps.values())
 
 
+def test_events_hll_hourly_registers_and_estimate(ray_session, tmp_path):
+    """Windowed HLL: registers equal the sequential single-pass kernel,
+    duplicates never change them, and the estimate epilogue lands
+    within HLL's expected error (1.04/sqrt(64) ~ 13%) of the truth."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.functions.textstats import _kgram_hash64
+    from smart_ocr_ray.ops.relational import events_hll_hourly, hll_estimate
+
+    t0 = dt.datetime(2024, 3, 1, 12)
+    n_users = 500
+    # every user twice in hour 0 (duplicates), users 0..9 again in hour 1
+    rows = [(u, 0) for u in range(n_users)] * 2 + [(u, 1) for u in range(10)]
+    sf = tmp_path / "hllsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(hours=h, seconds=i % 60) for i, (_, h) in enumerate(rows)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    out = events_hll_hourly(str(sf)).take_all()
+    by_window = {}
+    for r in out:
+        by_window.setdefault(r["window_start"].hour, {})[r["register"]] = r["max_rank"]
+
+    # sequential kernel over hour 0's distinct users
+    expect = {}
+    for u in range(n_users):
+        h = _kgram_hash64(str(u))
+        reg, v = h & 0x3F, h >> 6
+        rank = 59 - v.bit_length() if v else 59
+        expect[reg] = max(expect.get(reg, 0), rank)
+    assert by_window[12] == expect  # duplicates changed nothing
+
+    est = hll_estimate(by_window[12])
+    assert abs(est - n_users) / n_users < 0.15
+    # hour 1: 10 distinct users → linear-counting regime, still close
+    assert abs(hll_estimate(by_window[13]) - 10) <= 3
+
+
 def test_quality_filter_rules_and_order(ray_session, tmp_path):
     """Gopher-style filter: each rule fires in order with its reason;
     clean prose keeps."""
