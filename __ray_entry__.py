@@ -607,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": text_analysis.hll_registers,
         "cms_heavy_hitters": text_analysis.cms_heavy_hitters,
         "bpe_pair_counts": text_analysis.bpe_pair_counts,
+        "pmi_pairs": text_analysis.pmi_pairs,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1897,6 +1898,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "pmi_pairs": r"""
+            -- Skip-gram PMI pairs (ops/text_analysis.pmi_pairs):
+            -- unordered pairs within a +-2 token window, min_count 5,
+            -- pmi_bits = +-bit_length of the floor ratio
+            -- (c_xy*T^2) : (P*c1*c2) — HUGEINT products, the ratio is
+            -- BIGINT-sized so to_base applies.
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            tok AS (SELECT unnest(toks) AS term FROM t),
+            cf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            tt AS (SELECT CAST(count(*) AS HUGEINT) AS t_total FROM tok),
+            pos AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM t
+            ),
+            pr AS (
+              SELECT least(a.term, b.term) AS w1, greatest(a.term, b.term) AS w2
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+            ),
+            pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM pr GROUP BY w1, w2),
+            pt AS (SELECT CAST(sum(pair_cnt) AS HUGEINT) AS p_total FROM pc),
+            q AS (
+              SELECT pc.w1, pc.w2, pc.pair_cnt, c1.c AS c1, c2.c AS c2
+              FROM pc JOIN cf c1 ON pc.w1 = c1.term
+                      JOIN cf c2 ON pc.w2 = c2.term
+              WHERE pc.pair_cnt >= 5
+            ),
+            m AS (
+              SELECT w1, w2, pair_cnt, c1, c2,
+                     CAST(pair_cnt AS HUGEINT) * t.t_total * t.t_total AS num,
+                     p.p_total * CAST(c1 AS HUGEINT) * CAST(c2 AS HUGEINT) AS den
+              FROM q CROSS JOIN tt t CROSS JOIN pt p
+            )
+            SELECT w1, w2, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+                   CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+                   CAST(CASE WHEN num >= den
+                        THEN length(to_base(CAST(num // den AS BIGINT), 2))
+                        ELSE -length(to_base(CAST(den // num AS BIGINT), 2))
+                        END AS BIGINT) AS pmi_bits
+            FROM m
+            ORDER BY pmi_bits DESC, pair_cnt DESC, w1 ASC, w2 ASC
+            LIMIT 100
         """,
         "bpe_pair_counts": r"""
             -- First BPE merge round (ops/text_analysis.bpe_pair_counts):

@@ -1559,3 +1559,156 @@ def bpe_pair_counts(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         .sort(["cnt", "pair"], descending=[True, False])
         .limit(k)
     )
+
+
+def pmi_pairs(
+    sf_dir: str, window: int = 2, min_count: int = 5, k: int = 100
+) -> ray.data.Dataset:
+    """Skip-gram PMI co-occurrence pairs — the word2vec/GloVe
+    preprocessing sweep (Church & Hanks 1990; Mikolov et al. 2013):
+    which word pairs co-occur within a ±``window`` token window far
+    more often than chance. Tokens are lowercased whitespace tokens;
+    pairs are unordered (w1 ≤ w2); a pair must reach ``min_count``
+    corpus occurrences (the standard rare-pair PMI mitigation).
+
+    PMI is kept on an exact integer grid so the driver's value-hash
+    gate applies: with T = corpus token total, P = corpus pair total,
+    num = c_xy·T², den = P·c_x·c_y,
+
+        pmi_bits =  bit_length(num // den)   if num ≥ den   (≥ +1)
+                   −bit_length(den // num)   otherwise      (≤ −1)
+
+    an integer ⌊log2⌋+1 surrogate for PMI(x,y), exact on both engines
+    (Python big ints here; HUGEINT products + ``to_base`` on the
+    BIGINT-sized ratio in DuckDB — products can pass 2^63 but the
+    ratio cannot).
+
+    Scale shape: per-block pair/unigram Counters collapse repeats
+    before the shuffle (the pair table is vocab²-bounded per block,
+    vocab-bounded after min_count); totals T and P are two scalars off
+    the materialized aggregate tables; unigram counts join back onto
+    the qualifying pairs with a distributed hash join keyed on each
+    side in turn (never broadcast — real-webtext vocabulary is
+    corpus-scale). Output: top-k by (pmi_bits desc, pair_cnt desc,
+    pair asc): (w1, w2, pair_cnt, c1, c2, pmi_bits).
+    """
+    from collections import Counter
+
+    from ..tuning import join_partitions as _jp
+    from .grouped import rename_agg
+
+    jp = _jp()
+    docs = read_documents(sf_dir)
+
+    pair_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("cnt", pa.int64())]
+    )
+    uni_schema = pa.schema([("term", pa.string()), ("cnt", pa.int64())])
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").lower().split()
+            for d in range(1, window + 1):
+                for a, b in zip(toks, toks[d:]):
+                    c[(a, b) if a <= b else (b, a)] += 1
+        keys = list(c.keys())
+        return pa.Table.from_pydict(
+            {
+                "w1": pa.array([p[0] for p in keys], pa.string()),
+                "w2": pa.array([p[1] for p in keys], pa.string()),
+                "cnt": pa.array([c[p] for p in keys], pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").lower().split())
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            },
+            schema=uni_schema,
+        )
+
+    pairs = rename_agg(
+        docs.map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("cnt"),
+        {"sum(cnt)": "pair_cnt"},
+        jp,
+    ).materialize()
+    cf = rename_agg(
+        docs.map_batches(_uni_partial, batch_format="pyarrow").groupby("term").sum("cnt"),
+        {"sum(cnt)": "cf"},
+        jp,
+    ).materialize()
+
+    out_schema = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("pair_cnt", pa.int64()),
+            ("c1", pa.int64()),
+            ("c2", pa.int64()),
+            ("pmi_bits", pa.int64()),
+        ]
+    )
+
+    p_total = int(pairs.sum("pair_cnt") or 0)
+    t_total = int(cf.sum("cf") or 0)
+    if p_total == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    qualifying = pairs.filter(expr=f"pair_cnt >= {int(min_count)}")
+
+    def _rn(old: str, new: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([new if c == old else c for c in b.column_names])
+
+        return _f
+
+    j1 = qualifying.join(
+        cf.map_batches(_rn("term", "w1"), batch_format="pyarrow"), "inner", jp, on=("w1",)
+    ).map_batches(_rn("cf", "c1"), batch_format="pyarrow")
+    j2 = j1.join(
+        cf.map_batches(_rn("term", "w2"), batch_format="pyarrow"), "inner", jp, on=("w2",)
+    ).map_batches(_rn("cf", "c2"), batch_format="pyarrow")
+
+    def _pmi(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        # Python big ints: num = c_xy*T^2 can pass 2^63 at corpus
+        # scale; this loop runs over the qualifying-pair table (vocab-
+        # bounded), never the corpus.
+        bits = []
+        for c_xy, c_x, c_y in zip(
+            batch.column("pair_cnt").to_pylist(),
+            batch.column("c1").to_pylist(),
+            batch.column("c2").to_pylist(),
+        ):
+            num = c_xy * t_total * t_total
+            den = p_total * c_x * c_y
+            bits.append(
+                (num // den).bit_length() if num >= den else -((den // num).bit_length())
+            )
+        return pa.Table.from_pydict(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "pair_cnt": batch.column("pair_cnt").cast(pa.int64()),
+                "c1": batch.column("c1").cast(pa.int64()),
+                "c2": batch.column("c2").cast(pa.int64()),
+                "pmi_bits": pa.array(bits, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        j2.map_batches(_pmi, batch_format="pyarrow")
+        .sort(["pmi_bits", "pair_cnt", "w1", "w2"], descending=[True, True, False, False])
+        .limit(k)
+    )

@@ -469,6 +469,44 @@ def test_events_hll_hourly_registers_and_estimate(ray_session, tmp_path):
     assert abs(hll_estimate(by_window[13]) - 10) <= 3
 
 
+def test_pmi_pairs_known_answer(ray_session, tmp_path):
+    """PMI: an always-adjacent pair scores high positive bits, an
+    anti-correlated frequent pair scores negative, sub-min_count pairs
+    are dropped, and distance-2 (skip-gram) pairs count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import pmi_pairs
+
+    # 20 docs: "alpha beta" always together; filler words everywhere;
+    # "left" and "right" each frequent but never within the window.
+    texts = ["alpha beta common1 common2 left common1 common2 right"] * 10 + [
+        "common1 alpha beta common2 right common1 common2 left"
+    ] * 10
+    texts.append("rare1 rare2")  # pair_cnt 1 → dropped by min_count
+    sf = tmp_path / "pmisf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = pmi_pairs(str(sf), min_count=5).take_all()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    assert ("rare1", "rare2") not in by_pair            # min_count
+    ab = by_pair[("alpha", "beta")]
+    assert ab["pair_cnt"] == 20 and ab["pmi_bits"] >= 3  # always adjacent
+    assert ("left", "right") not in by_pair              # never co-window
+    # distance-2 pair exists ("alpha", "common1" in doc type 1)
+    assert ("alpha", "common1") in by_pair
+    # an independent frequent pair scores below the correlated one
+    cc = by_pair[("common1", "common2")]
+    assert cc["pmi_bits"] < ab["pmi_bits"]
+
+
 def test_quality_filter_rules_and_order(ray_session, tmp_path):
     """Gopher-style filter: each rule fires in order with its reason;
     clean prose keeps."""
