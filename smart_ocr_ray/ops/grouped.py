@@ -128,6 +128,33 @@ def map_key_groups(
     )
 
 
+def max_by_keys(
+    ds: ray.data.Dataset, keys: list[str], value: str
+) -> ray.data.Dataset:
+    """Vectorized ``groupby(keys).max(value)``: one sort co-locates
+    each key tuple (the same shuffle Ray's Aggregate issues), then a
+    per-block ``np.maximum.reduceat`` over the group starts — no
+    per-group UDF, no Aggregate operator. Motivated by the
+    embedding-LSH pair dedup, where Ray 2.49's hash Aggregate spent
+    176 s of remote work collapsing 473k (left,right) pair rows that
+    this path handles in under a second of vectorized compute."""
+
+    def _block(block: pa.Table) -> pa.Table:
+        block = block.combine_chunks()
+        if block.num_rows == 0:
+            return block
+        bounds = group_bounds(block, keys)
+        starts = bounds[:-1]
+        v = block.column(value).to_numpy(zero_copy_only=False)
+        out = {k: block.column(k).take(pa.array(starts)) for k in keys}
+        out[value] = pa.array(
+            np.maximum.reduceat(v, starts), type=block.schema.field(value).type
+        )
+        return pa.Table.from_pydict(out)
+
+    return ds.sort(keys).map_batches(_block, batch_format="pyarrow", batch_size=None)
+
+
 def rename_agg(
     ds: ray.data.Dataset, renames: dict[str, str], launder_partitions: int
 ) -> ray.data.Dataset:

@@ -153,3 +153,33 @@ def test_groups_never_split_across_blocks(ray_session):
     # Exactly one output row per key — a split group would emit several.
     assert out["k"].tolist() == [0, 1, 2]
     assert int(out["n"].sum()) == n
+
+
+def test_max_by_keys_matches_pandas(ray_session):
+    """max_by_keys == pandas groupby().max() across many blocks, with
+    multi-column int keys and negative values."""
+    from smart_ocr_ray.ops.grouped import max_by_keys
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    tbl = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 40, n).astype("int64")),
+            "b": pa.array(rng.integers(0, 5, n).astype("int64")),
+            "v": pa.array(rng.integers(-1000, 1000, n).astype("int64")),
+        }
+    )
+    out = (
+        max_by_keys(ray.data.from_arrow(tbl).repartition(16), ["a", "b"], "v")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        tbl.to_pandas()
+        .groupby(["a", "b"], as_index=False)["v"]
+        .max()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(exp)
