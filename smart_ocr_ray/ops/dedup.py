@@ -209,27 +209,13 @@ def dedup_minhash_lsh(
     # Singleton band buckets (the vast majority at any scale) never
     # emit a pair: min_group_size=2 skips them without a UDF call.
     candidates = map_key_groups(bands, "band_key", _pairs, min_group_size=2)
-    # A pair can surface from several bands — final dedup keyed by pair.
-    from ray.data.aggregate import Max
+    # A pair can surface from several bands with the SAME est (it is
+    # computed from the full signatures) — dedup keyed on the int pair
+    # via the vectorized sort+reduceat path (grouped.reduce_by_keys)
+    # instead of a string-keyed hash Aggregate.
+    from .grouped import reduce_by_keys
 
-    def _pair_key(batch: pa.Table) -> pa.Table:
-        keys = [
-            f"{l}:{r}"
-            for l, r in zip(batch.column("left_id").to_pylist(), batch.column("right_id").to_pylist())
-        ]
-        return batch.append_column("pair", pa.array(keys, pa.string()))
-
-    deduped = (
-        candidates.map_batches(_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(
-            Max("left_id", alias_name="left_id"),
-            Max("right_id", alias_name="right_id"),
-            Max("est_jaccard", alias_name="est_jaccard"),
-        )
-        .drop_columns(["pair"])
-    )
-    return deduped
+    return reduce_by_keys(candidates, ["left_id", "right_id"], "est_jaccard", "max")
 
 
 def cluster_pairs(
@@ -1066,10 +1052,12 @@ def winnow_pairs(
     if pair_rows.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    counted = rename_agg(
-        pair_rows.groupby(["left_id", "right_id"]).count(),
-        {"count()": "n_shared"},
-        _jp(),
+    # Vectorized sort+reduceat count (grouped.reduce_by_keys) — always
+    # emits typed blocks, so no rename/launder pass is needed.
+    from .grouped import reduce_by_keys
+
+    counted = reduce_by_keys(
+        pair_rows, ["left_id", "right_id"], None, "count", out="n_shared"
     )
 
     def _filter(batch: pa.Table) -> pa.Table:

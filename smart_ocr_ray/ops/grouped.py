@@ -128,31 +128,57 @@ def map_key_groups(
     )
 
 
-def max_by_keys(
-    ds: ray.data.Dataset, keys: list[str], value: str
+_REDUCE_UFUNC = {"max": np.maximum, "min": np.minimum, "sum": np.add}
+
+
+def reduce_by_keys(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value: str | None,
+    how: str = "max",
+    out: str | None = None,
 ) -> ray.data.Dataset:
-    """Vectorized ``groupby(keys).max(value)``: one sort co-locates
-    each key tuple (the same shuffle Ray's Aggregate issues), then a
-    per-block ``np.maximum.reduceat`` over the group starts — no
-    per-group UDF, no Aggregate operator. Motivated by the
-    embedding-LSH pair dedup, where Ray 2.49's hash Aggregate spent
-    176 s of remote work collapsing 473k (left,right) pair rows that
-    this path handles in under a second of vectorized compute."""
+    """Vectorized ``groupby(keys).<how>(value)`` for max/min/sum/count:
+    one sort co-locates each key tuple (the same shuffle Ray's
+    Aggregate issues), then a per-block ``np.<ufunc>.reduceat`` over
+    the group starts — no per-group UDF, no Aggregate operator.
+    Motivated by the embedding-LSH pair dedup, where Ray 2.49's hash
+    Aggregate spent 176 s of remote work collapsing 473k (left,right)
+    pair rows that this path handles in under a second of vectorized
+    compute.
+
+    ``how="count"`` ignores ``value``; ``out`` renames the reduced
+    column (defaults to ``value``). Use ``sum`` only where it is exact
+    (integers / integer-grid values) — float sums are order-dependent
+    and this helper makes no ordering promise within a group."""
+    out = out or value
+    key_list = list(keys)
 
     def _block(block: pa.Table) -> pa.Table:
         block = block.combine_chunks()
-        if block.num_rows == 0:
-            return block
-        bounds = group_bounds(block, keys)
+        bounds = group_bounds(block, key_list)
         starts = bounds[:-1]
-        v = block.column(value).to_numpy(zero_copy_only=False)
-        out = {k: block.column(k).take(pa.array(starts)) for k in keys}
-        out[value] = pa.array(
-            np.maximum.reduceat(v, starts), type=block.schema.field(value).type
-        )
-        return pa.Table.from_pydict(out)
+        cols = {k: block.column(k).take(pa.array(starts)) for k in key_list}
+        if how == "count":
+            cols[out] = pa.array(np.diff(bounds), pa.int64())
+        else:
+            v = block.column(value).to_numpy(zero_copy_only=False)
+            cols[out] = pa.array(
+                _REDUCE_UFUNC[how].reduceat(v, starts) if len(starts) else v[:0],
+                type=block.schema.field(value).type,
+            )
+        return pa.Table.from_pydict(cols)
 
-    return ds.sort(keys).map_batches(_block, batch_format="pyarrow", batch_size=None)
+    return ds.sort(key_list).map_batches(
+        _block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def max_by_keys(
+    ds: ray.data.Dataset, keys: list[str], value: str
+) -> ray.data.Dataset:
+    """``groupby(keys).max(value)`` via ``reduce_by_keys``."""
+    return reduce_by_keys(ds, keys, value, "max")
 
 
 def rename_agg(
