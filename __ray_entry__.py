@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": text_analysis.cms_heavy_hitters,
         "bpe_pair_counts": text_analysis.bpe_pair_counts,
         "pmi_pairs": text_analysis.pmi_pairs,
+        "bpe_merges": text_analysis.bpe_merges,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -695,6 +696,56 @@ def _surprisal_ctes() -> str:
                        // CAST(sum(tf) AS BIGINT) AS mean_bits_e3
               FROM contrib GROUP BY doc_id
             )"""
+
+
+def _bpe_ctes(rounds: int = 6) -> str:
+    """Unrolled CTE chain reproducing ``ops/text_analysis.bpe_merges``:
+    state s{r} encodes each word's symbol sequence as a '|'-delimited
+    string; one merge application is TWO successive ``replace`` passes
+    (one pass merges alternate occurrences of a chain because the
+    shared '|' boundary is consumed; the second pass merges the
+    isolated leftovers — provably the greedy-BPE fixpoint for
+    left != right, which is why self-pairs are excluded from selection
+    on both engines). Ends with merge CTEs m1..m{rounds}."""
+    parts = [
+        """s0 AS (
+              SELECT '|' || array_to_string(
+                       list_transform(range(1, length(u.w) + 1), i -> u.w[i]),
+                       '|') || '|' AS st,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT list_filter(
+                             str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             x -> regexp_full_match(x, '[a-z]+')) AS wl
+                    FROM documents), unnest(wl) AS u(w)
+              GROUP BY u.w
+            )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""cnt{r} AS (
+              SELECT u.p AS pair, CAST(sum(c) AS BIGINT) AS cnt
+              FROM (SELECT list_filter(str_split(st, '|'), x -> x <> '') AS syms, c
+                    FROM s{r - 1}) sy,
+                   unnest(CASE WHEN len(sy.syms) >= 2
+                          THEN list_transform(range(1, len(sy.syms)),
+                                              i -> sy.syms[i] || ' ' || sy.syms[i + 1])
+                          ELSE [] END) AS u(p)
+              GROUP BY u.p
+            ), m{r} AS (
+              SELECT CAST({r} AS BIGINT) AS round,
+                     split_part(pair, ' ', 1) AS left_sym,
+                     split_part(pair, ' ', 2) AS right_sym,
+                     cnt
+              FROM cnt{r}
+              WHERE split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)
+              ORDER BY cnt DESC, pair ASC LIMIT 1
+            ), s{r} AS (
+              SELECT replace(replace(st, mm.pat, mm.rep), mm.pat, mm.rep) AS st, c
+              FROM s{r - 1} CROSS JOIN
+                   (SELECT '|' || left_sym || '|' || right_sym || '|' AS pat,
+                           '|' || left_sym || right_sym || '|' AS rep
+                    FROM m{r}) mm
+            )""")
+    return ",\n            ".join(parts)
 
 
 def _survivors_ctes() -> str:
@@ -1898,6 +1949,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "bpe_merges": """
+            -- Six BPE merge rounds (ops/text_analysis.bpe_merges):
+            -- per round, argmax adjacent symbol pair (count desc,
+            -- pair asc, self-pairs excluded), applied via the
+            -- two-pass replace fixpoint over '|'-encoded symbols.
+            WITH """ + _bpe_ctes(6) + """
+            SELECT * FROM m1 UNION ALL SELECT * FROM m2
+            UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4
+            UNION ALL SELECT * FROM m5 UNION ALL SELECT * FROM m6
         """,
         "pmi_pairs": r"""
             -- Skip-gram PMI pairs (ops/text_analysis.pmi_pairs):

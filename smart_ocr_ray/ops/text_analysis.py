@@ -1712,3 +1712,156 @@ def pmi_pairs(
         .sort(["pmi_bits", "pair_cnt", "w1", "w2"], descending=[True, True, False, False])
         .limit(k)
     )
+
+
+def bpe_merges(sf_dir: str, rounds: int = 6) -> ray.data.Dataset:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909) — ``rounds`` merge rounds, not just the first
+    (``bpe_pair_counts``). Vocabulary: lowercased whitespace tokens
+    matching ``[a-z]+`` (keeps symbols free of the oracle's delimiter
+    and mirrors standard alphabetic pretokenization); each word starts
+    as its character sequence; every round counts adjacent symbol
+    pairs weighted by word frequency, merges the argmax pair (count
+    desc, (left, right) asc), and rewrites every word's symbols with
+    the standard greedy left-to-right application. SELF-PAIRS (left ==
+    right) are counted but never selected — documented variant: the
+    SQL oracle applies merges with two ``replace`` passes over a
+    delimiter-encoded symbol string, which provably reaches the greedy
+    fixpoint for left ≠ right but diverges on runs of a self-pair.
+
+    Scale shape: the CORPUS shuffles once (the distinct-word count);
+    every round then operates on the vocabulary-bounded word table —
+    a Counter partial per block, one pair-keyed groupby sum, a k=1
+    argmax (driver-side single row, the only driver state), and a
+    broadcast merge applied per block. State (word, c, syms) is
+    materialized per round so round r+1 never re-runs rounds 1..r.
+
+    Output: (round, left_sym, right_sym, cnt) for each performed
+    merge; training stops early when no non-self pair remains.
+    """
+    import re as _re
+    from collections import Counter
+
+    from ..tuning import join_partitions as _jp
+    from .grouped import rename_agg
+
+    word_re = _re.compile(r"[a-z]+$")
+    docs = read_documents(sf_dir)
+
+    wc_schema = pa.schema([("word", pa.string()), ("c", pa.int64())])
+
+    def _wcount(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(w for w in (t or "").lower().split() if word_re.match(w))
+        return pa.Table.from_pydict(
+            {"word": pa.array(list(c.keys()), pa.string()),
+             "c": pa.array(list(c.values()), pa.int64())},
+            schema=wc_schema,
+        )
+
+    words = rename_agg(
+        docs.map_batches(_wcount, batch_format="pyarrow").groupby("word").sum("c"),
+        {"sum(c)": "c"},
+        _jp(),
+    )
+
+    state_schema = pa.schema(
+        [("word", pa.string()), ("c", pa.int64()), ("syms", pa.list_(pa.string()))]
+    )
+
+    def _init(batch: pa.Table) -> pa.Table:
+        ws = batch.column("word").to_pylist()
+        return pa.Table.from_pydict(
+            {"word": batch.column("word"), "c": batch.column("c"),
+             "syms": pa.array([list(w) for w in ws], pa.list_(pa.string()))},
+            schema=state_schema,
+        )
+
+    state = words.map_batches(_init, batch_format="pyarrow").materialize()
+
+    out_schema = pa.schema(
+        [
+            ("round", pa.int64()),
+            ("left_sym", pa.string()),
+            ("right_sym", pa.string()),
+            ("cnt", pa.int64()),
+        ]
+    )
+    pc_schema = pa.schema([("pair", pa.string()), ("cnt", pa.int64())])
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for syms, wc in zip(
+            batch.column("syms").to_pylist(), batch.column("c").to_pylist()
+        ):
+            for a, b in zip(syms, syms[1:]):
+                c[a + " " + b] += wc
+        return pa.Table.from_pydict(
+            {"pair": pa.array(list(c.keys()), pa.string()),
+             "cnt": pa.array(list(c.values()), pa.int64())},
+            schema=pc_schema,
+        )
+
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts = rename_agg(
+            state.map_batches(_pair_partial, batch_format="pyarrow")
+            .groupby("pair")
+            .sum("cnt"),
+            {"sum(cnt)": "cnt"},
+            _jp(),
+        )
+        def _drop_self(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pc_schema.empty_table()
+            parts = pa.compute.split_pattern(batch.column("pair"), " ")
+            mask = pa.compute.not_equal(
+                pa.compute.list_element(parts, 0), pa.compute.list_element(parts, 1)
+            )
+            return batch.filter(mask)
+
+        top = (
+            counts.map_batches(_drop_self, batch_format="pyarrow")
+            .sort(["cnt", "pair"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ")
+        merges.append((rnd, left, right, int(top[0]["cnt"])))
+
+        def _apply(batch: pa.Table, a=left, b=right) -> pa.Table:
+            out = []
+            for syms in batch.column("syms").to_pylist():
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.Table.from_pydict(
+                {"word": batch.column("word"), "c": batch.column("c"),
+                 "syms": pa.array(out, pa.list_(pa.string()))},
+                schema=state_schema,
+            )
+
+        state = state.map_batches(_apply, batch_format="pyarrow").materialize()
+
+    if not merges:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "round": pa.array([m[0] for m in merges], pa.int64()),
+                "left_sym": pa.array([m[1] for m in merges], pa.string()),
+                "right_sym": pa.array([m[2] for m in merges], pa.string()),
+                "cnt": pa.array([m[3] for m in merges], pa.int64()),
+            },
+            schema=out_schema,
+        )
+    )

@@ -507,6 +507,36 @@ def test_pmi_pairs_known_answer(ray_session, tmp_path):
     assert cc["pmi_bits"] < ab["pmi_bits"]
 
 
+def test_bpe_merges_known_answer(ray_session, tmp_path):
+    """Iterative BPE: greedy chain application, count-desc/pair-asc
+    argmax, self-pair exclusion, and early stop when only self-pairs
+    remain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bpe_merges
+
+    # vocab: 'ababab' (chain of (a,b)), 'cd' x3, 'eeee' (self-pairs only)
+    texts = ["ababab cd eeee", "cd cd"]
+    sf = tmp_path / "bpesf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = bpe_merges(str(sf), rounds=6).take_all()
+    got = [(r["round"], r["left_sym"], r["right_sym"], r["cnt"]) for r in out]
+    # r1: (a,b)=3 ties (c,d)=3 → pair asc picks (a,b); greedy turns
+    # ababab into [ab,ab,ab] (ALL chain occurrences merge).
+    # r2: (ab,ab)=2 is a self-pair (excluded); (c,d)=3 wins.
+    # r3: only self-pairs (ab,ab) and (e,e) remain → early stop.
+    assert got == [(1, "a", "b", 3), (2, "c", "d", 3)]
+
+
 def test_quality_filter_rules_and_order(ray_session, tmp_path):
     """Gopher-style filter: each rule fires in order with its reason;
     clean prose keeps."""
