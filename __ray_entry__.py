@@ -609,6 +609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": text_analysis.bpe_pair_counts,
         "pmi_pairs": text_analysis.pmi_pairs,
         "bpe_merges": text_analysis.bpe_merges,
+        "phrase_search": text_analysis.phrase_search,
+        "dataset_split": text_analysis.dataset_split,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -1949,6 +1951,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "phrase_search": r"""
+            -- Positional phrase search (ops/text_analysis.phrase_search):
+            -- docs with the exact adjacent phrase 'window join'.
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(toks) AS term,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM t
+            )
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'window' AND b.term = 'join'
+            GROUP BY a.doc_id
+        """,
+        "dataset_split": """
+            -- Deterministic hash split (ops/text_analysis.dataset_split):
+            -- bucket = md5-derived hash of 'split-v1:doc_id' mod 1000;
+            -- top 10 permille test, next 10 val, rest train.
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower('split-v1:' || CAST(doc_id AS VARCHAR))
+                          % 1000 AS BIGINT) AS bucket
+              FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket >= 990 THEN 'test'
+                        WHEN bucket >= 980 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
         """,
         "bpe_merges": """
             -- Six BPE merge rounds (ops/text_analysis.bpe_merges):

@@ -200,6 +200,10 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.curation import corpus_curation
 
         timed("corpus_curation", corpus_curation)
+        timed("events_range_join", relational.events_range_join)
+        timed("events_hll_hourly", relational.events_hll_hourly)
+        timed("pmi_pairs", text_analysis.pmi_pairs)
+        timed("bpe_merges", text_analysis.bpe_merges)
 
     ray.shutdown()
 

@@ -1865,3 +1865,117 @@ def bpe_merges(sf_dir: str, rounds: int = 6) -> ray.data.Dataset:
             schema=out_schema,
         )
     )
+
+
+PHRASE_QUERY: tuple[str, str] = ("window", "join")
+
+
+def phrase_search(sf_dir: str, phrase: tuple[str, str] = PHRASE_QUERY) -> ray.data.Dataset:
+    """Positional-index phrase search: documents containing the exact
+    adjacent phrase ``w1 w2``, found by intersecting per-term postings
+    — the inverted-index shape, not a text re-scan. Output:
+    (doc_id, n_hits) for docs with ≥1 occurrence.
+
+    Scale shape: postings (doc_id, term, pos) are emitted ONLY for the
+    query's terms at tokenize time, so the shuffle moves O(matching
+    tokens), not O(corpus); the per-doc intersection is a vectorized
+    ``np.intersect1d(pos1 + 1, pos2)`` inside ``map_key_groups`` (docs
+    lacking either term never reach the UDF via min_group_size=2). At
+    an index-serving deployment the same postings would be keyed by
+    (term, doc-range) buckets; doc-keyed grouping is the right shape
+    for the one-shot search this op implements.
+    """
+    import numpy as np
+
+    from .grouped import map_key_groups
+
+    w1, w2 = phrase
+    docs = read_documents(sf_dir)
+
+    post_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("pos", pa.int64())]
+    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        ids, terms, poss = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for i, tok in enumerate((t or "").lower().split()):
+                if tok == w1 or tok == w2:
+                    ids.append(int(d))
+                    terms.append(tok)
+                    poss.append(i + 1)  # 1-based, matches the SQL unnest
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+            },
+            schema=post_schema,
+        )
+
+    def _match(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        terms = group.column("term").to_pylist()
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        p1 = pos[[t == w1 for t in terms]]
+        p2 = pos[[t == w2 for t in terms]]
+        hits = np.intersect1d(p1 + 1, p2).size
+        if hits == 0:
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": group.column("doc_id").slice(0, 1),
+                "n_hits": pa.array([hits], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    postings = docs.map_batches(_postings, batch_format="pyarrow")
+    return map_key_groups(postings, "doc_id", _match, min_group_size=2)
+
+
+def dataset_split(
+    sf_dir: str, salt: str = "split-v1", val_permille: int = 10, test_permille: int = 10
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment — the hash-based split
+    every training pipeline needs (stable under re-runs, resharding,
+    and corpus growth; a doc's split never depends on which other docs
+    exist). bucket = md5-derived 64-bit hash of ``salt:doc_id`` mod
+    1000; the top ``test_permille`` buckets are test, the next
+    ``val_permille`` val, the rest train.
+
+    Pure stateless map — no shuffle, no driver state; exactly DuckDB-
+    expressible via ``md5_number_lower``. Output: (doc_id, bucket,
+    split).
+    """
+    from ..functions.textstats import _kgram_hash64
+
+    docs = read_documents(sf_dir)
+    lo_test = 1000 - int(test_permille)
+    lo_val = lo_test - int(val_permille)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("bucket", pa.int64()), ("split", pa.string())]
+    )
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = [_kgram_hash64(f"{salt}:{int(d)}") % 1000 for d in ids]
+        split = [
+            "test" if b >= lo_test else ("val" if b >= lo_val else "train")
+            for b in buckets
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(_assign, batch_format="pyarrow")

@@ -537,6 +537,78 @@ def test_bpe_merges_known_answer(ray_session, tmp_path):
     assert got == [(1, "a", "b", 3), (2, "c", "d", 3)]
 
 
+def test_phrase_search_adjacency_and_counts(ray_session, tmp_path):
+    """Phrase search: exact adjacency only, multiple hits counted,
+    docs with both terms but never adjacent excluded, repeated-word
+    phrases handled."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import phrase_search
+
+    texts = [
+        "window join now and window join again",   # 2 hits
+        "join window",                               # reversed → 0
+        "window x join",                             # gap → 0
+        "the Window JOIN case",                      # lowercased → 1
+        "no terms here",                             # no postings
+    ]
+    sf = tmp_path / "phsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in phrase_search(str(sf)).take_all()}
+    assert out == {0: 2, 3: 1}
+    # repeated-word phrase: "batch batch batch" has 2 adjacent pairs
+    out2 = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(str(sf), phrase=("and", "window")).take_all()
+    }
+    assert out2 == {0: 1}
+
+
+def test_dataset_split_deterministic_and_stable(ray_session, tmp_path):
+    """Hash split: permille ratios hold roughly, assignment depends
+    only on doc_id (stable under corpus subsetting)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import dataset_split
+
+    def write(sf, ids):
+        sf.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x"] * len(ids), pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["t"] * len(ids), pa.string()),
+            }),
+            sf / "documents.parquet",
+        )
+
+    full = tmp_path / "full"; write(full, list(range(5000)))
+    rows = dataset_split(str(full)).take_all()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    n = len(rows)
+    assert 0.005 < len(by_split["val"]) / n < 0.02
+    assert 0.005 < len(by_split["test"]) / n < 0.02
+    assert len(by_split["train"]) / n > 0.95
+
+    # subsetting the corpus never moves a doc between splits
+    sub = tmp_path / "sub"; write(sub, list(range(0, 5000, 7)))
+    for r in dataset_split(str(sub)).take_all():
+        assert r["doc_id"] in by_split[r["split"]]
+
+
 def test_quality_filter_rules_and_order(ray_session, tmp_path):
     """Gopher-style filter: each rule fires in order with its reason;
     clean prose keeps."""
