@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": dedup.dedup_survivors,
         "corpus_curation": _q_corpus_curation,
         "bloom_dedup": dedup.bloom_dedup,
+        "crawl_diff": dedup.crawl_diff,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1796,6 +1797,38 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             )
             SELECT doc_id, reason = '' AS keep, reason FROM r
+        """,
+        "crawl_diff": """
+            -- Snapshot delta (ops/dedup.crawl_diff): FULL OUTER join
+            -- of current vs the deterministically synthesized previous
+            -- snapshot; null sides classify added/removed, md5
+            -- mismatch classifies changed, unchanged dropped.
+            WITH cur AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS cur_md5 FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 2
+                          THEN md5(coalesce(text, '') || '|prev')
+                          ELSE md5(coalesce(text, '')) END AS prev_md5
+              FROM documents WHERE doc_id % 5 <> 4
+            ),
+            gone AS (
+              SELECT doc_id + 10000000 AS doc_id,
+                     md5('gone:' || CAST(doc_id AS VARCHAR)) AS prev_md5
+              FROM documents WHERE doc_id % 13 = 6
+            ),
+            prev AS (SELECT * FROM base UNION ALL SELECT * FROM gone),
+            j AS (
+              SELECT coalesce(c.doc_id, p.doc_id) AS doc_id, cur_md5, prev_md5
+              FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN prev_md5 IS NULL THEN 'added'
+                        WHEN cur_md5 IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM j
+            WHERE cur_md5 IS NULL OR prev_md5 IS NULL OR cur_md5 <> prev_md5
         """,
         "bloom_dedup": """
             -- Broadcast-Bloom incremental dedup (ops/dedup.bloom_dedup):

@@ -1191,3 +1191,91 @@ def bloom_dedup(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_probe, batch_format="pyarrow")
+
+
+def crawl_diff(sf_dir: str) -> ray.data.Dataset:
+    """Crawl snapshot delta — which documents a recrawl ADDED, REMOVED
+    or CHANGED vs the previous snapshot (the incremental-ingest
+    companion to ``bloom_dedup``: that op answers "seen before?", this
+    one produces the re-extraction worklist). Exercises the engine's
+    FULL OUTER join (the one join shape no other op uses): fingerprint
+    tables from both snapshots meet on doc_id, null sides classify
+    added/removed, differing md5s classify changed; unchanged rows are
+    dropped.
+
+    The previous snapshot is synthesized deterministically from the
+    current table (no external data, per the brief): doc_id % 5 == 4
+    absent from prev (→ added), doc_id % 7 == 2 carries a mutated
+    fingerprint (→ changed), and prev-only rows doc_id + 10_000_000
+    for doc_id % 13 == 6 (→ removed).
+
+    Scale shape: both sides reduce to (doc_id, md5) rows at the read —
+    the join moves 48-byte rows, never text; output is bounded by the
+    churn rate, not the corpus.
+    """
+    from ..functions.textstats import content_md5
+    from ..tuning import join_partitions as _jp
+
+    docs = read_documents(sf_dir)
+
+    cur_schema = pa.schema([("doc_id", pa.int64()), ("cur_md5", pa.string())])
+    prev_schema = pa.schema([("doc_id", pa.int64()), ("prev_md5", pa.string())])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("status", pa.string())])
+
+    def _cur(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cur_md5": pa.array(
+                    [content_md5(t or "") for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            },
+            schema=cur_schema,
+        )
+
+    def _prev(batch: pa.Table) -> pa.Table:
+        ids, md5s = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            d = int(d)
+            if d % 5 != 4:
+                ids.append(d)
+                md5s.append(
+                    content_md5((t or "") + "|prev") if d % 7 == 2 else content_md5(t or "")
+                )
+            if d % 13 == 6:
+                ids.append(d + 10_000_000)
+                md5s.append(content_md5(f"gone:{d}"))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()), "prev_md5": pa.array(md5s, pa.string())},
+            schema=prev_schema,
+        )
+
+    cur = docs.map_batches(_cur, batch_format="pyarrow")
+    prev = docs.map_batches(_prev, batch_format="pyarrow")
+    jp = _jp()
+    joined = cur.join(prev, "full_outer", jp, on=("doc_id",))
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cur_md5" not in batch.column_names:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        cur_c = batch.column("cur_md5")
+        prev_c = batch.column("prev_md5")
+        status = pc.if_else(
+            pc.is_null(prev_c),
+            pa.scalar("added"),
+            pc.if_else(pc.is_null(cur_c), pa.scalar("removed"), pa.scalar("changed")),
+        )
+        # not_equal is null when either side is null (added/removed
+        # rows) — fill_null(True) keeps exactly those plus changed.
+        keep = pc.fill_null(pc.not_equal(cur_c, prev_c), True)
+        out = pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "status": status}
+        ).filter(keep)
+        return out.cast(out_schema)
+
+    return joined.map_batches(_classify, batch_format="pyarrow")

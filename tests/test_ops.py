@@ -2394,3 +2394,44 @@ def test_link_pagerank_no_html_pages(ray_session, tmp_path):
         pdir / "pages.parquet",
     )
     assert link_pagerank(str(pdir)).take_all() == []
+
+
+def test_crawl_diff_classifies_added_removed_changed(ray_session, tmp_path):
+    """Snapshot delta over a hand-built table: doc_id % 5 == 4 is
+    absent from the synthesized prev snapshot (added), % 7 == 2 has a
+    mutated prev fingerprint (changed), % 13 == 6 contributes a
+    prev-only row at doc_id + 10_000_000 (removed); everything else is
+    unchanged and must NOT appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import crawl_diff
+
+    n = 40
+    sf = tmp_path / "diffsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"page body {i}" for i in range(n)]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([11] * n, pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r["status"] for r in crawl_diff(str(sf)).take_all()}
+    for i in range(n):
+        if i % 5 == 4:
+            assert out[i] == "added"
+        elif i % 7 == 2:
+            assert out[i] == "changed"
+        else:
+            assert i not in out  # unchanged rows dropped
+        if i % 13 == 6:
+            assert out[i + 10_000_000] == "removed"
+    expect = (
+        {i for i in range(n) if i % 5 == 4}
+        | {i for i in range(n) if i % 7 == 2 and i % 5 != 4}
+        | {i + 10_000_000 for i in range(n) if i % 13 == 6}
+    )
+    assert set(out) == expect
