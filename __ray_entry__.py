@@ -565,6 +565,12 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_url_canonical(sf_dir: str):
+    from smart_ocr_ray.ops.urls import url_canonical
+
+    return url_canonical(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from smart_ocr_ray.ops import dedup, graph, relational, similarity, text_analysis
 
@@ -622,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": _q_corpus_curation,
         "bloom_dedup": dedup.bloom_dedup,
         "crawl_diff": dedup.crawl_diff,
+        "url_canonical": _q_url_canonical,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1829,6 +1836,74 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM j
             WHERE cur_md5 IS NULL OR prev_md5 IS NULL OR cur_md5 <> prev_md5
+        """,
+        "url_canonical": """
+            -- Canonical-url recrawl dedup (ops/urls.url_canonical):
+            -- the deterministic crawl-log synthesis is unrolled, then
+            -- the frozen canonicalization rules (lowercase scheme/host,
+            -- strip :443/:80, drop fragment, drop utm_*/fbclid/gclid/ref
+            -- params, bytewise-sort the rest) via regexp + list lambdas,
+            -- then arg_max by warc_ts per canonical url.
+            WITH raw AS (
+              SELECT
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+                || '://'
+                || (CASE WHEN doc_id % 3 = 0
+                         THEN upper(source || '.example.com')
+                         ELSE source || '.example.com' END)
+                || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+                || '/docs/' || doc_id
+                || (CASE doc_id % 4
+                      WHEN 0 THEN '?utm_source=feed&page=2&id=' || doc_id
+                      WHEN 1 THEN '?b=2&a=1'
+                      WHEN 2 THEN '?fbclid=abc123'
+                      ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url,
+                doc_id * 1000 + 1 AS warc_ts
+              FROM documents
+              UNION ALL
+              SELECT 'https://' || source || '.example.com/docs/' || doc_id
+                       || '?a=1&b=2',
+                     doc_id * 1000 + 2
+              FROM documents WHERE doc_id % 4 = 1
+            ),
+            parts AS (
+              SELECT url, warc_ts,
+                lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+                regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM raw
+            ),
+            canon AS (
+              SELECT url, warc_ts,
+                scheme || '://'
+                || (CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+                         THEN regexp_replace(hostport, ':443$', '')
+                         WHEN scheme = 'http' AND hostport LIKE '%:80'
+                         THEN regexp_replace(hostport, ':80$', '')
+                         ELSE hostport END)
+                || path
+                || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url
+              FROM (
+                -- array_to_string of an EMPTY list is NULL in DuckDB
+                -- 1.0 — coalesce keeps no-param urls out of one big
+                -- NULL canon group.
+                SELECT *, coalesce(array_to_string(list_sort(list_filter(
+                         string_split(query, '&'),
+                         p -> p <> ''
+                              AND NOT (p LIKE 'utm\\_%' ESCAPE '\\'
+                                       OR p LIKE 'fbclid=%'
+                                       OR p LIKE 'gclid=%'
+                                       OR p LIKE 'ref=%'))), '&'), '') AS q2
+                FROM parts
+              )
+            )
+            SELECT canon_url,
+                   arg_max(url, warc_ts) AS url,
+                   max(warc_ts) AS last_ts,
+                   count(*) AS n_variants
+            FROM canon GROUP BY canon_url
         """,
         "bloom_dedup": """
             -- Broadcast-Bloom incremental dedup (ops/dedup.bloom_dedup):

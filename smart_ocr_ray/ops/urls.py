@@ -1,0 +1,157 @@
+"""URL operators — canonicalization and recrawl dedup over crawl logs.
+
+A Common-Crawl-style corpus carries the same logical page under many
+raw URL spellings: mixed-case scheme/host, default ports, tracking
+parameters (``utm_*``, ``fbclid``, ...), unordered query strings and
+fragments. Canonicalizing before any url-keyed stage (dedup, resume,
+link joins) is the first step of every real crawl-curation pipeline;
+the reference keys all of its per-document state by a sanitized
+identifier for the same reason (SURVEY.md §2.2 M15, reference
+``src/smart_ocr/utils/files.py`` filename sanitization — here the
+identifier is the canonical url itself).
+
+Frozen canonicalization rules (mirrored exactly by the DuckDB oracle):
+
+  1. scheme and host lowercased;
+  2. default port stripped (``:443`` for https, ``:80`` for http);
+  3. fragment dropped;
+  4. tracking query params dropped: name starts with ``utm_`` or is
+     one of ``fbclid`` / ``gclid`` / ``ref``;
+  5. remaining ``k=v`` params sorted bytewise as whole strings;
+  6. ``?`` dropped when no params remain. Path is untouched.
+
+``url_canonical`` then performs the recrawl pick: group by canonical
+url, keep the row with the LATEST ``warc_ts`` (``arg_max``), counting
+the collapsed spellings. The crawl log is synthesized
+deterministically from the ``documents`` table (no external data):
+every doc contributes one decorated raw url, and ``doc_id % 4 == 1``
+docs contribute a second, later, differently-spelled crawl of the
+same page — the rows the dedup must collapse.
+
+Scale shape: canonicalization is a stateless ``map_batches`` pass;
+the only shuffle is a sort keyed by the canonical url string with a
+vectorized per-block argmax (``grouped.block_topk`` k=1) — rows are
+(canon, url, ts), never page payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .grouped import block_topk, group_bounds
+from .text_analysis import read_documents
+
+_TRACKING_EXACT = frozenset({"fbclid", "gclid", "ref"})
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("canon_url", pa.string()),
+        ("url", pa.string()),
+        ("last_ts", pa.int64()),
+        ("n_variants", pa.int64()),
+    ]
+)
+
+
+def canonicalize_url(url: str) -> str:
+    """Apply the module's frozen canonicalization rules to one url."""
+    base, _, _frag = url.partition("#")
+    pre, _, query = base.partition("?")
+    scheme, sep, rest = pre.partition("://")
+    if not sep:  # no scheme — leave untouched apart from frag/query rules
+        scheme, rest = "", pre
+    scheme = scheme.lower()
+    hostport, slash, path = rest.partition("/")
+    hostport = hostport.lower()
+    if scheme == "https" and hostport.endswith(":443"):
+        hostport = hostport[:-4]
+    elif scheme == "http" and hostport.endswith(":80"):
+        hostport = hostport[:-3]
+    params = [
+        p
+        for p in query.split("&")
+        if p
+        and not p.split("=", 1)[0].startswith("utm_")
+        and p.split("=", 1)[0] not in _TRACKING_EXACT
+    ]
+    out = (scheme + "://" if sep else "") + hostport + slash + path
+    if params:
+        out += "?" + "&".join(sorted(params))
+    return out
+
+
+def _synth_crawl_rows(batch: pa.Table) -> pa.Table:
+    """Deterministic raw crawl-log rows for one documents batch (the
+    same arithmetic the SQL oracle unrolls): decorated url + ts per
+    doc, plus a second later crawl for ``doc_id % 4 == 1``."""
+    urls: list[str] = []
+    tss: list[int] = []
+    for d, s in zip(
+        batch.column("doc_id").to_pylist(), batch.column("source").to_pylist()
+    ):
+        d = int(d)
+        host = f"{s}.example.com"
+        raw = (
+            ("HTTPS" if d % 2 == 0 else "https")
+            + "://"
+            + (host.upper() if d % 3 == 0 else host)
+            + (":443" if d % 11 == 0 else "")
+            + f"/docs/{d}"
+            + (
+                f"?utm_source=feed&page=2&id={d}"
+                if d % 4 == 0
+                else "?b=2&a=1"
+                if d % 4 == 1
+                else "?fbclid=abc123"
+                if d % 4 == 2
+                else ""
+            )
+            + ("#sec" if d % 5 == 0 else "")
+        )
+        urls.append(raw)
+        tss.append(d * 1000 + 1)
+        if d % 4 == 1:
+            urls.append(f"https://{host}/docs/{d}?a=1&b=2")
+            tss.append(d * 1000 + 2)
+    return pa.Table.from_pydict(
+        {
+            "canon_url": pa.array([canonicalize_url(u) for u in urls], pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.int64()),
+        }
+    )
+
+
+def url_canonical(sf_dir: str) -> ray.data.Dataset:
+    """Canonical-url recrawl dedup: latest crawl per canonical url with
+    the number of collapsed raw spellings."""
+    docs = read_documents(sf_dir)
+    rows = docs.map_batches(_synth_crawl_rows, batch_format="pyarrow")
+
+    def _pick_latest(block: pa.Table) -> pa.Table:
+        block = block.combine_chunks()
+        if block.num_rows == 0:
+            return _OUT_SCHEMA.empty_table()
+        bounds = group_bounds(block, ["canon_url"])
+        counts = np.diff(bounds)
+        group = np.repeat(np.arange(len(counts)), counts)
+        ts = block.column("warc_ts").to_numpy(zero_copy_only=False)
+        take, _ranks = block_topk(group, (-ts,), 1)
+        win = block.take(pa.array(take))
+        return pa.Table.from_pydict(
+            {
+                "canon_url": win.column("canon_url"),
+                "url": win.column("url"),
+                "last_ts": win.column("warc_ts"),
+                "n_variants": pa.array(counts, pa.int64()),
+            },
+            schema=_OUT_SCHEMA,
+        )
+
+    # Sort by exactly the grouping key (grouped.py co-location
+    # invariant), then vectorized per-block argmax — no per-group UDF.
+    return rows.sort("canon_url").map_batches(
+        _pick_latest, batch_format="pyarrow", batch_size=None
+    )

@@ -2435,3 +2435,56 @@ def test_crawl_diff_classifies_added_removed_changed(ray_session, tmp_path):
         | {i + 10_000_000 for i in range(n) if i % 13 == 6}
     )
     assert set(out) == expect
+
+
+def test_canonicalize_url_rules():
+    """Each frozen rule in isolation and composed."""
+    from smart_ocr_ray.ops.urls import canonicalize_url as c
+
+    assert c("HTTPS://WWW.Ex.COM/Path") == "https://www.ex.com/Path"  # case; path kept
+    assert c("https://ex.com:443/a") == "https://ex.com/a"  # default port
+    assert c("http://ex.com:80/a") == "http://ex.com/a"
+    assert c("http://ex.com:8080/a") == "http://ex.com:8080/a"  # non-default kept
+    assert c("https://ex.com/a#frag") == "https://ex.com/a"  # fragment
+    assert c("https://ex.com/a?utm_source=x&id=3") == "https://ex.com/a?id=3"
+    assert c("https://ex.com/a?fbclid=z") == "https://ex.com/a"  # all dropped -> no ?
+    assert c("https://ex.com/a?b=2&a=1") == "https://ex.com/a?a=1&b=2"  # sorted
+    assert (
+        c("HTTPS://EX.com:443/d/1?z=9&utm_campaign=c&a=1#s")
+        == "https://ex.com/d/1?a=1&z=9"
+    )
+
+
+def test_url_canonical_collapses_recrawls(ray_session, tmp_path):
+    """doc_id % 4 == 1 docs get a second, later, differently-spelled
+    crawl of the same page: exactly those groups report n_variants=2
+    and keep the snapshot-2 spelling/ts; every doc yields one row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.urls import url_canonical
+
+    n = 24
+    sf = tmp_path / "urlsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(n)]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([2] * n, pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = url_canonical(str(sf)).take_all()
+    assert len(rows) == n  # one canonical row per document
+    by_doc = {int(r["canon_url"].rsplit("/", 1)[1].split("?")[0]): r for r in rows}
+    for d, r in by_doc.items():
+        if d % 4 == 1:
+            assert r["n_variants"] == 2
+            assert r["last_ts"] == d * 1000 + 2
+            assert r["url"] == f"https://s.example.com/docs/{d}?a=1&b=2"
+        else:
+            assert r["n_variants"] == 1
+            assert r["last_ts"] == d * 1000 + 1
+        assert r["canon_url"].startswith("https://s.example.com/docs/")
