@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": text_analysis.bpe_pair_counts,
         "pmi_pairs": text_analysis.pmi_pairs,
         "bpe_merges": text_analysis.bpe_merges,
+        "bpe_encode": text_analysis.bpe_encode,
         "phrase_search": text_analysis.phrase_search,
         "dataset_split": text_analysis.dataset_split,
         "pii_scrub": _q_pii_scrub,
@@ -708,7 +709,7 @@ def _surprisal_ctes() -> str:
             )"""
 
 
-def _bpe_ctes(rounds: int = 6) -> str:
+def _bpe_ctes(rounds: int = 6, carry_word: bool = False) -> str:
     """Unrolled CTE chain reproducing ``ops/text_analysis.bpe_merges``:
     state s{r} encodes each word's symbol sequence as a '|'-delimited
     string; one merge application is TWO successive ``replace`` passes
@@ -716,10 +717,17 @@ def _bpe_ctes(rounds: int = 6) -> str:
     shared '|' boundary is consumed; the second pass merges the
     isolated leftovers — provably the greedy-BPE fixpoint for
     left != right, which is why self-pairs are excluded from selection
-    on both engines). Ends with merge CTEs m1..m{rounds}."""
+    on both engines). Ends with merge CTEs m1..m{rounds}.
+
+    ``carry_word=True`` (the ``bpe_encode`` oracle) keeps the WORD
+    column through every rewrite round so final symbol counts can be
+    joined back onto documents, and applies each merge via LEFT JOIN
+    so an early-stopped (empty) merge round degrades to a pass-through
+    instead of emptying the state table."""
+    word_sel = "u.w AS word,\n                     " if carry_word else ""
     parts = [
-        """s0 AS (
-              SELECT '|' || array_to_string(
+        f"""s0 AS (
+              SELECT {word_sel}'|' || array_to_string(
                        list_transform(range(1, length(u.w) + 1), i -> u.w[i]),
                        '|') || '|' AS st,
                      CAST(count(*) AS BIGINT) AS c
@@ -731,6 +739,26 @@ def _bpe_ctes(rounds: int = 6) -> str:
             )"""
     ]
     for r in range(1, rounds + 1):
+        if carry_word:
+            s_cte = f"""s{r} AS (
+              SELECT word,
+                     CASE WHEN mm.pat IS NULL THEN st
+                          ELSE replace(replace(st, mm.pat, mm.rep), mm.pat, mm.rep)
+                     END AS st,
+                     c
+              FROM s{r - 1} LEFT JOIN
+                   (SELECT '|' || left_sym || '|' || right_sym || '|' AS pat,
+                           '|' || left_sym || right_sym || '|' AS rep
+                    FROM m{r}) mm ON TRUE
+            )"""
+        else:
+            s_cte = f"""s{r} AS (
+              SELECT replace(replace(st, mm.pat, mm.rep), mm.pat, mm.rep) AS st, c
+              FROM s{r - 1} CROSS JOIN
+                   (SELECT '|' || left_sym || '|' || right_sym || '|' AS pat,
+                           '|' || left_sym || right_sym || '|' AS rep
+                    FROM m{r}) mm
+            )"""
         parts.append(f"""cnt{r} AS (
               SELECT u.p AS pair, CAST(sum(c) AS BIGINT) AS cnt
               FROM (SELECT list_filter(str_split(st, '|'), x -> x <> '') AS syms, c
@@ -748,13 +776,7 @@ def _bpe_ctes(rounds: int = 6) -> str:
               FROM cnt{r}
               WHERE split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)
               ORDER BY cnt DESC, pair ASC LIMIT 1
-            ), s{r} AS (
-              SELECT replace(replace(st, mm.pat, mm.rep), mm.pat, mm.rep) AS st, c
-              FROM s{r - 1} CROSS JOIN
-                   (SELECT '|' || left_sym || '|' || right_sym || '|' AS pat,
-                           '|' || left_sym || right_sym || '|' AS rep
-                    FROM m{r}) mm
-            )""")
+            ), """ + s_cte)
     return ",\n            ".join(parts)
 
 
@@ -1449,6 +1471,41 @@ def _pagerank_sql(n_iter: int = 3, knn_k: int = 5) -> str:
     )
 
 
+def _bpe_encode_sql(rounds: int = 6) -> str:
+    """Oracle for ``bpe_encode``: the ``bpe_merges`` training chain
+    re-generated with the WORD carried through every rewrite round
+    (the training oracle drops it), then each document's alpha words
+    joined back to their final symbol counts. Merge application is the
+    same two-pass delimiter replace; an empty merge round degrades to
+    a pass-through via LEFT JOIN (early-stopped training)."""
+    return (
+        "WITH "
+        + _bpe_ctes(rounds, carry_word=True)
+        + f""",
+            docw AS (
+              SELECT doc_id, u.w AS word
+              FROM (SELECT doc_id,
+                           list_filter(
+                             str_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             x -> regexp_full_match(x, '[a-z]+')) AS wl
+                    FROM documents), unnest(wl) AS u(w)
+            ),
+            wlen AS (
+              SELECT word,
+                     len(list_filter(str_split(st, '|'), x -> x <> '')) AS n_syms
+              FROM s{rounds}
+            )
+            SELECT d.doc_id,
+                   CAST(count(j.word) AS BIGINT) AS n_words,
+                   CAST(coalesce(sum(j.n_syms), 0) AS BIGINT) AS n_tokens
+            FROM documents d
+            LEFT JOIN (SELECT dw.doc_id, dw.word, wl.n_syms
+                       FROM docw dw JOIN wlen wl USING (word)) j
+              ON d.doc_id = j.doc_id
+            GROUP BY d.doc_id"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # Corpus-dependent pseudo-oracles (they materialize the pages/golden
     # tables for _ORACLE_SF at build time): degrade to rows-only rather
@@ -2095,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'train' END AS split
             FROM b
         """,
+        "bpe_encode": _bpe_encode_sql(6),
         "bpe_merges": """
             -- Six BPE merge rounds (ops/text_analysis.bpe_merges):
             -- per round, argmax adjacent symbol pair (count desc,

@@ -1979,3 +1979,72 @@ def dataset_split(
         )
 
     return docs.map_batches(_assign, batch_format="pyarrow")
+
+
+def bpe_encode(sf_dir: str, rounds: int = 6) -> ray.data.Dataset:
+    """Apply the corpus-trained BPE merge table (``bpe_merges``,
+    Sennrich et al. 2016) back onto every document — the tokenizer
+    train→encode loop a training-data pipeline runs to budget sequence
+    lengths before packing. Vocabulary and merge application are
+    exactly ``bpe_merges``'s: lowercased whitespace tokens matching
+    ``[a-z]+``, each merge applied greedily left-to-right in training
+    order. Output per document: (doc_id, n_words, n_tokens) — the
+    alpha-word count (with multiplicity) and the total BPE symbol
+    count after all merges. Docs with no alpha words report (0, 0).
+
+    Scale shape: training happens once (the ``bpe_merges`` pipeline —
+    vocabulary-bounded rounds); the merge table (``rounds`` rows) is a
+    driver-side constant closed over by a stateless ``map_batches``
+    encode pass, with a per-worker word→token-count memo so repeated
+    words across a block cost one merge walk. Nothing but the final
+    (doc_id, two ints) rows leaves the encode task.
+    """
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(bpe_merges(sf_dir, rounds).take_all(), key=lambda r: r["round"])
+    ]
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    import re as _re
+
+    word_re = _re.compile(r"[a-z]+$")
+
+    def _encode_len(word: str, memo: dict) -> int:
+        n = memo.get(word)
+        if n is not None:
+            return n
+        syms = list(word)
+        for a, b in merges:
+            res, i, ln = [], 0, len(syms)
+            while i < ln:
+                if i + 1 < ln and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        memo[word] = len(syms)
+        return memo[word]
+
+    memo: dict[str, int] = {}
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        n_words, n_tokens = [], []
+        for t in batch.column("text").to_pylist():
+            ws = [w for w in (t or "").lower().split() if word_re.match(w)]
+            n_words.append(len(ws))
+            n_tokens.append(sum(_encode_len(w, memo) for w in ws))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")

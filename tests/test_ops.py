@@ -2488,3 +2488,70 @@ def test_url_canonical_collapses_recrawls(ray_session, tmp_path):
             assert r["n_variants"] == 1
             assert r["last_ts"] == d * 1000 + 1
         assert r["canon_url"].startswith("https://s.example.com/docs/")
+
+
+def test_bpe_encode_matches_reference_trainer(ray_session, tmp_path):
+    """bpe_encode vs an independent in-test BPE trainer+encoder over a
+    tiny hand-built corpus: per-doc (n_words, n_tokens) must match
+    greedy application of the 6 learned merges."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bpe_encode
+
+    texts = [
+        "the cat sat on the mat",
+        "the rat and the cat",
+        "Mats and Rats! 42",     # non-[a-z]+ tokens dropped
+        "",                       # zero alpha words -> (0, 0)
+        "thematic theme the",
+    ]
+    sf = tmp_path / "bpesf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+
+    # Independent reference: same frozen semantics, straight-line code.
+    word_re = re.compile(r"[a-z]+$")
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(w for w in t.lower().split() if word_re.match(w))
+    syms = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(6):
+        pairs: Counter = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += c
+        viable = [(p, c) for p, c in pairs.items() if p[0] != p[1]]
+        if not viable:
+            break
+        (a, b), _c = min(viable, key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for w, s in syms.items():
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b); i += 2
+                else:
+                    res.append(s[i]); i += 1
+            syms[w] = res
+    expect = {}
+    for d, t in enumerate(texts):
+        ws = [w for w in t.lower().split() if word_re.match(w)]
+        expect[d] = (len(ws), sum(len(syms[w]) for w in ws))
+
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in bpe_encode(str(sf)).take_all()}
+    assert got == expect
+    assert got[3] == (0, 0)
