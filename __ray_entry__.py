@@ -645,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph": similarity.embedding_knn_graph,
         "embedding_kmeans": similarity.embedding_kmeans,
         "semdedup_sample": similarity.semdedup_sample,
+        "pq_encode": similarity.pq_encode,
         "cluster_quality": similarity.cluster_quality,
         "graph_pagerank": graph.graph_pagerank,
         # --- relational / windowed ---
@@ -1471,6 +1472,89 @@ def _pagerank_sql(n_iter: int = 3, knn_k: int = 5) -> str:
     )
 
 
+def _pq_sql(m_sub: int = 4, k: int = 8, n_iter: int = 2) -> str:
+    """Oracle for ``pq_encode``: per-subspace Lloyd chains on SQUARED
+    L2 distance. Every quantity is exact: int-grid components, int64
+    sums, and ``dist = qn - 2·dot + cn`` computed on double-cast
+    integer lists whose magnitudes stay ≪ 2^53 (max component 2e6,
+    squared 4e12, × 16 dims ≈ 6.4e13) — bit-identical argmins with
+    ties → lowest centroid index on both engines."""
+    sql = """pq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qe
+      FROM embeddings
+    )"""
+    for m in range(m_sub):
+        sql += f""",
+    sub{m} AS (
+      SELECT vec_id,
+             list_slice(qe, ({m}*len(qe))//{m_sub} + 1,
+                            (({m}+1)*len(qe))//{m_sub}) AS q
+      FROM pq
+    ),
+    b{m}_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, q AS c
+      FROM sub{m} WHERE vec_id < {k}
+    )"""
+        for j in range(n_iter + 1):
+            # Round n_iter is the final labeling assignment (kept with
+            # its distance); earlier rounds feed the centroid update.
+            sql += f""",
+    d{m}_{j} AS (
+      SELECT v.vec_id, v.q, c.ci,
+             list_inner_product(list_transform(v.q, x -> CAST(x AS DOUBLE)),
+                                list_transform(v.q, x -> CAST(x AS DOUBLE)))
+             - 2 * list_inner_product(list_transform(v.q, x -> CAST(x AS DOUBLE)),
+                                      c.cf)
+             + list_inner_product(c.cf, c.cf) AS dist
+      FROM sub{m} v CROSS JOIN (
+        SELECT ci, list_transform(c, x -> CAST(x AS DOUBLE)) AS cf
+        FROM b{m}_{j}
+      ) c
+    ),
+    a{m}_{j} AS (
+      SELECT vec_id, q, ci, dist FROM (
+        SELECT vec_id, q, ci, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, ci ASC) AS rn
+        FROM d{m}_{j}
+      ) WHERE rn = 1
+    )"""
+            if j < n_iter:
+                sql += f""",
+    s{m}_{j} AS (
+      SELECT ci, dim, SUM(val) AS s FROM (
+        SELECT ci, unnest(q) AS val, unnest(range(len(q))) AS dim FROM a{m}_{j}
+      ) GROUP BY ci, dim
+    ),
+    n{m}_{j} AS (SELECT ci, count(*) AS n FROM a{m}_{j} GROUP BY ci),
+    u{m}_{j} AS (
+      SELECT s.ci,
+             list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT)
+                  ORDER BY s.dim) AS c
+      FROM s{m}_{j} s JOIN n{m}_{j} c ON c.ci = s.ci
+      GROUP BY s.ci
+    ),
+    b{m}_{j + 1} AS (
+      SELECT p.ci, COALESCE(u.c, p.c) AS c
+      FROM b{m}_{j} p LEFT JOIN u{m}_{j} u ON u.ci = p.ci
+    )"""
+    final_join = " JOIN ".join(
+        [f"a0_{n_iter} f0"]
+        + [f"a{m}_{n_iter} f{m} ON f{m}.vec_id = f0.vec_id" for m in range(1, m_sub)]
+    )
+    code_cols = ",\n           ".join(
+        f"CAST(f{m}.ci AS BIGINT) AS code_{m}" for m in range(m_sub)
+    )
+    err_sum = " + ".join(f"f{m}.dist" for m in range(m_sub))
+    return f"""WITH {sql}
+    SELECT f0.vec_id,
+           {code_cols},
+           CAST({err_sum} AS BIGINT) AS err
+    FROM {final_join}"""
+
+
 def _bpe_encode_sql(rounds: int = 6) -> str:
     """Oracle for ``bpe_encode``: the ``bpe_merges`` training chain
     re-generated with the WORD carried through every rewrite round
@@ -2153,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "bpe_encode": _bpe_encode_sql(6),
+        "pq_encode": _pq_sql(4, 8, 2),
         "bpe_merges": """
             -- Six BPE merge rounds (ops/text_analysis.bpe_merges):
             -- per round, argmax adjacent symbol pair (count desc,

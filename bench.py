@@ -204,6 +204,13 @@ def run_bench() -> dict:
         timed("events_hll_hourly", relational.events_hll_hourly)
         timed("pmi_pairs", text_analysis.pmi_pairs)
         timed("bpe_merges", text_analysis.bpe_merges)
+        timed("bpe_encode", text_analysis.bpe_encode)
+        timed("crawl_diff", dedup.crawl_diff)
+
+        from smart_ocr_ray.ops.urls import url_canonical
+
+        timed("url_canonical", url_canonical)
+        timed("pq_encode", similarity.pq_encode)
 
     ray.shutdown()
 

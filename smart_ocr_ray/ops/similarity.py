@@ -893,3 +893,158 @@ def cluster_quality(sf_dir: str) -> ray.data.Dataset:
         )
 
     return map_key_groups(joined, "cluster", _agg)
+
+
+def pq_encode(
+    sf_dir: str, m_sub: int = 4, k: int = 8, n_iter: int = 2
+) -> ray.data.Dataset:
+    """Product-quantization encoding (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") — the memory-compressed
+    vector representation billion-scale ANN serving uses: the embedding
+    is split into ``m_sub`` contiguous subvectors, each quantized to
+    its own ``k``-centroid codebook trained by Lloyd iterations, and a
+    vector is stored as ``m_sub`` small codes (here 4×3 bits) plus the
+    exact integer quantization error.
+
+    Semantics (frozen, mirrored exactly by the SQL oracle — every
+    quantity is EXACT, no margin analysis needed):
+      * components quantize to the shared 1e-6 int grid
+        (``_quantize_embeddings``);
+      * subspace ``m`` covers dims ``[m*d//m_sub, (m+1)*d//m_sub)``;
+      * codebook init: the subvectors of ``vec_id < k`` (deterministic
+        filter-pushdown read, same rule as ``embedding_kmeans``);
+      * assign: argmin SQUARED L2 DISTANCE (classic PQ, not cosine) —
+        int64 arithmetic, ties → lowest centroid index;
+      * update: component-wise ``floor(sum / count)``; empty clusters
+        keep their previous centroid;
+      * after ``n_iter`` updates, one labeling pass emits
+        (vec_id, code_0..code_{m_sub-1}, err) with
+        ``err = Σ_m ‖q_m − c_{code_m}‖²`` on the int grid.
+
+    Scale shape: identical to ``embedding_kmeans`` — the corpus NEVER
+    shuffles; every iteration is one streaming ``map_batches`` pass
+    emitting ≤ ``m_sub·k`` partial-sum rows per block, reduced by a
+    tiny ``map_key_groups`` on (subspace, centroid); the driver holds
+    only the ``m_sub·k·(d/m_sub)`` int codebook, broadcast per
+    iteration via ``ray.put``.
+    """
+    from .grouped import map_key_groups
+
+    if m_sub < 1 or k < 1 or n_iter < 0:
+        raise ValueError("m_sub, k must be >= 1 and n_iter >= 0")
+
+    emb = read_embeddings(sf_dir)
+
+    init_rows = sorted(
+        emb.filter(expr=f"vec_id < {k}").take_all(), key=lambda r: r["vec_id"]
+    )
+    if not init_rows:
+        raise ValueError(f"no vectors with vec_id < {k} to seed codebooks")
+    q_init = np.round(
+        np.asarray([r["embedding"] for r in init_rows], dtype=np.float64)
+        * _KMEANS_GRID
+    ).astype(np.int64)
+    k_eff, dim = q_init.shape
+    bounds = [(j * dim) // m_sub for j in range(m_sub + 1)]
+    # books[m]: (k, dsub_m) int64 codebook for subspace m.
+    books = [q_init[:, bounds[j] : bounds[j + 1]].copy() for j in range(m_sub)]
+
+    partial_schema = pa.schema(
+        [
+            ("sub", pa.int64()),
+            ("ci", pa.int64()),
+            ("psum", pa.list_(pa.int64())),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def _assign_sub(q_m: np.ndarray, book: np.ndarray) -> np.ndarray:
+        # (n, k) exact int64 squared distances; argmin = first minimum
+        # = SQL row_number ORDER BY dist ASC, ci ASC.
+        diff = q_m[:, None, :] - book[None, :, :]
+        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    for _ in range(n_iter):
+        books_ref = ray.put(books)
+
+        def _partials(batch: pa.Table) -> pa.Table:
+            bks = ray.get(books_ref)
+            if batch.num_rows == 0:
+                return partial_schema.empty_table()
+            _, q = _quantize_embeddings(batch)
+            subs, cis, psums, cnts = [], [], [], []
+            for m in range(m_sub):
+                q_m = q[:, bounds[m] : bounds[m + 1]]
+                assign = _assign_sub(q_m, bks[m])
+                ps = np.zeros((k_eff, q_m.shape[1]), dtype=np.int64)
+                np.add.at(ps, assign, q_m)
+                cn = np.bincount(assign, minlength=k_eff)
+                nz = np.nonzero(cn)[0]
+                subs.extend([m] * len(nz))
+                cis.extend(nz.tolist())
+                psums.extend(ps[nz].tolist())
+                cnts.extend(cn[nz].tolist())
+            return pa.Table.from_pydict(
+                {
+                    "sub": pa.array(subs, pa.int64()),
+                    "ci": pa.array(cis, pa.int64()),
+                    "psum": pa.array(psums, pa.list_(pa.int64())),
+                    "cnt": pa.array(cnts, pa.int64()),
+                },
+                schema=partial_schema,
+            )
+
+        def _reduce(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return partial_schema.empty_table()
+            sums = np.asarray(group.column("psum").to_pylist(), dtype=np.int64).sum(
+                axis=0
+            )
+            return pa.Table.from_pydict(
+                {
+                    "sub": group.column("sub").slice(0, 1),
+                    "ci": group.column("ci").slice(0, 1),
+                    "psum": pa.array([sums.tolist()], pa.list_(pa.int64())),
+                    "cnt": pa.array(
+                        [int(np.sum(group.column("cnt").to_numpy()))], pa.int64()
+                    ),
+                },
+                schema=partial_schema,
+            )
+
+        reduced = map_key_groups(
+            emb.map_batches(_partials, batch_format="pyarrow"), ["sub", "ci"], _reduce
+        ).take_all()
+
+        new_books = [b.copy() for b in books]  # empty clusters keep centroid
+        for row in reduced:
+            m, ci, cnt = int(row["sub"]), int(row["ci"]), int(row["cnt"])
+            if cnt > 0:
+                new_books[m][ci] = np.floor_divide(
+                    np.asarray(row["psum"], dtype=np.int64), cnt
+                )
+        books = new_books
+
+    final_ref = ray.put(books)
+    out_fields = [("vec_id", pa.int64())]
+    out_fields += [(f"code_{m}", pa.int64()) for m in range(m_sub)]
+    out_fields += [("err", pa.int64())]
+    out_schema = pa.schema(out_fields)
+
+    def _label(batch: pa.Table) -> pa.Table:
+        bks = ray.get(final_ref)
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        vec_ids, q = _quantize_embeddings(batch)
+        cols: dict = {"vec_id": pa.array(vec_ids, pa.int64())}
+        err = np.zeros(len(vec_ids), dtype=np.int64)
+        for m in range(m_sub):
+            q_m = q[:, bounds[m] : bounds[m + 1]]
+            assign = _assign_sub(q_m, bks[m])
+            diff = q_m - bks[m][assign]
+            err += np.einsum("nd,nd->n", diff, diff)
+            cols[f"code_{m}"] = pa.array(assign.astype(np.int64), pa.int64())
+        cols["err"] = pa.array(err, pa.int64())
+        return pa.Table.from_pydict(cols, schema=out_schema)
+
+    return emb.map_batches(_label, batch_format="pyarrow")

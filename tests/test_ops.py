@@ -2555,3 +2555,63 @@ def test_bpe_encode_matches_reference_trainer(ray_session, tmp_path):
     got = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in bpe_encode(str(sf)).take_all()}
     assert got == expect
     assert got[3] == (0, 0)
+
+
+def test_pq_encode_matches_numpy_lloyd(ray_session, tmp_path):
+    """pq_encode vs a straight-line numpy mirror of the frozen
+    semantics (int-grid quantization, per-subspace L2 Lloyd with
+    floor-div updates, first-min argmin ties, exact int error)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import pq_encode
+
+    rng = np.random.default_rng(7)
+    n, d, m_sub, k, n_iter = 60, 16, 4, 8, 2
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    sf = tmp_path / "pqsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }),
+        sf / "embeddings.parquet",
+    )
+
+    q = np.round(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    bounds = [(j * d) // m_sub for j in range(m_sub + 1)]
+    books = [q[:k, bounds[j]:bounds[j + 1]].copy() for j in range(m_sub)]
+
+    def assign(q_m, book):
+        diff = q_m[:, None, :] - book[None, :, :]
+        return np.argmin((diff * diff).sum(axis=2), axis=1)
+
+    for _ in range(n_iter):
+        for m in range(m_sub):
+            q_m = q[:, bounds[m]:bounds[m + 1]]
+            a = assign(q_m, books[m])
+            nb = books[m].copy()
+            for ci in range(k):
+                sel = q_m[a == ci]
+                if len(sel):
+                    nb[ci] = np.floor_divide(sel.sum(axis=0), len(sel))
+            books[m] = nb
+    expect = {}
+    for i in range(n):
+        codes, err = [], 0
+        for m in range(m_sub):
+            q_m = q[i, bounds[m]:bounds[m + 1]]
+            a = int(assign(q_m[None, :], books[m])[0])
+            codes.append(a)
+            diff = q_m - books[m][a]
+            err += int((diff * diff).sum())
+        expect[i] = (tuple(codes), err)
+
+    got = {
+        r["vec_id"]: ((r["code_0"], r["code_1"], r["code_2"], r["code_3"]), r["err"])
+        for r in pq_encode(str(sf), m_sub=m_sub, k=k, n_iter=n_iter).take_all()
+    }
+    assert got == expect
+    # codes actually use multiple centroids (not degenerate)
+    assert len({c for codes, _ in got.values() for c in codes}) > 2
