@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": similarity.embedding_kmeans,
         "semdedup_sample": similarity.semdedup_sample,
         "pq_encode": similarity.pq_encode,
+        "pq_search": similarity.pq_search,
         "cluster_quality": similarity.cluster_quality,
         "graph_pagerank": graph.graph_pagerank,
         # --- relational / windowed ---
@@ -1472,13 +1473,16 @@ def _pagerank_sql(n_iter: int = 3, knn_k: int = 5) -> str:
     )
 
 
-def _pq_sql(m_sub: int = 4, k: int = 8, n_iter: int = 2) -> str:
-    """Oracle for ``pq_encode``: per-subspace Lloyd chains on SQUARED
-    L2 distance. Every quantity is exact: int-grid components, int64
-    sums, and ``dist = qn - 2·dot + cn`` computed on double-cast
-    integer lists whose magnitudes stay ≪ 2^53 (max component 2e6,
-    squared 4e12, × 16 dims ≈ 6.4e13) — bit-identical argmins with
-    ties → lowest centroid index on both engines."""
+def _pq_chain_ctes(m_sub: int = 4, k: int = 8, n_iter: int = 2) -> str:
+    """Shared CTE chain for the PQ oracles (``pq_encode`` /
+    ``pq_search``): per-subspace Lloyd chains on SQUARED L2 distance.
+    Every quantity is exact: int-grid components, int64 sums, and
+    ``dist = qn - 2·dot + cn`` computed on double-cast integer lists
+    whose magnitudes stay ≪ 2^53 (max component 2e6, squared 4e12,
+    × 16 dims ≈ 6.4e13) — bit-identical argmins with ties → lowest
+    centroid index on both engines. Ends with the final assignments
+    ``a{m}_{n_iter}(vec_id, q, ci, dist)`` and codebooks
+    ``b{m}_{n_iter}(ci, c)`` per subspace."""
     sql = """pq AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -1540,6 +1544,12 @@ def _pq_sql(m_sub: int = 4, k: int = 8, n_iter: int = 2) -> str:
       SELECT p.ci, COALESCE(u.c, p.c) AS c
       FROM b{m}_{j} p LEFT JOIN u{m}_{j} u ON u.ci = p.ci
     )"""
+    return sql
+
+
+def _pq_sql(m_sub: int = 4, k: int = 8, n_iter: int = 2) -> str:
+    """Oracle for ``pq_encode``: the shared PQ chain + the per-vector
+    code/error select."""
     final_join = " JOIN ".join(
         [f"a0_{n_iter} f0"]
         + [f"a{m}_{n_iter} f{m} ON f{m}.vec_id = f0.vec_id" for m in range(1, m_sub)]
@@ -1548,11 +1558,60 @@ def _pq_sql(m_sub: int = 4, k: int = 8, n_iter: int = 2) -> str:
         f"CAST(f{m}.ci AS BIGINT) AS code_{m}" for m in range(m_sub)
     )
     err_sum = " + ".join(f"f{m}.dist" for m in range(m_sub))
-    return f"""WITH {sql}
+    return f"""WITH {_pq_chain_ctes(m_sub, k, n_iter)}
     SELECT f0.vec_id,
            {code_cols},
            CAST({err_sum} AS BIGINT) AS err
     FROM {final_join}"""
+
+
+def _pq_search_sql(
+    m_sub: int = 4,
+    k_cent: int = 8,
+    n_iter: int = 2,
+    topk: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """Oracle for ``pq_search``: the shared PQ chain + per-query LUTs
+    (exact squared L2 from each query subvector to every centroid) +
+    the sum-of-lookups approximate distance, ranked per query."""
+    luts = []
+    for m in range(m_sub):
+        luts.append(
+            f"""lut{m} AS (
+      SELECT v.vec_id AS query_id, c.ci,
+             list_inner_product(list_transform(v.q, x -> CAST(x AS DOUBLE)),
+                                list_transform(v.q, x -> CAST(x AS DOUBLE)))
+             - 2 * list_inner_product(list_transform(v.q, x -> CAST(x AS DOUBLE)),
+                                      c.cf)
+             + list_inner_product(c.cf, c.cf) AS ad
+      FROM sub{m} v CROSS JOIN (
+        SELECT ci, list_transform(c, x -> CAST(x AS DOUBLE)) AS cf
+        FROM b{m}_{n_iter}
+      ) c
+      WHERE v.vec_id < {n_queries}
+    )"""
+        )
+    join = " JOIN ".join(
+        [f"a0_{n_iter} f0", "lut0 l0 ON l0.ci = f0.ci"]
+        + [
+            f"a{m}_{n_iter} f{m} ON f{m}.vec_id = f0.vec_id "
+            f"JOIN lut{m} l{m} ON l{m}.ci = f{m}.ci AND l{m}.query_id = l0.query_id"
+            for m in range(1, m_sub)
+        ]
+    )
+    ad_sum = " + ".join(f"l{m}.ad" for m in range(m_sub))
+    return f"""WITH {_pq_chain_ctes(m_sub, k_cent, n_iter)},
+    {','.join(luts)},
+    cand AS (
+      SELECT l0.query_id, f0.vec_id, CAST({ad_sum} AS BIGINT) AS adist
+      FROM {join}
+    )
+    SELECT query_id, vec_id, adist, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, vec_id ASC) AS rn
+      FROM cand
+    ) WHERE rn <= {topk}"""
 
 
 def _bpe_encode_sql(rounds: int = 6) -> str:
@@ -2238,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_encode": _bpe_encode_sql(6),
         "pq_encode": _pq_sql(4, 8, 2),
+        "pq_search": _pq_search_sql(4, 8, 2, 10, 5),
         "bpe_merges": """
             -- Six BPE merge rounds (ops/text_analysis.bpe_merges):
             -- per round, argmax adjacent symbol pair (count desc,

@@ -211,6 +211,7 @@ def run_bench() -> dict:
 
         timed("url_canonical", url_canonical)
         timed("pq_encode", similarity.pq_encode)
+        timed("pq_search", similarity.pq_search)
 
     ray.shutdown()
 

@@ -928,6 +928,23 @@ def pq_encode(
     only the ``m_sub·k·(d/m_sub)`` int codebook, broadcast per
     iteration via ``ray.put``.
     """
+    emb, books, bounds = _pq_train(sf_dir, m_sub, k, n_iter)
+    return _pq_label(emb, books, bounds, m_sub)
+
+
+def _assign_sub(q_m: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """Per-subspace PQ assignment: (n, k) exact int64 squared L2
+    distances; argmin = first minimum = SQL row_number ORDER BY dist
+    ASC, ci ASC."""
+    diff = q_m[:, None, :] - book[None, :, :]
+    return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+
+def _pq_train(
+    sf_dir: str, m_sub: int, k: int, n_iter: int
+) -> tuple[ray.data.Dataset, list[np.ndarray], list[int]]:
+    """Train the per-subspace PQ codebooks (shared by ``pq_encode``
+    and ``pq_search``); returns (embeddings dataset, books, bounds)."""
     from .grouped import map_key_groups
 
     if m_sub < 1 or k < 1 or n_iter < 0:
@@ -957,12 +974,6 @@ def pq_encode(
             ("cnt", pa.int64()),
         ]
     )
-
-    def _assign_sub(q_m: np.ndarray, book: np.ndarray) -> np.ndarray:
-        # (n, k) exact int64 squared distances; argmin = first minimum
-        # = SQL row_number ORDER BY dist ASC, ci ASC.
-        diff = q_m[:, None, :] - book[None, :, :]
-        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
 
     for _ in range(n_iter):
         books_ref = ray.put(books)
@@ -1025,6 +1036,13 @@ def pq_encode(
                 )
         books = new_books
 
+    return emb, books, bounds
+
+
+def _pq_label(
+    emb: ray.data.Dataset, books: list[np.ndarray], bounds: list[int], m_sub: int
+) -> ray.data.Dataset:
+    """The ``pq_encode`` labeling pass: codes + exact int error."""
     final_ref = ray.put(books)
     out_fields = [("vec_id", pa.int64())]
     out_fields += [(f"code_{m}", pa.int64()) for m in range(m_sub)]
@@ -1048,3 +1066,126 @@ def pq_encode(
         return pa.Table.from_pydict(cols, schema=out_schema)
 
     return emb.map_batches(_label, batch_format="pyarrow")
+
+
+def pq_search(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    m_sub: int = 4,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+) -> ray.data.Dataset:
+    """Asymmetric-distance PQ top-k search (Jégou et al. 2011) — the
+    serving-side payoff of ``pq_encode``: each query precomputes an
+    ``m_sub × n_centroids`` lookup table of exact squared L2 distances
+    from its subvectors to every codebook centroid, and a database
+    vector's approximate distance is the SUM OF ``m_sub`` TABLE
+    LOOKUPS on its codes — no float math per candidate, and at scale
+    no raw vectors read at all. Queries are the first ``n_queries``
+    vec_ids (the ``ann_cosine_topk`` convention). Output per query:
+    the ``k`` smallest approximate distances
+    (query_id, vec_id, adist, rank), ties → vec_id asc, self-matches
+    included (their adist is the query's own quantization error).
+
+    Scale shape: codebooks train exactly as ``pq_encode`` (streaming,
+    no corpus shuffle); the LUTs (``n_queries·m_sub·n_centroids``
+    ints) broadcast once via ``ray.put``; the scan is one
+    ``map_batches`` pass doing integer gathers + a per-block lossless
+    top-k combiner, so only O(blocks·n_queries·k) candidate rows reach
+    the final per-query merge.
+    """
+    from .grouped import block_topk, map_key_groups
+
+    emb, books, bounds = _pq_train(sf_dir, m_sub, n_centroids, n_iter)
+
+    q_rows = sorted(
+        emb.filter(expr=f"vec_id < {n_queries}").take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    if not q_rows:
+        raise ValueError(f"no vectors with vec_id < {n_queries} to use as queries")
+    q_ids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.round(
+        np.asarray([r["embedding"] for r in q_rows], dtype=np.float64) * _KMEANS_GRID
+    ).astype(np.int64)
+    # luts[qi, m, ci] = ||query_m - book[m][ci]||^2, exact int64.
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    np.einsum(
+                        "kd,kd->k",
+                        q_mat[qi, bounds[m] : bounds[m + 1]][None, :] - books[m],
+                        q_mat[qi, bounds[m] : bounds[m + 1]][None, :] - books[m],
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+            for qi in range(len(q_ids))
+        ]
+    )
+    lut_ref = ray.put((luts, q_ids, books))
+
+    cand_schema = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("adist", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("adist", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        lut, qids, bks = ray.get(lut_ref)
+        if batch.num_rows == 0:
+            return cand_schema.empty_table()
+        vec_ids, q = _quantize_embeddings(batch)
+        n = len(vec_ids)
+        # adist[i, qi] = sum_m lut[qi, m, code_m[i]] — integer gathers.
+        adist = np.zeros((n, len(qids)), dtype=np.int64)
+        for m in range(m_sub):
+            codes = _assign_sub(q[:, bounds[m] : bounds[m + 1]], bks[m])
+            adist += lut[:, m, :][:, codes].T
+        out_q, out_v, out_d = [], [], []
+        top = min(n, k)
+        order_v = np.asarray(vec_ids, dtype=np.int64)
+        for qi in range(len(qids)):
+            col = adist[:, qi]
+            # lossless per-block top-k: smallest adist, ties vec_id asc
+            idx = np.lexsort((order_v, col))[:top]
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(order_v[idx].tolist())
+            out_d.extend(col[idx].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adist": pa.array(out_d, pa.int64()),
+            },
+            schema=cand_schema,
+        )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        g = group.combine_chunks()
+        d = g.column("adist").to_numpy(zero_copy_only=False)
+        v = g.column("vec_id").to_numpy(zero_copy_only=False)
+        take, ranks = block_topk(np.zeros(len(d), dtype=np.int64), (v, d), k)
+        win = g.take(pa.array(take))
+        return pa.Table.from_pydict(
+            {
+                "query_id": win.column("query_id"),
+                "vec_id": win.column("vec_id"),
+                "adist": win.column("adist"),
+                "rank": pa.array(ranks, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    local = emb.map_batches(_scan, batch_format="pyarrow")
+    return map_key_groups(local, "query_id", _merge)

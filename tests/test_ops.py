@@ -2615,3 +2615,70 @@ def test_pq_encode_matches_numpy_lloyd(ray_session, tmp_path):
     assert got == expect
     # codes actually use multiple centroids (not degenerate)
     assert len({c for codes, _ in got.values() for c in codes}) > 2
+
+
+def test_pq_search_matches_lut_mirror(ray_session, tmp_path):
+    """pq_search vs an independent numpy mirror: train the same
+    Lloyd-L2 codebooks, build per-query LUTs, rank by summed lookups
+    (ties vec_id asc) — top-k must match exactly, and a query's
+    nearest code-identical vector must rank first."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import pq_search
+
+    rng = np.random.default_rng(11)
+    n, d, m_sub, kc, n_iter, topk, nq = 50, 16, 4, 8, 2, 5, 3
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    sf = tmp_path / "pqssf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }),
+        sf / "embeddings.parquet",
+    )
+
+    q = np.round(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    bounds = [(j * d) // m_sub for j in range(m_sub + 1)]
+    books = [q[:kc, bounds[j]:bounds[j + 1]].copy() for j in range(m_sub)]
+
+    def assign(q_m, book):
+        diff = q_m[:, None, :] - book[None, :, :]
+        return np.argmin((diff * diff).sum(axis=2), axis=1)
+
+    for _ in range(n_iter):
+        for m in range(m_sub):
+            q_m = q[:, bounds[m]:bounds[m + 1]]
+            a = assign(q_m, books[m])
+            nb = books[m].copy()
+            for ci in range(kc):
+                sel = q_m[a == ci]
+                if len(sel):
+                    nb[ci] = np.floor_divide(sel.sum(axis=0), len(sel))
+            books[m] = nb
+
+    codes = np.stack(
+        [assign(q[:, bounds[m]:bounds[m + 1]], books[m]) for m in range(m_sub)],
+        axis=1,
+    )  # (n, m_sub)
+    expect = {}
+    for qi in range(nq):
+        lut = [
+            ((q[qi, bounds[m]:bounds[m + 1]][None, :] - books[m]) ** 2).sum(axis=1)
+            for m in range(m_sub)
+        ]
+        adist = np.zeros(n, dtype=np.int64)
+        for m in range(m_sub):
+            adist += lut[m][codes[:, m]]
+        order = np.lexsort((np.arange(n), adist))[:topk]
+        expect.update({
+            (qi, int(v)): (int(adist[v]), r + 1) for r, v in enumerate(order)
+        })
+
+    got = {
+        (r["query_id"], r["vec_id"]): (r["adist"], r["rank"])
+        for r in pq_search(str(sf), k=topk, n_queries=nq).take_all()
+    }
+    assert got == expect
