@@ -603,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": text_analysis.bm25_topk,
         "unigram_surprisal": text_analysis.unigram_surprisal,
         "token_packing": text_analysis.token_packing,
+        "curriculum_rank": text_analysis.curriculum_rank,
         "mixture_weights": text_analysis.mixture_weights,
         "source_caps": text_analysis.source_caps,
         "ccnet_buckets": text_analysis.ccnet_buckets,
@@ -2889,6 +2890,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id,
                    CAST(n_tokens AS BIGINT) AS n_tokens
             FROM r WHERE rnk <= 3
+        """,
+        "curriculum_rank": """
+            -- Global curriculum rank (ops/text_analysis.curriculum_rank):
+            -- exact integer stopword density, dense global rank by
+            -- (density desc, doc_id asc).
+            WITH m AS (
+              SELECT doc_id,
+                     len(CASE WHEN trim(coalesce(text, '')) = ''
+                              THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\\s+')
+                         END) AS n_tok,
+                     len(list_filter(
+                           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                           x -> list_contains(
+                             ['the','and','of','to','a','in','is','that','it','for'],
+                             x))) AS stop
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN n_tok > 0
+                        THEN (1000000 * stop) // n_tok ELSE 0 END AS stop_density_e6,
+                   row_number() OVER (
+                     ORDER BY (CASE WHEN n_tok > 0
+                                    THEN (1000000 * stop) // n_tok ELSE 0 END) DESC,
+                              doc_id ASC) AS rank
+            FROM m
         """,
         "token_packing": """
             -- Concat-and-chunk sequence packing (ops/text_analysis.

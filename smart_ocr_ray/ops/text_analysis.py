@@ -2048,3 +2048,94 @@ def bpe_encode(sf_dir: str, rounds: int = 6) -> ray.data.Dataset:
         )
 
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
+def curriculum_rank(sf_dir: str, bucket: int = 4096) -> ray.data.Dataset:
+    """Global curriculum ordering — every document's exact 1-based rank
+    in the corpus-wide training order (here: English stopword density
+    desc — a fluency proxy — ties → doc_id asc), the placement pass a
+    curriculum-learning loader runs before sharding. The interesting
+    part at scale is assigning a GLOBAL dense rank without any driver
+    materialization or sequential scan: the same two-level distributed
+    prefix sum as ``token_packing``, but over the VALUE distribution
+    instead of the doc_id axis.
+
+      1. one streaming pass computes the exact integer score
+         ``stop_density_e6 = (1e6·stop_hits_en)//n_tokens`` (0 for
+         empty docs) and its coarse value bucket ``sde6 // bucket``;
+      2. a bucket-count groupby reduces to ≤ 1e6/bucket rows; the
+         driver prefix-sums them in score-desc order and broadcasts
+         per-bucket rank offsets;
+      3. one ``map_key_groups`` pass per bucket sorts its rows
+         (sde6 desc, doc_id asc) and adds the offset.
+
+    Output: (doc_id, stop_density_e6, rank). Exact at any parallelism;
+    driver state is O(1e6 / bucket) ints regardless of corpus size.
+    """
+    import numpy as np
+
+    from ..functions.textstats import stopword_hits, token_count
+    from .grouped import map_key_groups
+
+    docs = read_documents(sf_dir)
+
+    sc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("b", pa.int64()), ("stop_density_e6", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("stop_density_e6", pa.int64()), ("rank", pa.int64())]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids, bs, ss = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            t = t or ""
+            n = token_count(t)
+            sde6 = (1_000_000 * stopword_hits(t, "en")) // n if n else 0
+            ids.append(int(d))
+            bs.append(sde6 // bucket)
+            ss.append(sde6)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "b": pa.array(bs, pa.int64()),
+                "stop_density_e6": pa.array(ss, pa.int64()),
+            },
+            schema=sc_schema,
+        )
+
+    scored = docs.map_batches(_score, batch_format="pyarrow").materialize()
+
+    bucket_rows = sorted(
+        scored.groupby("b").count().take_all(), key=lambda r: -r["b"]
+    )  # rank order is score DESC, so higher buckets rank first
+    offs = {}
+    acc = 0
+    for r in bucket_rows:
+        offs[int(r["b"])] = acc
+        acc += int(r["count()"])
+    off_ref = ray.put(offs)
+
+    def _rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        off_map = ray.get(off_ref)
+        g = group.combine_chunks()
+        sde = g.column("stop_density_e6").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sde))
+        base = off_map[int(g.column("b")[0].as_py())]
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = base + 1 + np.arange(len(order))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": g.column("doc_id"),
+                "stop_density_e6": g.column("stop_density_e6"),
+                "rank": pa.array(ranks, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(scored, "b", _rank)

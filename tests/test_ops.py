@@ -2682,3 +2682,47 @@ def test_pq_search_matches_lut_mirror(ray_session, tmp_path):
         for r in pq_search(str(sf), k=topk, n_queries=nq).take_all()
     }
     assert got == expect
+
+
+def test_curriculum_rank_dense_and_bucket_invariant(ray_session, tmp_path):
+    """Global ranks are a dense 1..N permutation matching the frozen
+    order (density desc, doc_id asc), and identical across bucket
+    granularities (cross-bucket offset arithmetic is exact)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import curriculum_rank
+
+    texts = [
+        "the cat and the dog",        # 4 stop hits / 5 tokens -> 800000
+        "rocks minerals quartz",      # 0/3 -> 0
+        "it is a fine day for it",    # 4/7 -> 571428... wait: it,is,a,for,it = 5/7
+        "",                           # empty -> 0
+        "the the the",                # 3/3 -> 1000000
+        "a b c d e f g h i j",        # a=1/10 -> 100000
+    ]
+    n = len(texts)
+    sf = tmp_path / "cursf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = curriculum_rank(str(sf)).take_all()
+    assert sorted(r["rank"] for r in rows) == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    order = [(-r["stop_density_e6"], r["doc_id"]) for r in by_rank]
+    assert order == sorted(order)  # frozen order respected
+    assert by_rank[0]["doc_id"] == 4  # "the the the" ranks first
+
+    fine = {r["doc_id"]: r["rank"] for r in rows}
+    coarse = {
+        r["doc_id"]: r["rank"] for r in curriculum_rank(str(sf), bucket=100_000).take_all()
+    }
+    tiny = {r["doc_id"]: r["rank"] for r in curriculum_rank(str(sf), bucket=7).take_all()}
+    assert fine == coarse == tiny
