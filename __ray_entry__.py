@@ -334,6 +334,12 @@ def _q_anchor_texts(sf_dir: str):
     return anchor_texts(_pages_path(sf_dir))
 
 
+def _q_blocklist_filter(sf_dir: str):
+    from smart_ocr_ray.ops.curation import blocklist_filter
+
+    return blocklist_filter(sf_dir)
+
+
 def _q_corpus_curation(sf_dir: str):
     """End-to-end keep-list: quality gate → dedup → per-source cap."""
     from smart_ocr_ray.ops.curation import corpus_curation
@@ -628,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
         "corpus_curation": _q_corpus_curation,
+        "blocklist_filter": _q_blocklist_filter,
         "bloom_dedup": dedup.bloom_dedup,
         "crawl_diff": dedup.crawl_diff,
         "url_canonical": _q_url_canonical,
@@ -2037,6 +2044,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM j
             WHERE cur_md5 IS NULL OR prev_md5 IS NULL OR cur_md5 <> prev_md5
+        """,
+        "blocklist_filter": """
+            -- UT1-style blocklist gate (ops/curation.blocklist_filter):
+            -- domain rule (md5(host) hex starts '0') takes precedence
+            -- over the literal keyword substring rule.
+            WITH bl AS (
+              SELECT DISTINCT source FROM documents
+              WHERE substr(md5(source || '.example.com'), 1, 1) = '0'
+            )
+            SELECT d.doc_id,
+                   (b.source IS NOT NULL
+                    OR lower(coalesce(d.text, '')) LIKE '%casino%'
+                    OR lower(coalesce(d.text, '')) LIKE '%viagra%'
+                    OR lower(coalesce(d.text, '')) LIKE '%lottery%') AS blocked,
+                   CASE WHEN b.source IS NOT NULL THEN 'domain'
+                        WHEN lower(coalesce(d.text, '')) LIKE '%casino%'
+                          OR lower(coalesce(d.text, '')) LIKE '%viagra%'
+                          OR lower(coalesce(d.text, '')) LIKE '%lottery%'
+                        THEN 'keyword' ELSE '' END AS reason
+            FROM documents d LEFT JOIN bl b ON d.source = b.source
         """,
         "url_canonical": """
             -- Canonical-url recrawl dedup (ops/urls.url_canonical):

@@ -25,7 +25,9 @@ the terminal verdict map consumes directly.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 from .dedup import dedup_survivors
@@ -163,3 +165,80 @@ def corpus_curation(sf_dir: str, k: int = CAP_K) -> ray.data.Dataset:
         )
 
     return verdicted.map_batches(_verdict, batch_format="pyarrow")
+
+
+BLOCK_KEYWORDS: tuple[str, ...] = ("casino", "viagra", "lottery")
+
+
+def blocklist_filter(sf_dir: str) -> ray.data.Dataset:
+    """UT1-style blocklist filtering — the domain/keyword gate crawl
+    curation runs before any expensive stage (the Université Toulouse
+    blocklists are the standard public artifact; RefinedWeb/FineWeb
+    both apply one). Two frozen rules, domain precedence first:
+
+      * DOMAIN: the document's host (``source || '.example.com'``, the
+        same synthesis as ``ops/urls``) is on the blocklist — here the
+        deterministic stand-in rule ``md5(host)`` starts with hex
+        ``'0'`` (no external data, ~1/16 of hosts);
+      * KEYWORD: lowercased text contains any of ``BLOCK_KEYWORDS``
+        as a substring.
+
+    Output per document: (doc_id, blocked, reason) with reason in
+    ``('domain', 'keyword', '')`` — audit-style like
+    ``quality_filter``, so downstream stages can anti-join or report.
+
+    Scale shape: the blocklist is built DISTRIBUTED (a distinct-host
+    groupby — bounded by the domain count, not the corpus) and the
+    tiny verdict list broadcast once via ``ray.put``; the scan is one
+    stateless ``map_batches`` with an O(1) set probe per row plus
+    vectorized substring checks. At 100 TB the real UT1 list is ~5M
+    domains — still a broadcast, never a shuffle join.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    docs = read_documents(sf_dir)
+
+    src_schema = pa.schema([("source", pa.string())])
+
+    def _sources(batch: pa.Table) -> pa.Table:
+        # per-block distinct collapse before the tiny groupby
+        return pa.Table.from_pydict(
+            {"source": pa.array(sorted(set(batch.column("source").to_pylist())))},
+            schema=src_schema,
+        )
+
+    blocked_sources = frozenset(
+        r["source"]
+        for r in docs.map_batches(_sources, batch_format="pyarrow")
+        .groupby("source")
+        .count()
+        .take_all()
+        if hashlib.md5(f"{r['source']}.example.com".encode()).hexdigest()[0] == "0"
+    )
+    bl_ref = ray.put(blocked_sources)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("blocked", pa.bool_()), ("reason", pa.string())]
+    )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bl_ref)
+        srcs = batch.column("source").to_pylist()
+        dom = np.array([s in bl for s in srcs], dtype=bool)
+        low = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        kw = np.zeros(batch.num_rows, dtype=bool)
+        for w in BLOCK_KEYWORDS:
+            kw |= pc.match_substring(low, w).to_numpy(zero_copy_only=False)
+        reason = np.where(dom, "domain", np.where(kw, "keyword", ""))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "blocked": pa.array((dom | kw).tolist(), pa.bool_()),
+                "reason": pa.array(reason.tolist(), pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(_scan, batch_format="pyarrow")

@@ -2726,3 +2726,42 @@ def test_curriculum_rank_dense_and_bucket_invariant(ray_session, tmp_path):
     }
     tiny = {r["doc_id"]: r["rank"] for r in curriculum_rank(str(sf), bucket=7).take_all()}
     assert fine == coarse == tiny
+
+
+def test_blocklist_filter_domain_precedence_and_keywords(ray_session, tmp_path):
+    """Domain rule ('blk10.example.com' md5 starts '0') blocks every
+    doc of that source and wins precedence over keywords; keyword rule
+    fires on substring matches in clean-domain docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.curation import blocklist_filter
+
+    rows = [
+        (0, "plain wholesome text", "ok0"),
+        (1, "win the lottery today", "ok0"),       # keyword
+        (2, "VIAGRA deals inside", "ok0"),         # keyword (case-folded)
+        (3, "also has lottery words", "blk10"),    # domain wins precedence
+        (4, "innocent text", "blk10"),             # domain
+        (5, "cas ino split words", "ok0"),         # no match (not substring)
+    ]
+    sf = tmp_path / "blsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: (r["blocked"], r["reason"]) for r in blocklist_filter(str(sf)).take_all()}
+    assert out == {
+        0: (False, ""),
+        1: (True, "keyword"),
+        2: (True, "keyword"),
+        3: (True, "domain"),
+        4: (True, "domain"),
+        5: (False, ""),
+    }
