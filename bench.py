@@ -212,6 +212,11 @@ def run_bench() -> dict:
         timed("url_canonical", url_canonical)
         timed("pq_encode", similarity.pq_encode)
         timed("pq_search", similarity.pq_search)
+        timed("curriculum_rank", text_analysis.curriculum_rank)
+
+        from smart_ocr_ray.ops.curation import blocklist_filter
+
+        timed("blocklist_filter", blocklist_filter)
 
     ray.shutdown()
 
