@@ -255,6 +255,13 @@ def _q_extract(sf_dir: str):
     return ds.drop_columns(["warc_ts", "processing_ms"])
 
 
+def _q_incremental_extract(sf_dir: str):
+    from smart_ocr_ray.pipelines.extract_pipeline import incremental_extract
+
+    ds = incremental_extract(_pages_path(sf_dir))
+    return ds.drop_columns(["warc_ts", "processing_ms"])
+
+
 def _q_extract_metrics(sf_dir: str):
     import pandas as pd
 
@@ -583,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- extraction pipeline family (byte-identity enforced in pytest) ---
         "extract_pipeline": _q_extract,
+        "incremental_extract": _q_incremental_extract,
         "extract_metrics": _q_extract_metrics,
         "extract_consensus": _q_consensus,
         "extract_consensus_arbiter": _q_consensus_arbiter,
@@ -655,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_sample": similarity.semdedup_sample,
         "pq_encode": similarity.pq_encode,
         "pq_search": similarity.pq_search,
+        "lsh_recall_eval": similarity.lsh_recall_eval,
         "cluster_quality": similarity.cluster_quality,
         "graph_pagerank": graph.graph_pagerank,
         # --- relational / windowed ---
@@ -1151,6 +1160,21 @@ def _extract_family_oracles() -> dict[str, str]:
                    CAST(char_count AS BIGINT) AS char_count,
                    agreement, confidence
             FROM {docs}
+        """,
+        "incremental_extract": f"""
+            -- Recrawl-delta pipeline vs the golden table filtered by
+            -- the SAME worklist rule (md5(url) hex digit in 0-5): the
+            -- incremental run must byte-match the full pipeline on
+            -- exactly the added/changed subset.
+            SELECT url, lang, content_hash, n_bytes, extracted_text,
+                   spans_json, attempt_failures, route, extractor,
+                   audit_passed, failure_mode,
+                   CAST(n_units AS BIGINT) AS n_units,
+                   CAST(word_count AS BIGINT) AS word_count,
+                   CAST(char_count AS BIGINT) AS char_count,
+                   agreement, confidence
+            FROM {docs}
+            WHERE substr(md5(url), 1, 1) IN ('0','1','2','3','4','5')
         """,
         "extract_metrics": f"""
             SELECT route, failure_mode,
@@ -1682,6 +1706,33 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": "WITH " + _hyperplane_lsh_sql() + """
             SELECT left_id, right_id, cos_sim_e3
             FROM lsh_pairs WHERE cos_sim_e3 >= 450
+        """,
+        "lsh_recall_eval": "WITH " + _hyperplane_lsh_sql() + """,
+            -- LSH recall audit (ops/similarity.lsh_recall_eval): LSH
+            -- pairs restricted to the exact-checkable subset vs the
+            -- exact pair set, integer-grid recall.
+            lsh_sub AS (
+              SELECT left_id, right_id FROM lsh_pairs
+              WHERE cos_sim_e3 >= 450 AND left_id < 2000 AND right_id < 2000
+            ),
+            ex AS (
+              SELECT a.vec_id AS left_id, b.vec_id AS right_id
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 2000 AND b.vec_id < 2000
+                AND CAST(round(list_cosine_similarity(a.embedding, b.embedding)
+                               * 1000) AS BIGINT) >= 450
+            ),
+            cm AS (
+              SELECT count(*) AS n FROM ex
+              JOIN lsh_sub USING (left_id, right_id)
+            )
+            SELECT (SELECT count(*) FROM ex) AS n_exact,
+                   (SELECT count(*) FROM lsh_sub) AS n_lsh,
+                   (SELECT n FROM cm) AS n_common,
+                   CASE WHEN (SELECT count(*) FROM ex) > 0
+                        THEN (1000000 * (SELECT n FROM cm))
+                             // (SELECT count(*) FROM ex)
+                        ELSE 1000000 END AS recall_e6
         """,
         "embedding_knn_graph": "WITH " + _hyperplane_lsh_sql() + """,
             sym AS (

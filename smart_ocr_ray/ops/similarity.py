@@ -1189,3 +1189,66 @@ def pq_search(
 
     local = emb.map_batches(_scan, batch_format="pyarrow")
     return map_key_groups(local, "query_id", _merge)
+
+
+def lsh_recall_eval(
+    sf_dir: str, threshold_e3: int = 450, max_vec_id: int = 2000
+) -> ray.data.Dataset:
+    """Approximation-quality evaluation of the LSH near-dup path — the
+    recall audit a pipeline owner runs before trusting an approximate
+    dedup stage at corpus scale: on the bounded ``vec_id <
+    max_vec_id`` subset where exact ground truth is computable, compare
+    ``embedding_neardup_lsh``'s pairs against
+    ``embedding_neardup_pairs``'s and report counts + integer-grid
+    recall. Precision is 1 by construction (the LSH path exact-verifies
+    every candidate at the same integer threshold — pinned by
+    ``tests`` ``lsh <= exact``), so the one number that can degrade is
+    recall, and this op measures it.
+
+    Output (single row): (n_exact, n_lsh, n_common,
+    recall_e6 = (1e6·n_common)//n_exact, or 1e6 when n_exact = 0).
+
+    Scale shape: both inputs are existing distributed operators; the
+    intersection count is ONE sort-based pair-keyed group count over
+    the union of the two (unique-per-side) key sets — pairs appearing
+    twice are common. A hash join would work too but spins up Ray's
+    shuffle-aggregator actor fleet for what is a narrow bounded-subset
+    table; the sort path reuses ``grouped.reduce_by_keys``. Only counts
+    reach the driver.
+    """
+    exact = embedding_neardup_pairs(sf_dir, threshold_e3, max_vec_id)
+    lsh_sub = (
+        embedding_neardup_lsh(sf_dir, threshold_e3=threshold_e3)
+        .filter(expr=f"left_id < {max_vec_id}")
+        .filter(expr=f"right_id < {max_vec_id}")
+    )
+
+    keys = lambda ds: ds.map_batches(  # noqa: E731
+        lambda b: b.select(["left_id", "right_id"]), batch_format="pyarrow"
+    )
+    n_exact = exact.count()
+    n_lsh = lsh_sub.count()
+    if n_exact and n_lsh:
+        from .grouped import reduce_by_keys
+
+        both = reduce_by_keys(
+            keys(exact).union(keys(lsh_sub)),
+            ["left_id", "right_id"],
+            None,
+            "count",
+            out="n_sides",
+        )
+        n_common = both.filter(expr="n_sides >= 2").count()
+    else:
+        n_common = 0
+    recall_e6 = (1_000_000 * n_common) // n_exact if n_exact else 1_000_000
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_exact": pa.array([n_exact], pa.int64()),
+                "n_lsh": pa.array([n_lsh], pa.int64()),
+                "n_common": pa.array([n_common], pa.int64()),
+                "recall_e6": pa.array([recall_e6], pa.int64()),
+            }
+        )
+    )

@@ -2765,3 +2765,40 @@ def test_blocklist_filter_domain_precedence_and_keywords(ray_session, tmp_path):
         4: (True, "domain"),
         5: (False, ""),
     }
+
+
+def test_lsh_recall_eval_counts_consistent(ray_session, tmp_path):
+    """On a clustered corpus: LSH finds a nonzero subset of the exact
+    pairs (precision 1 by construction), counts are consistent, and
+    recall_e6 is the exact integer ratio."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import lsh_recall_eval
+
+    rng = np.random.default_rng(3)
+    vecs, ids, vid = [], [], 0
+    for _ in range(10):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + 0.02 * rng.standard_normal(64)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            ids.append(vid); vid += 1
+    for _ in range(20):
+        v = rng.standard_normal(64)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        ids.append(vid); vid += 1
+    sf = tmp_path / "recsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }),
+        sf / "embeddings.parquet",
+    )
+    row = lsh_recall_eval(str(sf), threshold_e3=950).take_all()[0]
+    assert row["n_exact"] > 0
+    assert 0 < row["n_common"] <= row["n_lsh"] <= row["n_exact"]
+    assert row["recall_e6"] == (1_000_000 * row["n_common"]) // row["n_exact"]

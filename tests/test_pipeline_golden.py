@@ -162,3 +162,33 @@ def test_actor_pool_path_byte_identity(ray_session, fixture_parquet, golden):
     assert set(out) == set(golden)
     for url, g in golden.items():
         assert out[url]["extracted_text"] == g["extracted_text"], url
+
+
+def test_incremental_extract_is_rule_filtered_byte_identical(ray_session, fixture_parquet):
+    """incremental_extract = the full pipeline restricted to the
+    md5(url)-rule worklist: every worklist url byte-matches the full
+    run's row; every skipped url is absent."""
+    import hashlib
+
+    from smart_ocr_ray.pipelines.extract_pipeline import (
+        INCREMENTAL_HEX,
+        extract_from_parquet,
+        incremental_extract,
+    )
+
+    full = {r["url"]: r for r in extract_from_parquet(
+        fixture_parquet, max_html_bytes=16 * 1024).take_all()}
+    inc = {r["url"]: r for r in incremental_extract(
+        fixture_parquet, max_html_bytes=16 * 1024).take_all()}
+
+    expect_urls = {
+        u for u in full
+        if hashlib.md5(u.encode()).hexdigest()[0] in INCREMENTAL_HEX
+    }
+    assert set(inc) == expect_urls
+    assert 0 < len(inc) < len(full)
+    for u in expect_urls:
+        a, b = full[u], inc[u]
+        for col in ("extracted_text", "spans_json", "content_hash", "word_count",
+                    "route", "extractor", "failure_mode"):
+            assert a[col] == b[col], (u, col)
