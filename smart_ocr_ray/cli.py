@@ -17,11 +17,19 @@ import sys
 
 
 def _ensure_ray(num_cpus: int | None) -> None:
+    """Guarded init honoring the deployment context: under ``ray job
+    submit`` (or any pre-provisioned cluster) ``RAY_ADDRESS`` points at
+    the running cluster and we CONNECT — starting a private local
+    cluster inside a job driver would silently run the pipeline on one
+    node. Only a genuinely local session takes ``num_cpus``."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False}
-        if num_cpus:
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": address, "include_dashboard": False}
+        if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
 
