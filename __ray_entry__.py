@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": text_analysis.contamination_check,
         "quality_filter": text_analysis.quality_filter,
         "stratified_sample": text_analysis.stratified_sample,
+        "sample_exact_k": text_analysis.sample_exact_k,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_repetition": text_analysis.doc_repetition,
@@ -2287,6 +2288,19 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300
                         WHEN 'es' THEN 300 WHEN 'fr' THEN 300
                         WHEN 'zh' THEN 150 ELSE 100 END
+        """,
+        "sample_exact_k": """
+            -- Deterministic exact-k sample: global bottom-k in
+            -- md5_number_lower order (== functions/hashing._hash64),
+            -- ties by doc_id — both engines keep identical rows AND
+            -- identical ranks.
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents
+            ORDER BY sample_rank
+            LIMIT 100
         """,
         "contamination_check": r"""
             -- n-gram decontamination sweep: any 8-gram shared with the

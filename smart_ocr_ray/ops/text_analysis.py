@@ -281,6 +281,59 @@ def stratified_sample(
     return read_documents(sf_dir).map_batches(_sample, batch_format="pyarrow")
 
 
+SAMPLE_EXACT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("lang", pa.string()), ("sample_rank", pa.int64())]
+)
+
+
+def sample_exact_k(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Deterministic EXACT-k corpus sample: order every document by
+    ``md5-hash(doc_id)`` (== DuckDB ``md5_number_lower``, the same
+    content-stable key ``stratified_sample`` rates against) and keep
+    the k smallest. A rate-based sample's output size varies with the
+    corpus; this one hits a fixed budget exactly — the shape needed
+    when a downstream consumer (eval set, human-audit batch, pilot
+    training mix) must receive precisely k docs, reproducibly across
+    runs, engines, and cluster sizes. No RNG state, no coordination:
+    membership of a doc depends only on its own id and the corpus.
+
+    Scale shape: per-block bottom-k combiner (each block emits ≤k rows,
+    the corpus itself never shuffles) → one tiny merge block for the
+    global bottom-k; the merge sees at most blocks×k rows.
+
+    Output: (doc_id, lang, sample_rank 1..k) in hash order, ties (an
+    md5 collision) broken by doc_id ascending."""
+    import numpy as np
+
+    from ..functions.hashing import _hash64
+
+    def _bottom_k(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return SAMPLE_EXACT_SCHEMA.empty_table()
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        keys = np.fromiter(
+            (_hash64(str(int(d))) for d in ids), dtype=np.uint64, count=len(ids)
+        )
+        order = np.lexsort((ids, keys))[:k]
+        out = batch.select(["doc_id", "lang"]).take(pa.array(order))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "lang": out.column("lang").cast(pa.string()),
+                "sample_rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()
+                ),
+            },
+            schema=SAMPLE_EXACT_SCHEMA,
+        )
+
+    partial = read_documents(sf_dir).map_batches(_bottom_k, batch_format="pyarrow")
+    # Global merge: blocks×k rows — tiny by construction — re-ranked in
+    # one block (repartition(1) is safe ONLY because the combiner above
+    # already shrank each block to ≤k rows).
+    return partial.repartition(1).map_batches(_bottom_k, batch_format="pyarrow")
+
+
 def contamination_check(
     sf_dir: str, n: int = 8, bench_docs: int = 20, min_hits: int = 1
 ) -> ray.data.Dataset:

@@ -659,6 +659,33 @@ def test_stratified_sample_deterministic_and_rate_shaped(ray_session):
     assert by_lang.get("en", 0) > by_lang.get("zh", 0)
 
 
+def test_sample_exact_k_budget_and_hash_order(ray_session):
+    """Exact-k sample: precisely k rows, ranked 1..k in md5-hash order,
+    and membership is stable under a different block layout (the
+    per-block combiner + merge must agree with a single-pass oracle)."""
+    import hashlib
+
+    from smart_ocr_ray.ops.text_analysis import sample_exact_k
+
+    sf = "/root/testdata/sf0.001"
+    rows = sample_exact_k(sf, k=17).take_all()
+    assert len(rows) == 17
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 18))
+    # Single-pass oracle over the raw table.
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_pylist()
+    key = lambda d: (
+        int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little"),
+        d,
+    )
+    expect = sorted(ids, key=key)[:17]
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["sample_rank"])]
+    assert got == expect
+
+
 def test_contamination_check_flags_benchmark_overlap(ray_session, tmp_path):
     """Decontamination sweep: a doc sharing an 8-gram with a benchmark
     doc is flagged; unrelated docs aren't; benchmark docs are excluded
