@@ -2171,11 +2171,13 @@ def oracle_sql() -> dict[str, str]:
                 -- NULL canon group.
                 SELECT *, coalesce(array_to_string(list_sort(list_filter(
                          string_split(query, '&'),
+                         -- bare (valueless) tracking params drop too,
+                         -- matching canonicalize_url's name-based rule
                          p -> p <> ''
                               AND NOT (p LIKE 'utm\\_%' ESCAPE '\\'
-                                       OR p LIKE 'fbclid=%'
-                                       OR p LIKE 'gclid=%'
-                                       OR p LIKE 'ref=%'))), '&'), '') AS q2
+                                       OR p = 'fbclid' OR p LIKE 'fbclid=%'
+                                       OR p = 'gclid'  OR p LIKE 'gclid=%'
+                                       OR p = 'ref'    OR p LIKE 'ref=%'))), '&'), '') AS q2
                 FROM parts
               )
             )

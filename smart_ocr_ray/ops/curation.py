@@ -203,10 +203,17 @@ def blocklist_filter(sf_dir: str) -> ray.data.Dataset:
     src_schema = pa.schema([("source", pa.string())])
 
     def _sources(batch: pa.Table) -> pa.Table:
-        # per-block distinct collapse before the tiny groupby
+        # Per-block distinct collapse AND the blocklist predicate both
+        # run here, before any shuffle: only the ~1/16 blocked hosts
+        # enter the groupby or reach the driver (filtering after the
+        # shuffle would move — and take_all() — every distinct host).
+        hosts = sorted(
+            s
+            for s in set(batch.column("source").to_pylist())
+            if hashlib.md5(f"{s}.example.com".encode()).hexdigest()[0] == "0"
+        )
         return pa.Table.from_pydict(
-            {"source": pa.array(sorted(set(batch.column("source").to_pylist())))},
-            schema=src_schema,
+            {"source": pa.array(hosts, pa.string())}, schema=src_schema
         )
 
     blocked_sources = frozenset(
@@ -215,7 +222,6 @@ def blocklist_filter(sf_dir: str) -> ray.data.Dataset:
         .groupby("source")
         .count()
         .take_all()
-        if hashlib.md5(f"{r['source']}.example.com".encode()).hexdigest()[0] == "0"
     )
     bl_ref = ray.put(blocked_sources)
 

@@ -21,14 +21,17 @@ import ray.data
 PR_SCALE = 10**12  # rank grid (1e-12); damping = 85/100 exactly
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
-# Below this edge count the power iteration runs driver-local on numpy
+# Below these bounds the power iteration runs driver-local on numpy
 # int64 (identical recurrence, bit-identical output): a rank vector +
 # edge list this small costs less than ONE distributed join's fixed
 # overhead (~1 s/wide-op on this box; measured 15 s of pure overhead
-# for 3 iterations over 2.5k edges). The distributed join loop below
-# is the scale path and is pinned by the same test through both
-# branches.
+# for 3 iterations over 2.5k edges). BOTH bounds must hold — a sparse
+# candidate graph over a huge embedding corpus (many nodes, few edges)
+# would otherwise take_all() a corpus-sized node table onto the
+# driver. The distributed join loop below is the scale path and is
+# pinned by the same test through both branches.
 LOCAL_ITER_MAX_EDGES = 2**21
+LOCAL_ITER_MAX_NODES = 2**21
 
 
 def graph_pagerank(
@@ -94,7 +97,7 @@ def graph_pagerank(
     pr0 = PR_SCALE // n_nodes
 
     edges = edges.materialize()
-    if edges.count() <= local_max_edges:
+    if edges.count() <= local_max_edges and n_nodes <= LOCAL_ITER_MAX_NODES:
         return _pagerank_local(nodes, edges, n_nodes, n_iter, base, pr0)
 
     # Static per-iteration inputs, materialized once (k-NN-graph-sized,

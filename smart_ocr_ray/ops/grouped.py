@@ -147,10 +147,19 @@ def reduce_by_keys(
     pair rows that this path handles in under a second of vectorized
     compute.
 
-    ``how="count"`` ignores ``value``; ``out`` renames the reduced
-    column (defaults to ``value``). Use ``sum`` only where it is exact
-    (integers / integer-grid values) — float sums are order-dependent
-    and this helper makes no ordering promise within a group."""
+    ``how="count"`` counts ROWS per key tuple and requires ``out``
+    (there is no value column to borrow a name from); ``out``
+    otherwise renames the reduced column (defaults to ``value``). Use
+    ``sum`` only where it is exact (integers / integer-grid values) —
+    float sums are order-dependent and this helper makes no ordering
+    promise within a group. The value column must be null-free: nulls
+    reach numpy as NaN (``to_numpy`` widens nullable ints to float64),
+    which would either poison the reduction or fail the int cast, so
+    they are rejected loudly up front instead."""
+    if how == "count" and out is None:
+        # `out = None or None` would otherwise become a column literally
+        # named "None" via from_pydict's str() coercion of dict keys.
+        raise ValueError("reduce_by_keys(how='count') requires an explicit `out`")
     out = out or value
     key_list = list(keys)
 
@@ -162,7 +171,14 @@ def reduce_by_keys(
         if how == "count":
             cols[out] = pa.array(np.diff(bounds), pa.int64())
         else:
-            v = block.column(value).to_numpy(zero_copy_only=False)
+            col = block.column(value)
+            if col.null_count:
+                raise ValueError(
+                    f"reduce_by_keys: value column {value!r} contains "
+                    f"{col.null_count} null(s); drop or fill them upstream "
+                    "(SQL-style ignore-null semantics are not provided here)"
+                )
+            v = col.to_numpy(zero_copy_only=False)
             cols[out] = pa.array(
                 _REDUCE_UFUNC[how].reduceat(v, starts) if len(starts) else v[:0],
                 type=block.schema.field(value).type,

@@ -73,6 +73,7 @@ _PAGE_SCHEMA = pa.schema(
         ("out_internal", pa.int64()),
     ]
 )
+_PAGE_DEG_SCHEMA = _PAGE_SCHEMA.append(pa.field("in_degree", pa.int64()))
 
 
 def _read_pages(pages_path: str) -> ray.data.Dataset:
@@ -103,7 +104,12 @@ def _parsed_pages(pages_path: str) -> ray.data.Dataset:
         ):
             if sniff_doc_kind(html or b"") != "html":
                 continue
-            hrefs = page_hrefs(html or b"")
+            # One sniff per payload: parse directly rather than via
+            # page_hrefs (which would re-sniff what the guard above
+            # already established).
+            collector = _AnchorCollector()
+            collector.feed((html or b"").decode("utf-8", errors="replace"))
+            hrefs = collector.hrefs
             host = _host(url)
             urls.append(url)
             outs.append(len(hrefs))
@@ -175,11 +181,10 @@ def link_graph(
     jp = _jp()
     if parsed is None:
         parsed = _parsed_pages(pages_path)
-    out_schema_empty = _PAGE_SCHEMA.append(pa.field("in_degree", pa.int64()))
     if parsed.count() == 0:
         # all-binary/empty corpus: the materialized parse is schema-less
         # (map_batches skips empty blocks) and would break the joins.
-        return ray.data.from_arrow(out_schema_empty.empty_table())
+        return ray.data.from_arrow(_PAGE_DEG_SCHEMA.empty_table())
     per_page = parsed.map_batches(
         lambda b: b.select(["url", "out_links", "out_internal"]),
         batch_format="pyarrow",
@@ -221,8 +226,6 @@ def link_graph(
         .materialize()
     )
 
-    out_schema = _PAGE_SCHEMA.append(pa.field("in_degree", pa.int64()))
-
     def _fill(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -239,7 +242,7 @@ def link_graph(
                 "out_internal": batch.column("out_internal"),
                 "in_degree": ind.cast(pa.int64()),
             },
-            schema=out_schema,
+            schema=_PAGE_DEG_SCHEMA,
         )
 
     joined = per_page
@@ -362,11 +365,16 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
 class _AnchorTextCollector(HTMLParser):
     """Collects (href, inner text) of FLAT <a> elements — the
     oracle-expressible subset (the regexp side matches
-    ``<a href="...">text</a>`` without nested markup); a nested tag
-    inside an anchor voids its text, matching the regexp's behavior."""
+    ``<a href="...">text</a>`` without nested markup). The regexp's
+    text capture is ``[^<]*`` over RAW bytes, so anything that starts
+    with ``<`` inside the anchor — a nested tag, a comment, a
+    declaration, a processing instruction — voids its text, and
+    entity/character references stay UNDECODED (``&amp;`` is a literal
+    term character to the regexp). ``convert_charrefs=False`` plus the
+    raw-reconstruction handlers below pin the parser to exactly that."""
 
     def __init__(self) -> None:
-        super().__init__()
+        super().__init__(convert_charrefs=False)
         self.pairs: list[tuple[str, str]] = []
         self._href: str | None = None
         self._text: list[str] = []
@@ -386,6 +394,23 @@ class _AnchorTextCollector(HTMLParser):
         if self._href is not None:
             self._text.append(data)
 
+    def handle_entityref(self, name: str) -> None:  # '&amp;' stays raw
+        if self._href is not None:
+            self._text.append(f"&{name};")
+
+    def handle_charref(self, name: str) -> None:  # '&#38;' stays raw
+        if self._href is not None:
+            self._text.append(f"&#{name};")
+
+    def _void(self, *_args) -> None:  # any '<...' construct breaks [^<]*
+        if self._href is not None:
+            self._flat = False
+
+    handle_comment = _void
+    handle_decl = _void
+    handle_pi = _void
+    unknown_decl = _void
+
     def handle_endtag(self, tag: str) -> None:
         if tag == "a" and self._href is not None:
             if self._flat:
@@ -403,11 +428,15 @@ def anchor_texts(pages_path: str) -> ray.data.Dataset:
                               inner text, counted over every internal
                               flat anchor whose target is ``url``.
 
-    Scale shape: anchor harvest is the stateless per-page pass; per
-    batch, (dst, term) counts pre-combine in a Counter so the shuffle
-    moves one row per distinct (dst, term) per block; one
-    ``groupby(dst, term)`` sum and one inner join against the corpus
-    page set (dangling targets drop, as in ``link_graph``).
+    Scale shape: anchor harvest is ONE stateless pass over the payload
+    corpus (the page-url set the existing-target filter needs rides
+    along as zero-count ``term=''`` sentinel rows — terms are
+    ``str.split()`` output so '' can never collide with a real term);
+    per batch, (dst, term) counts pre-combine in a Counter so the
+    shuffle moves one row per distinct (dst, term) per block; the
+    narrow harvest materializes once, then one ``groupby(dst, term)``
+    sum and one inner join against the sentinel page set (dangling
+    targets drop, as in ``link_graph``).
     """
     from ..tuning import join_partitions as _jp
 
@@ -416,15 +445,17 @@ def anchor_texts(pages_path: str) -> ray.data.Dataset:
         [("url", pa.string()), ("term", pa.string()), ("n_refs", pa.int64())]
     )
 
-    def _pairs(batch: pa.Table) -> pa.Table:
+    def _harvest(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
         counts: Counter = Counter()
+        page_urls: list[str] = []
         for url, html in zip(
             batch.column("url").to_pylist(), batch.column("html").to_pylist()
         ):
             if sniff_doc_kind(html or b"") != "html":
                 continue
+            page_urls.append(url)
             host = _host(url)
             parser = _AnchorTextCollector()
             parser.feed((html or b"").decode("utf-8", errors="replace"))
@@ -436,9 +467,13 @@ def anchor_texts(pages_path: str) -> ray.data.Dataset:
         keys = list(counts.keys())
         return pa.Table.from_pydict(
             {
-                "url": pa.array([k[0] for k in keys], pa.string()),
-                "term": pa.array([k[1] for k in keys], pa.string()),
-                "n_refs": pa.array(list(counts.values()), pa.int64()),
+                "url": pa.array([k[0] for k in keys] + page_urls, pa.string()),
+                "term": pa.array(
+                    [k[1] for k in keys] + [""] * len(page_urls), pa.string()
+                ),
+                "n_refs": pa.array(
+                    list(counts.values()) + [0] * len(page_urls), pa.int64()
+                ),
             },
             schema=at_schema,
         )
@@ -457,25 +492,39 @@ def anchor_texts(pages_path: str) -> ray.data.Dataset:
             schema=at_schema,
         )
 
-    counted = (
+    def _split(batch: pa.Table, *, markers: bool) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return (
+                pa.schema([("url", pa.string())]).empty_table()
+                if markers
+                else at_schema.empty_table()
+            )
+        mask = pc.equal(batch.column("term"), "")
+        if markers:
+            return batch.filter(mask).select(["url"])
+        return batch.filter(pc.invert(mask))
+
+    # Materialized so the pair branch and the page-set branch both
+    # derive from a SINGLE corpus read+parse (branching an unmaterialized
+    # dataset would re-execute the harvest per consumer).
+    harvest = (
         _read_pages(pages_path)
-        .map_batches(_pairs, batch_format="pyarrow")
+        .map_batches(_harvest, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+    counted = (
+        harvest.map_batches(
+            lambda b: _split(b, markers=False), batch_format="pyarrow"
+        )
         .groupby(["url", "term"])
         .aggregate(Sum("n_refs", alias_name="n_refs"))
         .map_batches(_retype, batch_format="pyarrow")
         .repartition(jp)
     )
-
-    # Existing-target filter: html page urls only (mirrors link_graph).
-    def _urls(batch: pa.Table) -> pa.Table:
-        urls = [
-            u
-            for u, h in zip(
-                batch.column("url").to_pylist(), batch.column("html").to_pylist()
-            )
-            if sniff_doc_kind(h or b"") == "html"
-        ]
-        return pa.Table.from_pydict({"url": pa.array(urls, pa.string())})
-
-    page_urls = _read_pages(pages_path).map_batches(_urls, batch_format="pyarrow")
+    page_urls = harvest.map_batches(
+        lambda b: _split(b, markers=True), batch_format="pyarrow"
+    )
     return counted.join(page_urls.repartition(jp), "inner", jp, on=("url",))

@@ -12,11 +12,14 @@ identifier is the canonical url itself).
 
 Frozen canonicalization rules (mirrored exactly by the DuckDB oracle):
 
-  1. scheme and host lowercased;
+  1. scheme and host lowercased (scheme-PRESENT urls only: a
+     scheme-less string gets just the fragment/query rules, per the
+     code comment — hosts are never guessed from relative refs);
   2. default port stripped (``:443`` for https, ``:80`` for http);
   3. fragment dropped;
   4. tracking query params dropped: name starts with ``utm_`` or is
-     one of ``fbclid`` / ``gclid`` / ``ref``;
+     one of ``fbclid`` / ``gclid`` / ``ref`` — bare (valueless) and
+     ``=``-valued spellings alike;
   5. remaining ``k=v`` params sorted bytewise as whole strings;
   6. ``?`` dropped when no params remain. Path is untouched.
 
@@ -64,7 +67,8 @@ def canonicalize_url(url: str) -> str:
         scheme, rest = "", pre
     scheme = scheme.lower()
     hostport, slash, path = rest.partition("/")
-    hostport = hostport.lower()
+    if sep:  # rule 1 applies only when a scheme marks hostport AS a host
+        hostport = hostport.lower()
     if scheme == "https" and hostport.endswith(":443"):
         hostport = hostport[:-4]
     elif scheme == "http" and hostport.endswith(":80"):

@@ -2183,6 +2183,32 @@ def test_anchor_texts_counts_and_nested_voiding(ray_session, tmp_path):
     }
 
 
+def test_anchor_text_collector_regexp_parity():
+    """The collector must agree with the oracle's raw-byte regexp
+    ``<a href="(/[^\\"]*)">([^<]*)</a>`` on the constructs where an
+    HTML parser naturally diverges: comments void (they contain '<'),
+    entity/char references stay UNDECODED, declarations/PIs void."""
+    import re
+
+    from smart_ocr_ray.ops.links import _AnchorTextCollector
+
+    rx = re.compile(r'<a href="(/[^"]*)">([^<]*)</a>')
+    cases = [
+        '<a href="/x">te<!--c-->xt</a>',          # comment voids
+        '<a href="/x">a&amp;b</a>',                # entity stays raw
+        '<a href="/x">n&#38;m</a>',                # charref stays raw
+        '<a href="/x">a<?pi?>b</a>',               # PI voids
+        '<a href="/x">plain words</a>',            # control
+        '<a href="/x">one</a> <a href="/y">two</a>',
+    ]
+    for html in cases:
+        parser = _AnchorTextCollector()
+        parser.feed(html)
+        got = [(h, t) for h, t in parser.pairs]
+        want = rx.findall(html)
+        assert got == want, (html, got, want)
+
+
 def test_bloom_dedup_hits_and_misses(ray_session, tmp_path):
     """Broadcast-Bloom incremental dedup: odd docs sharing an even
     doc's exact text probe positive; fresh odd docs probe negative
@@ -2480,6 +2506,15 @@ def test_canonicalize_url_rules():
         c("HTTPS://EX.com:443/d/1?z=9&utm_campaign=c&a=1#s")
         == "https://ex.com/d/1?a=1&z=9"
     )
+    # Bare (valueless) tracking params drop exactly like valued ones —
+    # pinned on both engines (the SQL oracle has matching p='fbclid'
+    # arms), and near-miss names are kept.
+    assert c("https://ex.com/p?fbclid&a=1") == "https://ex.com/p?a=1"
+    assert c("https://ex.com/p?ref") == "https://ex.com/p"
+    assert c("https://ex.com/p?fbclidX=1") == "https://ex.com/p?fbclidX=1"
+    # Scheme-less strings: ONLY the fragment/query rules apply — the
+    # leading segment is not assumed to be a host, so no lowercasing.
+    assert c("Example.COM/Some/Path?b=2&a=1#f") == "Example.COM/Some/Path?a=1&b=2"
 
 
 def test_url_canonical_collapses_recrawls(ray_session, tmp_path):
