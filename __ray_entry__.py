@@ -623,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_caps": text_analysis.source_caps,
         "ccnet_buckets": text_analysis.ccnet_buckets,
         "dsir_weights": text_analysis.dsir_weights,
+        "repetition_strip": text_analysis.repetition_strip,
+        "quality_classifier": text_analysis.quality_classifier,
         "link_graph": _q_link_graph,
         "link_pagerank": _q_link_pagerank,
         "anchor_texts": _q_anchor_texts,
@@ -2280,6 +2282,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c) AS BIGINT) AS n_grams,
                    CAST(sum(c * delta) AS BIGINT) AS weight_bits
             FROM dc JOIN bits USING (bucket) GROUP BY doc_id
+        """,
+        "repetition_strip": """
+            -- Intra-doc duplicate-line removal, keep-first
+            -- (ops/text_analysis.repetition_strip): 2-token windows,
+            -- later copies of a line already seen in the SAME doc are
+            -- dropped, kept lines rejoined with \\n in original order.
+            WITH tok AS (
+              SELECT doc_id,
+                CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+                END AS toks
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, i AS line_idx,
+                     array_to_string(toks[(i*2+1):(i*2+2)], ' ') AS line
+              FROM (SELECT doc_id, toks,
+                           unnest(range(0, (len(toks) + 1) // 2)) AS i
+                    FROM tok) u
+            ), firsts AS (
+              SELECT doc_id, line, min(line_idx) AS first_idx
+              FROM lines GROUP BY doc_id, line
+            ), reb AS (
+              SELECT l.doc_id, count(*) AS n_lines,
+                     count(*) FILTER (l.line_idx > f.first_idx) AS n_removed,
+                     coalesce(string_agg(l.line, chr(10) ORDER BY l.line_idx)
+                              FILTER (l.line_idx = f.first_idx), '') AS cleaned
+              FROM lines l
+              JOIN firsts f ON l.doc_id = f.doc_id AND l.line = f.line
+              GROUP BY l.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.n_lines, 0) AS n_lines,
+                   coalesce(r.n_removed, 0) AS n_removed,
+                   md5(coalesce(r.cleaned, '')) AS cleaned_md5
+            FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        """,
+        "quality_classifier": """
+            -- Frozen hashed-linear classifier inference
+            -- (ops/text_analysis.quality_classifier): bucket =
+            -- md5_number_lower(gram) % 1024, weight =
+            -- md5_number_lower('w' || bucket) % 17 - 8, score =
+            -- sum(c * w), keep = score > 0.
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+')
+                END AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(toks) AS gram FROM t
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+              FROM t
+            ), b AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(gram) % 1024 AS BIGINT) AS bucket
+              FROM g
+            ), w AS (
+              SELECT CAST(i AS BIGINT) AS bucket,
+                     CAST(md5_number_lower('w' || CAST(i AS VARCHAR)) % 17
+                          AS BIGINT) - 8 AS wt
+              FROM range(0, 1024) r(i)
+            ), dc AS (
+              SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(sum(c * wt) AS BIGINT) AS score,
+                   CAST(CASE WHEN sum(c * wt) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                     AS keep
+            FROM dc JOIN w USING (bucket) GROUP BY doc_id
         """,
         "stratified_sample": """
             -- Deterministic per-language sample: md5_number_lower ==

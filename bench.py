@@ -217,6 +217,8 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.curation import blocklist_filter
 
         timed("blocklist_filter", blocklist_filter)
+        timed("repetition_strip", text_analysis.repetition_strip)
+        timed("quality_classifier", text_analysis.quality_classifier)
 
     ray.shutdown()
 

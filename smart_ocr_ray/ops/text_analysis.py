@@ -2192,3 +2192,176 @@ def curriculum_rank(sf_dir: str, bucket: int = 4096) -> ray.data.Dataset:
         )
 
     return map_key_groups(scored, "b", _rank)
+
+
+def repetition_strip(sf_dir: str, line_tokens: int = 2) -> ray.data.Dataset:
+    """Intra-document duplicate-line removal, keeping the FIRST copy —
+    the within-document half of the CCNet/RefinedWeb repetition cleanup
+    (``line_dedup`` is the cross-corpus half): navigation menus, footer
+    blocks and scraper echo repeat INSIDE one page, and stripping them
+    needs no corpus state at all.
+
+    A "line" is a fixed window of ``line_tokens`` whitespace tokens
+    (the synthetic corpus has no newlines; at the default of 2 the
+    corpus exhibits real intra-doc repeats — ~35% of documents at
+    sf0.001 — so the keep-first path is genuinely exercised). Later
+    copies of a line already seen in the SAME document are dropped;
+    kept lines are rejoined with '\\n' in original order.
+
+    Output: (doc_id, n_lines, n_removed, cleaned_md5) — one row per
+    document ('' cleans to md5('') for empty docs).
+
+    Scale shape: a stateless ``map_batches`` pass — every document is
+    cleaned locally with a per-doc seen-set; zero shuffles, zero
+    broadcast state, streams at any corpus size.
+    """
+    from ..functions.textstats import _TOKEN_RE, content_md5
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("cleaned_md5", pa.string()),
+        ]
+    )
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        n_lines_col, n_removed_col, md5_col = [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = _TOKEN_RE.findall(t or "")
+            n = (len(toks) + line_tokens - 1) // line_tokens
+            seen: set[str] = set()
+            kept: list[str] = []
+            for i in range(n):
+                line = " ".join(toks[i * line_tokens : (i + 1) * line_tokens])
+                if line in seen:
+                    continue
+                seen.add(line)
+                kept.append(line)
+            n_lines_col.append(n)
+            n_removed_col.append(n - len(kept))
+            md5_col.append(content_md5("\n".join(kept)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(n_lines_col, pa.int64()),
+                "n_removed": pa.array(n_removed_col, pa.int64()),
+                "cleaned_md5": pa.array(md5_col, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
+FT_BUCKETS = 1024
+
+# Distinct-gram → bucket memo, per worker process (same rationale and
+# bound as _DSIR_MEMO: Zipfian gram reuse makes the md5 per distinct
+# gram, not per occurrence).
+_FT_MEMO: dict[str, int] = {}
+
+
+def _ft_bucket(g: str) -> int:
+    b = _FT_MEMO.get(g)
+    if b is None:
+        from ..functions.hashing import _hash64
+
+        if len(_FT_MEMO) > 2_000_000:
+            _FT_MEMO.clear()
+        b = int(_hash64(g)) % FT_BUCKETS
+        _FT_MEMO[g] = b
+    return b
+
+
+def ft_weights() -> "np.ndarray":
+    """The frozen "pre-trained" weight vector: w[b] =
+    md5_number_lower('w' || b) % 17 - 8 — ints in [-8, 8], derived
+    only from the bucket index so the model is a constant of the repo
+    (and of the SQL oracle), not of any corpus."""
+    import numpy as np
+
+    from ..functions.hashing import _hash64
+
+    return np.array(
+        [int(_hash64(f"w{b}")) % 17 - 8 for b in range(FT_BUCKETS)], np.int64
+    )
+
+
+def quality_classifier(sf_dir: str) -> ray.data.Dataset:
+    """fastText-style linear quality classifier INFERENCE (Joulin et
+    al. 2016, arXiv:1607.01759 — the model family CCNet and LLaMA's
+    webtext pipeline use for quality/domain filtering): score every
+    document with a frozen linear model over hashed unigram+bigram
+    bag-of-words features and emit the keep/drop label.
+
+    Where ``dsir_weights`` ESTIMATES a model from the corpus (two
+    passes), this op is the pure inference shape: a pre-trained weight
+    vector (``ft_weights()``, FT_BUCKETS=1024 ints — see its docstring
+    for the frozen derivation) rides into every task as a closure
+    constant, and one streaming pass scores each document locally:
+
+      * features: unigrams + bigrams of the whitespace tokens, hashed
+        via ``_hash64(gram) % 1024`` (== DuckDB ``md5_number_lower``);
+      * score = Σ_gram w[bucket(gram)] (occurrence-weighted, exact
+        integer — the margin of a linear classifier, sign = label);
+      * keep = 1 when score > 0.
+
+    Output: (doc_id, n_grams, score, keep) for every document with at
+    least one token.
+
+    Scale shape: ONE stateless streaming pass, zero shuffles; the
+    model is 8 KB and serialized once per task spec, not per batch. A
+    real fastText model (300k buckets × dim) would swap in via
+    ``ray.put`` + an actor-pool stage holding the matrix; the
+    hash-features → lookup → reduce dataflow is identical.
+    """
+    import numpy as np
+
+    w = ft_weights()
+    docs = read_documents(sf_dir)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("score", pa.int64()),
+            ("keep", pa.int64()),
+        ]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..functions.textstats import _TOKEN_RE
+
+        ids, n_grams, scores = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(text or "")
+            if not toks:
+                continue
+            grams = Counter(toks)
+            grams.update(map(" ".join, zip(toks, toks[1:])))
+            s = 0
+            n = 0
+            for g, c in grams.items():
+                s += c * int(w[_ft_bucket(g)])
+                n += c
+            ids.append(int(doc_id))
+            n_grams.append(n)
+            scores.append(s)
+        sc = np.asarray(scores, np.int64) if scores else np.empty(0, np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "score": pa.array(sc, pa.int64()),
+                "keep": pa.array((sc > 0).astype(np.int64), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")

@@ -2864,3 +2864,93 @@ def test_lsh_recall_eval_counts_consistent(ray_session, tmp_path):
     assert row["n_exact"] > 0
     assert 0 < row["n_common"] <= row["n_lsh"] <= row["n_exact"]
     assert row["recall_e6"] == (1_000_000 * row["n_common"]) // row["n_exact"]
+
+
+def test_repetition_strip_keep_first(ray_session, tmp_path):
+    """Intra-doc duplicate-line removal: later copies of a window the
+    SAME doc already produced are dropped (keep-first), cross-doc
+    sharing is irrelevant, empty docs clean to ''."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import repetition_strip
+
+    texts = [
+        "a b c d a b",      # windows: "a b","c d","a b" -> drop 3rd
+        "a b a b a b",      # "a b" x3 -> keep one
+        "x y z",            # "x y","z" -> no repeats (tail window short)
+        "a b c d",          # cross-doc repeats don't matter
+        "",
+    ]
+    sf = tmp_path / "rssf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    out = {r["doc_id"]: r for r in repetition_strip(str(sf)).take_all()}
+
+    assert (out[0]["n_lines"], out[0]["n_removed"]) == (3, 1)
+    assert out[0]["cleaned_md5"] == md5("a b\nc d")
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 2)
+    assert out[1]["cleaned_md5"] == md5("a b")
+    # Short tail window "z" differs from "x y" — nothing removed.
+    assert (out[2]["n_lines"], out[2]["n_removed"]) == (2, 0)
+    assert out[2]["cleaned_md5"] == md5("x y\nz")
+    # Doc 3 shares lines with doc 0 but has no INTERNAL repeats.
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (2, 0)
+    assert out[3]["cleaned_md5"] == md5("a b\nc d")
+    assert (out[4]["n_lines"], out[4]["n_removed"]) == (0, 0)
+    assert out[4]["cleaned_md5"] == md5("")
+
+
+def test_quality_classifier_scores_match_manual(ray_session, tmp_path):
+    """Frozen linear model: score equals the hand-computed
+    occurrence-weighted sum of md5-derived weights; empty docs are
+    excluded; keep == (score > 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.text_analysis import (
+        FT_BUCKETS,
+        ft_weights,
+        quality_classifier,
+    )
+
+    texts = ["hello world hello", "one", "", "   "]
+    sf = tmp_path / "qcsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    w = ft_weights()
+    assert w.min() >= -8 and w.max() <= 8 and len(w) == FT_BUCKETS
+
+    def manual(text):
+        toks = text.split()
+        grams = toks + [" ".join(p) for p in zip(toks, toks[1:])]
+        return len(grams), sum(int(w[int(_hash64(g)) % FT_BUCKETS]) for g in grams)
+
+    out = {r["doc_id"]: r for r in quality_classifier(str(sf)).take_all()}
+    # Tokenless docs (2: empty, 3: whitespace) emit no row.
+    assert set(out) == {0, 1}
+    for d in (0, 1):
+        n, s = manual(texts[d])
+        assert out[d]["n_grams"] == n
+        assert out[d]["score"] == s
+        assert out[d]["keep"] == (1 if s > 0 else 0)
