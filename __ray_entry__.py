@@ -623,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_caps": text_analysis.source_caps,
         "ccnet_buckets": text_analysis.ccnet_buckets,
         "dsir_weights": text_analysis.dsir_weights,
+        "dsir_resample": text_analysis.dsir_resample,
+        "topic_classify": text_analysis.topic_classify,
         "repetition_strip": text_analysis.repetition_strip,
         "quality_classifier": text_analysis.quality_classifier,
         "link_graph": _q_link_graph,
@@ -696,6 +698,71 @@ _STOP_EN = "['the','and','of','to','a','in','is','that','it','for']"
 _STOP_DE = "['der','die','das','und','ist','nicht','ein','mit','zu','von']"
 _STOP_ES = "['el','la','de','que','y','en','un','por','con','para']"
 _STOP_FR = "['le','la','de','et','est','un','une','dans','pour','que']"
+
+
+def _dsir_ctes() -> str:
+    """CTE chain reproducing ``ops/text_analysis.dsir_weights`` in
+    ANSI SQL — buckets = md5_number_lower(gram) % 256, target =
+    quality_filter passers, Laplace-smoothed bit-length log-prob
+    surrogate — ending in ``dsirw(doc_id, n_grams, weight_bits)``.
+    Shared by the dsir_weights and dsir_resample oracles."""
+    return f"""
+            t AS (
+              SELECT doc_id, lang, coalesce(text,'') AS text,
+                CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, lang, text,
+                len(toks) AS n_tok,
+                coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS token_chars,
+                len(list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> x),
+                    x -> list_contains({_STOP_EN}, x))) AS stop_hits,
+                len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) AS n_sym,
+                length(text) AS n_chars
+              FROM t
+            ), keepf AS (
+              SELECT doc_id,
+                NOT (n_tok < 50 OR n_tok > 100000
+                     OR (token_chars * 100) // n_tok < 300
+                     OR (token_chars * 100) // n_tok > 1000
+                     OR n_sym * 10 > n_chars
+                     OR (lang = 'en' AND stop_hits < 2)) AS keep
+              FROM m
+            ), g AS (
+              SELECT doc_id, unnest(toks) AS gram FROM t
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+              FROM t
+            ), b AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(gram) % 256 AS BIGINT) AS bucket
+              FROM g
+            ), cnt AS (
+              SELECT bucket,
+                     count(*) AS c_raw,
+                     sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS c_tgt
+              FROM b JOIN keepf k USING (doc_id) GROUP BY bucket
+            ), tot AS (
+              SELECT CAST(sum(c_raw) AS BIGINT) + 256 AS ar,
+                     CAST(sum(c_tgt) AS BIGINT) + 256 AS at
+              FROM cnt
+            ), bits AS (
+              SELECT bucket,
+                     length(to_base(CAST(t2.ar // (c_raw + 1) AS BIGINT), 2))
+                   - length(to_base(CAST(t2.at // (c_tgt + 1) AS BIGINT), 2))
+                       AS delta
+              FROM cnt CROSS JOIN tot t2
+            ), dc AS (
+              SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+            ), dsirw AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_grams,
+                     CAST(sum(c * delta) AS BIGINT) AS weight_bits
+              FROM dc JOIN bits USING (bucket) GROUP BY doc_id
+            )"""
 
 
 def _surprisal_ctes() -> str:
@@ -2227,61 +2294,62 @@ def oracle_sql() -> dict[str, str]:
             -- target = quality_filter passers, Laplace-smoothed
             -- bit-length log-prob surrogate; weight_bits =
             -- sum(c * (bits_raw - bits_target)).
-            WITH t AS (
-              SELECT doc_id, lang, coalesce(text,'') AS text,
-                CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
-                     ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+') END AS toks
-              FROM documents
-            ), m AS (
-              SELECT doc_id, lang, text,
-                len(toks) AS n_tok,
-                coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS token_chars,
-                len(list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> x),
-                    x -> list_contains({_STOP_EN}, x))) AS stop_hits,
-                len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) AS n_sym,
-                length(text) AS n_chars
-              FROM t
-            ), keepf AS (
+            WITH {_dsir_ctes()}
+            SELECT doc_id, n_grams, weight_bits FROM dsirw
+        """,
+        "dsir_resample": f"""
+            -- DSIR Bernoulli importance resampling on the integer
+            -- weight grid (ops/text_analysis.dsir_resample): keep w.p.
+            -- 2^min(weight_bits, 0); deterministic coin =
+            -- md5_number_lower('dsir:' || doc_id) % 2^(-weight_bits);
+            -- weight_bits < -40 drops outright.
+            WITH {_dsir_ctes()}
+            SELECT doc_id, weight_bits,
+                   CAST(least(weight_bits, 0) AS BIGINT) AS p_log2
+            FROM dsirw
+            WHERE weight_bits >= 0
+               OR (weight_bits >= -40
+                   AND md5_number_lower('dsir:' || CAST(doc_id AS VARCHAR))
+                       % (CAST(1 AS UBIGINT) << CAST(-weight_bits AS INTEGER)) = 0)
+        """,
+        "topic_classify": """
+            -- Frozen keyword-bank topic tagging
+            -- (ops/text_analysis.topic_classify): occurrence-counted
+            -- exact token match against TOPIC_BANK; winner = max hits,
+            -- ties by bank rank; zero hits -> 'none'.
+            WITH tok AS (
               SELECT doc_id,
-                NOT (n_tok < 50 OR n_tok > 100000
-                     OR (token_chars * 100) // n_tok < 300
-                     OR (token_chars * 100) // n_tok > 1000
-                     OR n_sym * 10 > n_chars
-                     OR (lang = 'en' AND stop_hits < 2)) AS keep
-              FROM m
-            ), g AS (
-              SELECT doc_id, unnest(toks) AS gram FROM t
-              UNION ALL
-              SELECT doc_id,
-                     unnest(list_transform(range(1, len(toks)),
-                            i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
-              FROM t
-            ), b AS (
-              SELECT doc_id,
-                     CAST(md5_number_lower(gram) % 256 AS BIGINT) AS bucket
-              FROM g
-            ), cnt AS (
-              SELECT bucket,
-                     count(*) AS c_raw,
-                     sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS c_tgt
-              FROM b JOIN keepf k USING (doc_id) GROUP BY bucket
-            ), tot AS (
-              SELECT CAST(sum(c_raw) AS BIGINT) + 256 AS ar,
-                     CAST(sum(c_tgt) AS BIGINT) + 256 AS at
-              FROM cnt
-            ), bits AS (
-              SELECT bucket,
-                     length(to_base(CAST(t2.ar // (c_raw + 1) AS BIGINT), 2))
-                   - length(to_base(CAST(t2.at // (c_tgt + 1) AS BIGINT), 2))
-                       AS delta
-              FROM cnt CROSS JOIN tot t2
-            ), dc AS (
-              SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), bank(topic, rnk, kw) AS (VALUES
+              ('storage', 0, 'scan'), ('storage', 0, 'column'),
+              ('storage', 0, 'table'), ('storage', 0, 'row'),
+              ('storage', 0, 'part'),
+              ('relational', 1, 'join'), ('relational', 1, 'merge'),
+              ('relational', 1, 'group'), ('relational', 1, 'agg'),
+              ('relational', 1, 'sort'), ('relational', 1, 'order'),
+              ('relational', 1, 'window'),
+              ('streaming', 2, 'stream'), ('streaming', 2, 'batch'),
+              ('streaming', 2, 'filter'), ('streaming', 2, 'query'),
+              ('tuning', 3, 'fast'), ('tuning', 3, 'slow'),
+              ('tuning', 3, 'small'), ('tuning', 3, 'big'),
+              ('tuning', 3, 'vector'), ('tuning', 3, 'hash')
+            ), hits AS (
+              SELECT t.doc_id, b.topic, b.rnk, count(*) AS c
+              FROM tok t JOIN bank b ON t.tok = b.kw
+              GROUP BY t.doc_id, b.topic, b.rnk
+            ), win AS (
+              SELECT doc_id, topic, c,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, rnk ASC
+                     ) AS rn
+              FROM hits
             )
-            SELECT doc_id,
-                   CAST(sum(c) AS BIGINT) AS n_grams,
-                   CAST(sum(c * delta) AS BIGINT) AS weight_bits
-            FROM dc JOIN bits USING (bucket) GROUP BY doc_id
+            SELECT d.doc_id,
+                   coalesce(w.topic, 'none') AS topic,
+                   CAST(coalesce(w.c, 0) AS BIGINT) AS n_hits
+            FROM documents d
+            LEFT JOIN (SELECT * FROM win WHERE rn = 1) w ON d.doc_id = w.doc_id
         """,
         "repetition_strip": """
             -- Intra-doc duplicate-line removal, keep-first

@@ -219,6 +219,8 @@ def run_bench() -> dict:
         timed("blocklist_filter", blocklist_filter)
         timed("repetition_strip", text_analysis.repetition_strip)
         timed("quality_classifier", text_analysis.quality_classifier)
+        timed("dsir_resample", text_analysis.dsir_resample)
+        timed("topic_classify", text_analysis.topic_classify)
 
     ray.shutdown()
 

@@ -2365,3 +2365,140 @@ def quality_classifier(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_score, batch_format="pyarrow")
+
+
+DSIR_MAX_DROP_BITS = 40
+
+
+def dsir_resample(sf_dir: str) -> ray.data.Dataset:
+    """DSIR importance RESAMPLING — the selection step that completes
+    ``dsir_weights`` (Xie et al. 2023, arXiv:2302.03169 §2: sample raw
+    documents with probability proportional to the importance weight).
+    The paper samples ∝ exp(log p_tgt − log p_raw); the frozen exact
+    instantiation here is base-2 Bernoulli resampling on the integer
+    weight grid ``dsir_weights`` already computes:
+
+      * acceptance probability ``p = 2^min(weight_bits, 0)`` — docs at
+        least as likely under the target as under the raw corpus are
+        always kept, others kept with exponentially decaying odds;
+      * the coin is deterministic and content-stable: keep iff
+        ``md5-hash("dsir:" + doc_id) % 2^(−weight_bits) == 0``
+        (``_hash64`` == DuckDB ``md5_number_lower``) — reproducible
+        across runs, engines, and cluster sizes, no RNG state;
+      * ``weight_bits < −DSIR_MAX_DROP_BITS`` (40) drops outright
+        (p < 2⁻⁴⁰ — keeps the modulus inside int64).
+
+    Output: the KEPT documents as (doc_id, weight_bits, p_log2) where
+    ``p_log2 = min(weight_bits, 0)`` is the log2 acceptance probability
+    the doc survived.
+
+    Scale shape: composes on ``dsir_weights``'s dataset (two streaming
+    passes, one 256-row groupby) plus one more stateless map over the
+    tiny (doc_id, weight_bits) stream — no additional shuffle; the
+    text column is never re-read.
+    """
+    from ..functions.hashing import _hash64
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("weight_bits", pa.int64()), ("p_log2", pa.int64())]
+    )
+
+    def _accept(batch: pa.Table) -> pa.Table:
+        ids, wbs, ps = [], [], []
+        for doc_id, wb in zip(
+            batch.column("doc_id").to_pylist(), batch.column("weight_bits").to_pylist()
+        ):
+            wb = int(wb)
+            if wb >= 0:
+                kept = True
+            elif wb < -DSIR_MAX_DROP_BITS:
+                kept = False
+            else:
+                kept = int(_hash64(f"dsir:{int(doc_id)}")) % (1 << -wb) == 0
+            if kept:
+                ids.append(int(doc_id))
+                wbs.append(wb)
+                ps.append(min(wb, 0))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "weight_bits": pa.array(wbs, pa.int64()),
+                "p_log2": pa.array(ps, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return dsir_weights(sf_dir).map_batches(_accept, batch_format="pyarrow")
+
+
+# Frozen keyword bank for topic_classify: topic -> (priority rank,
+# keywords). A repo constant (mirrored literally in the SQL oracle),
+# standing in for the keyword/URL taxonomy banks curation pipelines use
+# for topic tagging (e.g. the curated-domain buckets in Dolma/RefinedWeb
+# source analyses). Ties break toward the lower rank.
+TOPIC_BANK: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("storage", ("scan", "column", "table", "row", "part")),
+    ("relational", ("join", "merge", "group", "agg", "sort", "order", "window")),
+    ("streaming", ("stream", "batch", "filter", "query")),
+    ("tuning", ("fast", "slow", "small", "big", "vector", "hash")),
+)
+
+
+def topic_classify(sf_dir: str) -> ray.data.Dataset:
+    """Keyword-bank topic classification — the rule-based topic tagger
+    a corpus-curation pipeline runs to build mixture statistics before
+    sampling (the lexicon-matching shape of UT1-style category lists,
+    applied to body text instead of URLs): every document is assigned
+    the topic whose keyword bank its tokens hit most often.
+
+      * tokens: whitespace tokens (``_TOKEN_RE``), exact match against
+        the frozen ``TOPIC_BANK`` lexicon (occurrence-counted);
+      * winner: max hit count, ties broken by bank order
+        (storage < relational < streaming < tuning);
+      * no hits at all → topic ``"none"`` — every document gets exactly
+        one output row.
+
+    Output: (doc_id, topic, n_hits) with n_hits = winning topic's hits.
+
+    Scale shape: ONE stateless streaming pass, zero shuffles; the
+    lexicon is a closure constant (bytes, not a broadcast)."""
+    from ..functions.textstats import _TOKEN_RE
+
+    kw_rank: dict[str, int] = {}
+    for rank, (_, kws) in enumerate(TOPIC_BANK):
+        for kw in kws:
+            kw_rank[kw] = rank
+    names = [t for t, _ in TOPIC_BANK]
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("topic", pa.string()), ("n_hits", pa.int64())]
+    )
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        ids, topics, hits = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            counts = [0] * len(TOPIC_BANK)
+            for tok in _TOKEN_RE.findall(text or ""):
+                r = kw_rank.get(tok)
+                if r is not None:
+                    counts[r] += 1
+            best = max(range(len(counts)), key=lambda i: (counts[i], -i))
+            ids.append(int(doc_id))
+            if counts[best] == 0:
+                topics.append("none")
+                hits.append(0)
+            else:
+                topics.append(names[best])
+                hits.append(counts[best])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "topic": pa.array(topics, pa.string()),
+                "n_hits": pa.array(hits, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return read_documents(sf_dir).map_batches(_classify, batch_format="pyarrow")

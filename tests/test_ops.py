@@ -2954,3 +2954,93 @@ def test_quality_classifier_scores_match_manual(ray_session, tmp_path):
         assert out[d]["n_grams"] == n
         assert out[d]["score"] == s
         assert out[d]["keep"] == (1 if s > 0 else 0)
+
+
+def test_dsir_resample_matches_manual_rule(ray_session, tmp_path):
+    """dsir_resample == the frozen Bernoulli rule applied to
+    dsir_weights' output: keep iff weight_bits >= 0 or the
+    md5('dsir:'+doc_id) coin lands 0 mod 2^-weight_bits; p_log2 =
+    min(weight_bits, 0). The corpus is built so both weight signs
+    occur (coin branch exercised, not just the always-keep path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.text_analysis import (
+        DSIR_MAX_DROP_BITS,
+        dsir_resample,
+        dsir_weights,
+    )
+
+    good = "the data and pipeline of tokens " + " ".join(
+        f"clean{i} words the and of" for i in range(12)
+    )
+    bad = "zzz buy spam now extra junk words here"
+    texts = [good] * 4 + [bad] * 6
+    sf = tmp_path / "dsirres"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    weights = {r["doc_id"]: r["weight_bits"] for r in dsir_weights(str(sf)).take_all()}
+    assert any(w < 0 for w in weights.values()), "corpus must produce negative weights"
+    assert any(w >= 0 for w in weights.values())
+
+    def manual_keep(doc_id: int, wb: int) -> bool:
+        if wb >= 0:
+            return True
+        if wb < -DSIR_MAX_DROP_BITS:
+            return False
+        return int(_hash64(f"dsir:{doc_id}")) % (1 << -wb) == 0
+
+    expect = {d: wb for d, wb in weights.items() if manual_keep(d, wb)}
+    got = {r["doc_id"]: r for r in dsir_resample(str(sf)).take_all()}
+    assert set(got) == set(expect)
+    for d, r in got.items():
+        assert r["weight_bits"] == expect[d]
+        assert r["p_log2"] == min(expect[d], 0)
+
+
+def test_topic_classify_known_answers(ray_session, tmp_path):
+    """Engineered docs hit each branch: clear winner, occurrence
+    weighting, rank tie-break (storage beats relational on a 1-1 tie),
+    zero hits -> 'none', empty text -> 'none'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import topic_classify
+
+    texts = [
+        "scan column table extras",       # storage 3
+        "stream stream fast",             # streaming 2 > tuning 1
+        "join scan",                      # 1-1 tie -> storage (rank 0)
+        "totally unrelated words xyz",    # none
+        "",                               # none (no tokens)
+        "join merge group agg row",       # relational 4 > storage 1
+    ]
+    sf = tmp_path / "topics"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {r["doc_id"]: (r["topic"], r["n_hits"]) for r in topic_classify(str(sf)).take_all()}
+    assert got == {
+        0: ("storage", 3),
+        1: ("streaming", 2),
+        2: ("storage", 1),
+        3: ("none", 0),
+        4: ("none", 0),
+        5: ("relational", 4),
+    }
