@@ -3,6 +3,7 @@
     python -m smart_ocr_ray.cli extract --input DIR_OR_FILE --output DIR \\
         [--partitions 8] [--multi-extractor] [--resume/--no-resume]
     python -m smart_ocr_ray.cli score --extracted DIR --golden FILE
+    python -m smart_ocr_ray.cli convert --input WARC_DIR --output DIR
     python -m smart_ocr_ray.cli fixtures --rows 1000 --output FILE
 
 Owns the Ray session (guarded init, per the repo's session contract);
@@ -77,6 +78,20 @@ def cmd_score(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_convert(args: argparse.Namespace) -> int:
+    """WARC shards → pages Parquet (the ingest step ahead of
+    ``extract``): one parse task per shard, written as one parquet
+    file per output block so downstream readers keep the
+    file-per-block parallelism unit."""
+    _ensure_ray(args.num_cpus)
+    from .sources.warc import read_warc
+
+    ds = read_warc(args.input)
+    ds.write_parquet(args.output)
+    print(json.dumps({"out": args.output}))
+    return 0
+
+
 def cmd_fixtures(args: argparse.Namespace) -> int:
     import pyarrow.parquet as pq
 
@@ -105,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--extracted", required=True)
     p.add_argument("--golden", required=True)
     p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("convert", help="WARC shards -> pages parquet")
+    p.add_argument("--input", required=True, help="warc file(s) or directory")
+    p.add_argument("--output", required=True, help="parquet output directory")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("fixtures", help="generate a synthetic pages table")
     p.add_argument("--rows", type=int, default=1000)
