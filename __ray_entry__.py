@@ -682,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
         "events_topk_per_hour": relational.events_topk_per_hour,
+        "item_cooccurrence": relational.item_cooccurrence,
         "top_users_by_value": relational.top_users_by_value,
         "supplier_part_counts": relational.supplier_part_counts,
         # --- multimodal plumbing ---
@@ -3284,6 +3285,31 @@ def oracle_sql() -> dict[str, str]:
             FROM contrib GROUP BY doc_id, dl
             HAVING sum(part) > 0
             ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+        """,
+        "item_cooccurrence": """
+            -- Bipartite user->item projection with the cap-20 hot-user
+            -- guard (ops/relational.item_cooccurrence): distinct
+            -- (user, item) edges (item = props $.k), each user's 20
+            -- smallest items, pair count = distinct shared users >= 3.
+            WITH ui AS (
+              SELECT DISTINCT user_id,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS item
+              FROM events
+              WHERE json_extract(props, '$.k') IS NOT NULL
+            ), capped AS (
+              SELECT user_id, item FROM (
+                SELECT user_id, item,
+                       row_number() OVER (
+                         PARTITION BY user_id ORDER BY item
+                       ) AS rn
+                FROM ui) WHERE rn <= 20
+            ), p AS (
+              SELECT a.item AS item_a, b.item AS item_b
+              FROM capped a JOIN capped b
+                ON a.user_id = b.user_id AND a.item < b.item
+            )
+            SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY item_a, item_b HAVING count(*) >= 3
         """,
         "events_topk_per_hour": """
             WITH r AS (

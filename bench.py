@@ -221,6 +221,7 @@ def run_bench() -> dict:
         timed("quality_classifier", text_analysis.quality_classifier)
         timed("dsir_resample", text_analysis.dsir_resample)
         timed("topic_classify", text_analysis.topic_classify)
+        timed("item_cooccurrence", relational.item_cooccurrence)
 
     ray.shutdown()
 

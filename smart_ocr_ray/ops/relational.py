@@ -747,3 +747,103 @@ def events_topk_per_hour(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         "window_start",
         _final,
     ).sort(["window_start", "rnk"])
+
+
+def item_cooccurrence(
+    sf_dir: str, cap: int = 20, min_users: int = 3
+) -> ray.data.Dataset:
+    """Item co-occurrence via bipartite projection — the "users who
+    touched item i also touched item j" primitive behind co-visitation
+    recommenders and query-log mining (Amazon item-to-item CF, Linden
+    et al. 2003): project the user→item bipartite graph onto item
+    pairs weighted by the number of distinct users sharing them.
+
+    Items come from the events table's ``props`` JSON (``$.k`` — the
+    op's JSON-scalar-extraction step, matching DuckDB ``json_extract``
+    exactly on integer payloads).
+
+    The scale hazard of this op is the HOT USER: pair output grows
+    quadratically in a user's item count, and one crawler/bot account
+    with 10^5 items would emit 5×10^9 pairs. The frozen guard is the
+    standard production fix: each user contributes only their ``cap``
+    (20) smallest distinct items (deterministic, content-stable — not
+    a random sample), bounding every user at cap·(cap−1)/2 = 190
+    pairs.
+
+    Output: (item_a, item_b, n_users) for item_a < item_b with
+    n_users >= ``min_users`` — ordered pairs, distinct-user counts.
+
+    Scale shape: one map pass parses items and dedups (user, item)
+    in-block; ``groupby(user_id)`` co-locates each user (shuffle moves
+    the deduped bipartite edges, never raw events); per-user pair
+    explosion is cap-bounded; pair counting is a ``reduce_by_keys``
+    sort over O(users · cap²/2) compact int rows.
+    """
+    import json
+
+    import numpy as np
+
+    from .grouped import map_key_groups, reduce_by_keys
+
+    events = _read(sf_dir, "events", columns=["user_id", "props"])
+
+    ui_schema = pa.schema([("user_id", pa.int64()), ("item", pa.int64())])
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_pylist()
+        items = []
+        keep_users = []
+        for u, p in zip(users, batch.column("props").to_pylist()):
+            try:
+                k = json.loads(p or "{}").get("k")
+            except ValueError:
+                k = None
+            if k is not None:
+                keep_users.append(int(u))
+                items.append(int(k))
+        if not items:
+            return ui_schema.empty_table()
+        # in-block dedup of (user, item): shrinks the shuffle to the
+        # distinct bipartite edges this block contributes
+        arr = np.unique(
+            np.stack(
+                [np.asarray(keep_users, np.int64), np.asarray(items, np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.Table.from_pydict(
+            {"user_id": pa.array(arr[:, 0]), "item": pa.array(arr[:, 1])},
+            schema=ui_schema,
+        )
+
+    pair_schema = pa.schema([("item_a", pa.int64()), ("item_b", pa.int64())])
+
+    def _user_pairs(group: pa.Table) -> pa.Table:
+        items = np.unique(
+            np.asarray(group.column("item").to_pylist(), np.int64)
+        )[:cap]
+        m = len(items)
+        if m < 2:
+            return pair_schema.empty_table()
+        ia, ib = np.triu_indices(m, k=1)
+        return pa.Table.from_pydict(
+            {"item_a": pa.array(items[ia]), "item_b": pa.array(items[ib])},
+            schema=pair_schema,
+        )
+
+    pairs = map_key_groups(
+        events.map_batches(_parse, batch_format="pyarrow"),
+        "user_id",
+        _user_pairs,
+        min_group_size=2,
+    )
+    counted = reduce_by_keys(
+        pairs, ["item_a", "item_b"], None, how="count", out="n_users"
+    )
+    import pyarrow.compute as _pc
+
+    def _filter_min(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.greater_equal(batch.column("n_users"), min_users))
+
+    return counted.map_batches(_filter_min, batch_format="pyarrow")

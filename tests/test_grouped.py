@@ -183,3 +183,72 @@ def test_max_by_keys_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     assert out.equals(exp)
+
+
+def test_item_cooccurrence_cap_and_threshold(ray_session, tmp_path):
+    """Hot-user guard: a user with more than `cap` items contributes
+    only the cap smallest, so pairs involving capped-out items never
+    appear; n_users counts DISTINCT users (duplicate events collapse);
+    pairs under min_users are dropped."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import item_cooccurrence
+
+    rows = []
+    eid = 0
+
+    def ev(user, item, times=1):
+        nonlocal eid
+        for _ in range(times):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": 1_700_000_000_000_000 + eid,
+                    "user_id": user,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": json.dumps({"k": item}),
+                }
+            )
+            eid += 1
+
+    # users 1..3 share items (10, 11) — above the threshold; user 3
+    # hits item 10 five times (distinct-user count must stay 3).
+    for u in (1, 2, 3):
+        ev(u, 10)
+        ev(u, 11)
+    ev(3, 10, times=4)
+    # users 1 and 2 also share (10, 12): only 2 users -> dropped at 3.
+    ev(1, 12)
+    ev(2, 12)
+    # hot user 9: items 0..4 (cap=3 keeps 0,1,2) — pairs with 3 or 4
+    # must not exist anywhere.
+    for it in range(5):
+        ev(9, it)
+
+    sf = tmp_path / "cooc"; sf.mkdir()
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        t.column("ts").cast(pa.timestamp("us")),
+    )
+    pq.write_table(t, sf / "events.parquet")
+
+    got = {
+        (r["item_a"], r["item_b"]): r["n_users"]
+        for r in item_cooccurrence(str(sf), cap=3, min_users=3).take_all()
+    }
+    assert got == {(10, 11): 3}
+
+    # min_users=1 exposes the hot user's capped pairs exactly
+    got1 = {
+        (r["item_a"], r["item_b"]): r["n_users"]
+        for r in item_cooccurrence(str(sf), cap=3, min_users=1).take_all()
+    }
+    assert (0, 1) in got1 and (1, 2) in got1 and (0, 2) in got1
+    assert not any(3 in p or 4 in p for p in got1)
+    assert got1[(10, 12)] == 2
