@@ -14,8 +14,8 @@ stage. ``read_warc`` is that stage as a Ray Data source:
     WARC files fanning out to ~100k parse tasks with no coordination;
   * each task parses its shard's records with a Content-Length walk
     (never a byte-pattern split — payloads may contain the record
-    magic) and emits pages-schema rows; payload bytes are sliced
-    zero-copy from the shard buffer into the Arrow binary column;
+    magic) and emits pages-schema rows; each payload is sliced once
+    from the shard buffer into the Arrow binary column;
   * output schema == ``fixtures.SCHEMA`` (url, warc_ts, html, text,
     lang) with ``text``/``lang`` empty — a WARC response record carries
     only the raw payload; text IS what the extract pipeline derives, so
