@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph": similarity.embedding_knn_graph,
         "embedding_kmeans": similarity.embedding_kmeans,
         "semdedup_sample": similarity.semdedup_sample,
+        "embedding_outliers": similarity.embedding_outliers,
         "pq_encode": similarity.pq_encode,
         "pq_search": similarity.pq_search,
         "lsh_recall_eval": similarity.lsh_recall_eval,
@@ -1856,6 +1857,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster, rnk, vec_id, cos_sim_e6
             FROM ranked WHERE rnk <= 10
+        """,
+        # embedding_outliers: kmeans labeling + bounded per-cluster
+        # histogram cutoff (smallest sim with cum*100 >= q*n, q=10);
+        # outlier = strictly below the cutoff (boundary ties kept) —
+        # identical integer rule to the Ray side's driver walk.
+        "embedding_outliers": "WITH " + _kmeans_sql() + """,
+            labeled AS (
+              SELECT vec_id, ci AS cluster,
+                     CAST(floor(sim * 1000000) AS BIGINT) AS cos_sim_e6
+              FROM klabel WHERE rn = 1
+            ),
+            ohist AS (
+              SELECT cluster, cos_sim_e6, count(*) AS c
+              FROM labeled GROUP BY cluster, cos_sim_e6
+            ),
+            ocum AS (
+              SELECT cluster, cos_sim_e6,
+                     sum(c) OVER (PARTITION BY cluster
+                                  ORDER BY cos_sim_e6) AS cum_c,
+                     sum(c) OVER (PARTITION BY cluster) AS n
+              FROM ohist
+            ),
+            ocuts AS (
+              SELECT cluster, min(cos_sim_e6) AS cutoff
+              FROM ocum WHERE cum_c * 100 >= 10 * n GROUP BY cluster
+            )
+            SELECT l.vec_id, l.cluster, l.cos_sim_e6,
+                   l.cos_sim_e6 < c.cutoff AS outlier
+            FROM labeled l JOIN ocuts c ON c.cluster = l.cluster
         """,
         "embedding_neardup_clusters": "WITH RECURSIVE " + _hyperplane_lsh_sql() + """,
             p2 AS (SELECT left_id, right_id FROM lsh_pairs WHERE cos_sim_e3 >= 450),

@@ -825,6 +825,96 @@ def semdedup_sample(sf_dir: str, m: int = 10) -> ray.data.Dataset:
     return map_key_groups(partial, "cluster", lambda g: _topm(g, ranked=True))
 
 
+def embedding_outliers(
+    sf_dir: str, q: int = 10, k: int = 8, n_iter: int = 2
+) -> ray.data.Dataset:
+    """Per-cluster embedding-space outlier flagging — the prototype /
+    noise split curation pipelines run AFTER clustering (the
+    complement of ``semdedup_sample``'s most-central top-m): vectors in
+    the bottom tail of their k-means cluster's centroid-similarity
+    distribution are flagged as outliers (candidate noise / off-topic
+    docs to drop or down-weight). SemDeDup-adjacent (Abbas et al.
+    2023); the reference has no embedding ops — novel scale operator
+    per SURVEY §2 'beyond the reference'.
+
+    Output: (vec_id, cluster, cos_sim_e6, outlier) for EVERY vector.
+
+    Cutoff rule (integer grid, shared verbatim with the SQL oracle and
+    the same percentile convention as ``ccnet_buckets`` /
+    ``doc_length_quantiles``): within a cluster of n vectors, the
+    cutoff is the smallest ``cos_sim_e6`` value v with
+    ``cum_count(v) * 100 >= q * n``; ``outlier = cos_sim_e6 < cutoff``
+    — boundary ties are KEPT, so strictly less than q% of a cluster is
+    ever flagged. Degenerate zero-norm vectors carry the −2e6 sentinel
+    similarity and land in the flagged tail whenever their cluster has
+    enough healthy mass.
+
+    Scale shape: the kmeans labeling (3 int64s per vector — tiny next
+    to the embedding corpus) is materialized once so the Lloyd chain
+    runs exactly once for both passes; cutoffs come from a bounded
+    ``groupby(cluster, cos_sim_e6)`` HISTOGRAM (≤ k × the 2e6-value
+    sim grid rows, independent of corpus size — same argument as
+    ``doc_length_quantiles``); the flag pass is one streaming
+    ``map_batches`` with the k cutoffs broadcast via ``ray.put``. The
+    corpus is never shuffled and no per-cluster sort ever runs.
+    """
+    if not 0 < q <= 100:
+        raise ValueError("q must be in (0, 100]")
+
+    labeled = embedding_kmeans(sf_dir, k=k, n_iter=n_iter).materialize()
+
+    hist = (
+        labeled.groupby(["cluster", "cos_sim_e6"])
+        .count()
+        .sort(["cluster", "cos_sim_e6"])
+        .take_all()
+    )
+    totals: dict[int, int] = {}
+    for r in hist:
+        totals[r["cluster"]] = totals.get(r["cluster"], 0) + r["count()"]
+    cuts: dict[int, int] = {}
+    cum: dict[int, int] = {}
+    for r in hist:
+        ci, v = int(r["cluster"]), int(r["cos_sim_e6"])
+        c = cum.get(ci, 0) + r["count()"]
+        cum[ci] = c
+        if ci not in cuts and c * 100 >= q * totals[ci]:
+            cuts[ci] = v
+
+    cuts_ref = ray.put(cuts)
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int64()),
+            ("cos_sim_e6", pa.int64()),
+            ("outlier", pa.bool_()),
+        ]
+    )
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cut = ray.get(cuts_ref)
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False)
+        sim = batch.column("cos_sim_e6").to_numpy(zero_copy_only=False)
+        # Dense lookup: cluster ids are 0..k-1 from embedding_kmeans.
+        lut = np.full(int(cl.max()) + 1 if len(cl) else 1, np.iinfo(np.int64).min)
+        for ci, v in cut.items():
+            if ci < len(lut):
+                lut[ci] = v
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "cluster": batch.column("cluster").cast(pa.int64()),
+                "cos_sim_e6": batch.column("cos_sim_e6").cast(pa.int64()),
+                "outlier": pa.array(sim < lut[cl], pa.bool_()),
+            },
+            schema=out_schema,
+        )
+
+    return labeled.map_batches(_flag, batch_format="pyarrow")
+
+
 def cluster_quality(sf_dir: str) -> ray.data.Dataset:
     """Per-semantic-cluster text-quality rollup — the cross-modal
     curation signal (SemDeDup/DataComp-style pipelines drop or

@@ -1610,6 +1610,111 @@ def test_semdedup_sample_contract(ray_session):
         assert rows[0]["vec_id"] == best[0]
 
 
+def test_embedding_outliers_manual_rule_identity(ray_session):
+    """Outlier flags over the real sf0.001 corpus equal the percentile
+    rule computed by hand from the kmeans labeling: per cluster,
+    cutoff = smallest cos_sim_e6 with cum*100 >= q*n, outlier iff
+    strictly below — so boundary ties are kept and strictly less than
+    q% of any cluster is flagged."""
+    from smart_ocr_ray.ops.similarity import embedding_kmeans, embedding_outliers
+
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r["vec_id"]: (r["cluster"], r["cos_sim_e6"])
+        for r in embedding_kmeans(sf).take_all()
+    }
+    q = 10
+    by_cluster: dict[int, list[int]] = {}
+    for cl, sim in labels.values():
+        by_cluster.setdefault(cl, []).append(sim)
+    cuts = {}
+    for cl, sims in by_cluster.items():
+        sims.sort()
+        n = len(sims)
+        cum = 0
+        seen = 0
+        for v in sims:
+            seen += 1
+            if seen * 100 >= q * n:
+                cuts[cl] = v
+                break
+
+    rows = embedding_outliers(sf, q=q).take_all()
+    assert len(rows) == len(labels)
+    flagged = {cl: 0 for cl in by_cluster}
+    for r in rows:
+        cl, sim = labels[r["vec_id"]]
+        assert (r["cluster"], r["cos_sim_e6"]) == (cl, sim)
+        assert r["outlier"] == (sim < cuts[cl])
+        flagged[cl] += bool(r["outlier"])
+    # Strictly-below rule: always under q% per cluster; and the corpus
+    # must exercise BOTH branches somewhere.
+    for cl, n_flag in flagged.items():
+        assert n_flag * 100 < q * len(by_cluster[cl])
+    assert any(flagged.values())
+    assert any(n_flag < len(by_cluster[cl]) for cl, n_flag in flagged.items())
+
+
+def test_embedding_outliers_engineered_tail(ray_session, tmp_path):
+    """A tight direction group plus three deliberately off-axis vectors
+    (same cluster, much lower centroid similarity): with q sized to the
+    tail the off-axis vectors are exactly the flagged set; q=100 flags
+    nothing anywhere (cutoff = max value, nothing strictly below it is
+    past the boundary-tie rule only when all sims equal — here the tail
+    IS below, so q=100's cutoff is the max sim and the tail stays
+    flagged; the no-flag invariant instead holds for a cluster whose
+    sims are all identical)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import embedding_outliers
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    a = np.zeros(dim); a[0] = 1.0
+    b = np.zeros(dim); b[1] = 1.0
+    vecs = [a, b]  # seeds for k=2
+    for _ in range(28):
+        v = a + 0.02 * rng.standard_normal(dim)
+        vecs.append(v / np.linalg.norm(v))
+    # Three off-axis members: closer to a than b, but far off the mean.
+    off = []
+    for i in range(3):
+        v = a + 0.9 * b + 0.01 * i * np.ones(dim)
+        off.append(len(vecs))
+        vecs.append(v / np.linalg.norm(v))
+    # An exact-duplicate pile on b: all sims in that cluster identical.
+    for _ in range(10):
+        vecs.append(b.copy())
+
+    sf = tmp_path / "outsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }),
+        sf / "embeddings.parquet",
+    )
+
+    rows = embedding_outliers(str(sf), q=12, k=2).take_all()
+
+    by_id = {r["vec_id"]: r for r in rows}
+    a_cluster = by_id[0]["cluster"]
+    # The off-axis trio shares cluster a and is exactly the flagged set
+    # there (3 of 32 a-side members ⇒ 9.4% < q=12% ≤ next value's cum).
+    a_members = [r for r in rows if r["cluster"] == a_cluster]
+    flagged = sorted(r["vec_id"] for r in a_members if r["outlier"])
+    assert flagged == sorted(off)
+    # The identical-duplicate cluster can never flag anything: the
+    # cutoff is the shared value and nothing is strictly below it.
+    b_members = [r for r in rows if r["cluster"] != a_cluster]
+    assert b_members and not any(r["outlier"] for r in b_members)
+
+
 def test_token_packing_distributed_prefix_sum(ray_session, tmp_path):
     """Concat-and-chunk packing: global prefix sums are exact across
     bucket boundaries (bucket=3 forces multi-bucket offsets), empty
