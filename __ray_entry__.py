@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "sessionize_events": relational.sessionize_events,
+        "events_running_total": relational.events_running_total,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
@@ -2854,6 +2855,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_value_e2
             FROM sessions GROUP BY user_id, session_seq
+        """,
+        "events_running_total": """
+            -- Inclusive per-user prefix sums on the 1e-2 integer grid
+            -- under the deterministic (ts, event_id) total order —
+            -- identical tie-break to the Ray side's lexsort.
+            SELECT user_id, event_id, ts,
+                   row_number() OVER w AS seq,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "events_asof_join": """
             -- Native DuckDB ASOF JOIN over the same deduped-rights

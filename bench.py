@@ -222,6 +222,8 @@ def run_bench() -> dict:
         timed("dsir_resample", text_analysis.dsir_resample)
         timed("topic_classify", text_analysis.topic_classify)
         timed("item_cooccurrence", relational.item_cooccurrence)
+        timed("embedding_outliers", similarity.embedding_outliers)
+        timed("events_running_total", relational.events_running_total)
 
     ray.shutdown()
 

@@ -847,3 +847,75 @@ def item_cooccurrence(
         return batch.filter(_pc.greater_equal(batch.column("n_users"), min_users))
 
     return counted.map_batches(_filter_min, batch_format="pyarrow")
+
+
+def events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-user ORDERED running aggregate over the event stream — the
+    cumulative-window primitive (SQL ``SUM(...) OVER (PARTITION BY user
+    ORDER BY ts)``) that lifetime-value, rate-limit and
+    per-user-progress features need; completes the window family next
+    to tumbling/sliding/session/as-of/range (reference has no stream
+    ops — novel per SURVEY §2.11).
+
+    Output per event: (user_id, event_id, ts, seq, cum_value_e2) with
+    seq = 1-based position and cum_value_e2 = inclusive prefix sum of
+    the event's 1e-2-grid value, both under the deterministic total
+    order (ts asc, event_id asc) — the tie-break makes the prefix sums
+    engine-independent when timestamps collide.
+
+    Scale shape: ``groupby(user_id)`` is the one unavoidable all-to-all
+    (same key as sessionize — a pipeline computing both reuses the
+    partitioning); inside a group the prefix sum is one numpy argsort +
+    cumsum on exact int64, no Python loop, no driver contact. A single
+    user's history must fit one worker heap (same contract as
+    sessionize); if one key ever outgrows that, the two-level
+    prefix-sum pattern (`token_packing`) applies per user.
+    """
+    events = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("seq", pa.int64()),
+            ("cum_value_e2", pa.int64()),
+        ]
+    )
+
+    def _running(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        group = group.combine_chunks()
+        ts = group.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        # One user per map_groups group, but sort carries uid anyway so
+        # the kernel is safe under any grouping.
+        order = np.lexsort((eid, ts.astype("datetime64[us]").astype(np.int64), uid))
+        v_e2 = np.round(val[order] * 100.0).astype(np.int64)
+        # Per-uid restart of seq/cumsum (uid is constant in practice).
+        u_sorted = uid[order]
+        starts = np.flatnonzero(np.r_[True, u_sorted[1:] != u_sorted[:-1]])
+        seq = np.arange(1, len(order) + 1, dtype=np.int64)
+        cum = np.cumsum(v_e2)
+        base_seq = np.repeat(seq[starts] - 1, np.diff(np.r_[starts, len(order)]))
+        base_cum = np.repeat(
+            np.r_[0, cum[starts[1:] - 1]] if len(starts) > 1 else [0],
+            np.diff(np.r_[starts, len(order)]),
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u_sorted, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(ts[order], pa.timestamp("us")),
+                "seq": pa.array(seq - base_seq, pa.int64()),
+                "cum_value_e2": pa.array(cum - base_cum, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return events.groupby("user_id").map_groups(_running, batch_format="pyarrow")

@@ -370,6 +370,51 @@ def test_events_asof_join_semantics(ray_session, tmp_path):
     assert out[7]["matched_event_id"] == 6 and out[7]["gap_us"] == 0
 
 
+def test_events_running_total_semantics(ray_session, tmp_path):
+    """Per-user running totals: inclusive prefix sums on the 1e-2 grid
+    under (ts, event_id) order — equal-ts rows ordered by event_id,
+    seq restarts per user, negatives sum exactly."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_running_total
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # (event_id, ts_offset_s, user, value)
+        (5, 10, 7, 1.25),
+        (2, 10, 7, 0.50),   # same ts as event 5 — event_id breaks the tie
+        (9, 0, 7, -2.00),   # earliest despite the largest value
+        (1, 0, 8, 0.01),
+        (3, 60, 8, 0.02),
+    ]
+    sf = tmp_path / "runsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    got = {r["event_id"]: r for r in events_running_total(str(sf)).take_all()}
+    assert len(got) == len(rows)
+    # user 7 order: 9 (ts=0), then ts=10 ties → 2 before 5.
+    assert [(got[e]["seq"], got[e]["cum_value_e2"]) for e in (9, 2, 5)] == [
+        (1, -200), (2, -150), (3, -25)
+    ]
+    assert [(got[e]["seq"], got[e]["cum_value_e2"]) for e in (1, 3)] == [
+        (1, 1), (2, 3)
+    ]
+    for eid, r in got.items():
+        assert r["user_id"] == {5: 7, 2: 7, 9: 7, 1: 8, 3: 8}[eid]
+
+
 def test_events_range_join_semantics(ray_session, tmp_path):
     """Range join: every purchase strictly after an error within the
     window, across users; window end inclusive; bucket-boundary pairs
