@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "sessionize_events": relational.sessionize_events,
         "events_running_total": relational.events_running_total,
+        "events_funnel": relational.events_funnel,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
@@ -2867,6 +2868,39 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e2
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_funnel": """
+            -- Chained min-ts funnel: t_k = min ts of a step-k event at
+            -- or after t_(k-1); n_users(step) = users reaching depth k.
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'view' AND e.ts >= s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts >= s2.t
+              GROUP BY e.user_id
+            ),
+            s4 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s3 ON s3.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s3.t
+              GROUP BY e.user_id
+            )
+            SELECT * FROM (
+              SELECT 1 AS step, 'signup' AS event_type,
+                     (SELECT count(*) FROM s1) AS n_users
+              UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+              UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+              UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+            ) ORDER BY step
         """,
         "events_asof_join": """
             -- Native DuckDB ASOF JOIN over the same deduped-rights

@@ -919,3 +919,94 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
         )
 
     return events.groupby("user_id").map_groups(_running, batch_format="pyarrow")
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Funnel analysis over the event stream — how many users progress
+    through signup → view → click → purchase, the sequential-pattern
+    primitive (product analytics' "funnel", a chained as-of semantics
+    none of the other window ops express). Reference has no stream ops
+    — novel per SURVEY §2.11.
+
+    Chaining rule (frozen, mirrored by the SQL oracle): per user,
+    t1 = min ts of a 'signup' event; t_k = min ts of a step-k event
+    with ts >= t_(k-1) (same-instant progression counts, matching
+    the as-of join's <= convention). A user's funnel depth is the
+    largest k with t_k defined. Output: one row per step,
+    (step, event_type, n_users) where n_users = users with
+    depth >= step — exact integers, monotonically non-increasing.
+
+    Scale shape: ``groupby(user_id)`` is the one all-to-all (the same
+    key sessionize / running totals shuffle on); the per-user kernel
+    emits ONE depth row, reduced by a ≤(n_steps+1)-row histogram
+    groupby — the driver folds 4 ints. No corpus materialization.
+    """
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    depth_schema = pa.schema([("user_id", pa.int64()), ("depth", pa.int64())])
+
+    def _depth(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return depth_schema.empty_table()
+        group = group.combine_chunks()
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        et = np.asarray(group.column("event_type").to_pylist())
+        out_u, out_d = [], []
+        # One user per map_groups group in practice; defensive loop as
+        # in sessionize_events.
+        for u in np.unique(uid):
+            mine = uid == u
+            per_step = [np.sort(ts[mine & (et == s)]) for s in FUNNEL_STEPS]
+            t = np.iinfo(np.int64).min
+            depth = 0
+            for arr in per_step:
+                i = np.searchsorted(arr, t, side="left")
+                if i >= len(arr):
+                    break
+                t = arr[i]
+                depth += 1
+            out_u.append(int(u))
+            out_d.append(depth)
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "depth": pa.array(out_d, pa.int64()),
+            },
+            schema=depth_schema,
+        )
+
+    hist = (
+        events.groupby("user_id")
+        .map_groups(_depth, batch_format="pyarrow")
+        .groupby("depth")
+        .count()
+        .take_all()
+    )  # bounded: <= n_steps + 1 rows
+    by_depth = {int(r["depth"]): int(r["count()"]) for r in hist}
+    out_schema = pa.schema(
+        [("step", pa.int64()), ("event_type", pa.string()), ("n_users", pa.int64())]
+    )
+    steps = list(range(1, len(FUNNEL_STEPS) + 1))
+    n_users = [
+        sum(c for d, c in by_depth.items() if d >= k) for k in steps
+    ]
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "step": pa.array(steps, pa.int64()),
+                "event_type": pa.array(list(FUNNEL_STEPS), pa.string()),
+                "n_users": pa.array(n_users, pa.int64()),
+            },
+            schema=out_schema,
+        )
+    )

@@ -415,6 +415,52 @@ def test_events_running_total_semantics(ray_session, tmp_path):
         assert r["user_id"] == {5: 7, 2: 7, 9: 7, 1: 8, 3: 8}[eid]
 
 
+def test_events_funnel_chaining(ray_session, tmp_path):
+    """Funnel depth rule: chained min-ts with >= (same-instant events
+    progress), later-step events BEFORE the reached step don't count,
+    missing first step excludes the user entirely."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user A: full path incl. a same-ts view→click hop → depth 4
+        (1, "signup", 0), (1, "view", 5), (1, "click", 5), (1, "purchase", 10),
+        # user B: view BEFORE the signup only → depth 1
+        (2, "view", 5), (2, "signup", 10),
+        # user C: signup then view → depth 2
+        (3, "signup", 0), (3, "view", 15),
+        # user D: no signup at all → depth 0, counted nowhere
+        (4, "view", 0), (4, "click", 1), (4, "purchase", 2),
+        # user E: all four at the same instant → depth 4
+        (5, "signup", 100), (5, "view", 100), (5, "click", 100),
+        (5, "purchase", 100),
+        # user F: click predates the chained view min (t2=20) → depth 2
+        (6, "signup", 0), (6, "click", 10), (6, "view", 20),
+    ]
+    sf = tmp_path / "funsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=r[2]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    out = {r["step"]: r for r in events_funnel(str(sf)).take_all()}
+    assert [out[s]["event_type"] for s in (1, 2, 3, 4)] == [
+        "signup", "view", "click", "purchase"
+    ]
+    assert [out[s]["n_users"] for s in (1, 2, 3, 4)] == [5, 4, 2, 2]
+
+
 def test_events_range_join_semantics(ray_session, tmp_path):
     """Range join: every purchase strictly after an error within the
     window, across users; window end inclusive; bucket-boundary pairs
