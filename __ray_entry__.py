@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": relational.sessionize_events,
         "events_running_total": relational.events_running_total,
         "events_funnel": relational.events_funnel,
+        "events_retention": relational.events_retention,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
@@ -2868,6 +2869,23 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e2
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_retention": """
+            -- Cohort = day of first event (exact int64 floor-division
+            -- days); cell = distinct users of a cohort active at each
+            -- day offset. Integer division only — no float days.
+            WITH a AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id
+            )
+            SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+                   count(*) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY f.cohort_day, a.day - f.cohort_day
         """,
         "events_funnel": """
             -- Chained min-ts funnel: t_k = min ts of a step-k event at

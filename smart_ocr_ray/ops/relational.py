@@ -1010,3 +1010,95 @@ def events_funnel(sf_dir: str) -> ray.data.Dataset:
             schema=out_schema,
         )
     )
+
+
+def events_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention over the event stream — the analytics primitive
+    behind "day-N retention": users are cohorted by the day of their
+    FIRST event; each (cohort_day, day_offset) cell counts the distinct
+    users of that cohort active day_offset days later. Reference has no
+    stream ops — novel per SURVEY §2.11.
+
+    Day arithmetic is exact-integer on both engines:
+    ``day = epoch_us(ts) // 86400000000`` (int64 floor division —
+    never a float), cohort_day = per-user min day, day_offset =
+    day − cohort_day ≥ 0. Output: (cohort_day, day_offset, n_users).
+
+    Scale shape: activity first collapses IN-BLOCK to distinct
+    (user, day) rows (bounded by users × active-days, far under the
+    event count), then one user-keyed ``reduce_by_keys`` min gives
+    cohorts, one hash join attaches them, and the distinct-user cell
+    count is two more ``reduce_by_keys`` sorts — every shuffle moves
+    fixed-width int rows, the raw stream never re-shuffles. The
+    output is bounded by (active days)², independent of event volume.
+    """
+    from ..tuning import join_partitions as _jp
+    from .grouped import reduce_by_keys
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    _DAY_US = 86_400_000_000
+
+    act_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+
+    def _active(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return act_schema.empty_table()
+        batch = batch.combine_chunks()
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        day = np.floor_divide(
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64),
+            _DAY_US,
+        )
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[keep], pa.int64()),
+                "day": pa.array(d[keep], pa.int64()),
+            },
+            schema=act_schema,
+        )
+
+    active = events.map_batches(_active, batch_format="pyarrow")
+    first = reduce_by_keys(active, ["user_id"], "day", how="min", out="cohort_day")
+    jp = _jp()
+    joined = active.repartition(jp).join(first.repartition(jp), "inner", jp,
+                                         on=("user_id",))
+
+    cell_schema = pa.schema(
+        [
+            ("cohort_day", pa.int64()),
+            ("day_offset", pa.int64()),
+            ("user_id", pa.int64()),
+        ]
+    )
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cohort_day" not in batch.column_names:
+            return cell_schema.empty_table()
+        cd = batch.column("cohort_day").to_numpy(zero_copy_only=False)
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "cohort_day": pa.array(cd, pa.int64()),
+                "day_offset": pa.array(d - cd, pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+            },
+            schema=cell_schema,
+        )
+
+    cells = joined.map_batches(_cells, batch_format="pyarrow")
+    # The in-block dedup in _active only thins pairs; a (user, day)
+    # seen in several blocks still has several rows. Global distinct
+    # first, then the cell count.
+    distinct = reduce_by_keys(
+        cells, ["cohort_day", "day_offset", "user_id"], None, how="count", out="_n"
+    )
+    return reduce_by_keys(
+        distinct, ["cohort_day", "day_offset"], None, how="count", out="n_users"
+    )

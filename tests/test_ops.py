@@ -461,6 +461,58 @@ def test_events_funnel_chaining(ray_session, tmp_path):
     assert [out[s]["n_users"] for s in (1, 2, 3, 4)] == [5, 4, 2, 2]
 
 
+def test_events_retention_cohorts(ray_session, tmp_path):
+    """Cohort retention: cohort = day of first event, cells count
+    DISTINCT users — repeated same-day activity collapses even when
+    the repeats live in different input shards (blocks)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_retention
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def _tbl(rows, start_id):
+        return pa.Table.from_pydict({
+            "event_id": pa.array(range(start_id, start_id + len(rows)), pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(days=r[1], seconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        })
+
+    sf = tmp_path / "retsf"; (sf / "events.parquet").mkdir(parents=True)
+    # Shard A: user 1 on days 0 (twice), 1, 5; user 3 on day 0.
+    pq.write_table(
+        _tbl([(1, 0, 10), (1, 0, 60), (1, 1, 0), (1, 5, 0), (3, 0, 0)], 0),
+        sf / "events.parquet" / "a.parquet",
+    )
+    # Shard B: user 1 AGAIN on day 0 (cross-block duplicate), user 2
+    # cohorted at day 1, user 3 on day 1.
+    pq.write_table(
+        _tbl([(1, 0, 99), (2, 1, 0), (2, 2, 0), (3, 1, 0)], 100),
+        sf / "events.parquet" / "b.parquet",
+    )
+
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in events_retention(str(sf)).take_all()
+    }
+    d0 = (t0 - dt.datetime(1970, 1, 1)).days
+    assert got == {
+        (d0, 0): 2,      # users 1 and 3 — day-0 repeats collapsed
+        (d0, 1): 2,      # both active the next day
+        (d0, 5): 1,      # only user 1
+        (d0 + 1, 0): 1,  # user 2's own cohort
+        (d0 + 1, 1): 1,
+    }
+
+
 def test_events_range_join_semantics(ray_session, tmp_path):
     """Range join: every purchase strictly after an error within the
     window, across users; window end inclusive; bucket-boundary pairs
