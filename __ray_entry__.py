@@ -334,6 +334,13 @@ def _q_link_pagerank(sf_dir: str):
     return link_pagerank(_pages_path(sf_dir))
 
 
+def _q_link_components(sf_dir: str):
+    """Connected components of the undirected page link graph."""
+    from smart_ocr_ray.ops.links import link_components
+
+    return link_components(_pages_path(sf_dir))
+
+
 def _q_anchor_texts(sf_dir: str):
     """Incoming anchor-text term counts per target page."""
     from smart_ocr_ray.ops.links import anchor_texts
@@ -629,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": text_analysis.quality_classifier,
         "link_graph": _q_link_graph,
         "link_pagerank": _q_link_pagerank,
+        "link_components": _q_link_components,
         "anchor_texts": _q_anchor_texts,
         "hll_registers": text_analysis.hll_registers,
         "cms_heavy_hitters": text_analysis.cms_heavy_hitters,
@@ -1450,6 +1458,38 @@ def _link_pagerank_sql(n_iter: int = 3) -> str:
     )
 
 
+def _link_components_sql() -> str:
+    """Oracle for ``link_components``: regexp link harvest → int64 ids
+    (same md5 rule as the pagerank oracle) → undirected min-label
+    components via a recursive CTE; singleton pages coalesce to their
+    own id through the left join."""
+    return f"""
+        WITH RECURSIVE {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS vec_id
+          FROM h
+        ), edges AS (
+          SELECT si.vec_id AS src, di.vec_id AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+        ), und AS (
+          SELECT src AS node, dst AS peer FROM edges
+          UNION SELECT dst, src FROM edges
+        ), reach(node, label) AS (
+          SELECT node, node FROM (SELECT DISTINCT node FROM und)
+          UNION
+          SELECT u.node, r.label FROM und u JOIN reach r ON r.node = u.peer
+        ), comp AS (
+          SELECT node, min(label) AS component_id FROM reach GROUP BY node
+        )
+        SELECT i.url,
+               CAST(coalesce(c.component_id, i.vec_id) AS BIGINT)
+                 AS component_id
+        FROM ids i LEFT JOIN comp c ON i.vec_id = c.node
+    """
+
+
 def _anchor_texts_sql() -> str:
     """Oracle for ``anchor_texts``: aligned (href, inner-text) pairs
     from flat anchors via two grouped regexp extractions zipped
@@ -1766,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["multimodal_frames"] = _frames_oracle_sql()
         corpus_dependent["link_graph"] = _link_graph_oracle_sql()
         corpus_dependent["link_pagerank"] = _link_pagerank_sql()
+        corpus_dependent["link_components"] = _link_components_sql()
         corpus_dependent["anchor_texts"] = _anchor_texts_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys

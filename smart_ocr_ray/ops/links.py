@@ -528,3 +528,124 @@ def anchor_texts(pages_path: str) -> ray.data.Dataset:
         lambda b: _split(b, markers=True), batch_format="pyarrow"
     )
     return counted.join(page_urls.repartition(jp), "inner", jp, on=("url",))
+
+
+def link_components(pages_path: str) -> ray.data.Dataset:
+    """Connected components over the UNDIRECTED page link graph — the
+    canonical webgraph structure measurement (site sections / link
+    islands; the "bow-tie" family of analyses) and the grouping signal
+    site-level curation rules act on. Reference has no link ops —
+    novel per SURVEY §2 'beyond the reference'.
+
+    Nodes are the corpus's html pages under the same int64 id rule as
+    ``link_pagerank`` (``_hash64(url) % 2^63`` ==
+    ``md5_number_lower % 2^63``); edges the resolved internal links
+    whose target exists, taken undirected. Output: (url, component_id)
+    for EVERY html page, component_id = min node id of its component;
+    pages with no qualifying edges are singleton components labeled by
+    their own id.
+
+    Scale shape: one corpus parse (shared ``_parsed_pages`` table);
+    components via ``dedup.cluster_pairs`` — distributed min-label
+    propagation with pointer jumping, O(log diameter) join+groupby
+    rounds over the (src, dst) pair table; singletons re-attach with
+    one left-outer join. Only fixed-width id rows and url strings
+    shuffle; payload bytes die at the parse.
+    """
+    from ..functions.hashing import _hash64
+    from ..tuning import join_partitions as _jp
+    from .dedup import cluster_pairs
+
+    jp = _jp()
+    M = 2**63
+    out_schema = pa.schema([("url", pa.string()), ("component_id", pa.int64())])
+
+    parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:  # all-binary corpus (guard as in link_graph)
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    id_schema = pa.schema([("vec_id", pa.int64()), ("url", pa.string())])
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return id_schema.empty_table()
+        urls = batch.column("url").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array([int(_hash64(u)) % M for u in urls], pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=id_schema,
+        )
+
+    nodes_urls = (
+        parsed.map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        .map_batches(_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    pair_schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
+
+    def _pair_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return pair_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "left_id": pa.array(
+                    [int(_hash64(u)) % M for u in batch.column("src").to_pylist()],
+                    pa.int64(),
+                ),
+                "right_id": pa.array(
+                    [int(_hash64(u)) % M for u in batch.column("dst").to_pylist()],
+                    pa.int64(),
+                ),
+            },
+            schema=pair_schema,
+        )
+
+    node_ids = nodes_urls.map_batches(
+        lambda b: b.select(["vec_id"]).rename_columns(["right_id"]),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        _parsed_edges(parsed)
+        .map_batches(_pair_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .join(node_ids, "inner", jp, on=("right_id",))
+        .repartition(jp)
+    )
+
+    comp = cluster_pairs(pairs, join_partitions=jp).map_batches(
+        lambda b: b.rename_columns(["vec_id", "component_id"])
+        if b.num_rows > 0 and "doc_id" in b.column_names
+        else pa.schema(
+            [("vec_id", pa.int64()), ("component_id", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    ).repartition(jp)
+
+    def _out(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        comp_col = (
+            batch.column("component_id")
+            if "component_id" in batch.column_names
+            else pa.nulls(batch.num_rows, pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "component_id": pc.coalesce(
+                    comp_col.cast(pa.int64()), batch.column("vec_id").cast(pa.int64())
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        nodes_urls.join(comp, "left_outer", jp, on=("vec_id",))
+        .map_batches(_out, batch_format="pyarrow")
+    )

@@ -2389,6 +2389,84 @@ def test_link_pagerank_matches_pure_python_recurrence(ray_session, tmp_path):
     assert max(got.values()) > 2 * floor
 
 
+def test_link_components_match_union_find(ray_session, tmp_path):
+    """Connected components over the fixture link graph == a
+    sequential union-find over the same DOM-harvested edges; isolated
+    html pages are singleton components labeled by their own id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.links import _host, link_components, page_hrefs
+
+    # --- explicit topology: one 2-clique, one isolated page ---
+    def page(body):
+        return f"<html><body>{body}</body></html>".encode()
+
+    rows = [
+        ("https://h.test/a", page('<a href="/b">to b</a>')),
+        ("https://h.test/b", page('<a href="/a">back</a>')),
+        ("https://h.test/lone", page("no links at all")),
+    ]
+    pdir = tmp_path / "pages0"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+        }),
+        pdir / "pages.parquet",
+    )
+    M = 2**63
+    got = {r["url"]: r["component_id"]
+           for r in link_components(str(pdir)).take_all()}
+    ids = {u: int(_hash64(u)) % M for u, _ in rows}
+    ab = min(ids["https://h.test/a"], ids["https://h.test/b"])
+    assert got == {
+        "https://h.test/a": ab,
+        "https://h.test/b": ab,
+        "https://h.test/lone": ids["https://h.test/lone"],
+    }
+
+    # --- fixture corpus: mirror a sequential union-find ---
+    n = 30
+    table = generate_pages(n)
+    pdir2 = tmp_path / "pages1"; pdir2.mkdir()
+    pq.write_table(table, pdir2 / "pages.parquet")
+
+    urls, htmls = table.column("url").to_pylist(), table.column("html").to_pylist()
+    nodes = [u for u, h in zip(urls, htmls) if sniff_doc_kind(h or b"") == "html"]
+    node_set = set(nodes)
+    parent = {u: u for u in nodes}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for u, h in zip(urls, htmls):
+        if u not in node_set:
+            continue
+        for href in page_hrefs(h or b""):
+            if href.startswith("/"):
+                dst = _host(u) + href
+                if dst in node_set:
+                    ra, rb = find(u), find(dst)
+                    if ra != rb:
+                        parent[ra] = rb
+    comp_min: dict[str, int] = {}
+    for u in nodes:
+        r = find(u)
+        comp_min[r] = min(comp_min.get(r, M), int(_hash64(u)) % M)
+    expected = {u: comp_min[find(u)] for u in nodes}
+
+    got2 = {r["url"]: r["component_id"]
+            for r in link_components(str(pdir2)).take_all()}
+    assert got2 == expected
+
+
 def test_anchor_texts_counts_and_nested_voiding(ray_session, tmp_path):
     """Incoming anchor-text counts: terms aggregate across referring
     pages; nested markup voids an anchor's text (regexp-parity rule);
