@@ -334,6 +334,46 @@ def _q_link_pagerank(sf_dir: str):
     return link_pagerank(_pages_path(sf_dir))
 
 
+def _jsonl_path(sf_dir: str) -> str:
+    """Materialize deterministic JSONL shards of the sf dir's documents
+    table (cached under /tmp; content-signed key so a corpus or
+    serializer change never serves stale shards)."""
+    import shutil
+    import zlib
+
+    import pyarrow.parquet as pq_mod
+
+    from smart_ocr_ray.sources.jsonl import docs_to_jsonl_shards
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    sig = zlib.crc32(
+        f"{os.path.abspath(doc_path)}:{st.st_size}:{int(st.st_mtime)}:jsonl1".encode()
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/smart_ocr_ray_jsonl_{tag}_{sig:08x}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table = pq_mod.read_table(doc_path)
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs_to_jsonl_shards(table, tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    return path
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source duality check THROUGH the value-hash gate: the
+    documents table → deterministic jsonl/jsonl.gz shards (the
+    serializer is the fixture inverse) → ``read_jsonl_docs`` must
+    reproduce the table exactly; the oracle is the identity SELECT."""
+    from smart_ocr_ray.sources.jsonl import read_jsonl_docs
+
+    return read_jsonl_docs(_jsonl_path(sf_dir))
+
+
 def _q_link_components(sf_dir: str):
     """Connected components of the undirected page link graph."""
     from smart_ocr_ray.ops.links import link_components
@@ -637,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "anchor_texts": _q_anchor_texts,
         "hll_registers": text_analysis.hll_registers,
         "cms_heavy_hitters": text_analysis.cms_heavy_hitters,
@@ -2910,6 +2951,11 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e2
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # jsonl_roundtrip: writer/parser duality — serialize documents
+        # to jsonl shards, read them back; identity modulo the roundtrip.
+        "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "events_retention": """
             -- Cohort = day of first event (exact int64 floor-division

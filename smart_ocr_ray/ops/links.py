@@ -616,14 +616,32 @@ def link_components(pages_path: str) -> ray.data.Dataset:
         .repartition(jp)
     )
 
-    comp = cluster_pairs(pairs, join_partitions=jp).map_batches(
-        lambda b: b.rename_columns(["vec_id", "component_id"])
-        if b.num_rows > 0 and "doc_id" in b.column_names
-        else pa.schema(
-            [("vec_id", pa.int64()), ("component_id", pa.int64())]
-        ).empty_table(),
-        batch_format="pyarrow",
-    ).repartition(jp)
+    # cluster_pairs emits (doc_id, cluster_id) — join on its own column
+    # names (right_on) rather than renaming: a rename map_batches never
+    # runs on an all-empty label table. An ALL-empty right side breaks
+    # the join anyway (repartition has no non-empty block to take a
+    # schema from — the dedup_survivors hazard), so the zero-edge
+    # corpus (seen at bench scale, where the replicated #rN urls make
+    # every internal link dangle) branches around the join entirely:
+    # every page is its own singleton component.
+    comp = cluster_pairs(pairs, join_partitions=jp)
+    if comp.count() == 0:
+        def _single(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "url" not in batch.column_names:
+                return out_schema.empty_table()
+            return pa.Table.from_pydict(
+                {
+                    "url": batch.column("url").cast(pa.string()),
+                    "component_id": batch.column("vec_id").cast(pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        return nodes_urls.map_batches(_single, batch_format="pyarrow")
+    # Launder the schema-less empty blocks the final groupby leaves
+    # behind (the cluster_pairs hazard note) — safe now that at least
+    # one typed block exists.
+    comp = comp.repartition(jp)
 
     def _out(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "url" not in batch.column_names:
@@ -631,8 +649,8 @@ def link_components(pages_path: str) -> ray.data.Dataset:
         import pyarrow.compute as pc
 
         comp_col = (
-            batch.column("component_id")
-            if "component_id" in batch.column_names
+            batch.column("cluster_id")
+            if "cluster_id" in batch.column_names
             else pa.nulls(batch.num_rows, pa.int64())
         )
         return pa.Table.from_pydict(
@@ -646,6 +664,8 @@ def link_components(pages_path: str) -> ray.data.Dataset:
         )
 
     return (
-        nodes_urls.join(comp, "left_outer", jp, on=("vec_id",))
+        nodes_urls.join(
+            comp, "left_outer", jp, on=("vec_id",), right_on=("doc_id",)
+        )
         .map_batches(_out, batch_format="pyarrow")
     )

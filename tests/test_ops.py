@@ -2429,6 +2429,24 @@ def test_link_components_match_union_find(ray_session, tmp_path):
         "https://h.test/lone": ids["https://h.test/lone"],
     }
 
+    # --- zero-edge corpus: every internal link dangles (the bench
+    # replication shape) — all pages singleton, empty label table ---
+    rows_d = [
+        ("https://h.test/x", page('<a href="/nowhere">gone</a>')),
+        ("https://h.test/y", page('<a href="/also-gone">gone</a>')),
+    ]
+    pdir_d = tmp_path / "pagesd"; pdir_d.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([r[0] for r in rows_d], pa.string()),
+            "html": pa.array([r[1] for r in rows_d], pa.binary()),
+        }),
+        pdir_d / "pages.parquet",
+    )
+    got_d = {r["url"]: r["component_id"]
+             for r in link_components(str(pdir_d)).take_all()}
+    assert got_d == {u: int(_hash64(u)) % M for u, _ in rows_d}
+
     # --- fixture corpus: mirror a sequential union-find ---
     n = 30
     table = generate_pages(n)

@@ -108,3 +108,100 @@ def test_warc_feeds_extract_pipeline(ray_session, tmp_path):
     assert (out["extracted_text"].str.len() > 0).any()
     # no row took the native-text shortcut: WARC carries no text layer
     assert not (out["route"] == "native").any()
+
+
+# ---------------------------------------------------------------------------
+# JSONL source
+# ---------------------------------------------------------------------------
+
+
+def _docs_table(n=40):
+    import pyarrow as pa
+
+    return pa.Table.from_pydict({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(
+            [f"doc {i} text with unicode é中 and \"quotes\"\nline2" if i % 5
+             else "" for i in range(n)],
+            pa.string(),
+        ),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(n)], pa.string()),
+        "source": pa.array([f"host{i % 3}.test" for i in range(n)], pa.string()),
+        "n_chars": pa.array(
+            [len(f"doc {i} text with unicode é中 and \"quotes\"\nline2")
+             if i % 5 else 0 for i in range(n)],
+            pa.int64(),
+        ),
+    })
+
+
+def test_jsonl_roundtrip_exact(ray_session, tmp_path):
+    """documents → jsonl shards (mixed plain/gz) → read_jsonl_docs is
+    an exact roundtrip, including unicode, embedded newlines-as-\\n,
+    quotes, and empty texts."""
+    from smart_ocr_ray.sources.jsonl import docs_to_jsonl_shards, read_jsonl_docs
+
+    table = _docs_table()
+    out = tmp_path / "shards"
+    paths = docs_to_jsonl_shards(table, str(out), rows_per_shard=16, gzip_every=2)
+    assert any(p.endswith(".jsonl.gz") for p in paths)
+    assert any(p.endswith(".jsonl") and not p.endswith(".gz") for p in paths)
+
+    got = sorted(read_jsonl_docs(str(out)).take_all(), key=lambda r: r["doc_id"])
+    want = sorted(table.to_pylist(), key=lambda r: r["doc_id"])
+    assert got == want
+
+
+def test_jsonl_shard_bytes_deterministic(tmp_path):
+    from smart_ocr_ray.sources.jsonl import docs_to_jsonl_shards
+
+    table = _docs_table(10)
+    a = tmp_path / "a"; b = tmp_path / "b"
+    pa_ = docs_to_jsonl_shards(table, str(a), rows_per_shard=4)
+    pb = docs_to_jsonl_shards(table, str(b), rows_per_shard=4)
+    for x, y in zip(pa_, pb):
+        assert open(x, "rb").read() == open(y, "rb").read()
+
+
+def test_jsonl_parse_tolerance():
+    """Blank lines, malformed JSON, non-dict rows, and records without
+    an integer id are skipped; missing fields default; n_chars
+    recomputes from text when absent."""
+    import json
+
+    from smart_ocr_ray.sources.jsonl import parse_jsonl_records
+
+    lines = [
+        "",                                        # blank
+        "{not json",                               # malformed
+        "[1,2,3]",                                 # non-dict
+        json.dumps({"text": "no id"}),             # missing id
+        json.dumps({"id": "7", "text": "str id"}),  # non-int id
+        json.dumps({"id": True, "text": "bool"}),   # bool id rejected
+        json.dumps({"id": 1}),                      # no text -> ""
+        json.dumps({"id": 2, "text": "ab", "lang": 5}),   # bad lang -> ""
+        json.dumps({"id": 3, "text": "xyz", "n_chars": 99}),  # explicit n_chars kept
+    ]
+    t = parse_jsonl_records(("\n".join(lines) + "\n").encode())
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["text"] == "" and rows[1]["n_chars"] == 0
+    assert rows[2]["lang"] == "" and rows[2]["n_chars"] == 2
+    assert rows[3]["n_chars"] == 99
+
+
+def test_jsonl_truncated_gz_salvages_prefix(tmp_path):
+    """A truncated .jsonl.gz shard yields the lines that decompressed
+    cleanly instead of raising (the WARC truncated-tail rule)."""
+    import gzip as _gz
+
+    from smart_ocr_ray.sources.jsonl import parse_jsonl_records
+
+    full = b'{"id":1,"text":"aaaa"}\n{"id":2,"text":"bbbb"}\n' * 200
+    blob = _gz.compress(full, mtime=0)
+    cut = blob[: len(blob) // 2]
+    # Re-add magic check: the prefix still starts with 1f 8b.
+    t = parse_jsonl_records(cut)
+    ids = set(t.column("doc_id").to_pylist())
+    assert ids <= {1, 2}
+    assert t.num_rows < 400  # strictly fewer than the full stream
