@@ -3,7 +3,8 @@
     python -m smart_ocr_ray.cli extract --input DIR_OR_FILE --output DIR \\
         [--partitions 8] [--multi-extractor] [--resume/--no-resume]
     python -m smart_ocr_ray.cli score --extracted DIR --golden FILE
-    python -m smart_ocr_ray.cli convert --input WARC_DIR --output DIR
+    python -m smart_ocr_ray.cli convert --input SHARD_DIR --output DIR \\
+        [--format warc|jsonl]
     python -m smart_ocr_ray.cli fixtures --rows 1000 --output FILE
 
 Owns the Ray session (guarded init, per the repo's session contract);
@@ -79,16 +80,21 @@ def cmd_score(args: argparse.Namespace) -> int:
 
 
 def cmd_convert(args: argparse.Namespace) -> int:
-    """WARC shards → pages Parquet (the ingest step ahead of
-    ``extract``): one parse task per shard, written as one parquet
-    file per output block so downstream readers keep the
-    file-per-block parallelism unit."""
+    """Raw corpus shards → Parquet (the ingest step ahead of
+    ``extract`` / the documents-table operators): one parse task per
+    shard, written as one parquet file per output block so downstream
+    readers keep the file-per-block parallelism unit. ``--format
+    warc`` (default) yields the pages schema; ``--format jsonl`` the
+    documents schema."""
     _ensure_ray(args.num_cpus)
-    from .sources.warc import read_warc
+    if args.format == "jsonl":
+        from .sources.jsonl import read_jsonl_docs as _read
+    else:
+        from .sources.warc import read_warc as _read
 
-    ds = read_warc(args.input)
+    ds = _read(args.input)
     ds.write_parquet(args.output)
-    print(json.dumps({"out": args.output}))
+    print(json.dumps({"out": args.output, "format": args.format}))
     return 0
 
 
@@ -121,9 +127,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--golden", required=True)
     p.set_defaults(fn=cmd_score)
 
-    p = sub.add_parser("convert", help="WARC shards -> pages parquet")
-    p.add_argument("--input", required=True, help="warc file(s) or directory")
+    p = sub.add_parser("convert", help="WARC/JSONL shards -> parquet")
+    p.add_argument("--input", required=True, help="shard file(s) or directory")
     p.add_argument("--output", required=True, help="parquet output directory")
+    p.add_argument("--format", choices=("warc", "jsonl"), default="warc")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("fixtures", help="generate a synthetic pages table")

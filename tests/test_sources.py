@@ -205,3 +205,24 @@ def test_jsonl_truncated_gz_salvages_prefix(tmp_path):
     ids = set(t.column("doc_id").to_pylist())
     assert ids <= {1, 2}
     assert t.num_rows < 400  # strictly fewer than the full stream
+
+
+def test_cli_convert_jsonl_roundtrip(ray_session, tmp_path):
+    """`cli convert --format jsonl` lands the documents schema in
+    parquet, byte-equal to the source table."""
+    import pyarrow.dataset as pads
+
+    from smart_ocr_ray import cli
+    from smart_ocr_ray.sources.jsonl import docs_to_jsonl_shards
+
+    table = _docs_table(12)
+    shards = tmp_path / "sh"; out = tmp_path / "outpq"
+    docs_to_jsonl_shards(table, str(shards), rows_per_shard=5)
+    rc = cli.main([
+        "convert", "--input", str(shards), "--output", str(out),
+        "--format", "jsonl",
+    ])
+    assert rc == 0
+    got = sorted(pads.dataset(str(out)).to_table().to_pylist(),
+                 key=lambda r: r["doc_id"])
+    assert got == sorted(table.to_pylist(), key=lambda r: r["doc_id"])
