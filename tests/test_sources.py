@@ -226,3 +226,33 @@ def test_cli_convert_jsonl_roundtrip(ray_session, tmp_path):
     got = sorted(pads.dataset(str(out)).to_table().to_pylist(),
                  key=lambda r: r["doc_id"])
     assert got == sorted(table.to_pylist(), key=lambda r: r["doc_id"])
+
+
+def test_jsonl_corpus_feeds_documents_ops(ray_session, tmp_path):
+    """A converted JSONL corpus drives the documents-table operators:
+    convert writes dir/documents.parquet, and lang_id/token counting
+    over the converted sf dir equals the same ops over the original
+    table — the format is a drop-in corpus source."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray import cli
+    from smart_ocr_ray.ops.text_analysis import token_counts
+    from smart_ocr_ray.sources.jsonl import docs_to_jsonl_shards
+
+    table = _docs_table(20)
+    shards = tmp_path / "sh"
+    sf = tmp_path / "sf"; sf.mkdir()
+    docs_to_jsonl_shards(table, str(shards), rows_per_shard=7)
+    rc = cli.main([
+        "convert", "--input", str(shards),
+        "--output", str(sf / "documents.parquet"), "--format", "jsonl",
+    ])
+    assert rc == 0
+
+    # Reference run over the original table written directly.
+    sf_ref = tmp_path / "sfref"; sf_ref.mkdir()
+    pq.write_table(table, sf_ref / "documents.parquet")
+
+    got = sorted(token_counts(str(sf)).take_all(), key=lambda r: r["doc_id"])
+    want = sorted(token_counts(str(sf_ref)).take_all(), key=lambda r: r["doc_id"])
+    assert got == want and len(got) == 20
