@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_packing": text_analysis.token_packing,
         "curriculum_rank": text_analysis.curriculum_rank,
         "mixture_weights": text_analysis.mixture_weights,
+        "mixture_temperature": text_analysis.mixture_temperature,
         "source_caps": text_analysis.source_caps,
         "ccnet_buckets": text_analysis.ccnet_buckets,
         "dsir_weights": text_analysis.dsir_weights,
@@ -729,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "sessionize_events": relational.sessionize_events,
         "events_running_total": relational.events_running_total,
+        "events_anomaly": relational.events_anomaly,
         "events_funnel": relational.events_funnel,
         "events_retention": relational.events_retention,
         "events_asof_join": relational.events_asof_join,
@@ -2952,6 +2954,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
+        "events_anomaly": """
+            -- Per-user hourly 3-sigma burst detection (ops/relational.
+            -- events_anomaly): denominators cleared so only integers
+            -- compare — flag hour c iff n*c - S > 0 and
+            -- (n*c - S)^2 >= 9*(n*Q - S^2) over the user's active
+            -- hours (n hours, S = sum counts, Q = sum squared counts).
+            WITH hc AS (
+              SELECT user_id, date_trunc('hour', ts) AS window_start,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ), st AS (
+              SELECT user_id, count(*) AS n_hours,
+                     sum(n_events) AS total_events,
+                     sum(n_events * n_events) AS sum_sq
+              FROM hc GROUP BY 1
+            )
+            SELECT hc.user_id, hc.window_start,
+                   CAST(hc.n_events AS BIGINT) AS n_events,
+                   CAST(st.n_hours AS BIGINT) AS n_hours,
+                   CAST(st.total_events AS BIGINT) AS total_events
+            FROM hc JOIN st USING (user_id)
+            WHERE (st.n_hours * hc.n_events - st.total_events) > 0
+              AND (st.n_hours * hc.n_events - st.total_events)
+                  * (st.n_hours * hc.n_events - st.total_events)
+                  >= 9 * (st.n_hours * st.sum_sq
+                          - st.total_events * st.total_events)
+            ORDER BY user_id, window_start
+        """,
         # jsonl_roundtrip: writer/parser duality — serialize documents
         # to jsonl shards, read them back; identity modulo the roundtrip.
         "jsonl_roundtrip": """
@@ -3277,6 +3307,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT register, CAST(max(rank) AS BIGINT) AS max_rank
             FROM r GROUP BY register
+        """,
+        "mixture_temperature": """
+            -- Temperature-scaled (alpha = 1/2) source sampling
+            -- (ops/text_analysis.mixture_temperature): s = isqrt(n *
+            -- 1e10) via floor(sqrt(double)) plus the same one-step
+            -- corrections the Ray kernel applies; p/boost are floor
+            -- divisions on HUGEINT intermediates.
+            WITH c AS (
+              SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+            ), s0 AS (
+              SELECT source, n_docs,
+                     n_docs * CAST(10000000000 AS BIGINT) AS x,
+                     CAST(floor(sqrt(CAST(n_docs * CAST(10000000000 AS BIGINT)
+                                          AS DOUBLE))) AS BIGINT) AS c0
+              FROM c
+            ), s1 AS (
+              SELECT source, n_docs,
+                     c0 + (CASE WHEN (c0 + 1) * (c0 + 1) <= x THEN 1
+                                WHEN c0 * c0 > x THEN -1
+                                ELSE 0 END) AS s
+              FROM s0
+            ), t AS (
+              SELECT sum(s) AS s_total, sum(n_docs) AS total FROM s1
+            )
+            SELECT s1.source, s1.n_docs,
+                   CAST((1000000 * s1.s) // t.s_total AS BIGINT) AS p_e6,
+                   CAST((1000000 * s1.s * t.total)
+                        // (t.s_total * s1.n_docs) AS BIGINT) AS boost_e6
+            FROM s1 CROSS JOIN t
         """,
         "mixture_weights": """
             -- Uniform-target source reweighting (ops/text_analysis.

@@ -1102,3 +1102,96 @@ def events_retention(sf_dir: str) -> ray.data.Dataset:
     return reduce_by_keys(
         distinct, ["cohort_day", "day_offset"], None, how="count", out="n_users"
     )
+
+
+def events_anomaly(sf_dir: str) -> ray.data.Dataset:
+    """Per-user hourly burst detection — the traffic-anomaly / bot
+    flagging pass a crawl-log pipeline runs before rate decisions
+    (reference has no stream ops — novel per SURVEY §2.11, next to the
+    window family).
+
+    Rule (frozen, mirrored exactly by the SQL oracle): an hour is
+    anomalous for a user when its event count is at least three
+    population standard deviations above the user's mean hourly count,
+    computed over the user's ACTIVE hours only (hours with >= 1
+    event). Cleared of denominators so only integers are compared —
+    with n = active hours, S = sum of hourly counts, Q = sum of
+    squared counts, flag hour count c iff
+
+        n*c - S > 0   and   (n*c - S)^2 >= 9*(n*Q - S*S)
+
+    (equivalent to c >= mu + 3*sigma, mu = S/n,
+    sigma^2 = (n*Q - S*S)/n^2). The strict first inequality keeps
+    sigma = 0 users (perfectly regular traffic, c == mu everywhere)
+    unflagged, and single-hour users can never flag (n*c - S == 0).
+
+    Output, flagged hours only: (user_id, window_start, n_events,
+    n_hours, total_events) sorted by (user_id, window_start).
+
+    Scale shape: hourly counts come from the partial-combined grouped
+    count (one all-to-all moving pre-aggregated (user, hour) partials
+    — the same user key family as sessionize, so a pipeline computing
+    both reuses the partitioning); the 3-sigma scan then runs via
+    ``map_key_groups`` over the hourly-counts table, which is
+    users x active-hours rows — orders of magnitude smaller than the
+    event log. Per-user state is O(active hours); every kernel is
+    vectorized numpy on int64.
+    """
+    from .grouped import map_key_groups
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _window(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ws = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.Table.from_arrays(
+            [batch.column("user_id").cast(pa.int64()), ws],
+            names=["user_id", "window_start"],
+        )
+
+    hourly = _partial_then_final(
+        events.map_batches(_window, batch_format="pyarrow"),
+        keys=["user_id", "window_start"],
+        sums={},
+        counts="n_events",
+    )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("window_start", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("n_hours", pa.int64()),
+            ("total_events", pa.int64()),
+        ]
+    )
+
+    def _flag(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        group = group.combine_chunks()
+        c = group.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.int64(len(c))
+        s = c.sum()
+        q = (c * c).sum()
+        dev = n * c - s
+        keep = (dev > 0) & (dev * dev >= 9 * (n * q - s * s))
+        if not keep.any():
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "user_id": group.column("user_id").filter(pa.array(keep)),
+                "window_start": group.column("window_start")
+                .cast(pa.timestamp("us"))
+                .filter(pa.array(keep)),
+                "n_events": pa.array(c[keep], pa.int64()),
+                "n_hours": pa.array(np.full(int(keep.sum()), n), pa.int64()),
+                "total_events": pa.array(np.full(int(keep.sum()), s), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(hourly, "user_id", _flag).sort(
+        ["user_id", "window_start"]
+    )

@@ -1083,6 +1083,102 @@ def mixture_weights(sf_dir: str) -> ray.data.Dataset:
     return counts.map_batches(_weight, batch_format="pyarrow")
 
 
+def mixture_temperature(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-scaled source sampling — the multilingual-mixture
+    rule (mBERT / XLM-R / mT5: sample source i with p_i ∝ n_i^alpha,
+    alpha < 1, so low-resource sources are up-weighted without going
+    fully uniform) at alpha = 1/2, the temperature exactly computable
+    on an integer grid (n^0.5 = isqrt; fractional alphas like XLM-R's
+    0.3 need float pow — 1/2 is the deterministic oracle-checkable
+    instance of the technique, sitting between ``mixture_weights``'
+    uniform target (alpha = 0) and the natural mix (alpha = 1)).
+
+    Frozen arithmetic (mirrored bit-for-bit in SQL): per source,
+    s_i = isqrt(n_i * 10^10) (the 1e5-scaled square root, exact — the
+    scaled count stays far below 2^53 so floor(sqrt(double)) plus a
+    one-step correction IS isqrt), then with S = sum(s_i) and
+    total = sum(n_i):
+
+        p_e6(i)     = (1e6 * s_i) // S            -- sampling prob
+        boost_e6(i) = (1e6 * s_i * total) // (S * n_i)
+                                                  -- vs natural mix
+
+    boost > 1e6 means the source is up-sampled relative to its natural
+    frequency (small sources), < 1e6 down-sampled (dominant sources).
+
+    Scale shape: identical to ``mixture_weights`` — one
+    groupby(source) count (domain-sized table, stays a Dataset), two
+    scalar driver ints (S, total), one streaming map over the counts
+    table. Output: (source, n_docs, p_e6, boost_e6).
+    """
+    docs = read_documents(sf_dir)
+    counts = docs.groupby("source").count().materialize()
+
+    sqrt_schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()), ("s", pa.int64())]
+    )
+
+    def _isqrt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return sqrt_schema.empty_table()
+        import numpy as np
+
+        n = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = n * 10_000_000_000
+        # floor(sqrt(double)) is exact for x << 2^53; the two
+        # correction steps make it provably isqrt either way and are
+        # the exact CASE arms the SQL oracle applies.
+        c = np.floor(np.sqrt(x.astype(np.float64))).astype(np.int64)
+        c = np.where((c + 1) * (c + 1) <= x, c + 1, c)
+        c = np.where(c * c > x, c - 1, c)
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(n, pa.int64()),
+                "s": pa.array(c, pa.int64()),
+            },
+            schema=sqrt_schema,
+        )
+
+    scaled = counts.map_batches(_isqrt, batch_format="pyarrow").materialize()
+    s_total = int(scaled.sum("s") or 0)
+    total = int(scaled.sum("n_docs") or 0)
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("p_e6", pa.int64()),
+            ("boost_e6", pa.int64()),
+        ]
+    )
+
+    def _weights(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        # Python ints, not numpy: 1e6*s*total overflows int64 once a
+        # source passes ~10^6 docs (s grows as 1e5*sqrt(n)), and this
+        # table is domain-sized — arbitrary precision is free here and
+        # matches DuckDB's HUGEINT intermediate exactly.
+        n = batch.column("n_docs").to_pylist()
+        s = batch.column("s").to_pylist()
+        p = [(1_000_000 * si) // s_total for si in s]
+        boost = [
+            (1_000_000 * si * total) // (s_total * ni) for si, ni in zip(s, n)
+        ]
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(n, pa.int64()),
+                "p_e6": pa.array(p, pa.int64()),
+                "boost_e6": pa.array(boost, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return scaled.map_batches(_weights, batch_format="pyarrow")
+
+
 def hll_registers(sf_dir: str) -> ray.data.Dataset:
     """HyperLogLog register table for distinct-text cardinality
     (Flajolet et al. 2007) — the constant-memory sketch a crawl

@@ -3388,3 +3388,131 @@ def test_topic_classify_known_answers(ray_session, tmp_path):
         4: ("none", 0),
         5: ("relational", 4),
     }
+
+
+def test_events_anomaly_three_sigma_integer_rule(ray_session, tmp_path):
+    """3-sigma hourly burst flags: the exact-boundary hour flags (>=),
+    sigma=0 users and single-hour users never flag, and the emitted
+    stats are the user's own (n_hours, total_events)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []  # (user, hour, copies)
+    # user 7: counts [1]*9 + [100] → n=10, S=109, nQ-S² = 88209 = 297²,
+    # mean+3σ = 10.9 + 89.1 = 100.0 exactly — the >= boundary flags.
+    for h in range(9):
+        rows.append((7, h, 1))
+    rows.append((7, 9, 100))
+    # user 8: perfectly regular [5,5,5] — σ=0, strict dev>0 keeps all
+    # hours unflagged.
+    for h in range(3):
+        rows.append((8, h, 5))
+    # user 9: a single active hour — n*c-S == 0, never flags.
+    rows.append((9, 0, 42))
+
+    eid, ts, uid = [], [], []
+    for u, h, copies in rows:
+        for i in range(copies):
+            eid.append(len(eid))
+            ts.append(t0 + dt.timedelta(hours=h, seconds=i))
+            uid.append(u)
+    sf = tmp_path / "anomsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(["click"] * len(eid), pa.string()),
+            "value": pa.array([1.0] * len(eid), pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    got = events_anomaly(str(sf)).take_all()
+    assert len(got) == 1
+    (r,) = got
+    assert r["user_id"] == 7
+    assert r["window_start"] == t0 + dt.timedelta(hours=9)
+    assert (r["n_events"], r["n_hours"], r["total_events"]) == (100, 10, 109)
+
+
+def test_events_anomaly_sub_boundary_not_flagged(ray_session, tmp_path):
+    """Just under the 3-sigma boundary must NOT flag. For counts
+    [1]*(n-1) + [c] the rule collapses to dev² = (n-1)²(c-1)² vs
+    9(nQ-S²) = 9(n-1)(c-1)² — i.e. flagged iff n >= 10, for ANY burst
+    size c. n = 9 active hours therefore sits strictly under the
+    boundary however extreme the burst."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    eid, ts = [], []
+    for h in range(8):
+        eid.append(len(eid)); ts.append(t0 + dt.timedelta(hours=h))
+    for i in range(1000):
+        eid.append(len(eid)); ts.append(t0 + dt.timedelta(hours=9, seconds=i))
+    sf = tmp_path / "anomsf2"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([7] * len(eid), pa.int64()),
+            "event_type": pa.array(["click"] * len(eid), pa.string()),
+            "value": pa.array([1.0] * len(eid), pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    assert events_anomaly(str(sf)).take_all() == []
+
+
+def test_mixture_temperature_sqrt_grid(ray_session, tmp_path):
+    """alpha=1/2 temperature sampling: perfect-square counts give exact
+    closed-form weights; a non-square count matches the independent
+    math.isqrt mirror of the frozen rule; boosts straddle 1e6 the
+    right way (rare up, dominant down)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import mixture_temperature
+
+    counts = {"big": 16, "mid": 4, "rare": 1, "odd": 2}
+    sources = [s for s, n in counts.items() for _ in range(n)]
+    sf = tmp_path / "mtsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(sources)), pa.int64()),
+            "text": pa.array(["tok"] * len(sources)),
+            "lang": pa.array(["en"] * len(sources)),
+            "source": pa.array(sources),
+            "n_chars": pa.array([3] * len(sources), pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["p_e6"], r["boost_e6"])
+        for r in mixture_temperature(str(sf)).take_all()
+    }
+    # Independent mirror of the frozen rule.
+    s = {k: math.isqrt(n * 10**10) for k, n in counts.items()}
+    S, total = sum(s.values()), sum(counts.values())
+    want = {
+        k: (n, (10**6 * s[k]) // S, (10**6 * s[k] * total) // (S * n))
+        for k, n in counts.items()
+    }
+    assert got == want
+    # Perfect squares land exactly on the 1e5*sqrt(n) grid.
+    assert s["big"] == 400_000 and s["rare"] == 100_000
+    # sqrt flattening: dominant source down-sampled, rare up-sampled.
+    assert got["big"][2] < 1_000_000 < got["rare"][2]
+    # Probabilities floor-sum to at most 1e6.
+    assert sum(v[1] for v in got.values()) <= 1_000_000
