@@ -725,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / windowed ---
         "pricing_summary": relational.pricing_summary,
         "top_revenue_orders": relational.top_revenue_orders,
+        "weighted_sample_join": relational.weighted_sample_join,
         "customer_nation_rollup": relational.customer_nation_rollup,
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
@@ -2893,6 +2894,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "weighted_sample_join": """
+            -- Revenue-weighted deterministic Bernoulli sample over the
+            -- lineitem⋈orders join (ops/relational.weighted_sample_join):
+            -- p_e6 = min(1e6, (1e6*k*revenue_e4)//total_e4), keep iff
+            -- md5-hash('ws:'||orderkey) % 1e6 < p_e6, k = 200.
+            WITH rev AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(round(sum(l_extendedprice * (1 - l_discount))
+                                * 10000) AS BIGINT) AS revenue_e4
+              FROM lineitem GROUP BY l_orderkey
+            ), t AS (
+              SELECT sum(revenue_e4) AS total_e4 FROM rev
+            ), p AS (
+              SELECT rev.o_orderkey, rev.revenue_e4,
+                     least(
+                       CAST(1000000 AS BIGINT),
+                       CAST((CAST(1000000 AS BIGINT) * 200 * rev.revenue_e4)
+                            // t.total_e4 AS BIGINT)
+                     ) AS p_e6
+              FROM rev CROSS JOIN t
+            )
+            SELECT p.o_orderkey, o.o_orderdate, p.revenue_e4, p.p_e6
+            FROM p JOIN orders o USING (o_orderkey)
+            WHERE md5_number_lower('ws:' || CAST(p.o_orderkey AS VARCHAR))
+                  % 1000000 < p.p_e6
+            ORDER BY p.o_orderkey
         """,
         "customer_nation_rollup": """
             SELECT n_name,

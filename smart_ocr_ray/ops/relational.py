@@ -1195,3 +1195,129 @@ def events_anomaly(sf_dir: str) -> ray.data.Dataset:
     return map_key_groups(hourly, "user_id", _flag).sort(
         ["user_id", "window_start"]
     )
+
+
+def weighted_sample_join(sf_dir: str, k: int = 200) -> ray.data.Dataset:
+    """Weighted sampling over a JOIN — the "Streaming Weighted Sampling
+    over Join Queries" (EDBT 2023) problem shape: draw a sample of
+    orders where the inclusion weight is the order's REVENUE, an
+    aggregate that only exists after the lineitem⋈orders join, so the
+    sampler must compose with the join instead of running on a base
+    table. The uniform samplers (``sample_exact_k``,
+    ``stratified_sample``) cannot express this.
+
+    Frozen rule (deterministic Bernoulli, mirrored exactly in SQL —
+    no RNG state, reproducible across runs, engines and cluster
+    sizes):
+
+      * revenue_e4 = round(sum(l_extendedprice*(1-l_discount))*1e4)
+        per order — the true sum lies on the 1e-4 grid (prices are
+        exact cents, discounts exact hundredths), so rounding the
+        float sum lands on the same integer on both engines
+        regardless of summation order (same argument as
+        ``pricing_summary``'s grids);
+      * p_e6 = min(1e6, (1e6 * k * revenue_e4) // total_e4) — the
+        expected sample size is ~k, orders above total/k revenue are
+        always kept (the cap);
+      * keep iff md5-hash("ws:" + orderkey) % 1e6 < p_e6 (the
+        ``dsir_resample``/``stratified_sample`` coin:
+        ``functions.hashing._hash64`` == DuckDB
+        ``md5_number_lower``).
+
+    Output: (o_orderkey, o_orderdate, revenue_e4, p_e6) for sampled
+    orders, sorted by o_orderkey.
+
+    Scale shape: revenue comes from the partial-combined grouped sum
+    (the one lineitem all-to-all, same as ``top_revenue_orders``);
+    the per-order grid table materializes once (orders-sized, far
+    smaller than lineitem) for the scalar total; the coin + filter is
+    one streaming pass and the final hash join moves only sampled
+    rows (~k) against orders. int64 envelope: 1e6*k*revenue_e4 needs
+    revenue_e4 < 2^63/(1e6*k) ≈ 4.6e10 at k=200 — i.e. per-order
+    revenue up to ~4.6M currency units; raise the grid or drop to
+    Python ints if an order book ever exceeds it.
+    """
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    revenue = _partial_then_final(
+        lineitem, keys=["l_orderkey"], sums={"revenue": "disc_price"},
+        derive={"disc_price": _disc_price},
+    )
+
+    grid_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("revenue_e4", pa.int64())]
+    )
+
+    def _grid(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return grid_schema.empty_table()
+        rev = batch.column("revenue").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "revenue_e4": pa.array(
+                    np.round(rev * 10_000.0).astype(np.int64), pa.int64()
+                ),
+            },
+            schema=grid_schema,
+        )
+
+    grid = revenue.map_batches(_grid, batch_format="pyarrow").materialize()
+    total_e4 = int(grid.sum("revenue_e4") or 0)
+
+    pick_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("revenue_e4", pa.int64()),
+            ("p_e6", pa.int64()),
+        ]
+    )
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or total_e4 <= 0:
+            return pick_schema.empty_table()
+        from ..functions.hashing import _hash64
+
+        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = batch.column("revenue_e4").to_numpy(zero_copy_only=False)
+        p = np.minimum(
+            1_000_000, (1_000_000 * np.int64(k) * rev) // np.int64(total_e4)
+        )
+        coin = np.fromiter(
+            (int(_hash64(f"ws:{int(o)}")) % 1_000_000 for o in okey),
+            dtype=np.int64,
+            count=len(okey),
+        )
+        keep = coin < p
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": pa.array(okey[keep], pa.int64()),
+                "revenue_e4": pa.array(rev[keep], pa.int64()),
+                "p_e6": pa.array(p[keep], pa.int64()),
+            },
+            schema=pick_schema,
+        )
+
+    from ..tuning import join_partitions
+
+    # The repartition launders schema-less empty blocks (the grouped
+    # revenue aggregate emits them for empty partitions, _pick can then
+    # filter whole blocks to zero rows, and an untyped block on either
+    # join side raises ArrowInvalid — same idiom as dedup.cluster_pairs).
+    sampled = grid.map_batches(_pick, batch_format="pyarrow").repartition(
+        join_partitions()
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    joined = sampled.join(
+        orders, join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def _shape(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's hash join folds the right key into the left key column.
+        df = df.rename(columns={"l_orderkey": "o_orderkey"})
+        return df[["o_orderkey", "o_orderdate", "revenue_e4", "p_e6"]]
+
+    return joined.map_batches(_shape, batch_format="pandas").sort("o_orderkey")

@@ -3516,3 +3516,68 @@ def test_mixture_temperature_sqrt_grid(ray_session, tmp_path):
     assert got["big"][2] < 1_000_000 < got["rare"][2]
     # Probabilities floor-sum to at most 1e6.
     assert sum(v[1] for v in got.values()) <= 1_000_000
+
+
+def test_weighted_sample_join_rule_mirror(ray_session, tmp_path):
+    """Revenue-weighted Bernoulli sample over lineitem⋈orders: matches
+    an independent hashlib/int mirror of the frozen rule; the dominant
+    order caps at p_e6 = 1e6 and is always kept."""
+    import datetime as dt
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import weighted_sample_join
+
+    # (orderkey, price, discount) — exact-cent prices, exact-hundredth
+    # discounts so revenue_e4 is exact. Order 1 outweighs all others
+    # combined → with k=2 its p caps at 1e6.
+    lines = [
+        (1, 9000.00, 0.00), (1, 1000.00, 0.10),   # rev 9900.0
+        (2, 100.00, 0.10),                        # rev 90.0
+        (3, 250.00, 0.20),                        # rev 200.0
+        (4, 33.33, 0.00),                         # rev 33.33
+        (5, 500.00, 0.50),                        # rev 250.0
+    ]
+    sf = tmp_path / "wsjsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+            "l_extendedprice": pa.array([r[1] for r in lines], pa.float64()),
+            "l_discount": pa.array([r[2] for r in lines], pa.float64()),
+        }),
+        sf / "lineitem.parquet",
+    )
+    t0 = dt.datetime(1995, 1, 1)
+    pq.write_table(
+        pa.Table.from_pydict({
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_orderdate": pa.array(
+                [t0 + dt.timedelta(days=i) for i in range(5)], pa.timestamp("us")
+            ),
+        }),
+        sf / "orders.parquet",
+    )
+
+    got = {
+        r["o_orderkey"]: (r["o_orderdate"], r["revenue_e4"], r["p_e6"])
+        for r in weighted_sample_join(str(sf), k=2).take_all()
+    }
+
+    # Independent mirror of the frozen rule.
+    rev = {}
+    for o, price, disc in lines:
+        rev[o] = rev.get(o, 0) + round(price * (1 - disc) * 10_000)
+    total = sum(rev.values())
+    coin = lambda o: int.from_bytes(  # noqa: E731
+        hashlib.md5(f"ws:{o}".encode()).digest()[8:16], "little"
+    ) % 1_000_000
+    want = {
+        o: (t0 + dt.timedelta(days=o - 1), r, min(1_000_000, (1_000_000 * 2 * r) // total))
+        for o, r in rev.items()
+        if coin(o) < min(1_000_000, (1_000_000 * 2 * r) // total)
+    }
+    assert got == want
+    # The dominant order saturates the cap and always survives the coin.
+    assert got[1][2] == 1_000_000
