@@ -228,6 +228,9 @@ def run_bench() -> dict:
         timed("item_cooccurrence", relational.item_cooccurrence)
         timed("embedding_outliers", similarity.embedding_outliers)
         timed("events_running_total", relational.events_running_total)
+        timed("events_anomaly", relational.events_anomaly)
+        timed("mixture_temperature", text_analysis.mixture_temperature)
+        timed("weighted_sample_join", relational.weighted_sample_join)
 
     ray.shutdown()
 

@@ -3581,3 +3581,50 @@ def test_weighted_sample_join_rule_mirror(ray_session, tmp_path):
     assert got == want
     # The dominant order saturates the cap and always survives the coin.
     assert got[1][2] == 1_000_000
+
+
+def test_events_anomaly_shard_invariant(ray_session, tmp_path):
+    """The 3-sigma flags are invariant to input sharding: one shard vs
+    many shards of the same events produce identical rows (the hourly
+    partial-combine and the user-keyed group map both re-key globally)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    eid, ts, uid = [], [], []
+    # 6 users with mixed profiles: bursty (flag), regular, sparse.
+    for u in range(6):
+        for h in range(12):
+            copies = 40 if (h == 11 and u % 2 == 0) else (u % 3) + 1
+            for i in range(copies):
+                eid.append(len(eid))
+                ts.append(t0 + dt.timedelta(hours=h, seconds=i))
+                uid.append(u)
+    table = pa.Table.from_pydict({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(["click"] * len(eid), pa.string()),
+        "value": pa.array([1.0] * len(eid), pa.float64()),
+    })
+
+    outs = []
+    for n_shards, name in ((1, "one"), (7, "many")):
+        sf = tmp_path / f"anominv_{name}"; sf.mkdir()
+        d = sf / "events.parquet"; d.mkdir()
+        step = (len(eid) + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            pq.write_table(
+                table.slice(s * step, step), d / f"part-{s}.parquet"
+            )
+        outs.append(
+            sorted(
+                (tuple(r.values()) for r in events_anomaly(str(sf)).take_all())
+            )
+        )
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0  # the bursty users actually flag
