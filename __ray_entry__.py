@@ -659,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": text_analysis.quality_filter,
         "stratified_sample": text_analysis.stratified_sample,
         "sample_exact_k": text_analysis.sample_exact_k,
+        "sample_stratified_k": text_analysis.sample_stratified_k,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_repetition": text_analysis.doc_repetition,
@@ -2565,6 +2566,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY sample_rank
             LIMIT 100
+        """,
+        "sample_stratified_k": """
+            -- Exact-k-per-stratum sample (ops/text_analysis.
+            -- sample_stratified_k): per-language bottom-k in
+            -- md5_number_lower order, ties by doc_id, k = 20.
+            WITH r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id
+                     ) AS sample_rank
+              FROM documents
+            )
+            SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
         """,
         "contamination_check": r"""
             -- n-gram decontamination sweep: any 8-gram shared with the

@@ -334,6 +334,67 @@ def sample_exact_k(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     return partial.repartition(1).map_batches(_bottom_k, batch_format="pyarrow")
 
 
+def sample_stratified_k(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Deterministic EXACT-k-PER-STRATUM sample — the balanced-eval-set
+    shape (k docs from EVERY language, reproducibly): within each
+    ``lang``, order documents by ``md5-hash(doc_id)`` (the same
+    content-stable key as ``sample_exact_k`` / ``stratified_sample``)
+    and keep the k smallest. ``stratified_sample`` is rate-based (its
+    per-language output size varies with the corpus);
+    ``sample_exact_k`` is a global budget — this is the missing cell
+    of that matrix: a fixed per-stratum budget. No RNG state, no
+    coordination.
+
+    Scale shape: per-block per-lang bottom-k combiner (each block
+    emits ≤ strata_in_block × k rows — the standard combiner argument
+    makes the composition exact: any row in a stratum's true global
+    bottom-k survives its own block's cut); the final per-stratum
+    bottom-k runs via ``map_key_groups`` over the combined table, so
+    only O(blocks × strata × k) rows shuffle and NO single task sees
+    all strata (unlike a ``repartition(1)`` merge, this holds for
+    high-cardinality strata like per-domain sampling).
+
+    Output: (doc_id, lang, sample_rank 1..k per lang) in hash order,
+    ties broken by doc_id ascending.
+    """
+    import numpy as np
+
+    from ..functions.hashing import _hash64
+    from .grouped import block_topk, map_key_groups
+
+    def _bottom_k(batch: pa.Table, rank: bool) -> pa.Table:
+        if batch.num_rows == 0:
+            return SAMPLE_EXACT_SCHEMA.empty_table()
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        keys = np.fromiter(
+            (_hash64(str(int(d))) for d in ids), dtype=np.uint64, count=len(ids)
+        )
+        langs = np.asarray(batch.column("lang").to_pylist())
+        _, group = np.unique(langs, return_inverse=True)
+        take, ranks = block_topk(group, (ids, keys), k)
+        out = batch.select(["doc_id", "lang"]).take(pa.array(take))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "lang": out.column("lang").cast(pa.string()),
+                "sample_rank": pa.array(
+                    ranks if rank else np.zeros(len(take), dtype=np.int64),
+                    pa.int64(),
+                ),
+            },
+            schema=SAMPLE_EXACT_SCHEMA,
+        )
+
+    partial = read_documents(sf_dir).map_batches(
+        lambda b: _bottom_k(b, rank=False), batch_format="pyarrow"
+    )
+    return map_key_groups(
+        partial.select_columns(["doc_id", "lang"]),
+        "lang",
+        lambda g: _bottom_k(g, rank=True),
+    )
+
+
 def contamination_check(
     sf_dir: str, n: int = 8, bench_docs: int = 20, min_hits: int = 1
 ) -> ray.data.Dataset:

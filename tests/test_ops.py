@@ -3628,3 +3628,54 @@ def test_events_anomaly_shard_invariant(ray_session, tmp_path):
         )
     assert outs[0] == outs[1]
     assert len(outs[0]) > 0  # the bursty users actually flag
+
+
+def test_sample_stratified_k_rule_mirror_and_shards(ray_session, tmp_path):
+    """Exact-k-per-stratum sample: matches an independent hashlib
+    mirror of the per-language bottom-k rule, under-k strata keep all
+    their docs, and the result is invariant to input sharding (the
+    per-block combiner composes exactly)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import sample_stratified_k
+
+    # 3 strata: two with > k docs, one with fewer than k.
+    langs = ["en"] * 9 + ["de"] * 7 + ["zh"] * 2
+    table = pa.Table.from_pydict({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "text": pa.array(["tok"] * len(langs)),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * len(langs)),
+        "n_chars": pa.array([3] * len(langs), pa.int64()),
+    })
+
+    h = lambda d: int.from_bytes(  # noqa: E731
+        hashlib.md5(str(d).encode()).digest()[8:16], "little"
+    )
+    k = 4
+    want = set()
+    for lang in set(langs):
+        ids = sorted(
+            (d for d, l in enumerate(langs) if l == lang),
+            key=lambda d: (h(d), d),
+        )
+        want |= {(d, lang, r + 1) for r, d in enumerate(ids[:k])}
+
+    outs = []
+    for n_shards, name in ((1, "one"), (5, "many")):
+        sf = tmp_path / f"ssk_{name}"; sf.mkdir()
+        d = sf / "documents.parquet"; d.mkdir()
+        step = (len(langs) + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            pq.write_table(table.slice(s * step, step), d / f"part-{s}.parquet")
+        outs.append({
+            (r["doc_id"], r["lang"], r["sample_rank"])
+            for r in sample_stratified_k(str(sf), k=k).take_all()
+        })
+    assert outs[0] == want
+    assert outs[1] == want
+    # The under-k stratum keeps both docs (ranks 1..2).
+    assert sum(1 for t in want if t[1] == "zh") == 2
