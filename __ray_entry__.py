@@ -381,6 +381,13 @@ def _q_link_components(sf_dir: str):
     return link_components(_pages_path(sf_dir))
 
 
+def _q_link_triangles(sf_dir: str):
+    """Per-page triangle counts of the undirected page link graph."""
+    from smart_ocr_ray.ops.links import link_triangles
+
+    return link_triangles(_pages_path(sf_dir))
+
+
 def _q_anchor_texts(sf_dir: str):
     """Incoming anchor-text term counts per target page."""
     from smart_ocr_ray.ops.links import anchor_texts
@@ -679,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
+        "link_triangles": _q_link_triangles,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "anchor_texts": _q_anchor_texts,
         "hll_registers": text_analysis.hll_registers,
@@ -1841,6 +1849,58 @@ def _bpe_encode_sql(rounds: int = 6) -> str:
     )
 
 
+def _link_triangles_sql() -> str:
+    """Oracle for ``link_triangles``: regexp link harvest → int64 ids
+    (same md5 rule as the other link oracles) → distinct undirected
+    edges → degree-ordered orientation → wedge self-join closed by the
+    oriented third edge (each triangle counted once, at its
+    (degree, id)-smallest vertex) → per-node counts → id→url join."""
+    return f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS vec_id
+          FROM h
+        ), edges AS (
+          SELECT si.vec_id AS src, di.vec_id AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+        ), und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        ), o AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                      THEN u.a ELSE u.b END AS src,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                      THEN u.b ELSE u.a END AS dst,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                      THEN db.d ELSE da.d END AS ddst
+          FROM und u JOIN deg da ON u.a = da.node
+                     JOIN deg db ON u.b = db.node
+        ), tri AS (
+          SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+          FROM o o1
+          JOIN o o2 ON o1.src = o2.src
+            AND (o1.ddst < o2.ddst
+                 OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))
+          JOIN o oc ON oc.src = o1.dst AND oc.dst = o2.dst
+        ), counts AS (
+          SELECT node, count(*) AS n_triangles FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+          ) GROUP BY node
+        )
+        SELECT i.url, CAST(c.n_triangles AS BIGINT) AS n_triangles
+        FROM counts c JOIN ids i ON c.node = i.vec_id
+        ORDER BY i.url
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # Corpus-dependent pseudo-oracles (they materialize the pages/golden
     # tables for _ORACLE_SF at build time): degrade to rows-only rather
@@ -1852,6 +1912,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_graph"] = _link_graph_oracle_sql()
         corpus_dependent["link_pagerank"] = _link_pagerank_sql()
         corpus_dependent["link_components"] = _link_components_sql()
+        corpus_dependent["link_triangles"] = _link_triangles_sql()
         corpus_dependent["anchor_texts"] = _anchor_texts_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys

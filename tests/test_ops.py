@@ -3679,3 +3679,89 @@ def test_sample_stratified_k_rule_mirror_and_shards(ray_session, tmp_path):
     assert outs[1] == want
     # The under-k stratum keeps both docs (ranks 1..2).
     assert sum(1 for t in want if t[1] == "zh") == 2
+
+
+def test_link_triangles_topology_and_fixture_mirror(ray_session, tmp_path):
+    """Triangle counts: a 4-clique gives every member exactly 3
+    triangles, paths and isolated pages emit nothing, a dangling-link
+    corpus is empty, and the fixture graph matches a brute-force
+    triple-loop mirror over the same DOM-harvested edges."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.ops.links import _host, link_triangles, page_hrefs
+
+    def page(body):
+        return f"<html><body>{body}</body></html>".encode()
+
+    def links(*names):
+        return "".join(f'<a href="/{n}">{n}</a> ' for n in names)
+
+    # 4-clique a..d (one direction per pair suffices — undirected),
+    # path x—y—z (wedges but no closing edge), isolated lone page.
+    rows = [
+        ("https://h.test/a", page(links("b", "c", "d"))),
+        ("https://h.test/b", page(links("c", "d"))),
+        ("https://h.test/c", page(links("d"))),
+        ("https://h.test/d", page("leaf")),
+        ("https://h.test/x", page(links("y"))),
+        ("https://h.test/y", page(links("z"))),
+        ("https://h.test/z", page("end")),
+        ("https://h.test/lone", page("nothing")),
+    ]
+    pdir = tmp_path / "tri0"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+        }),
+        pdir / "pages.parquet",
+    )
+    got = {r["url"]: r["n_triangles"]
+           for r in link_triangles(str(pdir)).take_all()}
+    assert got == {f"https://h.test/{n}": 3 for n in "abcd"}
+
+    # Dangling-link corpus → no edges → empty.
+    rows_d = [("https://h.test/p", page(links("gone")))]
+    pdir_d = tmp_path / "trid"; pdir_d.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([r[0] for r in rows_d], pa.string()),
+            "html": pa.array([r[1] for r in rows_d], pa.binary()),
+        }),
+        pdir_d / "pages.parquet",
+    )
+    assert link_triangles(str(pdir_d)).take_all() == []
+
+    # Fixture corpus vs brute-force mirror.
+    n = 30
+    table = generate_pages(n)
+    pdir2 = tmp_path / "tri1"; pdir2.mkdir()
+    pq.write_table(table, pdir2 / "pages.parquet")
+
+    urls, htmls = table.column("url").to_pylist(), table.column("html").to_pylist()
+    nodes = [u for u, h in zip(urls, htmls) if sniff_doc_kind(h or b"") == "html"]
+    node_set = set(nodes)
+    adj = {u: set() for u in nodes}
+    for u, h in zip(urls, htmls):
+        if u not in node_set:
+            continue
+        for href in page_hrefs(h or b""):
+            if not href.startswith("/"):
+                continue
+            dst = _host(u) + href
+            if dst in node_set and dst != u:
+                adj[u].add(dst); adj[dst].add(u)
+    want = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    got2 = {r["url"]: r["n_triangles"]
+            for r in link_triangles(str(pdir2)).take_all()}
+    assert got2 == want
+    assert sum(want.values()) % 3 == 0 and want  # sanity: triangles exist
