@@ -741,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": relational.sessionize_events,
         "events_running_total": relational.events_running_total,
         "events_anomaly": relational.events_anomaly,
+        "events_decayed": relational.events_decayed,
         "events_funnel": relational.events_funnel,
         "events_retention": relational.events_retention,
         "events_asof_join": relational.events_asof_join,
@@ -3058,6 +3059,28 @@ def oracle_sql() -> dict[str, str]:
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e2
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_decayed": """
+            -- Per-user exponentially-decayed activity (ops/relational.
+            -- events_decayed): Q40 fixed point, decay 1/2 per hour,
+            -- horizon = global max epoch hour, contributions beyond 40
+            -- half-lives floor to 0.
+            WITH hc AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT max(h) AS hmax FROM hc
+            )
+            SELECT hc.user_id,
+                   CAST(sum(CASE WHEN t.hmax - hc.h <= 40
+                            THEN CAST(hc.c AS BIGINT)
+                                 << CAST(40 - (t.hmax - hc.h) AS INTEGER)
+                            ELSE 0 END) AS BIGINT) AS decayed_q40,
+                   CAST(count(*) AS BIGINT) AS n_hours
+            FROM hc CROSS JOIN t
+            GROUP BY hc.user_id
+            ORDER BY hc.user_id
         """,
         "events_anomaly": """
             -- Per-user hourly 3-sigma burst detection (ops/relational.

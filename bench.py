@@ -232,6 +232,11 @@ def run_bench() -> dict:
         timed("mixture_temperature", text_analysis.mixture_temperature)
         timed("weighted_sample_join", relational.weighted_sample_join)
 
+        from smart_ocr_ray.ops.links import link_triangles
+
+        timed("link_triangles", lambda _sf: link_triangles(pages_path))
+        timed("events_decayed", relational.events_decayed)
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

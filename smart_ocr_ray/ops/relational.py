@@ -1321,3 +1321,89 @@ def weighted_sample_join(sf_dir: str, k: int = 200) -> ray.data.Dataset:
         return df[["o_orderkey", "o_orderdate", "revenue_e4", "p_e6"]]
 
     return joined.map_batches(_shape, batch_format="pandas").sort("o_orderkey")
+
+
+def events_decayed(sf_dir: str, half_life_hours: int = 1, scale_bits: int = 40) -> ray.data.Dataset:
+    """Exponentially-decayed per-user activity counters — the
+    time-decay primitive behind rate limiters, trending scores and
+    "recent activity" features (an EWMA with decay factor 1/2 per
+    hour), evaluated at the corpus horizon H = the global max event
+    hour. Reference has no stream ops — novel per SURVEY §2.11.
+
+    Frozen arithmetic (mirrored bit-for-bit in SQL) on a Q40
+    fixed-point grid: with hourly counts c_h (epoch hour h =
+    epoch_us // 3.6e9) and lag = H - h,
+
+        decayed_q40 = Σ_h  c_h << (40 - lag)     for lag <= 40,
+                      contributions beyond 40 half-lives floor to 0
+
+    — i.e. exactly Σ c_h · 2^(-lag) scaled by 2^40, no float anywhere.
+    int64 envelope: a user needs > ~8.4M events in one hour to
+    overflow a single term; raise ``scale_bits`` down / Python ints if
+    a log ever gets there.
+
+    Output: one row per user, (user_id, decayed_q40, n_hours) with
+    n_hours = the user's active-hour count (all of them, including
+    fully-decayed ones).
+
+    Scale shape: the same partial-combined hourly count as
+    ``events_anomaly`` (one all-to-all of pre-aggregated (user, hour)
+    partials); the horizon is ONE driver int from a max over the
+    hourly table; decay is a stateless map; the per-user sum is the
+    standard integer-exact grouped aggregate. Nothing corpus-sized
+    touches the driver.
+    """
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "h": pa.array(ts // 3_600_000_000, pa.int64()),
+            }
+        )
+
+    hourly = _partial_then_final(
+        events.map_batches(_hour, batch_format="pyarrow"),
+        keys=["user_id", "h"],
+        sums={},
+        counts="c",
+    ).materialize()
+    hmax = int(hourly.max("h") or 0)
+
+    contrib_schema = pa.schema(
+        [("user_id", pa.int64()), ("contrib", pa.int64())]
+    )
+
+    def _decay(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return contrib_schema.empty_table()
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        lag = hmax - h
+        live = lag <= scale_bits
+        shift = np.where(live, scale_bits - lag, 0).astype(np.int64)
+        contrib = np.where(live, c << shift, 0)
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "contrib": pa.array(contrib, pa.int64()),
+            },
+            schema=contrib_schema,
+        )
+
+    return (
+        _partial_then_final(
+            hourly.map_batches(_decay, batch_format="pyarrow"),
+            keys=["user_id"],
+            sums={"decayed_q40": "contrib"},
+            counts="n_hours",
+        )
+        .sort("user_id")
+    )

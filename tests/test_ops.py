@@ -3765,3 +3765,50 @@ def test_link_triangles_topology_and_fixture_mirror(ray_session, tmp_path):
             for r in link_triangles(str(pdir2)).take_all()}
     assert got2 == want
     assert sum(want.values()) % 3 == 0 and want  # sanity: triangles exist
+
+
+def test_events_decayed_q40_exact(ray_session, tmp_path):
+    """Decayed counters: hand-computed Q40 values — the horizon hour
+    contributes c<<40, each hour of lag halves the shift, lags beyond
+    40 floor to 0 but still count toward n_hours."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_decayed
+
+    t0 = dt.datetime(2024, 1, 1)  # epoch-aligned hours
+    rows = [  # (user, hour, copies)
+        (7, 100, 3),   # horizon hour (global max) → 3 << 40
+        (7, 99, 5),    # lag 1 → 5 << 39
+        (7, 58, 1),    # lag 42 > 40 → contributes 0, still an active hour
+        (8, 60, 2),    # lag 40 → 2 << 0 = 2 (the boundary survives)
+        (9, 10, 9),    # lag 90 → 0; single fully-decayed user
+    ]
+    eid, ts, uid = [], [], []
+    for u, h, copies in rows:
+        for i in range(copies):
+            eid.append(len(eid))
+            ts.append(t0 + dt.timedelta(hours=h, seconds=i))
+            uid.append(u)
+    sf = tmp_path / "decsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(["click"] * len(eid), pa.string()),
+            "value": pa.array([1.0] * len(eid), pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    got = {
+        r["user_id"]: (r["decayed_q40"], r["n_hours"])
+        for r in events_decayed(str(sf)).take_all()
+    }
+    assert got == {
+        7: ((3 << 40) + (5 << 39), 3),
+        8: (2, 1),
+        9: (0, 1),
+    }
