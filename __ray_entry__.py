@@ -662,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": lambda sf: text_analysis.fingerprints(sf).drop_columns(["text_md5"]),
         "domain_stats": text_analysis.domain_stats,
         "top_bigrams": text_analysis.top_ngrams,
+        "trending_terms": text_analysis.trending_terms,
         "contamination_check": text_analysis.contamination_check,
         "quality_filter": text_analysis.quality_filter,
         "stratified_sample": text_analysis.stratified_sample,
@@ -2694,6 +2695,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "trending_terms": r"""
+            -- Rising terms between crawl snapshots (ops/text_analysis.
+            -- trending_terms): old = even doc_id, new = odd; exact
+            -- rate comparison by clearing denominators —
+            -- score = c_new*T_old - c_old*T_new; c_new >= 5; top 20.
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       str_split_regex(lower(coalesce(text,'')), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), c AS (
+              SELECT term,
+                     sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c_old,
+                     sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c_new
+              FROM tok GROUP BY term
+            ), t AS (
+              SELECT sum(c_old) AS t_old, sum(c_new) AS t_new FROM c
+            )
+            SELECT c.term, CAST(c.c_old AS BIGINT) AS c_old,
+                   CAST(c.c_new AS BIGINT) AS c_new,
+                   CAST(c.c_new * t.t_old - c.c_old * t.t_new AS BIGINT)
+                     AS score
+            FROM c CROSS JOIN t
+            WHERE c.c_new >= 5
+            ORDER BY score DESC, c.term ASC
+            LIMIT 20
         """,
         "phrase_search": r"""
             -- Positional phrase search (ops/text_analysis.phrase_search):

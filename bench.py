@@ -236,6 +236,7 @@ def run_bench() -> dict:
 
         timed("link_triangles", lambda _sf: link_triangles(pages_path))
         timed("events_decayed", relational.events_decayed)
+        timed("trending_terms", text_analysis.trending_terms)
 
     ray.shutdown()
 

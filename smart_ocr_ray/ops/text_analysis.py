@@ -2659,3 +2659,96 @@ def topic_classify(sf_dir: str) -> ray.data.Dataset:
         )
 
     return read_documents(sf_dir).map_batches(_classify, batch_format="pyarrow")
+
+
+def trending_terms(sf_dir: str, k: int = 20, min_new: int = 5) -> ray.data.Dataset:
+    """Trending-term detection between crawl snapshots — the
+    rising-vocabulary signal a recrawl pipeline surfaces (emerging
+    topics, spam campaigns, template shifts). Snapshot split is the
+    ``bloom_dedup`` rule: OLD = even doc_id, NEW = odd doc_id.
+
+    Frozen rule (mirrored exactly in SQL): per term, occurrence counts
+    c_old / c_new (the ``top_ngrams`` tokenization: lowercase
+    whitespace split) and snapshot token totals T_old / T_new; a
+    term's trend score compares its RATES exactly by clearing the
+    denominators —
+
+        score = c_new * T_old  -  c_old * T_new
+
+    (> 0 iff c_new/T_new > c_old/T_old — no float division). Keep
+    terms with c_new >= ``min_new`` (raw-count noise floor), top-k by
+    (score desc, term asc). int64 envelope: |score| < c * T — fine
+    through ~10^9-token snapshots with 10^9-count terms; switch the
+    score map to Python ints past that.
+
+    Scale shape: per-batch term Counters keyed by snapshot side (the
+    partial combine — one row per distinct term per block, never per
+    occurrence); ONE groupby(term) sum; totals are two driver ints
+    summed off the term table; the score map is stateless and top-k
+    is a sort over the distinct-term table with a deterministic tie
+    order. Document text never shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        old: Counter = Counter()
+        new: Counter = Counter()
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            (old if int(d) % 2 == 0 else new).update((t or "").lower().split())
+        terms = sorted(set(old) | set(new))
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(terms, pa.string()),
+                "c_old": pa.array([old.get(t, 0) for t in terms], pa.int64()),
+                "c_new": pa.array([new.get(t, 0) for t in terms], pa.int64()),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_old", alias_name="c_old"), Sum("c_new", alias_name="c_new"))
+        .materialize()
+    )
+    t_old = int(counts.sum("c_old") or 0)
+    t_new = int(counts.sum("c_new") or 0)
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("c_old", pa.int64()),
+            ("c_new", pa.int64()),
+            ("score", pa.int64()),
+        ]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return out_schema.empty_table()
+        import numpy as np
+
+        co = batch.column("c_old").to_numpy(zero_copy_only=False)
+        cn = batch.column("c_new").to_numpy(zero_copy_only=False)
+        keep = cn >= min_new
+        return pa.Table.from_pydict(
+            {
+                "term": batch.column("term").filter(pa.array(keep)),
+                "c_old": pa.array(co[keep], pa.int64()),
+                "c_new": pa.array(cn[keep], pa.int64()),
+                "score": pa.array(
+                    cn[keep] * t_old - co[keep] * t_new, pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        counts.map_batches(_score, batch_format="pyarrow")
+        .sort(["score", "term"], descending=[True, False])
+        .limit(k)
+    )

@@ -3812,3 +3812,45 @@ def test_events_decayed_q40_exact(ray_session, tmp_path):
         8: (2, 1),
         9: (0, 1),
     }
+
+
+def test_trending_terms_exact_rate_rule(ray_session, tmp_path):
+    """Trending score is the denominator-cleared rate comparison:
+    a term with more NEW occurrences but a LOWER new rate must score
+    negative; the noise floor drops low-support terms; ties order by
+    term."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import trending_terms
+
+    # doc 0 (OLD, even id), doc 1 (NEW, odd id).
+    # T_old = 10 tokens, T_new = 40 tokens.
+    # 'up':   old 0, new 8  → score 8*10 - 0      = 80     (rising)
+    # 'flat': old 2, new 8  → score 8*10 - 2*40   = 0      (same rate)
+    # 'down': old 5, new 6  → score 6*10 - 5*40   = -140   (more hits,
+    #         lower rate — the float-free comparison catches it)
+    # 'rare': old 0, new 4  → dropped (c_new < 5)
+    old = " ".join(["flat"] * 2 + ["down"] * 5 + ["pad"] * 3)
+    new = " ".join(["up"] * 8 + ["flat"] * 8 + ["down"] * 6 + ["rare"] * 4 + ["pad"] * 14)
+    sf = tmp_path / "trsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([old, new]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([len(old), len(new)], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = [
+        (r["term"], r["c_old"], r["c_new"], r["score"])
+        for r in trending_terms(str(sf), k=10).take_all()
+    ]
+    assert got == [
+        ("up", 0, 8, 80),
+        ("pad", 3, 14, 14 * 10 - 3 * 40),  # 20
+        ("flat", 2, 8, 0),
+        ("down", 5, 6, -140),
+    ]
