@@ -729,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": similarity.embedding_outliers,
         "pq_encode": similarity.pq_encode,
         "pq_search": similarity.pq_search,
+        "rrf_fuse": similarity.rrf_fuse,
         "lsh_recall_eval": similarity.lsh_recall_eval,
         "cluster_quality": similarity.cluster_quality,
         "graph_pagerank": graph.graph_pagerank,
@@ -1925,7 +1926,7 @@ def oracle_sql() -> dict[str, str]:
             file=sys.stderr,
         )
     minhash_base = _minhash_base_sql()
-    return {
+    out = {
         **corpus_dependent,
         "embedding_neardup_lsh": "WITH " + _hyperplane_lsh_sql() + """
             SELECT left_id, right_id, cos_sim_e3
@@ -3722,3 +3723,29 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 3
         """,
     }
+    # Composed oracle: RRF fuses the two ANN rankings — reuse their
+    # full oracle SQL verbatim as parenthesized subqueries so the
+    # fusion oracle can never drift from the rankers' own oracles.
+    out["rrf_fuse"] = f"""
+        WITH a AS (SELECT query_id, vec_id, rank FROM ({out["ann_cosine_topk"]})),
+             b AS (SELECT query_id, vec_id, rank FROM ({out["ivf_topk"]})),
+             u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+             f AS (
+               SELECT query_id, vec_id,
+                      sum(1000000000 // (60 + rank)) AS rrf_e9,
+                      count(*) AS n_lists
+               FROM u GROUP BY query_id, vec_id
+             ), r AS (
+               SELECT query_id, vec_id,
+                      CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+                      CAST(n_lists AS BIGINT) AS n_lists,
+                      row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY rrf_e9 DESC, vec_id ASC) AS rank
+               FROM f
+             )
+        SELECT query_id, vec_id, rrf_e9, n_lists, rank
+        FROM r WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+    return out

@@ -1342,3 +1342,78 @@ def lsh_recall_eval(
             }
         )
     )
+
+
+def rrf_fuse(sf_dir: str, k: int = 10, c: int = 60) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of the exact-cosine and IVF ANN rankings
+    (Cormack et al. 2009's RRF — the standard ensemble step hybrid
+    retrieval stacks run over heterogeneous rankers, robust to
+    incomparable scores because only RANKS enter the fusion).
+
+    Frozen arithmetic (mirrored exactly in SQL): each ranked list
+    contributes ``1e9 // (c + rank)`` per (query, doc) — the classic
+    ``1/(c+rank)`` on a fixed 1e-9 grid so no float crosses an engine
+    boundary; fused score = the sum over lists, ``n_lists`` = how many
+    rankers returned the doc. Output: per query the top-``k`` docs by
+    (rrf_e9 desc, vec_id asc) with a fused 1-based rank.
+
+    Scale shape: the two input rankings are already tiny
+    (queries × k rows each); fusion is a union + one grouped sum +
+    per-query vectorized top-k via ``map_key_groups`` — no corpus
+    access at all beyond what the input rankers did.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .grouped import block_topk, map_key_groups
+
+    a = ann_cosine_topk(sf_dir).select_columns(["query_id", "vec_id", "rank"])
+    b = ivf_topk(sf_dir).select_columns(["query_id", "vec_id", "rank"])
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "query_id": batch.column("query_id").cast(pa.int64()),
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "contrib": pa.array(1_000_000_000 // (c + r), pa.int64()),
+            }
+        )
+
+    fused = (
+        a.union(b)
+        .map_batches(_contrib, batch_format="pyarrow")
+        .groupby(["query_id", "vec_id"])
+        .aggregate(Sum("contrib", alias_name="rrf_e9"), Count(alias_name="n_lists"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("rrf_e9", pa.int64()),
+            ("n_lists", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def _topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        group = group.combine_chunks()
+        q = group.column("query_id").to_numpy(zero_copy_only=False)
+        v = group.column("vec_id").to_numpy(zero_copy_only=False)
+        s = group.column("rrf_e9").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.column("n_lists").to_numpy(zero_copy_only=False).astype(np.int64)
+        take, ranks = block_topk(q, (v, -s), k)
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(q[take], pa.int64()),
+                "vec_id": pa.array(v[take], pa.int64()),
+                "rrf_e9": pa.array(s[take], pa.int64()),
+                "n_lists": pa.array(n[take], pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(fused, "query_id", _topk).sort(["query_id", "rank"])

@@ -3854,3 +3854,40 @@ def test_trending_terms_exact_rate_rule(ray_session, tmp_path):
         ("flat", 2, 8, 0),
         ("down", 5, 6, -140),
     ]
+
+
+def test_rrf_fuse_mirror_of_input_rankings(ray_session):
+    """RRF fusion equals a pure-Python mirror built from the two input
+    rankers' own outputs: contributions 1e9//(60+rank) summed per
+    (query, doc), top-10 by (score desc, vec_id asc), 1-based ranks,
+    n_lists = rankers returning the doc."""
+    from collections import defaultdict
+
+    from smart_ocr_ray.ops.similarity import ann_cosine_topk, ivf_topk, rrf_fuse
+
+    a = ann_cosine_topk(SF).take_all()
+    b = ivf_topk(SF).take_all()
+    score: dict = defaultdict(int)
+    nlists: dict = defaultdict(int)
+    for rows in (a, b):
+        for r in rows:
+            key = (r["query_id"], r["vec_id"])
+            score[key] += 1_000_000_000 // (60 + r["rank"])
+            nlists[key] += 1
+    want = []
+    for q in sorted({k[0] for k in score}):
+        docs = sorted(
+            (k[1] for k in score if k[0] == q),
+            key=lambda v: (-score[(q, v)], v),
+        )[:10]
+        want += [
+            (q, v, score[(q, v)], nlists[(q, v)], i + 1)
+            for i, v in enumerate(docs)
+        ]
+    got = [
+        (r["query_id"], r["vec_id"], r["rrf_e9"], r["n_lists"], r["rank"])
+        for r in rrf_fuse(SF).take_all()
+    ]
+    assert got == want
+    # Agreement between rankers exists: some doc fused from both lists.
+    assert any(n == 2 for (_, _, _, n, _) in got)
