@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup": dedup.bloom_dedup,
         "crawl_diff": dedup.crawl_diff,
         "url_canonical": _q_url_canonical,
+        "dedup_weights": dedup.dedup_weights,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -3726,6 +3727,19 @@ def oracle_sql() -> dict[str, str]:
     # Composed oracle: RRF fuses the two ANN rankings — reuse their
     # full oracle SQL verbatim as parenthesized subqueries so the
     # fusion oracle can never drift from the rankers' own oracles.
+    # Composed oracle: soft-dedup weights reuse the dedup_clusters
+    # oracle verbatim, so the weighting check cannot drift from the
+    # clustering check.
+    out["dedup_weights"] = f"""
+        WITH c AS (SELECT doc_id, cluster_id FROM ({out["dedup_clusters"]})),
+             s AS (SELECT cluster_id, count(*) AS n FROM c GROUP BY cluster_id),
+             j AS (SELECT c.doc_id, s.n FROM c JOIN s USING (cluster_id))
+        SELECT d.doc_id,
+               CAST(coalesce(j.n, 1) AS BIGINT) AS cluster_size,
+               CAST(1000000 // coalesce(j.n, 1) AS BIGINT) AS weight_e6
+        FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+        ORDER BY d.doc_id
+    """
     out["rrf_fuse"] = f"""
         WITH a AS (SELECT query_id, vec_id, rank FROM ({out["ann_cosine_topk"]})),
              b AS (SELECT query_id, vec_id, rank FROM ({out["ivf_topk"]})),

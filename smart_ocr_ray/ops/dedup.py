@@ -1279,3 +1279,97 @@ def crawl_diff(sf_dir: str) -> ray.data.Dataset:
         return out.cast(out_schema)
 
     return joined.map_batches(_classify, batch_format="pyarrow")
+
+
+def dedup_weights(sf_dir: str) -> ray.data.Dataset:
+    """Soft-dedup loss weights — the modern alternative to hard
+    removal: instead of dropping near-duplicates, DOWN-WEIGHT each
+    document by its duplicate-cluster size so a cluster contributes
+    one document's worth of gradient in total (the "SoftDeDup" family
+    of recipes; hard dedup is the weight_e6 == 0-or-1e6 special case).
+
+    Frozen rule (mirrored in SQL by composing the ``dedup_clusters``
+    oracle verbatim): cluster_size = the doc's MinHash-LSH near-dup
+    component size (1 for docs in no near-dup pair),
+    weight_e6 = 1e6 // cluster_size. Output: (doc_id, cluster_size,
+    weight_e6) for EVERY document, sorted by doc_id.
+
+    Scale shape: composes on ``dedup_clusters`` (the distributed
+    min-label components — nothing new shuffles the corpus); sizes
+    are one ``reduce_by_keys`` count over the cluster table (near-dup
+    docs only, far smaller than the corpus); the corpus-wide pass is
+    a single left-outer join from the doc-id column against that
+    small table. A no-duplicate corpus branches around the joins
+    entirely (everything weight 1e6).
+    """
+    from ..tuning import join_partitions as _jp
+    from .grouped import reduce_by_keys
+    from .text_analysis import read_documents
+
+    jp = _jp()
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("cluster_size", pa.int64()),
+            ("weight_e6", pa.int64()),
+        ]
+    )
+    docs = read_documents(sf_dir).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+    clusters = dedup_clusters(sf_dir).materialize()
+
+    def _singleton(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return out_schema.empty_table()
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_size": pa.array(np.ones(n, np.int64), pa.int64()),
+                "weight_e6": pa.array(
+                    np.full(n, 1_000_000, np.int64), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    if clusters.count() == 0:
+        return docs.map_batches(_singleton, batch_format="pyarrow").sort("doc_id")
+
+    sizes = reduce_by_keys(
+        clusters, ["cluster_id"], None, how="count", out="cluster_size"
+    ).repartition(jp)
+    clustered = (
+        clusters.repartition(jp)
+        .join(sizes, "inner", jp, on=("cluster_id",))
+        .map_batches(
+            lambda t: t.select(["doc_id", "cluster_size"]), batch_format="pyarrow"
+        )
+        .repartition(jp)
+    )
+    joined = docs.repartition(jp).join(
+        clustered, "left_outer", jp, on=("doc_id",)
+    )
+
+    def _weights(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        size = pc.fill_null(
+            batch.column("cluster_size").cast(pa.int64()), 1
+        ).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_size": pa.array(size, pa.int64()),
+                "weight_e6": pa.array(
+                    np.floor_divide(1_000_000, size), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(_weights, batch_format="pyarrow").sort("doc_id")

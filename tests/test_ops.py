@@ -3891,3 +3891,54 @@ def test_rrf_fuse_mirror_of_input_rankings(ray_session):
     assert got == want
     # Agreement between rankers exists: some doc fused from both lists.
     assert any(n == 2 for (_, _, _, n, _) in got)
+
+
+def test_dedup_weights_cluster_sizes(ray_session, tmp_path):
+    """Soft-dedup weights: a 3-clone cluster gets size 3 / weight
+    333333 for every member, unique docs get 1 / 1e6, and a corpus
+    with no near-dups takes the branch where everything is a
+    singleton."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import dedup_weights
+
+    clone = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the slow green turtle watches from the muddy river bank"
+    )
+    texts = [
+        clone, clone, clone,
+        "completely different content about distributed query engines and arrow",
+        "yet another unrelated document discussing tokenizer training corpora",
+    ]
+
+    def write(sf, tt):
+        sf.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict({
+                "doc_id": pa.array(range(len(tt)), pa.int64()),
+                "text": pa.array(tt),
+                "lang": pa.array(["en"] * len(tt)),
+                "source": pa.array(["s"] * len(tt)),
+                "n_chars": pa.array([len(t) for t in tt], pa.int64()),
+            }),
+            sf / "documents.parquet",
+        )
+
+    sf = tmp_path / "dwsf"; write(sf, texts)
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["weight_e6"])
+        for r in dedup_weights(str(sf)).take_all()
+    }
+    assert got == {
+        0: (3, 333_333), 1: (3, 333_333), 2: (3, 333_333),
+        3: (1, 1_000_000), 4: (1, 1_000_000),
+    }
+
+    sf2 = tmp_path / "dwsf2"; write(sf2, texts[3:])
+    got2 = {
+        r["doc_id"]: (r["cluster_size"], r["weight_e6"])
+        for r in dedup_weights(str(sf2)).take_all()
+    }
+    assert got2 == {0: (1, 1_000_000), 1: (1, 1_000_000)}
