@@ -3,6 +3,7 @@
     python -m smart_ocr_ray.cli extract --input DIR_OR_FILE --output DIR \\
         [--partitions 8] [--multi-extractor] [--resume/--no-resume]
     python -m smart_ocr_ray.cli score --extracted DIR --golden FILE
+    python -m smart_ocr_ray.cli query NAME --sf DIR [--output DIR] [--list]
     python -m smart_ocr_ray.cli convert --input SHARD_DIR --output DIR \\
         [--format warc|jsonl]
     python -m smart_ocr_ray.cli fixtures --rows 1000 --output FILE
@@ -109,6 +110,68 @@ def cmd_fixtures(args: argparse.Namespace) -> int:
     return 0
 
 
+def _load_entry():
+    """Import the repo-root ``__ray_entry__`` driver-contract module
+    (the one place every query pipeline is registered) relative to the
+    package, so the CLI finds it from any working directory."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "__ray_entry__.py"
+    spec = importlib.util.spec_from_file_location("__ray_entry__", path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered query pipeline by name over an sf-style table
+    directory — the generic entry point for the ops catalog (dedup,
+    similarity, link graph, events, sampling, ...), so a user does not
+    need to write a driver script per operator."""
+    entry = _load_entry()
+    names = entry.queries()
+    if args.list:
+        print("\n".join(sorted(names)))
+        return 0
+    if not args.name or args.name not in names:
+        print(
+            f"unknown query {args.name!r} — `query --list` prints the "
+            f"{len(names)} available names",
+            file=sys.stderr,
+        )
+        return 2
+    if not args.sf:
+        print("--sf DIR is required to run a query", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    result = names[args.name](args.sf)
+    summary = {"query": args.name}
+    if isinstance(result, ray.data.Dataset):
+        if args.output:
+            result.write_parquet(args.output)
+            summary["output"] = args.output
+        summary["rows"] = result.count()
+    else:
+        table = result if isinstance(result, pa.Table) else pa.Table.from_pandas(result)
+        if args.output:
+            out = args.output
+            if not out.endswith(".parquet"):
+                import os
+
+                os.makedirs(out, exist_ok=True)
+                out = f"{out}/result.parquet"
+            pq.write_table(table, out)
+            summary["output"] = out
+        summary["rows"] = table.num_rows
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="smart_ocr_ray")
     parser.add_argument("--num-cpus", type=int, default=None)
@@ -132,6 +195,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="parquet output directory")
     p.add_argument("--format", choices=("warc", "jsonl"), default="warc")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("query", help="run a registered query pipeline by name")
+    p.add_argument("name", nargs="?", default=None, help="query name (see --list)")
+    p.add_argument("--sf", default=None, help="table directory (documents/events/... parquet)")
+    p.add_argument("--output", default=None, help="write the result as parquet here")
+    p.add_argument("--list", action="store_true", help="print available query names")
+    p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("fixtures", help="generate a synthetic pages table")
     p.add_argument("--rows", type=int, default=1000)

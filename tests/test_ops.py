@@ -2,6 +2,8 @@
 similarity recall, multimodal plumbing, discrepancy detection, and the
 within-partition content-hash skip."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -3942,3 +3944,35 @@ def test_dedup_weights_cluster_sizes(ray_session, tmp_path):
         for r in dedup_weights(str(sf2)).take_all()
     }
     assert got2 == {0: (1, 1_000_000), 1: (1, 1_000_000)}
+
+
+def test_cli_query_runs_registered_pipeline(ray_session, tmp_path):
+    """`cli query` lists the registry, runs a Dataset query and a
+    pandas query by name, writes parquet, and rejects unknown names."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray import cli
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli.main(["query", "--list"]) == 0
+    names = buf.getvalue().split()
+    assert "pricing_summary" in names and "dedup_exact" in names
+
+    out = tmp_path / "q_out"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "query", "dedup_exact", "--sf", SF, "--output", str(out),
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["rows"] == 500
+    written = pq.read_table(str(out))
+    assert written.num_rows == 500
+    assert set(written.column_names) == {"text_md5", "doc_id"}
+
+    assert cli.main(["query", "no_such_query", "--sf", SF]) == 2
