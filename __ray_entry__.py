@@ -669,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_k": text_analysis.sample_exact_k,
         "sample_stratified_k": text_analysis.sample_stratified_k,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
+        "corpus_profile": text_analysis.corpus_profile,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_repetition": text_analysis.doc_repetition,
         "bm25_topk": text_analysis.bm25_topk,
@@ -2697,6 +2698,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "corpus_profile": """
+            -- Pre-flight table profile (ops/text_analysis.
+            -- corpus_profile): per column rows/nulls/exact distinct/
+            -- min-max; text distinct over md5(text), text min/max ''.
+            WITH p AS (
+              SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                     count(*) - count(doc_id) AS n_nulls,
+                     count(DISTINCT doc_id) AS n_distinct,
+                     coalesce(CAST(min(doc_id) AS VARCHAR), '') AS min_value,
+                     coalesce(CAST(max(doc_id) AS VARCHAR), '') AS max_value
+              FROM documents
+              UNION ALL
+              SELECT 'lang', count(*), count(*) - count(lang),
+                     count(DISTINCT lang),
+                     coalesce(min(lang), ''), coalesce(max(lang), '')
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                     count(DISTINCT n_chars),
+                     coalesce(CAST(min(n_chars) AS VARCHAR), ''),
+                     coalesce(CAST(max(n_chars) AS VARCHAR), '')
+              FROM documents
+              UNION ALL
+              SELECT 'source', count(*), count(*) - count(source),
+                     count(DISTINCT source),
+                     coalesce(min(source), ''), coalesce(max(source), '')
+              FROM documents
+              UNION ALL
+              SELECT 'text', count(*), count(*) - count(text),
+                     count(DISTINCT md5(text)), '', ''
+              FROM documents
+            )
+            SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_nulls AS BIGINT) AS n_nulls,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   min_value, max_value
+            FROM p ORDER BY "column"
         """,
         "trending_terms": r"""
             -- Rising terms between crawl snapshots (ops/text_analysis.

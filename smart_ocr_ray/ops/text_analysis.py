@@ -2752,3 +2752,182 @@ def trending_terms(sf_dir: str, k: int = 20, min_new: int = 5) -> ray.data.Datas
         .sort(["score", "term"], descending=[True, False])
         .limit(k)
     )
+
+
+PROFILE_COLUMNS: tuple[tuple[str, str], ...] = (
+    # (column, kind): kind governs the distinct key and min/max rule.
+    ("doc_id", "int"),
+    ("text", "hash"),   # distinct over md5(text); no min/max (doc-sized values)
+    ("lang", "str"),
+    ("source", "str"),
+    ("n_chars", "int"),
+)
+
+
+def corpus_profile(sf_dir: str) -> ray.data.Dataset:
+    """Pre-flight data-validation profile of the documents table — the
+    Great-Expectations-style check a pipeline runs BEFORE committing a
+    100 TB job to a corpus: per column, row count, null count, EXACT
+    distinct count, and min/max. A wrong shard glob, a half-written
+    snapshot, or a column of nulls shows up here as one wrong number
+    instead of a day of wasted compute.
+
+    Frozen rules (mirrored in SQL): distinct for ``text`` is counted
+    over ``md5(text)`` so full documents never enter the shuffle
+    (== ``content_md5``; the frozen exact-dedup key); min/max are the
+    numeric extremes stringified for int columns, lexicographic for
+    short string columns, and '' for ``text`` (doc-sized values don't
+    belong in a profile row). Nulls are excluded from distinct and
+    min/max and counted in ``n_nulls``.
+
+    Output: one row per column — (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — sorted by column name.
+
+    Scale shape: ONE streaming pass emits per-block meta partials
+    (O(columns) rows/block) and in-block-deduped (column, key) distinct
+    rows; the only all-to-all is the distinct reduce over that
+    pre-deduped narrow key table; final assembly touches O(columns)
+    rows on the driver (schema-sized, not corpus-sized).
+    """
+    from ..functions.textstats import content_md5
+    from .grouped import reduce_by_keys
+
+    meta_schema = pa.schema(
+        [
+            ("column", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_nulls", pa.int64()),
+            ("min_num", pa.int64()),
+            ("max_num", pa.int64()),
+            ("min_str", pa.string()),
+            ("max_str", pa.string()),
+        ]
+    )
+    key_schema = pa.schema([("column", pa.string()), ("vkey", pa.string())])
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return meta_schema.empty_table()
+        import numpy as np
+
+        rows = {k: [] for k in meta_schema.names}
+        for col, kind in PROFILE_COLUMNS:
+            arr = batch.column(col)
+            n = len(arr)
+            nulls = arr.null_count
+            vals = arr.drop_null()
+            rows["column"].append(col)
+            rows["n_rows"].append(n)
+            rows["n_nulls"].append(nulls)
+            if kind == "int" and len(vals):
+                v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+                rows["min_num"].append(int(v.min()))
+                rows["max_num"].append(int(v.max()))
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+            elif kind == "str" and len(vals):
+                v = vals.to_pylist()
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(min(v))
+                rows["max_str"].append(max(v))
+            else:
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+        return pa.Table.from_pydict(rows, schema=meta_schema)
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return key_schema.empty_table()
+        cols, keys = [], []
+        for col, kind in PROFILE_COLUMNS:
+            vals = batch.column(col).drop_null().to_pylist()
+            if kind == "hash":
+                uniq = {content_md5(v) for v in vals}
+            elif kind == "int":
+                uniq = {str(int(v)) for v in vals}
+            else:
+                uniq = set(vals)
+            cols += [col] * len(uniq)
+            keys += sorted(uniq)
+        return pa.Table.from_pydict(
+            {"column": pa.array(cols, pa.string()), "vkey": pa.array(keys, pa.string())},
+            schema=key_schema,
+        )
+
+    def _meta_reduce(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return meta_schema.empty_table()
+        import numpy as np
+
+        def _agg(name, how):
+            col = group.column(name).drop_null()
+            if len(col) == 0:
+                return None
+            v = col.to_pylist()
+            return how(v)
+
+        return pa.Table.from_pydict(
+            {
+                "column": [group.column("column")[0].as_py()],
+                "n_rows": [int(np.sum(group.column("n_rows").to_numpy(zero_copy_only=False)))],
+                "n_nulls": [int(np.sum(group.column("n_nulls").to_numpy(zero_copy_only=False)))],
+                "min_num": [_agg("min_num", min)],
+                "max_num": [_agg("max_num", max)],
+                "min_str": [_agg("min_str", min)],
+                "max_str": [_agg("max_str", max)],
+            },
+            schema=meta_schema,
+        )
+
+    from .grouped import map_key_groups
+
+    docs = read_documents(sf_dir)
+    # Per-block partials (columns x blocks rows) reduce DISTRIBUTED to
+    # one row per column before the driver sees them — at 100 TB the
+    # partial table is itself millions of rows.
+    metas = map_key_groups(
+        docs.map_batches(_meta, batch_format="pyarrow"), "column", _meta_reduce
+    ).take_all()
+    distinct_keys = reduce_by_keys(
+        docs.map_batches(_keys, batch_format="pyarrow"),
+        ["column", "vkey"], None, how="count", out="_n",
+    )
+    distincts = {
+        r["column"]: r["n_distinct"]
+        for r in reduce_by_keys(
+            distinct_keys, ["column"], None, how="count", out="n_distinct"
+        ).take_all()
+    }
+
+    out_schema = pa.schema(
+        [
+            ("column", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_nulls", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("min_value", pa.string()),
+            ("max_value", pa.string()),
+        ]
+    )
+    final = {k: [] for k in out_schema.names}
+    for col, kind in sorted(PROFILE_COLUMNS):
+        mine = [m for m in metas if m["column"] == col]
+        final["column"].append(col)
+        final["n_rows"].append(sum(m["n_rows"] for m in mine))
+        final["n_nulls"].append(sum(m["n_nulls"] for m in mine))
+        final["n_distinct"].append(int(distincts.get(col, 0)))
+        if kind == "int":
+            nums = [m for m in mine if m["min_num"] is not None]
+            final["min_value"].append(str(min(m["min_num"] for m in nums)) if nums else "")
+            final["max_value"].append(str(max(m["max_num"] for m in nums)) if nums else "")
+        elif kind == "str":
+            strs = [m for m in mine if m["min_str"] is not None]
+            final["min_value"].append(min(m["min_str"] for m in strs) if strs else "")
+            final["max_value"].append(max(m["max_str"] for m in strs) if strs else "")
+        else:
+            final["min_value"].append("")
+            final["max_value"].append("")
+    return ray.data.from_arrow(pa.Table.from_pydict(final, schema=out_schema))

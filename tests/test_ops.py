@@ -3976,3 +3976,40 @@ def test_cli_query_runs_registered_pipeline(ray_session, tmp_path):
     assert set(written.column_names) == {"text_md5", "doc_id"}
 
     assert cli.main(["query", "no_such_query", "--sf", SF]) == 2
+
+
+def test_corpus_profile_nulls_and_extremes(ray_session, tmp_path):
+    """Profile rows: exact distinct counts (text via md5), null
+    exclusion from distinct/min-max but inclusion in n_nulls, numeric
+    vs lexicographic extremes, '' for text min/max."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import corpus_profile
+
+    sf = tmp_path / "cpsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([2, 10, 9, 4], pa.int64()),
+            "text": pa.array(["same", "same", None, "other"]),
+            "lang": pa.array(["en", None, "de", "en"]),
+            "source": pa.array(["b", "a", "a", "c"]),
+            "n_chars": pa.array([4, 4, None, 5], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {
+        r["column"]: (
+            r["n_rows"], r["n_nulls"], r["n_distinct"],
+            r["min_value"], r["max_value"],
+        )
+        for r in corpus_profile(str(sf)).take_all()
+    }
+    assert got == {
+        # numeric extremes, not lexicographic: min 2, max 10.
+        "doc_id": (4, 0, 4, "2", "10"),
+        "lang": (4, 1, 2, "de", "en"),
+        "n_chars": (4, 1, 2, "4", "5"),
+        "source": (4, 0, 3, "a", "c"),
+        "text": (4, 1, 2, "", ""),
+    }
