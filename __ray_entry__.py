@@ -719,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": dedup.substring_dedup,
         "winnow_pairs": dedup.winnow_pairs,
         "winnow_clusters": dedup.winnow_clusters,
+        "winnow_containment": dedup.winnow_containment,
         # --- similarity search ---
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -2187,6 +2188,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_pairs": "WITH " + _winnow_pairs_sql() + """
             SELECT left_id, right_id, n_shared FROM wpairs
+        """,
+        "winnow_containment": "WITH " + _winnow_pairs_sql() + """,
+            -- Asymmetric containment (ops/dedup.winnow_containment):
+            -- same fps/keep chain; pairs >= 4 shared fps; inner = the
+            -- smaller-(nfp, id) side; cont_e6 = (1e6*shared)//nfp_inner
+            -- >= 800000.
+            sizes AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id),
+            cpairs AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM fps a JOIN keep USING (fp) JOIN fps b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 4
+            ),
+            oriented AS (
+              SELECT CASE WHEN sl.nfp < sr.nfp
+                            OR (sl.nfp = sr.nfp AND p.left_id < p.right_id)
+                          THEN p.left_id ELSE p.right_id END AS inner_id,
+                     CASE WHEN sl.nfp < sr.nfp
+                            OR (sl.nfp = sr.nfp AND p.left_id < p.right_id)
+                          THEN p.right_id ELSE p.left_id END AS outer_id,
+                     p.n_shared,
+                     CAST(CASE WHEN sl.nfp < sr.nfp
+                            OR (sl.nfp = sr.nfp AND p.left_id < p.right_id)
+                          THEN sl.nfp ELSE sr.nfp END AS BIGINT) AS fp_inner
+              FROM cpairs p
+              JOIN sizes sl ON p.left_id = sl.doc_id
+              JOIN sizes sr ON p.right_id = sr.doc_id
+            )
+            SELECT inner_id, outer_id, n_shared, fp_inner,
+                   CAST((1000000 * n_shared) // fp_inner AS BIGINT) AS cont_e6
+            FROM oriented
+            WHERE (1000000 * n_shared) // fp_inner >= 800000
+            ORDER BY inner_id, outer_id
         """,
         "winnow_clusters": "WITH RECURSIVE " + _winnow_pairs_sql() + """,
             edges AS (

@@ -963,6 +963,34 @@ def substring_dedup(
     return map_key_groups(hot, "doc_id", _coverage)
 
 
+def _winnow_fp_rows(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(fp: uint64, doc_id) winnow-fingerprint rows — the shared
+    explode of the winnowing family (`winnow_pairs`,
+    `winnow_containment`). Small batches parallelize the per-char
+    k-gram md5 loop (the dominant cost) across the pool."""
+    from ..functions.textstats import winnow_fingerprint
+
+    fp_schema = pa.schema([("fp", pa.uint64()), ("doc_id", pa.int64())])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        fps, ids = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for fp in winnow_fingerprint(t or ""):
+                fps.append(fp)
+                ids.append(int(d))
+        return pa.Table.from_pydict(
+            {
+                "fp": pa.array(fps, pa.uint64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            },
+            schema=fp_schema,
+        )
+
+    return docs.map_batches(_explode, batch_format="pyarrow", batch_size=128)
+
+
 def winnow_pairs(
     sf_dir: str, min_shared: int = 12, max_fp_docs: int = 64
 ) -> ray.data.Dataset:
@@ -991,34 +1019,10 @@ def winnow_pairs(
     (left, right)-keyed groupby over pair rows, which exist only for
     actual overlaps.
     """
-    from ..functions.textstats import winnow_fingerprint
-    from ..tuning import join_partitions as _jp
-    from .grouped import map_key_groups, rename_agg
+    from .grouped import map_key_groups
     from .text_analysis import read_documents as _read_docs
 
-    docs = _read_docs(sf_dir)
-
-    fp_schema = pa.schema([("fp", pa.uint64()), ("doc_id", pa.int64())])
-
-    def _explode(batch: pa.Table) -> pa.Table:
-        fps, ids = [], []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for fp in winnow_fingerprint(t or ""):
-                fps.append(fp)
-                ids.append(int(d))
-        return pa.Table.from_pydict(
-            {
-                "fp": pa.array(fps, pa.uint64()),
-                "doc_id": pa.array(ids, pa.int64()),
-            },
-            schema=fp_schema,
-        )
-
-    # Small batches parallelize the per-char-k-gram md5 loop (the
-    # dominant cost) across the pool instead of one task per block.
-    fp_rows = docs.map_batches(_explode, batch_format="pyarrow", batch_size=128)
+    fp_rows = _winnow_fp_rows(_read_docs(sf_dir))
 
     pair_schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
 
@@ -1373,3 +1377,133 @@ def dedup_weights(sf_dir: str) -> ray.data.Dataset:
         )
 
     return joined.map_batches(_weights, batch_format="pyarrow").sort("doc_id")
+
+
+def winnow_containment(
+    sf_dir: str,
+    min_shared: int = 4,
+    min_cont_e6: int = 800_000,
+    max_fp_docs: int = 64,
+) -> ray.data.Dataset:
+    """Asymmetric near-CONTAINMENT from winnowing fingerprints — the
+    quote/aggregator signal symmetric Jaccard misses: a short document
+    living almost entirely inside a long one scores low Jaccard but
+    high containment of its own fingerprint set (Broder's containment
+    measure over MOSS fingerprints). Training pipelines use it to
+    drop aggregator/quote pages whose content is a subset of a source
+    page.
+
+    Frozen rule (mirrored in SQL): candidate pairs share >=
+    ``min_shared`` winnow fingerprints after the same stop-fingerprint
+    guard as ``winnow_pairs`` (df > ``max_fp_docs`` dropped); the
+    INNER side is the smaller-(fingerprint-count, id) doc;
+    ``cont_e6 = (1e6 * n_shared) // nfp_inner`` and pairs with
+    ``cont_e6 >= min_cont_e6`` are reported. Output: (inner_id,
+    outer_id, n_shared, fp_inner, cont_e6) sorted by (inner, outer).
+
+    Scale shape: same as ``winnow_pairs`` — fingerprint rows explode
+    once (materialized, reused for sizes and pairing), ONE
+    map_key_groups on fp with the stop guard, pair counts and per-doc
+    sizes via ``reduce_by_keys`` sorts, two small joins attach sizes
+    to the pair table (pairs only — never the corpus).
+    """
+    from ..tuning import join_partitions as _jp
+    from .grouped import map_key_groups, reduce_by_keys
+    from .text_analysis import read_documents as _read_docs
+
+    jp = _jp()
+    out_schema = pa.schema(
+        [
+            ("inner_id", pa.int64()),
+            ("outer_id", pa.int64()),
+            ("n_shared", pa.int64()),
+            ("fp_inner", pa.int64()),
+            ("cont_e6", pa.int64()),
+        ]
+    )
+
+    fp_rows = _winnow_fp_rows(_read_docs(sf_dir)).materialize()
+    sizes = reduce_by_keys(
+        fp_rows, ["doc_id"], None, how="count", out="nfp"
+    ).repartition(jp)
+
+    pair_schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > max_fp_docs:
+            return pair_schema.empty_table()
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        li, ri = np.triu_indices(n, k=1)
+        return pa.Table.from_pydict(
+            {
+                "left_id": pa.array(ids[li], pa.int64()),
+                "right_id": pa.array(ids[ri], pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    pair_rows = map_key_groups(fp_rows, "fp", _pairs, min_group_size=2).materialize()
+    if pair_rows.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    counted = reduce_by_keys(
+        pair_rows, ["left_id", "right_id"], None, "count", out="n_shared"
+    )
+
+    def _floor(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("left_id", pa.int64()), ("right_id", pa.int64()), ("n_shared", pa.int64())]
+            ).empty_table()
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("n_shared"), pa.scalar(min_shared))
+        ).select(["left_id", "right_id", "n_shared"])
+
+    pairs = counted.map_batches(_floor, batch_format="pyarrow").repartition(jp)
+    if pairs.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    size_l = sizes.map_batches(
+        lambda t: t.rename_columns(["left_id", "nfp_l"]), batch_format="pyarrow"
+    )
+    size_r = sizes.map_batches(
+        lambda t: t.rename_columns(["right_id", "nfp_r"]), batch_format="pyarrow"
+    )
+    joined = (
+        pairs.join(size_l, "inner", jp, on=("left_id",))
+        .repartition(jp)
+        .join(size_r, "inner", jp, on=("right_id",))
+        .repartition(jp)
+    )
+
+    def _contain(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "nfp_l" not in batch.column_names:
+            return out_schema.empty_table()
+        l = batch.column("left_id").to_numpy(zero_copy_only=False)
+        r = batch.column("right_id").to_numpy(zero_copy_only=False)
+        nl = batch.column("nfp_l").to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = batch.column("nfp_r").to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch.column("n_shared").to_numpy(zero_copy_only=False).astype(np.int64)
+        left_inner = (nl < nr) | ((nl == nr) & (l < r))
+        inner = np.where(left_inner, l, r)
+        outer = np.where(left_inner, r, l)
+        fp_inner = np.where(left_inner, nl, nr)
+        cont = np.floor_divide(1_000_000 * ns, fp_inner)
+        keep = cont >= min_cont_e6
+        return pa.Table.from_pydict(
+            {
+                "inner_id": pa.array(inner[keep], pa.int64()),
+                "outer_id": pa.array(outer[keep], pa.int64()),
+                "n_shared": pa.array(ns[keep], pa.int64()),
+                "fp_inner": pa.array(fp_inner[keep], pa.int64()),
+                "cont_e6": pa.array(cont[keep], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(_contain, batch_format="pyarrow").sort(
+        ["inner_id", "outer_id"]
+    )

@@ -4013,3 +4013,48 @@ def test_corpus_profile_nulls_and_extremes(ray_session, tmp_path):
         "source": (4, 0, 3, "a", "c"),
         "text": (4, 1, 2, "", ""),
     }
+
+
+def test_winnow_containment_quote_page(ray_session, tmp_path):
+    """A short page quoted verbatim inside a much longer one reaches
+    containment >= 0.8 of its own fingerprint set even though the
+    symmetric winnow_pairs overlap view treats the pair like any
+    near-dup; an unrelated page emits nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import winnow_containment
+
+    quote = (
+        "the committee concluded that the proposed amendment to the "
+        "charter would require a two thirds majority of all voting "
+        "members present at the annual assembly in order to pass"
+    )
+    filler = " ".join(
+        f"unique host filler sentence number {i} with distinct trailing content"
+        for i in range(40)
+    )
+    texts = [
+        quote,                       # doc 0: the contained page
+        filler + " " + quote + " " + filler[::-1],  # doc 1: hosts the quote
+        "an entirely unrelated document about spherical codebook training",
+    ]
+    sf = tmp_path / "wcsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {
+        (r["inner_id"], r["outer_id"]): (r["cont_e6"], r["n_shared"], r["fp_inner"])
+        for r in winnow_containment(str(sf)).take_all()
+    }
+    assert set(got) == {(0, 1)}
+    cont, shared, fp_inner = got[(0, 1)]
+    assert cont >= 800_000
+    assert shared <= fp_inner  # containment is a ratio of the inner set
