@@ -237,6 +237,11 @@ def run_bench() -> dict:
         timed("link_triangles", lambda _sf: link_triangles(pages_path))
         timed("events_decayed", relational.events_decayed)
         timed("trending_terms", text_analysis.trending_terms)
+        timed("sample_stratified_k", text_analysis.sample_stratified_k)
+        timed("corpus_profile", text_analysis.corpus_profile)
+        timed("rrf_fuse", similarity.rrf_fuse)
+        timed("dedup_weights", dedup.dedup_weights)
+        timed("winnow_containment", dedup.winnow_containment)
 
     ray.shutdown()
 
