@@ -388,6 +388,13 @@ def _q_link_triangles(sf_dir: str):
     return link_triangles(_pages_path(sf_dir))
 
 
+def _q_page_structure(sf_dir: str):
+    """Per-page structural profile (title + tag counts)."""
+    from smart_ocr_ray.ops.links import page_structure
+
+    return page_structure(_pages_path(sf_dir))
+
+
 def _q_anchor_texts(sf_dir: str):
     """Incoming anchor-text term counts per target page."""
     from smart_ocr_ray.ops.links import anchor_texts
@@ -689,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_triangles": _q_link_triangles,
+        "page_structure": _q_page_structure,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "anchor_texts": _q_anchor_texts,
         "hll_registers": text_analysis.hll_registers,
@@ -1907,6 +1915,32 @@ def _link_triangles_sql() -> str:
     """
 
 
+def _page_structure_sql() -> str:
+    """Oracle for ``page_structure``: independent regexp scan — first
+    <title> text and '<tag[ >/]' start-tag counts — vs the Ray side's
+    HTMLParser walk (the link_graph duality; agrees on the well-formed
+    lowercase markup this corpus guarantees — no script/CDATA blocks)."""
+    return f"""
+        WITH {_link_ctes()}
+        SELECT h.url,
+               coalesce(regexp_extract(h.s, '<title[^>]*>([^<]*)', 1), '')
+                 AS title,
+               CAST(len(regexp_extract_all(h.s, '<h1[ >/]'))
+                  + len(regexp_extract_all(h.s, '<h2[ >/]'))
+                  + len(regexp_extract_all(h.s, '<h3[ >/]')) AS BIGINT)
+                 AS n_headings,
+               CAST(len(regexp_extract_all(h.s, '<p[ >/]')) AS BIGINT)
+                 AS n_paragraphs,
+               CAST(len(regexp_extract_all(h.s, '<table[ >/]')) AS BIGINT)
+                 AS n_tables,
+               CAST(len(regexp_extract_all(h.s, '<img[ >/]')) AS BIGINT)
+                 AS n_images,
+               CAST(len(regexp_extract_all(h.s, '<a[ >/]')) AS BIGINT)
+                 AS n_anchors
+        FROM h ORDER BY h.url
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # Corpus-dependent pseudo-oracles (they materialize the pages/golden
     # tables for _ORACLE_SF at build time): degrade to rows-only rather
@@ -1919,6 +1953,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_pagerank"] = _link_pagerank_sql()
         corpus_dependent["link_components"] = _link_components_sql()
         corpus_dependent["link_triangles"] = _link_triangles_sql()
+        corpus_dependent["page_structure"] = _page_structure_sql()
         corpus_dependent["anchor_texts"] = _anchor_texts_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys

@@ -235,6 +235,10 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.links import link_triangles
 
         timed("link_triangles", lambda _sf: link_triangles(pages_path))
+
+        from smart_ocr_ray.ops.links import page_structure
+
+        timed("page_structure", lambda _sf: page_structure(pages_path))
         timed("events_decayed", relational.events_decayed)
         timed("trending_terms", text_analysis.trending_terms)
         timed("sample_stratified_k", text_analysis.sample_stratified_k)

@@ -934,3 +934,93 @@ def link_triangles(pages_path: str) -> ray.data.Dataset:
         )
 
     return labeled.map_batches(_shape, batch_format="pyarrow").sort("url")
+
+
+class _StructureCollector(HTMLParser):
+    """Start-tag counter + title text for the page-structure profile.
+
+    Counts START tags only (VOID elements like <img> never have end
+    tags) so the regexp oracle's '<tag[ >/]' scan agrees on well-formed
+    markup; the first <title>'s immediate text is the page title.
+    """
+
+    _COUNTED = ("h1", "h2", "h3", "p", "table", "img", "a")
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.counts = dict.fromkeys(self._COUNTED, 0)
+        self.title = ""
+        self._in_title = False
+        self._title_done = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in self.counts:
+            self.counts[tag] += 1
+        if tag == "title" and not self._title_done:
+            self._in_title = True
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self.title += data
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
+
+
+_STRUCT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("title", pa.string()),
+        ("n_headings", pa.int64()),
+        ("n_paragraphs", pa.int64()),
+        ("n_tables", pa.int64()),
+        ("n_images", pa.int64()),
+        ("n_anchors", pa.int64()),
+    ]
+)
+
+
+def page_structure(pages_path: str) -> ray.data.Dataset:
+    """Per-page structural profile — the layout-aware curation signal
+    (table-heavy pages, image galleries, heading-less walls of text
+    each get different treatment in a webtext recipe) and the WAT-style
+    page-metadata product: title plus start-tag counts for headings
+    (h1-h3), paragraphs, tables, images and anchors. Reference has no
+    link/DOM ops — novel per SURVEY §2 'beyond the reference'.
+
+    Verified by the same parser-vs-regexp duality as ``link_graph``:
+    the Ray side walks the stdlib HTMLParser DOM, the oracle counts
+    ``<tag[ >/]`` regexp hits and extracts the first <title> — two
+    independent implementations that must agree on well-formed markup.
+
+    Scale shape: one stateless streaming parse, no shuffle at all
+    (the profile is per-row); payload bytes die at the map. Output
+    sorted by url.
+    """
+    def _profile(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in _STRUCT_SCHEMA.names}
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if sniff_doc_kind(html or b"") != "html":
+                continue
+            c = _StructureCollector()
+            c.feed((html or b"").decode("utf-8", errors="replace"))
+            rows["url"].append(url)
+            rows["title"].append(c.title)
+            rows["n_headings"].append(
+                c.counts["h1"] + c.counts["h2"] + c.counts["h3"]
+            )
+            rows["n_paragraphs"].append(c.counts["p"])
+            rows["n_tables"].append(c.counts["table"])
+            rows["n_images"].append(c.counts["img"])
+            rows["n_anchors"].append(c.counts["a"])
+        return pa.Table.from_pydict(rows, schema=_STRUCT_SCHEMA)
+
+    return (
+        _read_pages(pages_path)
+        .map_batches(_profile, batch_format="pyarrow")
+        .sort("url")
+    )

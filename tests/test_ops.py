@@ -4058,3 +4058,42 @@ def test_winnow_containment_quote_page(ray_session, tmp_path):
     cont, shared, fp_inner = got[(0, 1)]
     assert cont >= 800_000
     assert shared <= fp_inner  # containment is a ratio of the inner set
+
+
+def test_page_structure_tag_semantics(ray_session, tmp_path):
+    """Structure profile: attributes and self-closing tags count as
+    start tags, only the FIRST title's immediate text is captured,
+    titleless pages get '', and non-html payloads are excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import page_structure
+
+    rows = [
+        (
+            "https://h.test/a",
+            b'<html><head><title>First Page</title></head><body>'
+            b'<h1>A</h1><h2 class="x">B</h2><h3>C</h3>'
+            b'<p>one</p><p id="2">two</p><img src="/i.png"/>'
+            b'<table><tr><td>c</td></tr></table>'
+            b'<a href="/b">x</a><a>anchor without href</a>'
+            b'<title>second ignored</title></body></html>',
+        ),
+        ("https://h.test/b", b"<html><body><p>no title here</p></body></html>"),
+        ("https://h.test/bin", b"%FIX-LAYOUT\x00binary payload"),
+    ]
+    pdir = tmp_path / "psdir"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+        }),
+        pdir / "pages.parquet",
+    )
+    got = {r["url"]: r for r in page_structure(str(pdir)).take_all()}
+    assert set(got) == {"https://h.test/a", "https://h.test/b"}
+    a = got["https://h.test/a"]
+    assert a["title"] == "First Page"
+    assert (a["n_headings"], a["n_paragraphs"], a["n_tables"]) == (3, 2, 1)
+    assert (a["n_images"], a["n_anchors"]) == (1, 2)
+    assert got["https://h.test/b"]["title"] == ""
