@@ -683,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": text_analysis.unigram_surprisal,
         "token_packing": text_analysis.token_packing,
         "curriculum_rank": text_analysis.curriculum_rank,
+        "length_quality_spearman": text_analysis.length_quality_spearman,
         "mixture_weights": text_analysis.mixture_weights,
         "mixture_temperature": text_analysis.mixture_temperature,
         "source_caps": text_analysis.source_caps,
@@ -3664,6 +3665,47 @@ def oracle_sql() -> dict[str, str]:
                                     THEN (1000000 * stop) // n_tok ELSE 0 END) DESC,
                               doc_id ASC) AS rank
             FROM m
+        """,
+        "length_quality_spearman": """
+            -- Exact Spearman of token count vs stopword density
+            -- (ops/text_analysis.length_quality_spearman): distinct
+            -- ranks by (value asc, doc_id asc) — the frozen tie rule —
+            -- then rho_e6 = 1e6 - (6e6*sum d^2)//(n(n^2-1)).
+            WITH m AS (
+              SELECT doc_id,
+                     len(CASE WHEN trim(coalesce(text, '')) = ''
+                              THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\\s+')
+                         END) AS n_tok,
+                     len(list_filter(
+                           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                           x -> list_contains(
+                             ['the','and','of','to','a','in','is','that','it','for'],
+                             x))) AS stop
+              FROM documents
+            ), sc AS (
+              SELECT doc_id, n_tok AS x,
+                     CASE WHEN n_tok > 0
+                          THEN (1000000 * stop) // n_tok ELSE 0 END AS y
+              FROM m
+            ), rx AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY x, doc_id) AS r FROM sc
+            ), ry AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY y, doc_id) AS r FROM sc
+            ), d AS (
+              SELECT rx.r - ry.r AS dd FROM rx JOIN ry USING (doc_id)
+            ), t AS (
+              SELECT count(*) AS n, coalesce(sum(dd * dd), 0) AS sum_d2 FROM d
+            )
+            SELECT CAST(CASE WHEN n < 2 THEN 0 ELSE n END AS BIGINT) AS n_docs,
+                   CAST(CASE WHEN n < 2 THEN 0 ELSE sum_d2 END AS BIGINT)
+                     AS sum_d2,
+                   CAST(CASE WHEN n < 2 THEN 0
+                        ELSE 1000000 - (6000000 * sum_d2) // (n * (n*n - 1))
+                        END AS BIGINT) AS rho_e6
+            FROM t
         """,
         "token_packing": """
             -- Concat-and-chunk sequence packing (ops/text_analysis.

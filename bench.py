@@ -241,6 +241,7 @@ def run_bench() -> dict:
         timed("page_structure", lambda _sf: page_structure(pages_path))
         timed("events_decayed", relational.events_decayed)
         timed("trending_terms", text_analysis.trending_terms)
+        timed("length_quality_spearman", text_analysis.length_quality_spearman)
         timed("sample_stratified_k", text_analysis.sample_stratified_k)
         timed("corpus_profile", text_analysis.corpus_profile)
         timed("rrf_fuse", similarity.rrf_fuse)

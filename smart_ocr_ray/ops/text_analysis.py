@@ -2931,3 +2931,156 @@ def corpus_profile(sf_dir: str) -> ray.data.Dataset:
             final["min_value"].append("")
             final["max_value"].append("")
     return ray.data.from_arrow(pa.Table.from_pydict(final, schema=out_schema))
+
+
+def _global_rank_asc(
+    scored: ray.data.Dataset, value_col: str, bucket: int
+) -> ray.data.Dataset:
+    """Exact 1-based GLOBAL rank of every row by (value asc, doc_id
+    asc) — the ``curriculum_rank`` two-level prefix sum generalized to
+    any integer column: bounded bucket-count groupby → driver prefix in
+    value order → broadcast offsets → per-bucket vectorized rank.
+    Driver state is O(value_range / bucket) ints. Input needs columns
+    (doc_id, value_col); output is (doc_id, rank)."""
+    import numpy as np
+
+    from .grouped import map_key_groups
+
+    b_schema = pa.schema(
+        [("doc_id", pa.int64()), ("b", pa.int64()), ("v", pa.int64())]
+    )
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return b_schema.empty_table()
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype("int64")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "b": pa.array(v // bucket, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            },
+            schema=b_schema,
+        )
+
+    bucketed = scored.map_batches(_bucketize, batch_format="pyarrow").materialize()
+    offs, acc = {}, 0
+    for r in sorted(bucketed.groupby("b").count().take_all(), key=lambda r: r["b"]):
+        offs[int(r["b"])] = acc
+        acc += int(r["count()"])
+    off_ref = ray.put(offs)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("rank", pa.int64())])
+
+    def _rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        off_map = ray.get(off_ref)
+        g = group.combine_chunks()
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v))
+        base = off_map[int(g.column("b")[0].as_py())]
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = base + 1 + np.arange(len(order))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()), "rank": pa.array(ranks, pa.int64())},
+            schema=out_schema,
+        )
+
+    return map_key_groups(bucketed, "b", _rank)
+
+
+def length_quality_spearman(sf_dir: str, bucket: int = 4096) -> ray.data.Dataset:
+    """Exact distributed Spearman rank correlation between document
+    LENGTH (token count) and the stopword-density QUALITY proxy — the
+    metric-diagnostics pass a curation pipeline runs to check whether a
+    proposed filter is just re-measuring length (a classic webtext
+    failure mode: quality heuristics that secretly correlate ~1 with
+    document size filter nothing new).
+
+    Frozen rule (mirrored in SQL): both metrics on their existing
+    integer grids (``token_count``; ``curriculum_rank``'s
+    ``(1e6*stop_hits)//n_tok``); ranks are the DETERMINISTIC distinct
+    ranks by (value asc, doc_id asc) — the frozen tie rule, not
+    average ranks, so both engines derive identical integers; then
+
+        rho_e6 = 1e6 - (6e6 * sum(d^2)) // (n * (n^2 - 1)),  d = rx - ry
+
+    Output: one row (n_docs, sum_d2, rho_e6); (0, 0, 0) when n < 2.
+    int64 envelope: sum_d2 < n^3/3 overflows past n ~ 3e6 — switch the
+    d^2 partials to Python ints beyond that.
+
+    Scale shape: both global rankings run the two-level bucket prefix
+    sum (no corpus-wide row_number, no driver materialization); ONE
+    doc_id hash join aligns them; d^2 reduces via per-block partials
+    to two driver ints.
+    """
+    import numpy as np
+
+    from ..functions.textstats import stopword_hits, token_count
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+    out_schema = pa.schema(
+        [("n_docs", pa.int64()), ("sum_d2", pa.int64()), ("rho_e6", pa.int64())]
+    )
+
+    sc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids, xs, ys = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            t = t or ""
+            n = token_count(t)
+            ids.append(int(d))
+            xs.append(n)
+            ys.append((1_000_000 * stopword_hits(t, "en")) // n if n else 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+            },
+            schema=sc_schema,
+        )
+
+    scored = read_documents(sf_dir).map_batches(_score, batch_format="pyarrow").materialize()
+
+    rx = _global_rank_asc(scored, "x", bucket).repartition(jp)
+    ry = _global_rank_asc(scored, "y", bucket).map_batches(
+        lambda t: t.rename_columns(["doc_id", "rank_y"]), batch_format="pyarrow"
+    ).repartition(jp)
+    joined = rx.join(ry, "inner", jp, on=("doc_id",))
+
+    part_schema = pa.schema([("n", pa.int64()), ("d2", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "rank" not in batch.column_names:
+            return part_schema.empty_table()
+        d = (
+            batch.column("rank").to_numpy(zero_copy_only=False)
+            - batch.column("rank_y").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"n": [batch.num_rows], "d2": [int((d * d).sum())]},
+            schema=part_schema,
+        )
+
+    parts = joined.map_batches(_partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    sum_d2 = sum(p["d2"] for p in parts)
+    if n < 2:
+        n, sum_d2, rho = 0, 0, 0
+    else:
+        rho = 1_000_000 - (6_000_000 * sum_d2) // (n * (n * n - 1))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"n_docs": [n], "sum_d2": [sum_d2], "rho_e6": [rho]},
+            schema=out_schema,
+        )
+    )

@@ -4097,3 +4097,49 @@ def test_page_structure_tag_semantics(ray_session, tmp_path):
     assert (a["n_headings"], a["n_paragraphs"], a["n_tables"]) == (3, 2, 1)
     assert (a["n_images"], a["n_anchors"]) == (1, 2)
     assert got["https://h.test/b"]["title"] == ""
+
+
+def test_length_quality_spearman_exact_poles(ray_session, tmp_path):
+    """Spearman poles are exact on the integer grid: strictly reversed
+    rankings give rho_e6 == -1e6 (sum d^2 hits n(n^2-1)/3 exactly),
+    aligned rankings give +1e6."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import length_quality_spearman
+
+    def write(sf, texts):
+        sf.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict({
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }),
+            sf / "documents.parquet",
+        )
+
+    # Anti-correlated: longer docs have strictly lower stopword share.
+    # doc i: (i+1)*4 tokens, of which exactly 2 are stopwords.
+    anti = [
+        " ".join(["the", "and"] + ["zz"] * ((i + 1) * 4 - 2)) for i in range(6)
+    ]
+    sf1 = tmp_path / "sp_anti"; write(sf1, anti)
+    (r1,) = length_quality_spearman(str(sf1)).take_all()
+    assert (r1["n_docs"], r1["rho_e6"]) == (6, -1_000_000)
+    assert r1["sum_d2"] == 6 * (36 - 1) // 3  # n(n^2-1)/3
+
+    # Aligned: longer docs also have strictly higher stopword share.
+    # doc i: 20 tokens, i+1 of them stopwords... length must also grow:
+    # tokens = 10 + i, stopwords = 2 + i (density strictly rising).
+    pos = [
+        " ".join(["the"] * (2 + i) + ["zz"] * (8 - 2)) + " " + " ".join(["qq"] * i)
+        for i in range(5)
+    ]
+    # recompute honestly: doc i has (2+i) stops of (2+i+6+i) = 8+2i tokens
+    # density (2+i)/(8+2i) strictly increasing; tokens strictly increasing.
+    sf2 = tmp_path / "sp_pos"; write(sf2, pos)
+    (r2,) = length_quality_spearman(str(sf2)).take_all()
+    assert (r2["n_docs"], r2["sum_d2"], r2["rho_e6"]) == (5, 0, 1_000_000)
