@@ -729,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": dedup.winnow_pairs,
         "winnow_clusters": dedup.winnow_clusters,
         "winnow_containment": dedup.winnow_containment,
+        "setjoin_pairs": dedup.setjoin_pairs,
         # --- similarity search ---
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -2259,6 +2260,62 @@ def oracle_sql() -> dict[str, str]:
             FROM oriented
             WHERE (1000000 * n_shared) // fp_inner >= 800000
             ORDER BY inner_id, outer_id
+        """,
+        "setjoin_pairs": """
+            -- Prefix-filtered set-similarity join (ops/dedup.
+            -- setjoin_pairs): 5-token shingle SETS hashed with
+            -- md5_number_lower % 2^63 (== functions/hashing._hash64),
+            -- prefix = the n - ceil(0.7n) + 1 rarest under (df, h)
+            -- order, candidates from prefix buckets with the
+            -- 10*min(n) >= 7*max(n) length filter, exact intersection
+            -- over the full sets of candidate pairs only. The prefix
+            -- filter is lossless for Jaccard >= 7/10, so the output
+            -- equals the brute-force all-pairs answer.
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+')
+                END AS toks
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                CAST(md5_number_lower(g) % 9223372036854775808::HUGEINT AS BIGINT) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 3),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                             toks[i+3], toks[i+4]))) AS g
+                FROM t WHERE len(toks) >= 5)
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), dfreq AS (
+              SELECT h, count(*) AS df FROM sh GROUP BY h
+            ), pref AS (
+              SELECT doc_id, h, n FROM (
+                SELECT s.doc_id, s.h, z.n,
+                       row_number() OVER (PARTITION BY s.doc_id
+                                          ORDER BY d.df, s.h) AS rn
+                FROM sh s JOIN dfreq d ON d.h = s.h
+                JOIN sz z ON z.doc_id = s.doc_id)
+              WHERE rn <= n - (7*n + 9) // 10 + 1
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+              FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+              WHERE 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)
+            ), inter AS (
+              SELECT c.l, c.r, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.l
+              JOIN sh y ON y.doc_id = c.r AND y.h = x.h
+              GROUP BY c.l, c.r
+            )
+            SELECT i.l AS left_id, i.r AS right_id,
+                   CAST((1000000 * i.i) // (za.n + zb.n - i.i) AS BIGINT) AS jac_e6
+            FROM inter i
+            JOIN sz za ON za.doc_id = i.l
+            JOIN sz zb ON zb.doc_id = i.r
+            WHERE 10 * i.i >= 7 * (za.n + zb.n - i.i)
+            ORDER BY left_id, right_id
         """,
         "winnow_clusters": "WITH RECURSIVE " + _winnow_pairs_sql() + """,
             edges AS (

@@ -1507,3 +1507,225 @@ def winnow_containment(
     return joined.map_batches(_contain, batch_format="pyarrow").sort(
         ["inner_id", "outer_id"]
     )
+
+
+def setjoin_pairs(
+    sf_dir: str, w: int = 5, t_num: int = 7, t_den: int = 10
+) -> ray.data.Dataset:
+    """Exact-threshold set-similarity self-join via prefix filtering
+    (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): all document pairs whose w-token shingle SETS have Jaccard
+    ≥ t_num/t_den, with the exact similarity — the third dedup
+    discovery path next to MinHash-LSH (probabilistic, estimate only)
+    and winnowing (sampled fingerprints): this one is EXACT and
+    complete, at the cost of a candidate join keyed by rare shingles.
+
+    Prefix filter (lossless): order every doc's shingle hashes by
+    global (df asc, h asc); if Jaccard(x,y) ≥ t then the first
+    ``p = n − ceil(t·n) + 1`` elements of x and of y under that common
+    order must intersect — so candidate pairs are generated ONLY from
+    prefix-element buckets, and prefix elements are by construction
+    each doc's RAREST shingles (stopword-shaped elements never reach a
+    prefix), which is what bounds bucket sizes at corpus scale.
+    A length filter (``t·max(n) ≤ min(n)``) prunes inside the bucket.
+
+    Scale shape: the corpus text dies at the first map (one row per
+    doc: sorted distinct shingle-hash blob + size + a set-content
+    signature); df is a distributed reduce over exploded (h, doc)
+    rows, joined back by h — vocabulary-scale, never broadcast.
+    Candidate pairs get the shared ``collapse_hot_bucket`` guard
+    (identical SETS — same set signature — collapse to an id-min star
+    at jac exactly 1e6 with no verify); the exact verify joins the two
+    sorted blobs per PAIR, O(candidates), never reshuffling the corpus.
+
+    Output: (left_id, right_id, jac_e6 = (1e6·|∩|)//|∪|), left < right.
+    Docs with fewer than ``w`` tokens have no set and never pair.
+    """
+    from ..functions.hashing import _hash64
+    from ..tuning import cluster_cpus, join_partitions
+    from .grouped import map_key_groups, max_by_keys, reduce_by_keys, typed_if_empty
+
+    M = 1 << 63
+    out_schema = pa.schema(
+        [("left_id", pa.int64()), ("right_id", pa.int64()), ("jac_e6", pa.int64())]
+    )
+
+    def _sets(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids, ns, blobs, sigs = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (text or "").split()
+            if len(toks) < w:
+                continue
+            hs = {
+                int(_hash64(" ".join(toks[i : i + w]))) % M
+                for i in range(len(toks) - w + 1)
+            }
+            arr = np.array(sorted(hs), dtype=np.int64)
+            ids.append(int(doc_id))
+            ns.append(len(arr))
+            blob = arr.tobytes()
+            blobs.append(blob)
+            # set-content signature for the hot-bucket guard: identical
+            # sets ⇒ identical sorted blob ⇒ identical signature.
+            sigs.append(int.from_bytes(hashlib.md5(blob).digest()[8:], "little") >> 1)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "blob": pa.array(blobs, pa.binary()),
+                "set_sig": pa.array(sigs, pa.int64()),
+            }
+        )
+
+    # One row per doc (text dies here); reused by the df explode, the
+    # prefix pass and the verify joins — materialized once.
+    doc_sets = read_documents(sf_dir).map_batches(_sets, batch_format="pyarrow").materialize()
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("h", pa.int64()), ("doc_id", pa.int64()), ("n", pa.int64()),
+                 ("set_sig", pa.int64())]
+            ).empty_table()
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        flat = np.frombuffer(b"".join(batch.column("blob").to_pylist()), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(flat, pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), ns),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.repeat(ns, ns), pa.int64()),
+                "set_sig": pa.array(
+                    np.repeat(batch.column("set_sig").to_numpy(zero_copy_only=False), ns),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = doc_sets.map_batches(_explode, batch_format="pyarrow")
+    df = reduce_by_keys(rows, ["h"], None, "count", out="df")
+
+    k = max(join_partitions(), cluster_cpus())
+    with_df = rows.join(df, "inner", k, on=("h",)).repartition(k)
+
+    def _prefix(group: pa.Table) -> pa.Table:
+        # One doc's shingle rows: keep the p rarest under (df, h) order.
+        sub_schema = pa.schema(
+            [("h", pa.int64()), ("doc_id", pa.int64()), ("n", pa.int64()),
+             ("set_sig", pa.int64())]
+        )
+        if group.num_rows == 0:
+            return sub_schema.empty_table()
+        n = int(group.column("n")[0].as_py())
+        p = n - (t_num * n + t_den - 1) // t_den + 1
+        dfs = group.column("df").to_numpy(zero_copy_only=False)
+        hs = group.column("h").to_numpy(zero_copy_only=False)
+        take = np.lexsort((hs, dfs))[:p]
+        return group.select(["h", "doc_id", "n", "set_sig"]).take(pa.array(take))
+
+    pref = map_key_groups(with_df, "doc_id", _prefix)
+
+    pair_schema = pa.schema(
+        [("left_id", pa.int64()), ("right_id", pa.int64()), ("jac_e6", pa.int64())]
+    )
+
+    def _cand(group: pa.Table) -> pa.Table:
+        # One prefix-shingle bucket: candidate pairs with length filter;
+        # identical sets collapse to a star at jac exactly 1e6.
+        info: dict[int, tuple[int, int]] = {}
+        for d, n, s in zip(
+            group.column("doc_id").to_pylist(),
+            group.column("n").to_pylist(),
+            group.column("set_sig").to_pylist(),
+        ):
+            info[int(d)] = (int(n), int(s))
+        ordered = sorted(info)
+        ordered, stars = collapse_hot_bucket(
+            ordered, key_of=lambda d: info[d][1], label="setjoin"
+        )
+        left = [rep for rep, _ in stars]
+        right = [m for _, m in stars]
+        jac = [1_000_000] * len(stars)
+        if len(ordered) > 1:
+            arr = np.asarray(ordered, dtype=np.int64)
+            ns = np.asarray([info[d][0] for d in ordered], dtype=np.int64)
+            iu, ju = np.triu_indices(len(arr), k=1)
+            lo = np.minimum(ns[iu], ns[ju])
+            hi = np.maximum(ns[iu], ns[ju])
+            keep = t_den * lo >= t_num * hi
+            left.extend(arr[iu[keep]].tolist())
+            right.extend(arr[ju[keep]].tolist())
+            jac.extend([-1] * int(keep.sum()))
+        return pa.Table.from_pydict(
+            {"left_id": left, "right_id": right, "jac_e6": jac}, schema=pair_schema
+        )
+
+    cands = max_by_keys(
+        map_key_groups(pref, "h", _cand, min_group_size=2),
+        ["left_id", "right_id"],
+        "jac_e6",
+    ).materialize()
+    if cands.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    known = cands.filter(expr="jac_e6 >= 0")
+    # All-known candidate sets (every pair a star from the hot-bucket
+    # guard) leave `pending` 0-row and schema-less in Ray 2.49 — the
+    # joins below would raise ArrowInvalid FieldRef; branch around them.
+    pending = cands.filter(expr="jac_e6 < 0").drop_columns(["jac_e6"]).materialize()
+    if pending.count() == 0:
+        return typed_if_empty(known, out_schema)
+    pending = pending.repartition(k)
+
+    side = doc_sets.select_columns(["doc_id", "blob"])
+
+    def _rename_blob(name: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "blob" not in batch.column_names:
+                return batch
+            idx = batch.column_names.index("blob")
+            return batch.rename_columns(
+                [name if i == idx else c for i, c in enumerate(batch.column_names)]
+            )
+
+        return _fn
+
+    joined = (
+        pending.join(side, "inner", k, on=("left_id",), right_on=("doc_id",))
+        .map_batches(_rename_blob("blob_l"), batch_format="pyarrow")
+        .repartition(k)
+        .join(side, "inner", k, on=("right_id",), right_on=("doc_id",))
+        .map_batches(_rename_blob("blob_r"), batch_format="pyarrow")
+        .repartition(k)
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "blob_l" not in batch.column_names:
+            return out_schema.empty_table()
+        left, right, jac = [], [], []
+        for l, r, bl, br in zip(
+            batch.column("left_id").to_pylist(),
+            batch.column("right_id").to_pylist(),
+            batch.column("blob_l").to_pylist(),
+            batch.column("blob_r").to_pylist(),
+        ):
+            a = np.frombuffer(bl, dtype=np.int64)
+            b = np.frombuffer(br, dtype=np.int64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            if t_den * inter >= t_num * union:
+                left.append(l)
+                right.append(r)
+                jac.append((1_000_000 * inter) // union)
+        return pa.Table.from_pydict(
+            {"left_id": left, "right_id": right, "jac_e6": jac}, schema=out_schema
+        )
+
+    verified = joined.map_batches(_verify, batch_format="pyarrow", batch_size=None)
+    return typed_if_empty(known.union(verified), out_schema)

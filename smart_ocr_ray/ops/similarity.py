@@ -403,11 +403,21 @@ def embedding_neardup_lsh(
     # repartition launders the schema-less empty blocks the hash-shuffle
     # groupby can emit — they survive filter() and break the join below
     # ("No match for FieldRef" on the key; see ops/dedup.cluster_pairs).
+    # An ALL-known candidate set (every pair a star from the hot-bucket
+    # guard — reachable on a corpus of byte-identical embeddings) leaves
+    # `pending` 0-row and schema-less entirely, which no repartition can
+    # launder; branch around the joins (proved reachable by the setjoin
+    # twin, tests/test_ops.py::test_setjoin_hot_bucket_star_collapse).
     pending = (
         candidates.filter(expr="cos_sim_e3 < 0")
         .drop_columns(["cos_sim_e3"])
-        .repartition(k)
+        .materialize()
     )
+    if pending.count() == 0:
+        from .grouped import typed_if_empty
+
+        return typed_if_empty(known, _PAIR_SCHEMA)
+    pending = pending.repartition(k)
 
     def _pack(batch: pa.Table) -> pa.Table:
         # Acero hash joins reject list-typed non-key columns — carry the

@@ -4143,3 +4143,122 @@ def test_length_quality_spearman_exact_poles(ray_session, tmp_path):
     sf2 = tmp_path / "sp_pos"; write(sf2, pos)
     (r2,) = length_quality_spearman(str(sf2)).take_all()
     assert (r2["n_docs"], r2["sum_d2"], r2["rho_e6"]) == (5, 0, 1_000_000)
+
+
+def test_setjoin_pairs_matches_bruteforce(ray_session, tmp_path):
+    """Prefix-filtered set-similarity join equals the brute-force
+    all-pairs answer (losslessness of the prefix filter): exact jac_e6
+    on an engineered corpus with a clear near-dup (one token edited),
+    an identical-text pair (jac exactly 1e6), a sub-threshold pair and
+    a too-short doc (< 5 tokens, no set, never pairs)."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.dedup import setjoin_pairs
+
+    base_toks = [f"tok{i}alpha" for i in range(50)]
+    near = base_toks[:-1] + ["EDITED"]
+    far = [t if i % 4 else "CHANGED%d" % i for i, t in enumerate(base_toks)]
+    texts = [
+        " ".join(base_toks),          # 0
+        " ".join(near),               # 1: one-token edit of 0
+        " ".join(base_toks),          # 2: byte-identical to 0
+        " ".join(far),                # 3: heavily edited (sub-threshold)
+        "only four tokens here"[:21], # 4: < 5 tokens, no set
+        "completely unrelated words " + " ".join(f"z{i}" for i in range(30)),  # 5
+    ]
+    sf = tmp_path / "sjsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+
+    M = 1 << 63
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) < 5:
+            continue
+        sets[i] = {
+            int(_hash64(" ".join(toks[j:j + 5]))) % M
+            for j in range(len(toks) - 4)
+        }
+    expected = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and 10 * inter >= 7 * union:
+            expected[(a, b)] = (1_000_000 * inter) // union
+
+    got = {
+        (r["left_id"], r["right_id"]): r["jac_e6"]
+        for r in setjoin_pairs(str(sf)).take_all()
+    }
+    assert got == expected
+    assert got[(0, 2)] == 1_000_000      # identical sets
+    assert 700_000 <= got[(0, 1)] < 1_000_000  # the one-token edit
+    assert (0, 3) not in got             # sub-threshold
+    assert all(4 not in pair for pair in got)
+
+
+def test_setjoin_hot_bucket_star_collapse(ray_session, tmp_path):
+    """A degenerate corpus (70 byte-identical docs > HOT_BUCKET_LIMIT)
+    engages the shared guard: identical sets collapse to an id-min
+    star — 69 pairs at jac exactly 1e6, linear not O(m^2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import setjoin_pairs
+
+    text = " ".join(f"w{i}" for i in range(30))
+    n = 70
+    sf = tmp_path / "sjhot"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([text] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([len(text)] * n, pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = setjoin_pairs(str(sf)).take_all()
+    assert len(rows) == n - 1
+    assert all(r["left_id"] == 0 and r["jac_e6"] == 1_000_000 for r in rows)
+    assert sorted(r["right_id"] for r in rows) == list(range(1, n))
+
+
+def test_embedding_lsh_all_star_pending_branch(ray_session, tmp_path):
+    """70 byte-identical embeddings: every candidate pair is a star
+    verdict from the hot-bucket guard, so the pending-verify side is
+    empty — the op must branch around the pair joins (Ray 2.49 renders
+    all-empty datasets schema-less) and return the 69 star pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import embedding_neardup_lsh
+
+    n, dim = 70, 64
+    vec = [0.25] * dim
+    sf = tmp_path / "lshstar"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }),
+        sf / "embeddings.parquet",
+    )
+    rows = embedding_neardup_lsh(str(sf)).take_all()
+    assert len(rows) == n - 1
+    assert all(r["left_id"] == 0 and r["cos_sim_e3"] == 1000 for r in rows)
