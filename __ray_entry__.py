@@ -708,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": text_analysis.bpe_encode,
         "phrase_search": text_analysis.phrase_search,
         "dataset_split": text_analysis.dataset_split,
+        "passage_chunks": text_analysis.passage_chunks,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
@@ -743,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode": similarity.pq_encode,
         "pq_search": similarity.pq_search,
         "rrf_fuse": similarity.rrf_fuse,
+        "bitext_mine": similarity.bitext_mine,
         "lsh_recall_eval": similarity.lsh_recall_eval,
         "cluster_quality": similarity.cluster_quality,
         "graph_pagerank": graph.graph_pagerank,
@@ -2036,6 +2038,61 @@ def oracle_sql() -> dict[str, str]:
             FROM labeled l JOIN toks t ON l.vec_id = t.doc_id
             GROUP BY l.cluster
         """,
+        "bitext_mine": """
+            -- Margin-based bitext mining (ops/similarity.bitext_mine):
+            -- en->de best cosine neighbor scored by the CCMatrix ratio
+            -- margin on the 1e-6 integer grid. sim_e6 = floor(sim*1e6)
+            -- from exact int dot/norms (the embedding_kmeans analysis);
+            -- denominators are top-4 NN sums per side; keep rows where
+            -- 1e6*2k*sim >= 1200000*(denom_src+denom_tgt), k = 4.
+            WITH eq AS (
+              SELECT e.vec_id, d.lang,
+                     list_transform(e.embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qe
+              FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            ), ev AS (
+              SELECT vec_id, lang,
+                     list_transform(qe, x -> CAST(x AS DOUBLE)) AS qf,
+                     list_inner_product(list_transform(qe, x -> CAST(x AS DOUBLE)),
+                                        list_transform(qe, x -> CAST(x AS DOUBLE))) AS qn
+              FROM eq
+            ), sa AS (SELECT * FROM ev WHERE lang = 'en' AND qn > 0),
+            sb AS (SELECT * FROM ev WHERE lang = 'de' AND qn > 0),
+            sims AS (
+              SELECT sa.vec_id AS src_id, sb.vec_id AS tgt_id,
+                     CAST(floor(
+                       (list_inner_product(sa.qf, sb.qf) / sqrt(sa.qn * sb.qn))
+                       * 1000000) AS BIGINT) AS sim_e6
+              FROM sa CROSS JOIN sb
+            ), dsrc AS (
+              SELECT src_id, sum(sim_e6) AS denom_src FROM (
+                SELECT src_id, sim_e6,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY sim_e6 DESC) AS rn
+                FROM sims) WHERE rn <= 4 GROUP BY src_id
+            ), dtgt AS (
+              SELECT tgt_id, sum(sim_e6) AS denom_tgt FROM (
+                SELECT tgt_id, sim_e6,
+                       row_number() OVER (PARTITION BY tgt_id
+                                          ORDER BY sim_e6 DESC) AS rn
+                FROM sims) WHERE rn <= 4 GROUP BY tgt_id
+            ), best AS (
+              SELECT src_id, tgt_id, sim_e6 FROM (
+                SELECT src_id, tgt_id, sim_e6,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY sim_e6 DESC, tgt_id ASC) AS rn
+                FROM sims) WHERE rn = 1
+            )
+            SELECT b.src_id, b.tgt_id, b.sim_e6,
+                   CAST((8000000 * b.sim_e6) // (s.denom_src + t.denom_tgt)
+                        AS BIGINT) AS margin_e6
+            FROM best b
+            JOIN dsrc s USING (src_id)
+            JOIN dtgt t USING (tgt_id)
+            WHERE s.denom_src + t.denom_tgt > 0
+              AND 8000000 * b.sim_e6 >= 1200000 * (s.denom_src + t.denom_tgt)
+            ORDER BY src_id
+        """,
         "semdedup_sample": "WITH " + _kmeans_sql() + """,
             labeled AS (
               SELECT vec_id, ci AS cluster,
@@ -2912,6 +2969,34 @@ def oracle_sql() -> dict[str, str]:
             FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
             WHERE a.term = 'window' AND b.term = 'join'
             GROUP BY a.doc_id
+        """,
+        "passage_chunks": """
+            -- Fixed-window passage chunking (ops/text_analysis.
+            -- passage_chunks): 64-token windows every 48 tokens;
+            -- chunk count = 1 if n <= 64 else 1 + ceil((n-64)/48);
+            -- chunk_md5 = md5 of the space-joined window (DuckDB list
+            -- slice is 1-based inclusive: [s*48+1 : s*48+64]).
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(coalesce(text,'')), '\\s+')
+                END AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+            ), c AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                          ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_id
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+                   CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS chunk_md5
+            FROM c
+            ORDER BY doc_id, chunk_id
         """,
         "dataset_split": """
             -- Deterministic hash split (ops/text_analysis.dataset_split):

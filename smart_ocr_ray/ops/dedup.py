@@ -1504,8 +1504,16 @@ def winnow_containment(
             schema=out_schema,
         )
 
-    return joined.map_batches(_contain, batch_format="pyarrow").sort(
-        ["inner_id", "outer_id"]
+    from .grouped import typed_if_empty
+
+    # Pairs can exist yet NONE clear min_cont_e6 (observed at sf0.1:
+    # 0 rows after the filter → schema-less dataset → the driver gate
+    # sees columns [] and fails); hand back one typed empty block.
+    return typed_if_empty(
+        joined.map_batches(_contain, batch_format="pyarrow").sort(
+            ["inner_id", "outer_id"]
+        ),
+        out_schema,
     )
 
 

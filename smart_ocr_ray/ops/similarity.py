@@ -1427,3 +1427,211 @@ def rrf_fuse(sf_dir: str, k: int = 10, c: int = 60) -> ray.data.Dataset:
         )
 
     return map_key_groups(fused, "query_id", _topk).sort(["query_id", "rank"])
+
+
+def bitext_mine(
+    sf_dir: str,
+    src_lang: str = "en",
+    tgt_lang: str = "de",
+    k: int = 4,
+    margin_threshold_e6: int = 1_200_000,
+) -> ray.data.Dataset:
+    """Margin-based bitext mining (the CCMatrix/LASER recipe — Artetxe
+    & Schwenk ACL'19): for every source-language document, the best
+    target-language neighbor by cosine, scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    which suppresses hub vectors that are everyone's nearest neighbor
+    (a plain cosine threshold cannot). Pairs clearing the margin are
+    the mined parallel-document candidates.
+
+    Exact integer contract: components quantize to the shared 1e-6
+    grid (``_quantize_embeddings``); cosine is correctly-rounded f64
+    from exact int64 dot/norms (the ``embedding_kmeans`` analysis), and
+    ``sim_e6 = floor(sim·1e6)`` puts every similarity on an int grid,
+    so NN-sum denominators and the cleared-denominator margin predicate
+    ``1e6·2k·sim ≥ T·(denom_src + denom_tgt)`` are bit-identical in
+    DuckDB. Zero-norm vectors are excluded on both sides.
+
+    Scale shape: the TARGET-language index is broadcast once via
+    ``ray.put`` (the same bounded-index assumption as
+    ``ann_cosine_topk``'s query matrix; at full corpus scale the index
+    side shards through the hyperplane-LSH candidate path instead);
+    the source side streams — language arrives by ONE distributed hash
+    join against ``documents(doc_id, lang)``, each batch does one
+    matmul against the index and emits (a) its best-target row and
+    (b) a lossless per-target top-k combiner row set, so the shuffle
+    moves O(src + tgt·k·blocks) rows and never an embedding.
+
+    Output: (src_id, tgt_id, sim_e6, margin_e6), one row per mined
+    source doc, margin_e6 = (1e6·2k·sim_e6) // (denom_src+denom_tgt).
+    """
+    import pyarrow.parquet as pq
+
+    from ..tuning import cluster_cpus, join_partitions
+    from .grouped import map_key_groups, typed_if_empty
+
+    out_schema = pa.schema(
+        [
+            ("src_id", pa.int64()),
+            ("tgt_id", pa.int64()),
+            ("sim_e6", pa.int64()),
+            ("margin_e6", pa.int64()),
+        ]
+    )
+
+    # --- target-language index (bounded side): driver load + broadcast
+    lang_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    tgt_ids = {
+        int(d)
+        for d, l in zip(lang_tbl.column("doc_id").to_pylist(), lang_tbl.column("lang").to_pylist())
+        if l == tgt_lang
+    }
+    emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = [
+        (int(v), e)
+        for v, e in zip(emb_tbl.column("vec_id").to_pylist(), emb_tbl.column("embedding").to_pylist())
+        if int(v) in tgt_ids
+    ]
+    rows.sort()  # argmax ties resolve to the smallest tgt vec_id
+    if not rows:
+        return ray.data.from_arrow(out_schema.empty_table())
+    b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    b_mat = np.round(
+        np.array([r[1] for r in rows], dtype=np.float64) * _KMEANS_GRID
+    ).astype(np.int64)
+    b_norm2 = (b_mat * b_mat).sum(axis=1)
+    valid = b_norm2 > 0  # zero-norm vectors have no cosine; both sides drop them
+    b_ids, b_mat, b_norm2 = b_ids[valid], b_mat[valid], b_norm2[valid]
+    if len(b_ids) == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    b_ref = ray.put((b_ids, b_mat, b_norm2.astype(np.float64)))
+
+    # --- source side streams; lang via one distributed hash join
+    jp = max(join_partitions(), cluster_cpus())
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        blobs = [
+            np.asarray(e, dtype=np.float64).tobytes()
+            for e in batch.column("embedding").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {"vec_id": batch.column("vec_id"), "emb_bytes": pa.array(blobs, pa.binary())}
+        )
+
+    lang_ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    a_stream = (
+        read_embeddings(sf_dir)
+        .map_batches(_pack, batch_format="pyarrow")
+        .join(lang_ds, "inner", jp, on=("vec_id",), right_on=("doc_id",))
+        .filter(expr=f"lang == '{src_lang}'")
+    )
+
+    mid_schema = pa.schema(
+        [
+            ("kind", pa.int64()),  # 1 = best-pair row, 2 = tgt top-k partial
+            ("src_id", pa.int64()),
+            ("tgt_id", pa.int64()),
+            ("sim_e6", pa.int64()),
+            ("denom_src", pa.int64()),
+        ]
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "emb_bytes" not in batch.column_names:
+            return mid_schema.empty_table()
+        ids_b, mat_b, n2_b = ray.get(b_ref)
+        a_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        flat = np.frombuffer(b"".join(batch.column("emb_bytes").to_pylist()), dtype=np.float64)
+        a_mat = np.round(flat.reshape(batch.num_rows, -1) * _KMEANS_GRID).astype(np.int64)
+        a_n2 = (a_mat * a_mat).sum(axis=1)
+        keep = a_n2 > 0
+        a_ids, a_mat, a_n2 = a_ids[keep], a_mat[keep], a_n2[keep]
+        if len(a_ids) == 0:
+            return mid_schema.empty_table()
+        dot = (a_mat @ mat_b.T).astype(np.float64)
+        sim = dot / np.sqrt(a_n2.astype(np.float64)[:, None] * n2_b[None, :])
+        sim_e6 = np.floor(sim * 1_000_000).astype(np.int64)
+        kk = min(k, sim_e6.shape[1])
+        # (a) best-pair rows: argmax per src (ties -> smallest tgt id)
+        best_j = sim_e6.argmax(axis=1)
+        denom_src = np.sort(sim_e6, axis=1)[:, -kk:].sum(axis=1)
+        # (b) per-target lossless top-k combiner rows for denom_tgt
+        kt = min(k, sim_e6.shape[0])
+        part = np.sort(sim_e6, axis=0)[-kt:, :]  # (kt, n_tgt)
+        n_tgt = sim_e6.shape[1]
+        return pa.Table.from_pydict(
+            {
+                "kind": pa.array(
+                    np.concatenate((np.ones(len(a_ids), np.int64), np.full(kt * n_tgt, 2, np.int64)))
+                ),
+                "src_id": pa.array(
+                    np.concatenate((a_ids, np.full(kt * n_tgt, -1, np.int64)))
+                ),
+                "tgt_id": pa.array(
+                    np.concatenate((ids_b[best_j], np.tile(ids_b, kt)))
+                ),
+                "sim_e6": pa.array(
+                    np.concatenate(
+                        (sim_e6[np.arange(len(a_ids)), best_j], part.ravel())
+                    )
+                ),
+                "denom_src": pa.array(
+                    np.concatenate((denom_src, np.zeros(kt * n_tgt, np.int64)))
+                ),
+            },
+            schema=mid_schema,
+        )
+
+    mid = a_stream.map_batches(_score, batch_format="pyarrow", batch_size=None).materialize()
+    best = mid.filter(expr="kind == 1").drop_columns(["kind"]).materialize()
+    if best.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    partials = mid.filter(expr="kind == 2").select_columns(["tgt_id", "sim_e6"])
+
+    den_schema = pa.schema([("tgt_id", pa.int64()), ("denom_tgt", pa.int64())])
+
+    def _merge_tgt(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return den_schema.empty_table()
+        sims = np.sort(group.column("sim_e6").to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict(
+            {
+                "tgt_id": [int(group.column("tgt_id")[0].as_py())],
+                "denom_tgt": [int(sims[-min(k, len(sims)):].sum())],
+            },
+            schema=den_schema,
+        )
+
+    # repartition launders the schema-less empty blocks the sort can
+    # emit on small inputs — they break the join's right side with
+    # ArrowInvalid FieldRef (see ops/dedup.cluster_pairs).
+    denoms = map_key_groups(partials, "tgt_id", _merge_tgt).repartition(jp)
+    joined = best.join(denoms, "inner", jp, on=("tgt_id",)).repartition(jp)
+
+    def _margin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "denom_tgt" not in batch.column_names:
+            return out_schema.empty_table()
+        sim = batch.column("sim_e6").to_numpy(zero_copy_only=False).astype(np.int64)
+        den = (
+            batch.column("denom_src").to_numpy(zero_copy_only=False).astype(np.int64)
+            + batch.column("denom_tgt").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        num = 1_000_000 * 2 * k * sim
+        keep = (den > 0) & (num >= margin_threshold_e6 * den)
+        return pa.Table.from_pydict(
+            {
+                "src_id": batch.column("src_id").take(pa.array(np.nonzero(keep)[0])),
+                "tgt_id": batch.column("tgt_id").take(pa.array(np.nonzero(keep)[0])),
+                "sim_e6": pa.array(sim[keep]),
+                "margin_e6": pa.array(num[keep] // den[keep]),
+            },
+            schema=out_schema,
+        )
+
+    return typed_if_empty(
+        joined.map_batches(_margin, batch_format="pyarrow"), out_schema
+    )

@@ -3084,3 +3084,66 @@ def length_quality_spearman(sf_dir: str, bucket: int = 4096) -> ray.data.Dataset
             schema=out_schema,
         )
     )
+
+
+def passage_chunks(
+    sf_dir: str, window: int = 64, stride: int = 48
+) -> ray.data.Dataset:
+    """Fixed-window passage chunking with overlap — the
+    retrieval-corpus / training-sequence segmentation pass (every RAG
+    indexing pipeline runs this before embedding): each document
+    splits into ``window``-token passages starting every ``stride``
+    tokens (overlap = window − stride), the last passage short.
+
+    Chunk count rule (deterministic, shared with the SQL oracle):
+    ``1`` if ``n_tok ≤ window`` else ``1 + ceil((n_tok − window) /
+    stride)`` — every token is covered, no chunk starts past the end,
+    empty docs emit nothing. ``chunk_md5`` fingerprints the passage
+    text so downstream exact-dedup can run at passage granularity
+    (the `line_dedup` / `substring_dedup` family at a coarser unit).
+
+    Scale shape: one stateless streaming map, no shuffle at any corpus
+    size; output rows carry the fingerprint, never the passage text.
+    """
+    from ..functions.textstats import content_md5
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("chunk_md5", pa.string()),
+        ]
+    )
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids, cids, starts, lens, md5s = [], [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (text or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 if n <= window else 1 + -(-(n - window) // stride)
+            for i in range(n_chunks):
+                start = i * stride
+                chunk = toks[start : start + window]
+                ids.append(int(doc_id))
+                cids.append(i)
+                starts.append(start)
+                lens.append(len(chunk))
+                md5s.append(content_md5(" ".join(chunk)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_md5": pa.array(md5s, pa.string()),
+            },
+            schema=schema,
+        )
+
+    return read_documents(sf_dir).map_batches(_chunks, batch_format="pyarrow")

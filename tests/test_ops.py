@@ -4262,3 +4262,132 @@ def test_embedding_lsh_all_star_pending_branch(ray_session, tmp_path):
     rows = embedding_neardup_lsh(str(sf)).take_all()
     assert len(rows) == n - 1
     assert all(r["left_id"] == 0 and r["cos_sim_e3"] == 1000 for r in rows)
+
+
+def test_bitext_mine_margin_rule_mirror(ray_session, tmp_path):
+    """Margin mining matches an independent numpy mirror of the rule on
+    an engineered corpus: a true translation pair clears the ratio
+    margin, a hub vector (near everything) is suppressed even though
+    its raw cosine is high, and a zero-norm vector is excluded."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import bitext_mine
+
+    rng_dim = 8
+    def unit(*coords):
+        v = np.zeros(rng_dim); v[list(range(len(coords)))] = coords
+        return v.tolist()
+
+    # en side: 0 = aligned with de vec 10 (a true translation pair,
+    # orthogonal to the hub direction); 1/4/5/6 = a cluster sitting ON
+    # the hub direction; 2 = zero vector (excluded).
+    # de side: 10 = translation of 0; 11-14 = hub twins. Every hub-
+    # cluster vector's best match is a hub twin at cosine ~1, but its
+    # top-4 NN sums on BOTH sides are also ~1, so the ratio margin
+    # ~2/(1+1) ~ 1.0 < 1.2 suppresses it; the aligned pair's NN sums
+    # are dominated by low off-pair cosines, so its margin is high.
+    vecs = {
+        0: unit(0.0, 0.0, 1.0, 0.02), 2: [0.0] * rng_dim,
+        1: unit(1.0, 0.95), 4: unit(0.99, 0.96), 5: unit(1.0, 0.94, 0.01),
+        6: unit(0.98, 0.95, 0.0, 0.01),
+        10: unit(0.0, 0.0, 0.99, 0.03),
+        11: unit(1.0, 0.95, 0.005), 12: unit(0.99, 0.945, 0.0, 0.005),
+        13: unit(1.0, 0.96), 14: unit(0.985, 0.95, 0.01),
+    }
+    langs = {i: ("en" if i < 10 else "de") for i in vecs}
+    ids = sorted(vecs)
+    sf = tmp_path / "btsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["x y z w v u t s"] * len(ids)),
+            "lang": pa.array([langs[i] for i in ids]),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array([15] * len(ids), pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pydict({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([vecs[i] for i in ids], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }),
+        sf / "embeddings.parquet",
+    )
+
+    # independent mirror of the integer rule
+    k, thr = 4, 1_200_000
+    q = {
+        i: np.round(np.array(vecs[i], dtype=np.float32).astype(np.float64) * 1e6).astype(np.int64)
+        for i in ids
+    }
+    a_ids = [i for i in ids if langs[i] == "en" and (q[i] ** 2).sum() > 0]
+    b_ids = [i for i in ids if langs[i] == "de" and (q[i] ** 2).sum() > 0]
+    sim = {}
+    for ai in a_ids:
+        for bi in b_ids:
+            dot = float((q[ai] * q[bi]).sum())
+            den = np.sqrt(float((q[ai] ** 2).sum()) * float((q[bi] ** 2).sum()))
+            sim[(ai, bi)] = int(np.floor(dot / den * 1e6))
+    expected = {}
+    for ai in a_ids:
+        row = sorted(((sim[(ai, bi)], -bi) for bi in b_ids), reverse=True)
+        best_sim, best_b = row[0][0], -row[0][1]
+        dsrc = sum(s for s, _ in row[:k])
+        col = sorted((sim[(aj, best_b)] for aj in a_ids), reverse=True)
+        dtgt = sum(col[:k])
+        num, den = 8_000_000 * best_sim, dsrc + dtgt
+        if den > 0 and num >= thr * den:
+            expected[ai] = (best_b, best_sim, num // den)
+
+    got = {
+        r["src_id"]: (r["tgt_id"], r["sim_e6"], r["margin_e6"])
+        for r in bitext_mine(str(sf)).take_all()
+    }
+    assert got == expected
+    assert set(got) == {0} and got[0][0] == 10  # only the aligned pair
+    assert 2 not in got                   # zero-norm excluded
+    # every hub-cluster vector is suppressed by the ratio margin even
+    # though its best cosine (~1.0) beats the mined pair's
+    assert all(i not in got for i in (1, 4, 5, 6))
+
+
+def test_passage_chunks_boundary_arithmetic(ray_session, tmp_path):
+    """Window/stride boundary rule: n <= 64 gives ONE chunk (short
+    last), n = 65 gives two (second starts at 48, 17 tokens), empty
+    docs emit nothing; fingerprints are md5 of the space-joined
+    window."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import passage_chunks
+
+    toks65 = [f"t{i}" for i in range(65)]
+    texts = [" ".join(toks65[:64]), " ".join(toks65), "", " ".join(toks65[:10])]
+    sf = tmp_path / "pcsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"], r["chunk_md5"])
+         for r in passage_chunks(str(sf)).take_all())
+    )
+    md5 = lambda ts: hashlib.md5(" ".join(ts).encode()).hexdigest()  # noqa: E731
+    assert rows == [
+        (0, 0, 0, 64, md5(toks65[:64])),
+        (1, 0, 0, 64, md5(toks65[:64])),
+        (1, 1, 48, 17, md5(toks65[48:65])),
+        (3, 0, 0, 10, md5(toks65[:10])),
+    ]
