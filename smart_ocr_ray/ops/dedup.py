@@ -1550,8 +1550,13 @@ def setjoin_pairs(
     Docs with fewer than ``w`` tokens have no set and never pair.
     """
     from ..functions.hashing import _hash64
-    from ..tuning import cluster_cpus, join_partitions
-    from .grouped import map_key_groups, max_by_keys, reduce_by_keys, typed_if_empty
+    from .grouped import (
+        gather_by_key,
+        map_key_groups,
+        max_by_keys,
+        reduce_by_keys,
+        typed_if_empty,
+    )
 
     M = 1 << 63
     out_schema = pa.schema(
@@ -1619,8 +1624,15 @@ def setjoin_pairs(
     rows = doc_sets.map_batches(_explode, batch_format="pyarrow")
     df = reduce_by_keys(rows, ["h"], None, "count", out="df")
 
-    k = max(join_partitions(), cluster_cpus())
-    with_df = rows.join(df, "inner", k, on=("h",)).repartition(k)
+    # df attaches by sort + vectorized gather (grouped.gather_by_key)
+    # — the measured replacement for Ray 2.49's JoinOperator on
+    # pair/vocabulary-shaped attachments (55 s remote → ~1 s on the
+    # embedding-LSH twin of this step).
+    rows_schema = pa.schema(
+        [("h", pa.int64()), ("doc_id", pa.int64()), ("n", pa.int64()),
+         ("set_sig", pa.int64())]
+    )
+    with_df = gather_by_key(rows, "h", df, "h", "df", "df", rows_schema, pa.int64())
 
     def _prefix(group: pa.Table) -> pa.Table:
         # One doc's shingle rows: keep the p rarest under (df, h) order.
@@ -1689,28 +1701,20 @@ def setjoin_pairs(
     pending = cands.filter(expr="jac_e6 < 0").drop_columns(["jac_e6"]).materialize()
     if pending.count() == 0:
         return typed_if_empty(known, out_schema)
-    pending = pending.repartition(k)
 
     side = doc_sets.select_columns(["doc_id", "blob"])
 
-    def _rename_blob(name: str):
-        def _fn(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or "blob" not in batch.column_names:
-                return batch
-            idx = batch.column_names.index("blob")
-            return batch.rename_columns(
-                [name if i == idx else c for i, c in enumerate(batch.column_names)]
-            )
-
-        return _fn
-
-    joined = (
-        pending.join(side, "inner", k, on=("left_id",), right_on=("doc_id",))
-        .map_batches(_rename_blob("blob_l"), batch_format="pyarrow")
-        .repartition(k)
-        .join(side, "inner", k, on=("right_id",), right_on=("doc_id",))
-        .map_batches(_rename_blob("blob_r"), batch_format="pyarrow")
-        .repartition(k)
+    # Sorted-set blobs ship only to candidate pairs, one sort-gather
+    # per side (same rationale as the df attach above).
+    pend_schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
+    half = gather_by_key(
+        pending, "left_id", side, "doc_id", "blob", "blob_l",
+        pend_schema, pa.binary(),
+    )
+    half_schema = pa.schema(list(pend_schema) + [pa.field("blob_l", pa.binary())])
+    joined = gather_by_key(
+        half, "right_id", side, "doc_id", "blob", "blob_r",
+        half_schema, pa.binary(),
     )
 
     def _verify(batch: pa.Table) -> pa.Table:

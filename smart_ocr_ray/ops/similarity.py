@@ -337,7 +337,6 @@ def embedding_neardup_lsh(
         with their representative, which preserves connected COMPONENTS
         but not the all-pairs list.
     """
-    from ..tuning import join_partitions
     from .dedup import HOT_BUCKET_LIMIT, collapse_hot_bucket
     from .grouped import map_key_groups, max_by_keys
 
@@ -389,16 +388,6 @@ def embedding_neardup_lsh(
     if candidates.count() == 0:
         return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
 
-    from ..tuning import cluster_cpus
-
-    # The candidate-pair table is NOT small-table-shaped: at corpus
-    # scale it holds millions of pair rows and, after the two joins
-    # below, two embedding blobs per row. Partition the join/verify
-    # path by CPU count (floored at the small-join constant) — with
-    # join_partitions()=8 the verify stage ran as 8 tasks and left
-    # 24 of 32 cores idle (measured: 132 s remote work, 16.8 s wall;
-    # CPU-wide it is ~4 s).
-    k = max(join_partitions(), cluster_cpus())
     known = candidates.filter(expr="cos_sim_e3 >= 0")
     # repartition launders the schema-less empty blocks the hash-shuffle
     # groupby can emit — they survive filter() and break the join below
@@ -417,12 +406,11 @@ def embedding_neardup_lsh(
         from .grouped import typed_if_empty
 
         return typed_if_empty(known, _PAIR_SCHEMA)
-    pending = pending.repartition(k)
 
     def _pack(batch: pa.Table) -> pa.Table:
-        # Acero hash joins reject list-typed non-key columns — carry the
-        # embedding as packed float32 bytes instead (also ~2× smaller
-        # on the wire than a list<float> with offsets).
+        # Carry the embedding as packed float32 bytes: ~2× smaller on
+        # the wire than a list<float> with offsets, and a plain binary
+        # column gathers with one take().
         blobs = [
             np.asarray(e, dtype=np.float32).tobytes()
             for e in batch.column("embedding").to_pylist()
@@ -433,27 +421,22 @@ def embedding_neardup_lsh(
 
     emb_ds = read_embeddings(sf_dir).map_batches(_pack, batch_format="pyarrow")
 
-    def _rename_emb(name: str):
-        def _fn(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or "emb_bytes" not in batch.column_names:
-                return batch
-            idx = batch.column_names.index("emb_bytes")
-            return batch.rename_columns(
-                [name if i == idx else c for i, c in enumerate(batch.column_names)]
-            )
+    # Embeddings ship only to candidate pairs — attached per side by a
+    # sort + vectorized gather (grouped.gather_by_key): Ray 2.49's
+    # JoinOperator hash shuffle measured 55 s of remote wall on this
+    # exact attachment at sf0.1; the sort-gather is ~1 s for the same
+    # all-to-all bytes.
+    from .grouped import gather_by_key
 
-        return _fn
-
-    # Embeddings ship only to candidate pairs: two small joins keyed by
-    # vec_id. repartition after each wide op launders the schema-less
-    # empty blocks Ray joins can emit (see ops/dedup.cluster_pairs).
-    joined = (
-        pending.join(emb_ds, "inner", k, on=("left_id",), right_on=("vec_id",))
-        .map_batches(_rename_emb("emb_l"), batch_format="pyarrow")
-        .repartition(k)
-        .join(emb_ds, "inner", k, on=("right_id",), right_on=("vec_id",))
-        .map_batches(_rename_emb("emb_r"), batch_format="pyarrow")
-        .repartition(k)
+    pend_schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
+    half = gather_by_key(
+        pending, "left_id", emb_ds, "vec_id", "emb_bytes", "emb_l",
+        pend_schema, pa.binary(),
+    )
+    half_schema = pa.schema(list(pend_schema) + [pa.field("emb_l", pa.binary())])
+    joined = gather_by_key(
+        half, "right_id", emb_ds, "vec_id", "emb_bytes", "emb_r",
+        half_schema, pa.binary(),
     )
 
     def _unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
@@ -1458,8 +1441,8 @@ def bitext_mine(
     ``ray.put`` (the same bounded-index assumption as
     ``ann_cosine_topk``'s query matrix; at full corpus scale the index
     side shards through the hyperplane-LSH candidate path instead);
-    the source side streams — language arrives by ONE distributed hash
-    join against ``documents(doc_id, lang)``, each batch does one
+    the source side streams — language attaches by one distributed
+    sort-gather against ``documents(doc_id, lang)``, each batch does one
     matmul against the index and emits (a) its best-target row and
     (b) a lossless per-target top-k combiner row set, so the shuffle
     moves O(src + tgt·k·blocks) rows and never an embedding.
@@ -1469,8 +1452,7 @@ def bitext_mine(
     """
     import pyarrow.parquet as pq
 
-    from ..tuning import cluster_cpus, join_partitions
-    from .grouped import map_key_groups, typed_if_empty
+    from .grouped import gather_by_key, map_key_groups, typed_if_empty
 
     out_schema = pa.schema(
         [
@@ -1508,9 +1490,7 @@ def bitext_mine(
         return ray.data.from_arrow(out_schema.empty_table())
     b_ref = ray.put((b_ids, b_mat, b_norm2.astype(np.float64)))
 
-    # --- source side streams; lang via one distributed hash join
-    jp = max(join_partitions(), cluster_cpus())
-
+    # --- source side streams; lang attaches by one sort-gather
     def _pack(batch: pa.Table) -> pa.Table:
         blobs = [
             np.asarray(e, dtype=np.float64).tobytes()
@@ -1523,12 +1503,12 @@ def bitext_mine(
     lang_ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
-    a_stream = (
-        read_embeddings(sf_dir)
-        .map_batches(_pack, batch_format="pyarrow")
-        .join(lang_ds, "inner", jp, on=("vec_id",), right_on=("doc_id",))
-        .filter(expr=f"lang == '{src_lang}'")
-    )
+    packed_schema = pa.schema([("vec_id", pa.int64()), ("emb_bytes", pa.binary())])
+    a_stream = gather_by_key(
+        read_embeddings(sf_dir).map_batches(_pack, batch_format="pyarrow"),
+        "vec_id", lang_ds, "doc_id", "lang", "lang",
+        packed_schema, pa.string(),
+    ).filter(expr=f"lang == '{src_lang}'")
 
     mid_schema = pa.schema(
         [
@@ -1606,11 +1586,19 @@ def bitext_mine(
             schema=den_schema,
         )
 
-    # repartition launders the schema-less empty blocks the sort can
-    # emit on small inputs — they break the join's right side with
-    # ArrowInvalid FieldRef (see ops/dedup.cluster_pairs).
-    denoms = map_key_groups(partials, "tgt_id", _merge_tgt).repartition(jp)
-    joined = best.join(denoms, "inner", jp, on=("tgt_id",)).repartition(jp)
+    denoms = map_key_groups(partials, "tgt_id", _merge_tgt)
+    best_schema = pa.schema(
+        [
+            ("src_id", pa.int64()),
+            ("tgt_id", pa.int64()),
+            ("sim_e6", pa.int64()),
+            ("denom_src", pa.int64()),
+        ]
+    )
+    joined = gather_by_key(
+        best, "tgt_id", denoms, "tgt_id", "denom_tgt", "denom_tgt",
+        best_schema, pa.int64(),
+    )
 
     def _margin(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "denom_tgt" not in batch.column_names:

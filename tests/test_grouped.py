@@ -252,3 +252,36 @@ def test_item_cooccurrence_cap_and_threshold(ray_session, tmp_path):
     assert (0, 1) in got1 and (1, 2) in got1 and (0, 2) in got1
     assert not any(3 in p or 4 in p for p in got1)
     assert got1[(10, 12)] == 2
+
+
+def test_gather_by_key_attaches_and_drops(ray_session):
+    """gather_by_key attaches the side value to every row sharing the
+    key (inner-join semantics: keyless rows drop), across blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smart_ocr_ray.ops.grouped import gather_by_key
+
+    rows_schema = pa.schema([("k", pa.int64()), ("payload", pa.int64())])
+    rows = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3, 7], pa.int64()),
+                  "payload": pa.array([10, 20, 21, 30, 70], pa.int64())})
+    ).repartition(3)
+    side = ray.data.from_arrow(
+        pa.table({"sk": pa.array([3, 1, 2], pa.int64()),
+                  "val": pa.array([b"three", b"one", b"two"], pa.binary())})
+    ).repartition(2)
+
+    got = sorted(
+        (r["k"], r["payload"], r["v"])
+        for r in gather_by_key(
+            rows, "k", side, "sk", "val", "v", rows_schema, pa.binary()
+        ).take_all()
+    )
+    assert got == [
+        (1, 10, b"one"),
+        (2, 20, b"two"),
+        (2, 21, b"two"),
+        (3, 30, b"three"),
+    ]  # k=7 has no side row and drops
