@@ -224,10 +224,14 @@ def cluster_pairs(
     """Connected components over a (left_id, right_id) pair Dataset by
     distributed min-label propagation with pointer jumping.
 
-    Every step is a Dataset op — a join of the (small) edge list against
-    the label table plus a ``groupby(node).Min(label)`` — so labels
-    never materialize on the driver (the r1 weak spot: at 100 TB with
-    high dup rates the label table is itself huge). Per round:
+    Every step is a Dataset op — the edge list gathers labels by a
+    key sort (``grouped.gather_by_key``) and mins collapse via
+    ``grouped.reduce_by_keys`` sort+reduceat — so labels never
+    materialize on the driver (the r1 weak spot: at 100 TB with high
+    dup rates the label table is itself huge), and no round pays Ray
+    2.49's JoinOperator hash-shuffle or hash-Aggregate fixed costs
+    (measured 55 s remote on the embedding-LSH attachment of the same
+    shape). Per round:
 
       1. neighbor min: each node takes min(own label, neighbors' labels)
       2. pointer jump: label <- label(label), halving component depth
@@ -241,8 +245,6 @@ def cluster_pairs(
     Output: (doc_id, cluster_id), cluster_id = min doc_id of the
     component, sorted by doc_id.
     """
-    from ray.data.aggregate import Min, Sum
-
     if join_partitions is None:
         # Derived from cluster size (== 8 at the 32-CPU anchor).
         from ..tuning import join_partitions as _jp
@@ -285,72 +287,83 @@ def cluster_pairs(
     def _typed_nl(node, label) -> pa.Table:
         return pa.Table.from_pydict({"node": node, "label": label}, schema=nl_schema)
 
-    def _normalize(batch: pa.Table) -> pa.Table:
-        # Joins/groupbys can emit schema-LESS empty blocks which break a
-        # downstream pyarrow join ("no match for FieldRef") — always
-        # re-emit with the typed (node, label) schema.
-        if batch.num_rows == 0 or "node" not in batch.column_names:
-            return nl_schema.empty_table()
-        return _typed_nl(batch.column("node"), batch.column("label"))
-
     def _self_labels(batch: pa.Table) -> pa.Table:
         return _typed_nl(batch.column("node"), batch.column("node"))
 
-    # repartition after every wide op: joins/groupbys emit schema-less
-    # EMPTY blocks, map_batches skips empty blocks (so a normalizer
-    # can't retype them), and a schema-less block on either side of the
-    # next join raises ArrowInvalid. repartition concatenates blocks,
-    # laundering the empties. The label table is small (only nodes that
-    # appear in near-dup pairs), so the copy is bounded.
+    from .grouped import gather_by_key, reduce_by_keys
+
+    # Every union CONCATENATES block lists and every sort emits as many
+    # blocks as it receives, so without a bound the label table's block
+    # count would ~4x per round (union(edges+labels) -> sort ->
+    # union(+labels) -> sort -> ...), turning O(log d) rounds into
+    # exponentially many tiny tasks (measured: 1.8/5.3/22/89 s per
+    # round on a 41-node chain at 4 CPUs). Repartition to
+    # join_partitions before each materialize to keep rounds constant.
     labels = (
-        edges.map_batches(_self_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .map_batches(_normalize, batch_format="pyarrow")
+        reduce_by_keys(
+            edges.map_batches(_self_labels, batch_format="pyarrow"),
+            ["node"], "label", "min",
+        )
         .repartition(join_partitions)
         .materialize()
     )
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def _label_sum(ds: ray.data.Dataset) -> int:
+        # Convergence probe as per-block partial sums + a driver sum of
+        # O(blocks) ints — no hash Aggregate for one scalar.
+        import pyarrow.compute as pc
+
+        def _part(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "label" not in batch.column_names:
+                return pa.table({"s": pa.array([], pa.int64())})
+            return pa.table(
+                {"s": pa.array([pc.sum(batch.column("label")).as_py()], pa.int64())}
+            )
+
+        return sum(
+            r["s"] for r in ds.map_batches(_part, batch_format="pyarrow").take_all()
+        )
+
+    prev_sum = _label_sum(labels)
+    edge_schema = pa.schema([("node", pa.int64()), ("peer", pa.int64())])
 
     def _peer_label(batch: pa.Table) -> pa.Table:
-        # after join on peer == labels.node: (node, peer, label); the
+        # after gathering label on peer: (node, peer, label); the
         # peer's label is a candidate label for node.
         if batch.num_rows == 0 or "node" not in batch.column_names:
             return nl_schema.empty_table()
         return _typed_nl(batch.column("node"), batch.column("label"))
 
     def _jumped(batch: pa.Table) -> pa.Table:
-        # after join on label == labels.node: label(label(node)).
+        # after gathering label_parent on label: label(label(node)).
         if batch.num_rows == 0 or "node" not in batch.column_names:
             return nl_schema.empty_table()
         return _typed_nl(batch.column("node"), batch.column("label_parent"))
 
     for _ in range(max_rounds):
-        neighbor = (
-            edges.join(
-                labels, "inner", join_partitions, on=("peer",), right_on=("node",),
-                right_suffix="_l",
-            )
-            .map_batches(_peer_label, batch_format="pyarrow")
-            .union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(_normalize, batch_format="pyarrow")
-            .repartition(join_partitions)
+        # 1. neighbor min: gather each peer's label onto the edge rows
+        #    (every peer IS a labeled node, so nothing drops), union the
+        #    nodes' own labels, one sort+reduceat min per node.
+        peer_labels = gather_by_key(
+            edges, "peer", labels, "node", "label", "label",
+            edge_schema, pa.int64(),
+        ).map_batches(_peer_label, batch_format="pyarrow")
+        neighbor = reduce_by_keys(
+            peer_labels.union(labels), ["node"], "label", "min"
         )
-        jumped = (
-            neighbor.join(
-                labels, "inner", join_partitions, on=("label",), right_on=("node",),
-                right_suffix="_parent",
+        # 2. pointer jump: label <- label(label). neighbor is unique per
+        #    node and every label value is a labeled node, so the gather
+        #    is a total function — no reduce needed afterwards.
+        labels = (
+            gather_by_key(
+                neighbor, "label", labels, "node", "label", "label_parent",
+                nl_schema, pa.int64(),
             )
             .map_batches(_jumped, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(_normalize, batch_format="pyarrow")
             .repartition(join_partitions)
+            .materialize()
         )
-        labels = jumped.materialize()
-        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
