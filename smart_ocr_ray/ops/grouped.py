@@ -252,8 +252,12 @@ def gather_by_key(
     hash-partition/build cost.
 
     Contract: ``side`` keys are UNIQUE (one value per key — duplicate
-    side keys would silently keep one); row keys missing from ``side``
-    drop (inner-join semantics); neither key column may contain nulls.
+    side keys RAISE: sorting co-locates every copy of a key in one
+    block, so the per-block check below is a complete global
+    uniqueness guard, turning an upstream bug that would otherwise
+    silently attach an arbitrary copy's value into a loud failure);
+    row keys missing from ``side`` drop (inner-join semantics);
+    neither key column may contain nulls.
     ``rows_schema`` is the row table's static schema (passing it in
     avoids a schema() materialization); the output schema is
     ``rows_schema + (out, val_type)``.
@@ -296,6 +300,14 @@ def gather_by_key(
         n_groups = len(bounds) - 1
         row_grp = np.repeat(np.arange(n_groups), np.diff(bounds))
         side_rows = np.flatnonzero(valid)
+        per_group = np.bincount(row_grp[side_rows], minlength=n_groups)
+        if per_group.max(initial=0) > 1:
+            dup_grp = int(np.argmax(per_group))
+            dup_key = block.column(key)[int(bounds[dup_grp])].as_py()
+            raise ValueError(
+                f"gather_by_key: side has {int(per_group[dup_grp])} rows "
+                f"for key {dup_key!r} (side keys must be unique)"
+            )
         side_idx = np.full(n_groups, -1, dtype=np.int64)
         side_idx[row_grp[side_rows]] = side_rows
         gather = side_idx[row_grp]

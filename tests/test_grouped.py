@@ -285,3 +285,29 @@ def test_gather_by_key_attaches_and_drops(ray_session):
         (2, 21, b"two"),
         (3, 30, b"three"),
     ]  # k=7 has no side row and drops
+
+
+def test_gather_by_key_duplicate_side_keys_raise(ray_session):
+    """The side-keys-unique contract is ENFORCED, not assumed: a
+    duplicated side key raises (naming the key) instead of silently
+    attaching an arbitrary copy's value. The sort co-locates all
+    copies of a key in one block, so the per-block check is global."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from smart_ocr_ray.ops.grouped import gather_by_key
+
+    rows_schema = pa.schema([("k", pa.int64())])
+    rows = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64())})
+    )
+    side = ray.data.from_arrow(
+        pa.table({"sk": pa.array([2, 2, 1], pa.int64()),
+                  "val": pa.array([7, 8, 9], pa.int64())})
+    ).repartition(2)
+
+    with pytest.raises(Exception, match="side keys must be unique"):
+        gather_by_key(
+            rows, "k", side, "sk", "val", "v", rows_schema, pa.int64()
+        ).take_all()
