@@ -381,6 +381,13 @@ def _q_link_components(sf_dir: str):
     return link_components(_pages_path(sf_dir))
 
 
+def _q_link_communities(sf_dir: str):
+    """LPA communities of the undirected page link graph (2 rounds)."""
+    from smart_ocr_ray.ops.links import link_communities
+
+    return link_communities(_pages_path(sf_dir))
+
+
 def _q_link_triangles(sf_dir: str):
     """Per-page triangle counts of the undirected page link graph."""
     from smart_ocr_ray.ops.links import link_triangles
@@ -696,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
+        "link_communities": _q_link_communities,
         "link_triangles": _q_link_triangles,
         "page_structure": _q_page_structure,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -1561,6 +1569,54 @@ def _link_components_sql() -> str:
     """
 
 
+def _link_communities_sql() -> str:
+    """Oracle for ``link_communities``: same ids/edges CTEs as the
+    components oracle, DISTINCT undirected vote edges, then TWO
+    unrolled synchronous LPA rounds — per round, each node's label is
+    the most frequent among its neighbors' previous labels with
+    min-label tie-break (``min(label)`` over the rows tying the
+    per-node ``max(count)``); edge-less pages coalesce to their own id
+    through the left join."""
+    return f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS vec_id
+          FROM h
+        ), edges AS (
+          SELECT si.vec_id AS src, di.vec_id AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+        ), und AS (
+          SELECT src AS node, dst AS peer FROM edges
+          UNION SELECT dst, src FROM edges
+        ), lab0 AS (
+          SELECT DISTINCT node, node AS label FROM und
+        ), cnt1 AS (
+          SELECT u.node, l.label, count(*) AS c
+          FROM und u JOIN lab0 l ON l.node = u.peer
+          GROUP BY u.node, l.label
+        ), lab1 AS (
+          SELECT c.node, min(c.label) AS label
+          FROM cnt1 c JOIN (SELECT node, max(c) AS mc FROM cnt1 GROUP BY node) b
+            ON b.node = c.node AND c.c = b.mc
+          GROUP BY c.node
+        ), cnt2 AS (
+          SELECT u.node, l.label, count(*) AS c
+          FROM und u JOIN lab1 l ON l.node = u.peer
+          GROUP BY u.node, l.label
+        ), lab2 AS (
+          SELECT c.node, min(c.label) AS label
+          FROM cnt2 c JOIN (SELECT node, max(c) AS mc FROM cnt2 GROUP BY node) b
+            ON b.node = c.node AND c.c = b.mc
+          GROUP BY c.node
+        )
+        SELECT i.url,
+               CAST(coalesce(l.label, i.vec_id) AS BIGINT) AS community_id
+        FROM ids i LEFT JOIN lab2 l ON i.vec_id = l.node
+    """
+
+
 def _anchor_texts_sql() -> str:
     """Oracle for ``anchor_texts``: aligned (href, inner-text) pairs
     from flat anchors via two grouped regexp extractions zipped
@@ -1956,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_graph"] = _link_graph_oracle_sql()
         corpus_dependent["link_pagerank"] = _link_pagerank_sql()
         corpus_dependent["link_components"] = _link_components_sql()
+        corpus_dependent["link_communities"] = _link_communities_sql()
         corpus_dependent["link_triangles"] = _link_triangles_sql()
         corpus_dependent["page_structure"] = _page_structure_sql()
         corpus_dependent["anchor_texts"] = _anchor_texts_sql()

@@ -197,6 +197,10 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.links import link_components
 
         timed("link_components", lambda _sf: link_components(pages_path))
+
+        from smart_ocr_ray.ops.links import link_communities
+
+        timed("link_communities", lambda _sf: link_communities(pages_path))
         timed("dsir_weights", text_analysis.dsir_weights)
         timed("source_caps", text_analysis.source_caps)
         timed("ccnet_buckets", text_analysis.ccnet_buckets)

@@ -228,6 +228,72 @@ def typed_if_empty(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return ds
 
 
+def anti_by_key(
+    rows: ray.data.Dataset,
+    key: str,
+    side: ray.data.Dataset,
+    side_key: str,
+    rows_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Anti-join: the ``rows`` whose ``key`` does NOT appear in
+    ``side`` — the same union + key-sort + per-block vectorized pass
+    as ``gather_by_key`` (and the same reason to prefer it over a
+    hash join), with the gather replaced by a drop of every key group
+    containing a side marker. ``side`` keys need not be unique here
+    (any number of markers kills the group); key columns must be
+    null-free on the rows side (a null row key is its own group and
+    would always survive).
+    """
+    marker = "__anti_marker"
+    out_schema = pa.schema(list(rows_schema) + [pa.field(marker, pa.int8())])
+    row_cols = [f.name for f in rows_schema]
+
+    def _tag_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key not in batch.column_names:
+            return out_schema.empty_table()
+        cols = {name: batch.column(name) for name in row_cols}
+        cols[marker] = pa.nulls(batch.num_rows, pa.int8())
+        return pa.Table.from_pydict(cols, schema=out_schema)
+
+    def _tag_side(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or side_key not in batch.column_names:
+            return out_schema.empty_table()
+        cols = {}
+        for name in row_cols:
+            if name == key:
+                cols[name] = batch.column(side_key)
+            else:
+                cols[name] = pa.nulls(batch.num_rows, rows_schema.field(name).type)
+        cols[marker] = pa.array(
+            np.ones(batch.num_rows, dtype=np.int8), pa.int8()
+        )
+        return pa.Table.from_pydict(cols, schema=out_schema)
+
+    unioned = rows.map_batches(_tag_rows, batch_format="pyarrow").union(
+        side.map_batches(_tag_side, batch_format="pyarrow")
+    )
+
+    def _drop_marked(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return rows_schema.empty_table()
+        block = block.combine_chunks()
+        marked = pc.is_valid(block.column(marker)).to_numpy(zero_copy_only=False)
+        bounds = group_bounds(block, [key])
+        n_groups = len(bounds) - 1
+        row_grp = np.repeat(np.arange(n_groups), np.diff(bounds))
+        group_hit = np.zeros(n_groups, dtype=bool)
+        group_hit[row_grp[np.flatnonzero(marked)]] = True
+        keep = np.flatnonzero((~marked) & (~group_hit[row_grp]))
+        kept = block.take(pa.array(keep))
+        return pa.Table.from_pydict(
+            {name: kept.column(name) for name in row_cols}, schema=rows_schema
+        )
+
+    return unioned.sort([key]).map_batches(
+        _drop_marked, batch_format="pyarrow", batch_size=None
+    )
+
+
 def gather_by_key(
     rows: ray.data.Dataset,
     key: str,

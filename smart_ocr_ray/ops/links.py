@@ -1024,3 +1024,256 @@ def page_structure(pages_path: str) -> ray.data.Dataset:
         .map_batches(_profile, batch_format="pyarrow")
         .sort("url")
     )
+
+
+def lpa_labels(
+    und: ray.data.Dataset, n_rounds: int, jp: int
+) -> ray.data.Dataset:
+    """Synchronous label-propagation core over a DISTINCT undirected
+    edge table ``und(node, peer)``: every round, each node adopts the
+    most frequent label among its neighbors' current labels (ties →
+    smallest label); nodes keep their own id as the initial label.
+    Exactly ``n_rounds`` synchronous rounds — LPA is a heuristic whose
+    value is the frozen, order-free recurrence, not a fixed point (the
+    oracle unrolls the same rounds as plain SQL).
+
+    Every round is the materialized-round sort-gather shape that won
+    the ``cluster_pairs`` A/B (BASELINE.md): gather each peer's label
+    onto the edge rows (``grouped.gather_by_key``), count (node,
+    label) votes and take the per-node max count via
+    ``grouped.reduce_by_keys`` sort+reduceat, then min-label among the
+    tied winners — plus the load-bearing ``repartition(jp)`` before
+    each materialize so union+sort rounds don't compound block counts.
+    Labels never touch the driver. Returns (node, label) for every
+    node present in ``und``.
+    """
+    from .grouped import gather_by_key, reduce_by_keys
+
+    nl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    und_schema = pa.schema([("node", pa.int64()), ("peer", pa.int64())])
+    cnt_schema = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def _self(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return nl_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"node": batch.column("node"), "label": batch.column("node")},
+            schema=nl_schema,
+        )
+
+    labels = (
+        reduce_by_keys(
+            und.map_batches(_self, batch_format="pyarrow"),
+            ["node"], "label", "min",
+        )
+        .repartition(jp)
+        .materialize()
+    )
+
+    def _vote(batch: pa.Table) -> pa.Table:
+        # after gathering the peer's label onto (node, peer): one vote
+        # row (node, label) per incident edge.
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return nl_schema.empty_table()
+        return pa.Table.from_pydict(
+            {"node": batch.column("node"), "label": batch.column("label")},
+            schema=nl_schema,
+        )
+
+    def _keep_winners(batch: pa.Table) -> pa.Table:
+        # rows (node, label, cnt, best): keep the labels whose vote
+        # count equals the node's max.
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return nl_schema.empty_table()
+        kept = batch.filter(pc.equal(batch.column("cnt"), batch.column("best")))
+        return pa.Table.from_pydict(
+            {"node": kept.column("node"), "label": kept.column("label")},
+            schema=nl_schema,
+        )
+
+    for _ in range(n_rounds):
+        votes = gather_by_key(
+            und, "peer", labels, "node", "label", "label",
+            und_schema, pa.int64(),
+        ).map_batches(_vote, batch_format="pyarrow")
+        cnt = reduce_by_keys(votes, ["node", "label"], None, "count", out="cnt")
+        best = reduce_by_keys(cnt, ["node"], "cnt", "max", out="best")
+        winners = gather_by_key(
+            cnt, "node", best, "node", "best", "best",
+            cnt_schema, pa.int64(),
+        ).map_batches(_keep_winners, batch_format="pyarrow")
+        labels = (
+            reduce_by_keys(winners, ["node"], "label", "min")
+            .repartition(jp)
+            .materialize()
+        )
+    return labels
+
+
+def link_communities(pages_path: str, n_rounds: int = 2) -> ray.data.Dataset:
+    """Community detection over the UNDIRECTED page link graph by
+    synchronous label propagation (LPA, Raghavan et al. 2007) — the
+    site-section / topic-cluster grouping a curation pipeline uses
+    where connected components are too coarse (one bridge link fuses
+    two sites into one component; LPA's majority vote keeps densely
+    linked clusters separate). Reference has no link ops — novel scale
+    operator per SURVEY §2 'beyond the reference'.
+
+    Frozen semantics (mirrored exactly by the unrolled-SQL oracle):
+      * nodes/ids/edges exactly as ``link_components`` (HTML pages,
+        ids = ``_hash64(url) % 2^63``, edges resolved-internal links
+        whose target exists in the corpus);
+      * the vote graph is the DISTINCT undirected edge set (parallel
+        links collapse to one vote; a self-loop is one self-vote);
+      * init label = own id; per round, label ← most frequent label
+        among neighbor labels, ties → smallest label (synchronous:
+        all votes read the previous round's labels);
+      * exactly ``n_rounds`` rounds (default 2 — hop radius 2, the
+        point where site sections stabilize on bridge-shaped graphs);
+      * pages with no edges are their own singleton community.
+
+    Output: (url, community_id), community_id = the final label.
+    Scale shape: only (int64, int64) edge/label/vote rows enter any
+    shuffle; per round 3 sorts over O(E) rows; labels never touch the
+    driver (``lpa_labels``).
+    """
+    from ..functions.hashing import _hash64
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+    M = 2**63
+    out_schema = pa.schema([("url", pa.string()), ("community_id", pa.int64())])
+
+    parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    id_schema = pa.schema([("vec_id", pa.int64()), ("url", pa.string())])
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return id_schema.empty_table()
+        urls = batch.column("url").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array([int(_hash64(u)) % M for u in urls], pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=id_schema,
+        )
+
+    nodes_urls = (
+        parsed.map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        .map_batches(_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    und_schema = pa.schema([("node", pa.int64()), ("peer", pa.int64())])
+
+    def _pair_ids(batch: pa.Table) -> pa.Table:
+        # both directions at once; corpus-membership of dst is filtered
+        # by the gather below (ids are the side table).
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return und_schema.empty_table()
+        s = pa.array(
+            [int(_hash64(u)) % M for u in batch.column("src").to_pylist()],
+            pa.int64(),
+        )
+        d = pa.array(
+            [int(_hash64(u)) % M for u in batch.column("dst").to_pylist()],
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {"node": pa.concat_arrays([s, d]), "peer": pa.concat_arrays([d, s])},
+            schema=und_schema,
+        )
+
+    # Keep only edges whose dst exists in the corpus: gather the known
+    # node id onto each (node, peer) row by peer — unknown peers drop
+    # (inner semantics). Both directions were emitted, so filtering on
+    # peer alone covers dst-membership for both orientations (src is a
+    # corpus page by construction). Then collapse duplicates.
+    from .grouped import gather_by_key, reduce_by_keys
+
+    node_side = nodes_urls.map_batches(
+        lambda b: b.select(["vec_id"]), batch_format="pyarrow"
+    )
+    und_all = gather_by_key(
+        _parsed_edges(parsed).map_batches(_pair_ids, batch_format="pyarrow"),
+        "peer", node_side, "vec_id", "vec_id", "known",
+        und_schema, pa.int64(),
+    ).map_batches(
+        lambda b: b.select(["node", "peer"]) if b.num_rows else und_schema.empty_table(),
+        batch_format="pyarrow",
+    )
+    und = (
+        reduce_by_keys(und_all, ["node", "peer"], None, "count", out="n")
+        .map_batches(
+            lambda b: b.select(["node", "peer"])
+            if b.num_rows
+            else und_schema.empty_table(),
+            batch_format="pyarrow",
+        )
+        .repartition(jp)
+        .materialize()
+    )
+
+    if und.count() == 0:
+        def _single(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "url" not in batch.column_names:
+                return out_schema.empty_table()
+            return pa.Table.from_pydict(
+                {
+                    "url": batch.column("url").cast(pa.string()),
+                    "community_id": batch.column("vec_id").cast(pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        return nodes_urls.map_batches(_single, batch_format="pyarrow")
+
+    labels = lpa_labels(und, n_rounds, jp)
+
+    # Attach the final label onto every page row; label-less pages
+    # (no edges) are their own singleton community.
+    def _out(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "community_id": batch.column("label").cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    def _own(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return out_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "community_id": batch.column("vec_id").cast(pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    labeled = gather_by_key(
+        nodes_urls, "vec_id", labels, "node", "label", "label",
+        id_schema, pa.int64(),
+    ).map_batches(_out, batch_format="pyarrow")
+    # The inner gather dropped edge-less pages; they come back as their
+    # own singleton communities via a vectorized anti-join (pages whose
+    # vec_id has no label row) — same sort-gather machinery, no
+    # per-group Python calls.
+    from .grouped import anti_by_key
+
+    singletons = anti_by_key(
+        nodes_urls, "vec_id", labels, "node", id_schema
+    ).map_batches(_own, batch_format="pyarrow")
+    return labeled.union(singletons)

@@ -311,3 +311,35 @@ def test_gather_by_key_duplicate_side_keys_raise(ray_session):
         gather_by_key(
             rows, "k", side, "sk", "val", "v", rows_schema, pa.int64()
         ).take_all()
+
+
+def test_anti_by_key_drops_matched_keys(ray_session):
+    """anti_by_key keeps exactly the rows whose key never appears in
+    the side table (duplicate side keys allowed), across blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from smart_ocr_ray.ops.grouped import anti_by_key
+
+    rows_schema = pa.schema([("k", pa.int64()), ("payload", pa.int64())])
+    rows = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3, 7], pa.int64()),
+                  "payload": pa.array([10, 20, 21, 30, 70], pa.int64())})
+    ).repartition(3)
+    side = ray.data.from_arrow(
+        pa.table({"sk": pa.array([2, 2, 3], pa.int64())})
+    ).repartition(2)
+
+    got = sorted(
+        (r["k"], r["payload"])
+        for r in anti_by_key(rows, "k", side, "sk", rows_schema).take_all()
+    )
+    assert got == [(1, 10), (7, 70)]
+
+    # empty side: everything survives
+    empty = ray.data.from_arrow(pa.table({"sk": pa.array([], pa.int64())}))
+    got_all = sorted(
+        (r["k"], r["payload"])
+        for r in anti_by_key(rows, "k", empty, "sk", rows_schema).take_all()
+    )
+    assert got_all == [(1, 10), (2, 20), (2, 21), (3, 30), (7, 70)]

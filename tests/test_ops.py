@@ -4391,3 +4391,122 @@ def test_passage_chunks_boundary_arithmetic(ray_session, tmp_path):
         (1, 1, 48, 17, md5(toks65[48:65])),
         (3, 0, 0, 10, md5(toks65[:10])),
     ]
+
+
+def _lpa_mirror(und_pairs, n_rounds):
+    """Sequential synchronous LPA mirror: und_pairs is the DISTINCT
+    undirected (node, peer) set; label <- most frequent neighbor label,
+    ties -> smallest; n_rounds synchronous rounds."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b in und_pairs:
+        nbrs[a].append(b)
+    lab = {v: v for v in nbrs}
+    for _ in range(n_rounds):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt = Counter(lab[p] for p in ns)
+            m = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == m)
+        lab = new
+    return lab
+
+
+def test_lpa_labels_matches_sequential_mirror(ray_session):
+    """Distributed LPA core == the sequential synchronous recurrence
+    on a bridge-of-triangles graph (the shape where communities differ
+    from connected components: one component, two vote clusters)."""
+    import pyarrow as pa
+    import ray.data
+
+    from smart_ocr_ray.ops.links import lpa_labels
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    und = set()
+    for a, b in tri1 + tri2 + bridge:
+        und.add((a, b)); und.add((b, a))
+
+    und_ds = ray.data.from_arrow(
+        pa.table({
+            "node": pa.array([p[0] for p in sorted(und)], pa.int64()),
+            "peer": pa.array([p[1] for p in sorted(und)], pa.int64()),
+        })
+    ).repartition(3)
+
+    for n_rounds in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in lpa_labels(und_ds, n_rounds, jp=2).take_all()
+        }
+        assert got == _lpa_mirror(und, n_rounds), f"n_rounds={n_rounds}"
+    # after 2 rounds the triangles are distinct communities despite
+    # being one connected component
+    got2 = {
+        r["node"]: r["label"]
+        for r in lpa_labels(und_ds, 2, jp=2).take_all()
+    }
+    assert len({got2[1], got2[2], got2[3]} & {got2[10], got2[11], got2[12]}) == 0
+
+
+def test_link_communities_fixture_matches_mirror(ray_session, tmp_path):
+    """link_communities over the fixture corpus == the sequential LPA
+    mirror over the same DOM-harvested distinct undirected edges;
+    edge-less html pages are singletons; zero-edge corpus all-singleton."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.links import _host, link_communities, page_hrefs
+
+    M = 2**63
+    n = 30
+    table = generate_pages(n)
+    pdir = tmp_path / "pages_lpa"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls, htmls = table.column("url").to_pylist(), table.column("html").to_pylist()
+    nodes = [u for u, h in zip(urls, htmls) if sniff_doc_kind(h or b"") == "html"]
+    node_set = set(nodes)
+    ids = {u: int(_hash64(u)) % M for u in nodes}
+    und = set()
+    for u, h in zip(urls, htmls):
+        if u not in node_set:
+            continue
+        for href in page_hrefs(h or b""):
+            if href.startswith("/"):
+                dst = _host(u) + href
+                if dst in node_set:
+                    und.add((ids[u], ids[dst])); und.add((ids[dst], ids[u]))
+    mirror = _lpa_mirror(und, 2)
+    want = {u: mirror.get(ids[u], ids[u]) for u in nodes}
+
+    got = {r["url"]: r["community_id"]
+           for r in link_communities(str(pdir)).take_all()}
+    assert got == want
+    # sanity: communities are FINER than components on this corpus
+    assert len(set(got.values())) >= len(set(want.values()))
+
+    # zero-edge corpus: every page its own community
+    def page(body):
+        return f"<html><body>{body}</body></html>".encode()
+
+    rows_d = [
+        ("https://h.test/x", page('<a href="/nowhere">gone</a>')),
+        ("https://h.test/y", page("plain")),
+    ]
+    pdir_d = tmp_path / "pages_lpa0"; pdir_d.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([r[0] for r in rows_d], pa.string()),
+            "html": pa.array([r[1] for r in rows_d], pa.binary()),
+        }),
+        pdir_d / "pages.parquet",
+    )
+    got_d = {r["url"]: r["community_id"]
+             for r in link_communities(str(pdir_d)).take_all()}
+    assert got_d == {u: int(_hash64(u)) % M for u, _ in rows_d}
