@@ -743,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
+        "semantic_decontam": similarity.semantic_decontam,
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "embedding_neardup_clusters": similarity.embedding_neardup_clusters,
         "embedding_knn_graph": similarity.embedding_knn_graph,
@@ -3250,6 +3251,36 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 2000 AND b.vec_id < 2000
               AND CAST(round(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT) >= 450
+        """,
+        "semantic_decontam": """
+            -- embedding-based benchmark decontamination: eval set =
+            -- vec_id < 50, train docs flagged when ANY eval cosine
+            -- clears the e3-integer threshold (same grid both sides);
+            -- best_eval_id = smallest eval_id achieving the max e3.
+            WITH ev AS (
+              SELECT vec_id AS eval_id, embedding FROM embeddings
+              WHERE vec_id < 50
+            ), tr AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50
+            ), sims AS (
+              SELECT t.vec_id, e.eval_id,
+                     CAST(round(list_cosine_similarity(t.embedding, e.embedding)
+                                * 1000) AS BIGINT) AS e3
+              FROM tr t CROSS JOIN ev e
+            ), hits AS (
+              SELECT * FROM sims WHERE e3 >= 450
+            ), agg AS (
+              SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+                     max(e3) AS best_sim_e3
+              FROM hits GROUP BY vec_id
+            ), best AS (
+              SELECT h.vec_id, min(h.eval_id) AS best_eval_id
+              FROM hits h JOIN agg a
+                ON a.vec_id = h.vec_id AND h.e3 = a.best_sim_e3
+              GROUP BY h.vec_id
+            )
+            SELECT a.vec_id, a.n_hits, b.best_eval_id, a.best_sim_e3
+            FROM agg a JOIN best b USING (vec_id)
         """,
         "ivf_topk": """
             -- Deterministic IVF reproduced exactly: centroids = first 16

@@ -231,6 +231,7 @@ def run_bench() -> dict:
         timed("topic_classify", text_analysis.topic_classify)
         timed("item_cooccurrence", relational.item_cooccurrence)
         timed("embedding_outliers", similarity.embedding_outliers)
+        timed("semantic_decontam", similarity.semantic_decontam)
         timed("events_running_total", relational.events_running_total)
         timed("events_anomaly", relational.events_anomaly)
         timed("mixture_temperature", text_analysis.mixture_temperature)

@@ -1623,3 +1623,100 @@ def bitext_mine(
     return typed_if_empty(
         joined.map_batches(_margin, batch_format="pyarrow"), out_schema
     )
+
+
+def semantic_decontam(
+    sf_dir: str, threshold_e3: int = 450, n_eval: int = 50
+) -> ray.data.Dataset:
+    """Embedding-based benchmark decontamination — the fuzzy
+    counterpart of the n-gram ``benchmark decontamination`` gate: flag
+    every TRAIN document whose embedding is cosine-similar (≥
+    threshold) to ANY held-out eval item, so paraphrased or lightly
+    edited eval leakage that exact n-gram overlap misses still gets
+    dropped before training. Reference has no embedding ops — novel
+    scale operator per SURVEY §2 'beyond the reference'.
+
+    Frozen semantics (mirrored exactly by the SQL oracle):
+      * eval set = ``vec_id < n_eval`` (the held-out benchmark stand-in,
+        same first-k convention as ``ann_cosine_topk``'s queries);
+        train set = the rest;
+      * similarity compared on the integer grid ``e3 =
+        round(sim·1000)`` so float kernel differences cannot flip
+        membership at the boundary (same analysis as
+        ``embedding_neardup_pairs``);
+      * per flagged train doc: n_hits = #eval items with e3 ≥
+        threshold, best_sim_e3 = max e3, best_eval_id = smallest
+        eval_id achieving it (argmax over an ascending eval_id axis —
+        ties break low, matching the SQL ``ORDER BY e3 DESC, eval_id``).
+
+    Output: (vec_id, n_hits, best_eval_id, best_sim_e3), train rows
+    with n_hits ≥ 1 only.
+
+    Scale shape: the eval matrix is tiny (benchmarks are thousands of
+    items, not millions) and broadcasts ONCE via ``ray.put``; the
+    corpus streams through one ``map_batches`` matmul and never
+    shuffles — flagged rows are the only output. At a real 100 TB run
+    the eval side stays driver-loaded exactly as here.
+    """
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    keep = ids < n_eval
+    eval_ids = ids[keep]
+    order = np.argsort(eval_ids)
+    eval_ids = eval_ids[order]
+    emb = np.asarray(
+        [
+            np.asarray(e, dtype=np.float64)
+            for e, k in zip(table.column("embedding").to_pylist(), keep)
+            if k
+        ]
+    )[order]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((eval_ids, emb / norms))
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("n_hits", pa.int64()),
+            ("best_eval_id", pa.int64()),
+            ("best_sim_e3", pa.int64()),
+        ]
+    )
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        ev_ids, ev_mat = ray.get(ref)
+        if batch.num_rows == 0 or len(ev_ids) == 0:
+            return out_schema.empty_table()
+        vec_ids, mat = _normalized(batch)
+        e3 = np.round((mat @ ev_mat.T) * 1000).astype(np.int64)
+        hit = e3 >= threshold_e3
+        n_hits = hit.sum(axis=1)
+        rows = np.flatnonzero(n_hits)
+        # argmax returns the FIRST max; ev_ids ascending -> low-id tie-break.
+        best_col = np.argmax(e3[rows], axis=1) if len(rows) else np.array([], int)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(vec_ids[rows], pa.int64()),
+                "n_hits": pa.array(n_hits[rows], pa.int64()),
+                "best_eval_id": pa.array(ev_ids[best_col], pa.int64()),
+                "best_sim_e3": pa.array(
+                    e3[rows, best_col] if len(rows) else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    from .grouped import typed_if_empty
+
+    return typed_if_empty(
+        read_embeddings(sf_dir)
+        .filter(expr=f"vec_id >= {n_eval}")
+        .map_batches(_flag, batch_format="pyarrow"),
+        out_schema,
+    )

@@ -4510,3 +4510,38 @@ def test_link_communities_fixture_matches_mirror(ray_session, tmp_path):
     got_d = {r["url"]: r["community_id"]
              for r in link_communities(str(pdir_d)).take_all()}
     assert got_d == {u: int(_hash64(u)) % M for u, _ in rows_d}
+
+
+def test_semantic_decontam_matches_numpy_mirror(ray_session):
+    """Distributed fuzzy-decontamination flags == a sequential numpy
+    mirror over the same embeddings (eval = vec_id < n_eval, e3-grid
+    threshold, argmax tie -> lowest eval_id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import semantic_decontam
+
+    sf = "/root/testdata/sf0.001"
+    thr, n_eval = 450, 50
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.asarray([np.asarray(e, float) for e in t.column("embedding").to_pylist()])
+    n = np.linalg.norm(emb, axis=1, keepdims=True); n[n == 0] = 1.0
+    emb = emb / n
+    ev = np.argsort(ids[ids < n_eval])
+    ev_ids = np.sort(ids[ids < n_eval])
+    ev_mat = emb[ids < n_eval][ev]
+    want = {}
+    for i in np.flatnonzero(ids >= n_eval):
+        e3 = np.round(emb[i] @ ev_mat.T * 1000).astype(np.int64)
+        hits = e3 >= thr
+        if hits.any():
+            best = int(np.argmax(e3))
+            want[int(ids[i])] = (int(hits.sum()), int(ev_ids[best]), int(e3[best]))
+
+    got = {
+        r["vec_id"]: (r["n_hits"], r["best_eval_id"], r["best_sim_e3"])
+        for r in semantic_decontam(sf, thr, n_eval).take_all()
+    }
+    assert got == want
+    assert len(got) >= 1  # the synthetic corpus plants at least one leak
