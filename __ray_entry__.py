@@ -381,6 +381,13 @@ def _q_link_components(sf_dir: str):
     return link_components(_pages_path(sf_dir))
 
 
+def _q_link_ppr(sf_dir: str):
+    """Seed-personalized PageRank over the page link graph."""
+    from smart_ocr_ray.ops.links import link_ppr
+
+    return link_ppr(_pages_path(sf_dir))
+
+
 def _q_link_communities(sf_dir: str):
     """LPA communities of the undirected page link graph (2 rounds)."""
     from smart_ocr_ray.ops.links import link_communities
@@ -704,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
+        "link_ppr": _q_link_ppr,
         "link_triangles": _q_link_triangles,
         "page_structure": _q_page_structure,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -1538,6 +1546,33 @@ def _link_pagerank_sql(n_iter: int = 3) -> str:
     )
 
 
+def _link_ppr_sql(n_iter: int = 3, seed_mod: int = 8) -> str:
+    """Oracle for ``link_ppr``: same harvest/ids/edges as the
+    link_pagerank oracle, the SEEDED integer iteration (teleport mass
+    only to vec_id % seed_mod == 0), and the ppr_e12 rename."""
+    return (
+        f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS vec_id
+          FROM h
+        ), nodes AS (
+          SELECT vec_id FROM ids
+        ), edges AS (
+          SELECT si.vec_id AS src, di.vec_id AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+        ),
+        """
+        + _pagerank_iter_sql(n_iter, seed_mod=seed_mod).replace(
+            f"SELECT vec_id, pr AS pr_e12 FROM p{n_iter}",
+            f"""SELECT ids.url, p{n_iter}.pr AS ppr_e12
+            FROM p{n_iter} JOIN ids ON p{n_iter}.vec_id = ids.vec_id""",
+        )
+    )
+
+
 def _link_components_sql() -> str:
     """Oracle for ``link_components``: regexp link harvest → int64 ids
     (same md5 rule as the pagerank oracle) → undirected min-label
@@ -1685,7 +1720,7 @@ def _winnow_pairs_sql() -> str:
             )"""
 
 
-def _pagerank_iter_sql(n_iter: int = 3) -> str:
+def _pagerank_iter_sql(n_iter: int = 3, seed_mod: int | None = None) -> str:
     """Shared unrolled integer power iteration (ops/graph.py
     semantics): assumes CTEs ``edges(src, dst)`` and ``nodes(vec_id)``
     are already defined; emits outdeg/nn/p0..pN CTEs and ends with the
@@ -1694,12 +1729,34 @@ def _pagerank_iter_sql(n_iter: int = 3) -> str:
     (15·1e12)//(100·N) base, (85·sum)//100 damping — so DuckDB and the
     Ray engine derive bit-identical ranks regardless of summation
     order. Used by the graph_pagerank (k-NN edges) and link_pagerank
-    (real html link edges) oracles."""
+    (real html link edges) oracles.
+
+    ``seed_mod`` emits the PERSONALIZED variant (link_ppr): N counts
+    only seeds (vec_id % seed_mod == 0), and both pr0 and the
+    per-iteration base are seeds-only (0 elsewhere); an empty seed set
+    short-circuits every CASE to all-zero ranks."""
+    if seed_mod is None:
+        nn_cte = "nn AS (SELECT count(*) AS n FROM nodes)"
+        p0_expr = "1000000000000 // nn.n"
+        base_expr = "(15 * 1000000000000) // (100 * nn.n)"
+    else:
+        nn_cte = (
+            "nn AS (SELECT count(*) AS n FROM nodes "
+            f"WHERE vec_id % {seed_mod} = 0)"
+        )
+        p0_expr = (
+            f"CASE WHEN nn.n > 0 AND vec_id % {seed_mod} = 0 "
+            "THEN 1000000000000 // nn.n ELSE 0 END"
+        )
+        base_expr = (
+            f"CASE WHEN nn.n > 0 AND nodes.vec_id % {seed_mod} = 0 "
+            "THEN (15 * 1000000000000) // (100 * nn.n) ELSE 0 END"
+        )
     ctes = [
-        """outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
-            nn AS (SELECT count(*) AS n FROM nodes),
+        f"""outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+            {nn_cte},
             p0 AS (
-              SELECT vec_id, 1000000000000 // nn.n AS pr
+              SELECT vec_id, {p0_expr} AS pr
               FROM nodes CROSS JOIN nn
             )"""
     ]
@@ -1714,7 +1771,7 @@ def _pagerank_iter_sql(n_iter: int = 3) -> str:
             ),
             p{i} AS (
               SELECT nodes.vec_id,
-                     (15 * 1000000000000) // (100 * nn.n)
+                     {base_expr}
                      + (85 * coalesce(s{i}.c, 0)) // 100 AS pr
               FROM nodes CROSS JOIN nn
               LEFT JOIN s{i} ON nodes.vec_id = s{i}.vec_id
@@ -2012,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["multimodal_frames"] = _frames_oracle_sql()
         corpus_dependent["link_graph"] = _link_graph_oracle_sql()
         corpus_dependent["link_pagerank"] = _link_pagerank_sql()
+        corpus_dependent["link_ppr"] = _link_ppr_sql()
         corpus_dependent["link_components"] = _link_components_sql()
         corpus_dependent["link_communities"] = _link_communities_sql()
         corpus_dependent["link_triangles"] = _link_triangles_sql()

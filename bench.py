@@ -201,6 +201,10 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.links import link_communities
 
         timed("link_communities", lambda _sf: link_communities(pages_path))
+
+        from smart_ocr_ray.ops.links import link_ppr
+
+        timed("link_ppr", lambda _sf: link_ppr(pages_path))
         timed("dsir_weights", text_analysis.dsir_weights)
         timed("source_caps", text_analysis.source_caps)
         timed("ccnet_buckets", text_analysis.ccnet_buckets)

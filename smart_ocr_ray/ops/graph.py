@@ -40,6 +40,7 @@ def graph_pagerank(
     edges: ray.data.Dataset | None = None,
     nodes: ray.data.Dataset | None = None,
     local_max_edges: int = LOCAL_ITER_MAX_EDGES,
+    seed_mod: int | None = None,
 ) -> ray.data.Dataset:
     """Integer-grid PageRank over the directed approximate k-NN graph
     (``similarity.embedding_knn_graph``): per node, its rank after
@@ -67,6 +68,16 @@ def graph_pagerank(
 
     ``edges``/``nodes`` exist for tests: pass (src, dst) and (vec_id)
     datasets to run the iteration core on a hand-built graph.
+
+    ``seed_mod`` switches the recurrence to PERSONALIZED PageRank
+    (random walk with restart): the teleport mass goes only to the
+    seed set {v : vec_id % seed_mod == 0} (S = its size) —
+    pr0 = SCALE // S on seeds / 0 elsewhere, and the per-iteration
+    base (15·SCALE) // (100·S) is likewise seeds-only. Non-seed nodes
+    hold rank only through link proximity to a seed — the
+    seed-expansion signal targeted-crawl curation ranks by. S == 0
+    degenerates to all-zero ranks (both branches and the SQL oracle
+    mirror this).
     """
     from ..tuning import join_partitions as _jp
 
@@ -93,12 +104,35 @@ def graph_pagerank(
         return ray.data.from_arrow(
             pa.schema([("vec_id", pa.int64()), ("pr_e12", pa.int64())]).empty_table()
         )
-    base = (15 * PR_SCALE) // (100 * n_nodes)
-    pr0 = PR_SCALE // n_nodes
+    if seed_mod is None:
+        mass_nodes = n_nodes
+    else:
+        # Seed count as per-block partial sums (Ray 2.49's filter-expr
+        # parser rejects `vec_id % m == 0`); the driver sees O(blocks)
+        # ints, nodes never leave the cluster.
+        def _seed_part(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+                return pa.table({"s": pa.array([], pa.int64())})
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"s": pa.array([int((ids % seed_mod == 0).sum())], pa.int64())}
+            )
+
+        mass_nodes = sum(
+            r["s"]
+            for r in nodes.map_batches(
+                _seed_part, batch_format="pyarrow"
+            ).take_all()
+        )
+    if mass_nodes == 0:  # empty seed set: all ranks are exactly 0
+        base, pr0 = 0, 0
+    else:
+        base = (15 * PR_SCALE) // (100 * mass_nodes)
+        pr0 = PR_SCALE // mass_nodes
 
     edges = edges.materialize()
     if edges.count() <= local_max_edges and n_nodes <= LOCAL_ITER_MAX_NODES:
-        return _pagerank_local(nodes, edges, n_nodes, n_iter, base, pr0)
+        return _pagerank_local(nodes, edges, n_nodes, n_iter, base, pr0, seed_mod)
 
     # Static per-iteration inputs, materialized once (k-NN-graph-sized,
     # not corpus-sized): edges carrying their src outdegree, and a zero
@@ -124,13 +158,18 @@ def graph_pagerank(
 
     rank_schema = pa.schema([("vec_id", pa.int64()), ("pr", pa.int64())])
 
+    def _node_mass(ids: np.ndarray, amount: int) -> np.ndarray:
+        # uniform mass, or seeds-only when personalized.
+        if seed_mod is None:
+            return np.full(len(ids), amount, dtype=np.int64)
+        return np.where(ids % seed_mod == 0, amount, 0).astype(np.int64)
+
     def _init(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict(
             {
                 "vec_id": batch.column("vec_id"),
-                "pr": pa.array(
-                    np.full(batch.num_rows, pr0, dtype=np.int64), pa.int64()
-                ),
+                "pr": pa.array(_node_mass(ids, pr0), pa.int64()),
             },
             schema=rank_schema,
         )
@@ -155,7 +194,8 @@ def graph_pagerank(
         if batch.num_rows == 0:
             return rank_schema.empty_table()
         s = batch.column("sum(c)").to_numpy(zero_copy_only=False)
-        pr = base + np.floor_divide(PR_DAMP_NUM * s, PR_DAMP_DEN)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        pr = _node_mass(ids, base) + np.floor_divide(PR_DAMP_NUM * s, PR_DAMP_DEN)
         return pa.Table.from_pydict(
             {
                 "vec_id": batch.column("vec_id"),
@@ -191,6 +231,7 @@ def _pagerank_local(
     n_iter: int,
     base: int,
     pr0: int,
+    seed_mod: int | None = None,
 ) -> ray.data.Dataset:
     """Driver-local power iteration for small graphs: the identical
     integer recurrence on dense numpy int64 (np.add.at accumulation is
@@ -221,12 +262,18 @@ def _pagerank_local(
     odeg = np.zeros(n_nodes, dtype=np.int64)
     np.add.at(odeg, si, 1)
 
-    pr = np.full(n_nodes, pr0, dtype=np.int64)
+    if seed_mod is None:
+        base_v = np.full(n_nodes, base, dtype=np.int64)
+        pr = np.full(n_nodes, pr0, dtype=np.int64)
+    else:
+        seed = node_ids % seed_mod == 0
+        base_v = np.where(seed, base, 0).astype(np.int64)
+        pr = np.where(seed, pr0, 0).astype(np.int64)
     for _ in range(n_iter):
         contrib = np.zeros(n_nodes, dtype=np.int64)
         if len(si):
             np.add.at(contrib, di, pr[si] // odeg[si])
-        pr = base + (PR_DAMP_NUM * contrib) // PR_DAMP_DEN
+        pr = base_v + (PR_DAMP_NUM * contrib) // PR_DAMP_DEN
 
     return ray.data.from_arrow(
         pa.Table.from_pydict(

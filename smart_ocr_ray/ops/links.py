@@ -252,7 +252,12 @@ def link_graph(
     return joined.map_batches(_fill, batch_format="pyarrow")
 
 
-def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
+def link_pagerank(
+    pages_path: str,
+    n_iter: int = 3,
+    seed_mod: int | None = None,
+    out_col: str = "pr_e12",
+) -> ray.data.Dataset:
     """Integer-grid PageRank over the REAL page link graph (the
     centrality signal crawl curation uses to weight pages by link
     authority), reusing ``graph.graph_pagerank``'s distributed
@@ -263,6 +268,9 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
     ``md5_number_lower(url) % 2^63`` — int64-safe, collision odds
     ~n²/2^64); nodes are the corpus's HTML pages, edges the resolved
     internal links whose target exists. Output: (url, pr_e12).
+
+    ``seed_mod`` switches to personalized PageRank (see
+    ``graph_pagerank``); ``link_ppr`` is the query-facing wrapper.
     """
     from ..functions.hashing import _hash64
     from ..tuning import join_partitions as _jp
@@ -289,7 +297,7 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
     parsed = _parsed_pages(pages_path)
     if parsed.count() == 0:  # all-binary corpus: no nodes (guard as in link_graph)
         return ray.data.from_arrow(
-            pa.schema([("url", pa.string()), ("pr_e12", pa.int64())]).empty_table()
+            pa.schema([("url", pa.string()), (out_col, pa.int64())]).empty_table()
         )
 
     # Node table: html pages only, (vec_id, url); reused by the final
@@ -341,9 +349,10 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
         nodes=nodes_urls.map_batches(
             lambda b: b.select(["vec_id"]), batch_format="pyarrow"
         ),
+        seed_mod=seed_mod,
     )
 
-    out_schema = pa.schema([("url", pa.string()), ("pr_e12", pa.int64())])
+    out_schema = pa.schema([("url", pa.string()), (out_col, pa.int64())])
 
     def _out(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "url" not in batch.column_names:
@@ -351,7 +360,7 @@ def link_pagerank(pages_path: str, n_iter: int = 3) -> ray.data.Dataset:
         return pa.Table.from_pydict(
             {
                 "url": batch.column("url").cast(pa.string()),
-                "pr_e12": batch.column("pr_e12").cast(pa.int64()),
+                out_col: batch.column("pr_e12").cast(pa.int64()),
             },
             schema=out_schema,
         )
@@ -1277,3 +1286,23 @@ def link_communities(pages_path: str, n_rounds: int = 2) -> ray.data.Dataset:
         nodes_urls, "vec_id", labels, "node", id_schema
     ).map_batches(_own, batch_format="pyarrow")
     return labeled.union(singletons)
+
+
+def link_ppr(
+    pages_path: str, n_iter: int = 3, seed_mod: int = 8
+) -> ray.data.Dataset:
+    """Seed-personalized PageRank over the page link graph — the
+    seed-expansion signal targeted-crawl curation ranks candidate
+    pages by (random walk with restart to a trusted seed set; see
+    e.g. Haveliwala 2002, topic-sensitive PageRank). The seed set is
+    the hash-deterministic {page : _hash64(url) % 2^63 % seed_mod ==
+    0} stand-in for a curated allowlist; teleport mass goes ONLY to
+    seeds, so a page's rank measures its link proximity to the seed
+    set rather than global centrality (``link_pagerank``). Exact
+    integer-grid recurrence — see ``graph.graph_pagerank``.
+
+    Output: (url, ppr_e12) for every HTML page.
+    """
+    return link_pagerank(
+        pages_path, n_iter=n_iter, seed_mod=seed_mod, out_col="ppr_e12"
+    )

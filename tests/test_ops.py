@@ -4545,3 +4545,67 @@ def test_semantic_decontam_matches_numpy_mirror(ray_session):
     }
     assert got == want
     assert len(got) >= 1  # the synthetic corpus plants at least one leak
+
+
+def test_graph_ppr_hand_built_graph(ray_session):
+    """Personalized PageRank (seed_mod): teleport mass lands only on
+    seed nodes; non-seeds earn rank solely through link proximity;
+    local and distributed branches bit-identical to a driver-side
+    mirror; empty seed set -> all-zero ranks."""
+    import ray.data
+
+    from smart_ocr_ray.ops.graph import PR_SCALE, graph_pagerank
+
+    # 0→1, 1→2, 2→0 (cycle); 0→3, 1→3, 2→3 (hub 3); 4 isolated.
+    # seed_mod=2 -> seeds {0, 2, 4}.
+    srcs = [0, 1, 2, 0, 1, 2]
+    dsts = [1, 2, 0, 3, 3, 3]
+    nodes = ray.data.from_items([{"vec_id": i} for i in range(5)])
+    edges = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in zip(srcs, dsts)]
+    )
+
+    n_iter, seed_mod = 3, 2
+    seeds = [v for v in range(5) if v % seed_mod == 0]
+    S = len(seeds)
+    got = {
+        r["vec_id"]: r["pr_e12"]
+        for r in graph_pagerank(
+            "", n_iter=n_iter, edges=edges, nodes=nodes, seed_mod=seed_mod
+        ).take_all()
+    }
+    got_dist = {
+        r["vec_id"]: r["pr_e12"]
+        for r in graph_pagerank(
+            "", n_iter=n_iter, edges=edges, nodes=nodes,
+            local_max_edges=0, seed_mod=seed_mod,
+        ).take_all()
+    }
+    assert got == got_dist
+
+    outdeg = {0: 2, 1: 2, 2: 2}
+    pr = {v: (PR_SCALE // S if v % seed_mod == 0 else 0) for v in range(5)}
+    base = (15 * PR_SCALE) // (100 * S)
+    for _ in range(n_iter):
+        contrib = {v: 0 for v in range(5)}
+        for s, d in zip(srcs, dsts):
+            contrib[d] += pr[s] // outdeg[s]
+        pr = {
+            v: (base if v % seed_mod == 0 else 0) + (85 * contrib[v]) // 100
+            for v in range(5)
+        }
+    assert got == pr
+    # Non-seed 1 holds rank only via its seed in-neighbor 0; isolated
+    # seed 4 sits exactly at the base; non-seed hub 3 still earns rank.
+    assert got[4] == base and got[1] > 0 and got[3] > 0
+
+    # Empty seed set (no node % 7 == 0 among 1..5): all-zero ranks.
+    nodes2 = ray.data.from_items([{"vec_id": i} for i in range(1, 6)])
+    edges2 = ray.data.from_items([{"src": 1, "dst": 2}])
+    got0 = {
+        r["vec_id"]: r["pr_e12"]
+        for r in graph_pagerank(
+            "", n_iter=2, edges=edges2, nodes=nodes2, seed_mod=7
+        ).take_all()
+    }
+    assert got0 == {v: 0 for v in range(1, 6)}
