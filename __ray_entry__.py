@@ -327,6 +327,14 @@ def _q_link_graph(sf_dir: str):
     return link_graph(_pages_path(sf_dir))
 
 
+def _q_section_graph(sf_dir: str):
+    """Host/section-level webgraph rollup (the Common-Crawl host-graph
+    analog): page edges collapsed to url sections with edge weights."""
+    from smart_ocr_ray.ops.links import section_graph
+
+    return section_graph(_pages_path(sf_dir))
+
+
 def _q_link_pagerank(sf_dir: str):
     """PageRank over the real page link graph."""
     from smart_ocr_ray.ops.links import link_pagerank
@@ -708,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_strip": text_analysis.repetition_strip,
         "quality_classifier": text_analysis.quality_classifier,
         "link_graph": _q_link_graph,
+        "section_graph": _q_section_graph,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2059,6 +2068,29 @@ def _page_structure_sql() -> str:
     """
 
 
+def _section_graph_sql() -> str:
+    """Oracle for ``section_graph``: regexp link harvest →
+    existing-target edges → endpoint urls collapsed to sections
+    (scheme://host/<first path segment>) → weighted section-pair
+    rollup with a distinct-src count."""
+    return f"""
+        WITH {_link_ctes()}, ex AS (
+          SELECT e.src, e.dst FROM e JOIN h ON e.dst = h.url
+        ), sec AS (
+          SELECT regexp_extract(src, '^(https?://[^/]+(/[^/]+)?)', 1)
+                   AS src_section,
+                 regexp_extract(dst, '^(https?://[^/]+(/[^/]+)?)', 1)
+                   AS dst_section,
+                 src
+          FROM ex
+        )
+        SELECT src_section, dst_section,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages
+        FROM sec GROUP BY src_section, dst_section
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # Corpus-dependent pseudo-oracles (they materialize the pages/golden
     # tables for _ORACLE_SF at build time): degrade to rows-only rather
@@ -2075,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_triangles"] = _link_triangles_sql()
         corpus_dependent["page_structure"] = _page_structure_sql()
         corpus_dependent["anchor_texts"] = _anchor_texts_sql()
+        corpus_dependent["section_graph"] = _section_graph_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

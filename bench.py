@@ -257,6 +257,10 @@ def run_bench() -> dict:
         timed("dedup_weights", dedup.dedup_weights)
         timed("winnow_containment", dedup.winnow_containment)
 
+        from smart_ocr_ray.ops.links import section_graph
+
+        timed("section_graph", lambda _sf: section_graph(pages_path))
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

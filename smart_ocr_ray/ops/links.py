@@ -1306,3 +1306,113 @@ def link_ppr(
     return link_pagerank(
         pages_path, n_iter=n_iter, seed_mod=seed_mod, out_col="ppr_e12"
     )
+
+
+_SECTION_RE = r"^(?P<sec>https?://[^/]+(?:/[^/]+)?)"
+_SECTION_SCHEMA = pa.schema(
+    [
+        ("src_section", pa.string()),
+        ("dst_section", pa.string()),
+        ("n_links", pa.int64()),
+        ("n_src_pages", pa.int64()),
+    ]
+)
+
+
+def section_graph(pages_path: str) -> ray.data.Dataset:
+    """Host/section-level webgraph rollup — the aggregation Common
+    Crawl ships as its host- and domain-level graphs: page→page edges
+    collapsed to coarse nodes with edge weights, the unit at which
+    crawl curation reasons about sites (spam-site neighborhoods,
+    per-host caps, domain-level PageRank seeds). Reference has no link
+    ops — novel per SURVEY §2 'beyond the reference'.
+
+    The coarse node is the url's SECTION: ``scheme://host/<first path
+    segment>`` (just ``scheme://host`` for segment-less urls). On a
+    multi-host corpus the same rule degrades gracefully toward the
+    host graph (every host contributes its top-level sections); on the
+    single-host fixture corpus it yields the site-section graph.
+
+    Output, one row per (src_section, dst_section) with ≥1 edge:
+
+        (src_section, dst_section, n_links, n_src_pages)
+
+    ``n_links`` counts page-level internal edges whose target EXISTS
+    in the corpus (same edge rule as ``link_graph``; parallel links
+    count each time), ``n_src_pages`` the distinct source pages
+    contributing them.
+
+    Scale shape: one shared corpus parse; the edge table joins the
+    page-url table once (existing targets), sections are derived
+    vectorized (``pc.extract_regex``), and both aggregates come from
+    ONE ``map_key_groups`` sort on (src_section, dst_section) — the
+    distinct-src count is a vectorized in-group ``pc.count_distinct``,
+    no corpus-wide count-distinct shuffle. Output is O(sections²),
+    tiny at any corpus size.
+    """
+    from ..tuning import join_partitions as _jp
+    from .grouped import map_key_groups
+
+    jp = _jp()
+    parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:  # all-binary corpus
+        return ray.data.from_arrow(_SECTION_SCHEMA.empty_table())
+
+    url_tbl = parsed.map_batches(
+        lambda b: b.select(["url"]).rename_columns(["dst"]),
+        batch_format="pyarrow",
+    )
+    edges = (
+        _parsed_edges(parsed)
+        .repartition(jp)
+        .join(url_tbl, "inner", jp, on=("dst",))  # existing targets only
+    )
+
+    tri_schema = pa.schema(
+        [
+            ("src_section", pa.string()),
+            ("dst_section", pa.string()),
+            ("src", pa.string()),
+        ]
+    )
+
+    def _sections(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return tri_schema.empty_table()
+
+        def sec(col: pa.ChunkedArray) -> pa.Array:
+            m = pc.extract_regex(col.cast(pa.string()), _SECTION_RE)
+            return pc.struct_field(m, "sec")
+
+        return pa.Table.from_pydict(
+            {
+                "src_section": sec(batch.column("src")),
+                "dst_section": sec(batch.column("dst")),
+                "src": batch.column("src").cast(pa.string()),
+            },
+            schema=tri_schema,
+        )
+
+    tri = edges.map_batches(_sections, batch_format="pyarrow")
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        # One (src_section, dst_section) group: n_links is the row
+        # count, n_src_pages the vectorized distinct-src count.
+        import pyarrow.compute as pc
+
+        if group.num_rows == 0:
+            return _SECTION_SCHEMA.empty_table()
+        n_src = pc.count_distinct(group.column("src")).as_py()
+        return pa.Table.from_pydict(
+            {
+                "src_section": group.column("src_section").slice(0, 1),
+                "dst_section": group.column("dst_section").slice(0, 1),
+                "n_links": pa.array([group.num_rows], pa.int64()),
+                "n_src_pages": pa.array([n_src], pa.int64()),
+            },
+            schema=_SECTION_SCHEMA,
+        )
+
+    return map_key_groups(tri, ["src_section", "dst_section"], _rollup)

@@ -4609,3 +4609,123 @@ def test_graph_ppr_hand_built_graph(ray_session):
         ).take_all()
     }
     assert got0 == {v: 0 for v in range(1, 6)}
+
+
+def test_section_graph_matches_sequential_mirror(ray_session, tmp_path):
+    """section_graph over the fixture corpus == a sequential mirror of
+    the frozen rule (DOM-harvested existing-target edges → endpoints
+    collapsed to scheme://host/<first segment> → count + distinct-src
+    per section pair)."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.ops.links import _host, page_hrefs, section_graph
+
+    n = 60
+    table = generate_pages(n)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls = table.column("url").to_pylist()
+    htmls = table.column("html").to_pylist()
+    html_urls = {
+        u for u, h in zip(urls, htmls) if sniff_doc_kind(h or b"") == "html"
+    }
+
+    def section(u: str) -> str:
+        return re.match(r"^(https?://[^/]+(/[^/]+)?)", u).group(1)
+
+    links_cnt: dict[tuple[str, str], int] = defaultdict(int)
+    srcs: dict[tuple[str, str], set] = defaultdict(set)
+    for u, h in zip(urls, htmls):
+        if u not in html_urls:
+            continue
+        for href in page_hrefs(h or b""):
+            if not href.startswith("/"):
+                continue
+            dst = _host(u) + href
+            if dst not in html_urls:
+                continue  # dangling targets form no edge
+            key = (section(u), section(dst))
+            links_cnt[key] += 1
+            srcs[key].add(u)
+
+    got = {
+        (r["src_section"], r["dst_section"]): (r["n_links"], r["n_src_pages"])
+        for r in section_graph(str(pdir)).take_all()
+    }
+    want = {k: (links_cnt[k], len(srcs[k])) for k in links_cnt}
+    assert got == want
+    # the fixture corpus actually exercises both aggregates: some pair
+    # has more links than distinct sources (a page linking a section
+    # twice) and there are cross-section edges
+    assert any(a > b for a, b in got.values())
+    assert any(s != d for s, d in got)
+
+
+def test_section_graph_no_html_pages(ray_session, tmp_path):
+    """All-binary corpus yields a typed empty section graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import section_graph
+
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(["https://h.test/a"]),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"%FIX-LAYOUT junk"], pa.binary()),
+            "text": pa.array([""]),
+            "lang": pa.array(["en"]),
+        }),
+        pdir / "pages.parquet",
+    )
+    ds = section_graph(str(pdir))
+    assert ds.take_all() == []
+    assert ds.schema().names == [
+        "src_section", "dst_section", "n_links", "n_src_pages",
+    ]
+
+
+def test_section_graph_segmentless_url_falls_back_to_host(ray_session, tmp_path):
+    """Urls with no path segment section to bare scheme://host, and a
+    multi-host corpus aggregates at host level (the Common-Crawl
+    host-graph degenerate case)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import section_graph
+
+    page = lambda target: f'<html><body><a href="{target}">x</a></body></html>'.encode()
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([
+                "https://a.test",          # segment-less source
+                "https://a.test/s/one",
+                "https://b.test/t/two",
+            ]),
+            "warc_ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            "html": pa.array([
+                page("/s/one"),            # a.test -> a.test/s
+                page("/t/ignored"),        # dangling on a.test (no such page)
+                page("/t/two"),            # self-link within b.test/t
+            ], pa.binary()),
+            "text": pa.array(["x", "x", "x"]),
+            "lang": pa.array(["en", "en", "en"]),
+        }),
+        pdir / "pages.parquet",
+    )
+    got = {
+        (r["src_section"], r["dst_section"]): (r["n_links"], r["n_src_pages"])
+        for r in section_graph(str(pdir)).take_all()
+    }
+    assert got == {
+        ("https://a.test", "https://a.test/s"): (1, 1),
+        ("https://b.test/t", "https://b.test/t"): (1, 1),
+    }
