@@ -335,6 +335,15 @@ def _q_section_graph(sf_dir: str):
     return section_graph(_pages_path(sf_dir))
 
 
+def _q_link_harmonic(sf_dir: str):
+    """HyperBall neighborhood function + radius-3 harmonic centrality
+    over the page link graph (Boldi & Vigna 2013 — the Common-Crawl
+    host-ranking metric), exact-integer raw-HLL estimator."""
+    from smart_ocr_ray.ops.links import link_harmonic
+
+    return link_harmonic(_pages_path(sf_dir))
+
+
 def _q_link_pagerank(sf_dir: str):
     """PageRank over the real page link graph."""
     from smart_ocr_ray.ops.links import link_pagerank
@@ -717,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": text_analysis.quality_classifier,
         "link_graph": _q_link_graph,
         "section_graph": _q_section_graph,
+        "link_harmonic": _q_link_harmonic,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2068,6 +2078,73 @@ def _page_structure_sql() -> str:
     """
 
 
+def _link_harmonic_sql(n_rounds: int = 3) -> str:
+    """Oracle for ``link_harmonic``: the HyperBall rounds unrolled as
+    long-format (node, reg, val) register tables — init from
+    ``md5_number_lower`` (low 4 bits = register, 61 − bit-length of
+    the high 60 = rank), each round a union of the previous table with
+    the edge-joined src registers under a (node, reg) max — and the
+    raw-HLL integer estimator per round (alpha numerator and cap
+    injected from the repo constants, all HUGEINT-exact)."""
+    from smart_ocr_ray.ops.links import HB_EST_CAP_E6, HB_M, HB_NUM_E6, HB_RANK0
+
+    p_r0 = 1 << HB_RANK0  # 2^61
+    rounds, ests = [], []
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""c{r} AS (
+          SELECT node, reg, max(val) AS val FROM (
+            SELECT node, reg, val FROM c{r - 1}
+            UNION ALL
+            SELECT ed.dst AS node, c.reg, c.val
+            FROM edges ed JOIN c{r - 1} c ON c.node = ed.src
+          ) GROUP BY node, reg
+        )""")
+    for r in range(n_rounds + 1):
+        ests.append(f"""est{r} AS (
+          SELECT node,
+                 CAST(LEAST(
+                   {HB_NUM_E6}::HUGEINT //
+                     (sum(CAST(power(2, {HB_RANK0} - val) AS HUGEINT))
+                      + ({HB_M} - count(*)) * {p_r0}::HUGEINT),
+                   {HB_EST_CAP_E6}::HUGEINT) AS BIGINT) AS est
+          FROM c{r} GROUP BY node
+        )""")
+    return f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS node,
+                 md5_number_lower(url) AS h64
+          FROM h
+        ), c0 AS (
+          -- GROUP BY mirrors the Ray side's init merge: urls colliding
+          -- to one node id share one counter.
+          SELECT node, reg, max(val) AS val FROM (
+            SELECT node,
+                   CAST(h64 % {HB_M} AS BIGINT) AS reg,
+                   CAST(CASE WHEN h64 // {HB_M} = 0 THEN {HB_RANK0}
+                        ELSE {HB_RANK0}
+                             - length(to_base(CAST(h64 // {HB_M} AS BIGINT), 2))
+                        END AS BIGINT) AS val
+            FROM ids
+          ) GROUP BY node, reg
+        ), edges AS (
+          SELECT DISTINCT si.node AS src, di.node AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+          WHERE si.node <> di.node
+        ), {", ".join(rounds)}, {", ".join(ests)}
+        SELECT ids.url,
+               est1.est AS est1_e6,
+               est{min(2, n_rounds)}.est AS est2_e6,
+               est{min(3, n_rounds)}.est AS est3_e6,
+               CAST({" + ".join(f"(est{r}.est - est{r - 1}.est) // {r}" for r in range(1, n_rounds + 1))}
+                 AS BIGINT) AS harmonic_e6
+        FROM ids
+        {" ".join(f"JOIN est{r} ON est{r}.node = ids.node" for r in range(n_rounds + 1))}
+    """
+
+
 def _section_graph_sql() -> str:
     """Oracle for ``section_graph``: regexp link harvest →
     existing-target edges → endpoint urls collapsed to sections
@@ -2108,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["page_structure"] = _page_structure_sql()
         corpus_dependent["anchor_texts"] = _anchor_texts_sql()
         corpus_dependent["section_graph"] = _section_graph_sql()
+        corpus_dependent["link_harmonic"] = _link_harmonic_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

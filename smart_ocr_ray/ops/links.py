@@ -1416,3 +1416,290 @@ def section_graph(pages_path: str) -> ray.data.Dataset:
         )
 
     return map_key_groups(tri, ["src_section", "dst_section"], _rollup)
+
+
+# HyperBall constants (m = 16 registers, b = 4): the raw HyperLogLog
+# estimator numerator alpha_16 * m^2 * 2^61 * 1e6 = 172288000 * 2^61
+# (alpha_16 = 0.673), the rank ceiling 61 (60-bit hash suffix), and a
+# defensive estimate cap keeping est_e6 inside int64 even under
+# astronomically improbable register states. Injected verbatim into
+# the SQL oracle, so both engines share one integer grid.
+HB_M = 16
+HB_RANK0 = 61
+HB_NUM_E6 = 172288000 << 61
+HB_EST_CAP_E6 = 10**18
+_HB_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("est1_e6", pa.int64()),
+        ("est2_e6", pa.int64()),
+        ("est3_e6", pa.int64()),
+        ("harmonic_e6", pa.int64()),
+    ]
+)
+
+
+def _hb_est(regs_col: pa.ChunkedArray) -> pa.Array:
+    """Raw-HLL ball estimate per packed-register row, exact integers:
+    est_e6 = min(HB_NUM_E6 // S, cap) with S = sum_j 2^(61 - M_j)
+    (M_j = 0 for never-touched registers). The power sums are
+    vectorized uint64 (zero-register count split out so nothing can
+    overflow); only the final big-int division is per-row Python —
+    two machine ints per node, the same cost class as the per-row md5
+    id mapping every link op already does."""
+    vals = regs_col.to_pylist()
+    if not vals:
+        return pa.array([], pa.int64())
+    arr = np.frombuffer(b"".join(vals), np.uint8).reshape(-1, HB_M)
+    cnt0 = (arr == 0).sum(axis=1).astype(np.uint64)
+    # present registers (val >= 1): 2^(60 - val) <= 2^59, row sum
+    # <= 16 * 2^59 = 2^63 — always inside uint64
+    half = np.where(
+        arr == 0, np.uint64(0), np.uint64(1) << (np.uint64(60) - arr.astype(np.uint64))
+    ).sum(axis=1, dtype=np.uint64)
+    p61 = 1 << HB_RANK0
+    return pa.array(
+        [
+            min(HB_NUM_E6 // (int(c) * p61 + 2 * int(s)), HB_EST_CAP_E6)
+            for c, s in zip(cnt0.tolist(), half.tolist())
+        ],
+        pa.int64(),
+    )
+
+
+def link_harmonic(pages_path: str, n_rounds: int = 3) -> ray.data.Dataset:
+    """HyperBall neighborhood function + harmonic centrality over the
+    page link graph (Boldi & Vigna, "In-core computation of geometric
+    centralities with HyperBall", 2013) — the algorithm and metric
+    Common Crawl uses to rank its host-level webgraph. Reference has
+    no link ops — novel per SURVEY §2 'beyond the reference'.
+
+    Per page v the op estimates |B_r(v)| = #{u : d(u, v) <= r} (the
+    IN-ball: pages that can reach v, the authority direction) for
+    r = 1..n_rounds with one HyperLogLog counter per node, and derives
+    the radius-bounded harmonic centrality
+
+        harmonic_e6 = sum_r (est_r_e6 - est_{r-1}_e6) // r .
+
+    Frozen integer semantics (shared with the SQL oracle as injected
+    literals): node hash = the 64-bit md5 hash (`_kgram_hash64(url)`
+    == DuckDB ``md5_number_lower``); register index = low 4 bits, rank
+    = 61 - bit_length(high 60 bits) (61 when zero); counter merge =
+    element-wise register max; ball estimate = the RAW HLL estimator
+    floor(alpha_16 * 256 * 2^61 * 1e6 / sum_j 2^(61 - M_j)) with NO
+    small/large-range bias corrections — corrections are a float
+    epilogue a consumer applies driver-side (cf. ``hll_registers``);
+    the frozen rule keeps every intermediate an exact integer. Graph:
+    distinct existing-target internal edges, self-loops dropped; a
+    counter update round absorbs, for every edge (w, v), w's counter
+    into v's.
+
+    Output: (url, est1_e6, est2_e6, est3_e6, harmonic_e6) per page.
+
+    Scale shape: counters are V rows of (int64 node, 16-byte packed
+    registers) — constant per node regardless of ball size, WHY the
+    sketch exists (exact balls are O(V * ball) pair rows). Each round
+    is one `gather_by_key` sort (attach src counters to edges) + one
+    node-sorted per-block `np.maximum.reduceat` byte-max — no hash
+    joins, no Aggregate; blocks are repartition-bounded per round
+    (the cluster_pairs lesson). Estimates per round are one stateless
+    map; the per-round est columns attach back with n_rounds+1 more
+    narrow-table gathers.
+    """
+    from ..functions.hashing import _hash64
+    from ..functions.textstats import _kgram_hash64
+    from ..tuning import join_partitions as _jp
+    from .grouped import gather_by_key, group_bounds, reduce_by_keys
+
+    jp = _jp()
+    M = 2**63
+
+    parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:  # all-binary corpus
+        return ray.data.from_arrow(_HB_SCHEMA.empty_table())
+
+    cnt_schema = pa.schema([("node", pa.int64()), ("regs", pa.binary())])
+    node_url_schema = pa.schema([("node", pa.int64()), ("url", pa.string())])
+
+    init_schema = pa.schema(
+        list(node_url_schema) + [pa.field("regs", pa.binary())]
+    )
+
+    def _init(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return init_schema.empty_table()
+        urls = batch.column("url").to_pylist()
+        nodes, regs = [], []
+        for u in urls:
+            h = _kgram_hash64(u)
+            v = h >> 4
+            rank = HB_RANK0 - v.bit_length() if v else HB_RANK0
+            b = bytearray(HB_M)
+            b[h & (HB_M - 1)] = rank
+            nodes.append(int(_hash64(u)) % M)
+            regs.append(bytes(b))
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "regs": pa.array(regs, pa.binary()),
+            },
+            schema=init_schema,
+        )
+
+    init = (
+        parsed.map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        .map_batches(_init, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+    nodes_urls = init.map_batches(
+        lambda b: b.select(["node", "url"]), batch_format="pyarrow"
+    )
+
+    def _max_regs(block: pa.Table) -> pa.Table:
+        # node-sorted block: element-wise byte max across each node's
+        # register rows, fully vectorized.
+        if block.num_rows == 0:
+            return cnt_schema.empty_table()
+        block = block.combine_chunks()
+        bounds = group_bounds(block, ["node"])
+        starts = bounds[:-1]
+        arr = np.frombuffer(
+            b"".join(block.column("regs").to_pylist()), np.uint8
+        ).reshape(-1, HB_M)
+        merged = np.maximum.reduceat(arr, starts, axis=0)
+        return pa.Table.from_pydict(
+            {
+                "node": block.column("node").take(pa.array(starts)),
+                "regs": pa.array(
+                    [merged[i].tobytes() for i in range(len(starts))], pa.binary()
+                ),
+            },
+            schema=cnt_schema,
+        )
+
+    def _merge(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return (
+            ds.repartition(jp)
+            .sort(["node"])
+            .map_batches(_max_regs, batch_format="pyarrow", batch_size=None)
+            .repartition(jp)
+            .materialize()
+        )
+
+    # Merge at init too: two urls hashing to one node id (possible,
+    # however unlikely, in the 2^63 id space) must share one counter —
+    # the SQL oracle's GROUP BY does, and the per-round gather requires
+    # unique side keys.
+    counters = _merge(
+        init.map_batches(
+            lambda b: b.select(["node", "regs"]), batch_format="pyarrow"
+        )
+    )
+
+    # Distinct existing-target edges as (src, dst) int64 ids, no
+    # self-loops. Duplicates would be idempotent under max-merge but
+    # would multiply gather rows.
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def _pair_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return pair_schema.empty_table()
+        s = [int(_hash64(u)) % M for u in batch.column("src").to_pylist()]
+        d = [int(_hash64(u)) % M for u in batch.column("dst").to_pylist()]
+        keep = [i for i in range(len(s)) if s[i] != d[i]]
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array([s[i] for i in keep], pa.int64()),
+                "dst": pa.array([d[i] for i in keep], pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    node_ids = nodes_urls.map_batches(
+        lambda t: t.select(["node"]).rename_columns(["dst"]), batch_format="pyarrow"
+    )
+    raw_pairs = (
+        _parsed_edges(parsed)
+        .map_batches(_pair_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+    # Ray 2.49 all-empty datasets are schema-less and break the join
+    # (ArrowInvalid FieldRef) — branch around it for link-free corpora.
+    have_edges = raw_pairs.count() > 0
+    if have_edges:
+        edges = (
+            reduce_by_keys(
+                raw_pairs.join(node_ids, "inner", jp, on=("dst",)),  # existing targets
+                ["src", "dst"], None, how="count", out="_n",
+            )
+            .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+            .repartition(jp)
+            .materialize()
+        )
+        have_edges = edges.count() > 0
+
+    est_tables = []  # (node, est) per radius 0..n_rounds
+
+    def _est_tbl(cnts: ray.data.Dataset) -> ray.data.Dataset:
+        def _m(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "node" not in batch.column_names:
+                return pa.schema(
+                    [("node", pa.int64()), ("est", pa.int64())]
+                ).empty_table()
+            return pa.Table.from_pydict(
+                {"node": batch.column("node"), "est": _hb_est(batch.column("regs"))}
+            )
+
+        return cnts.map_batches(_m, batch_format="pyarrow").materialize()
+
+    est_tables.append(_est_tbl(counters))
+    for _ in range(n_rounds):
+        if not have_edges:
+            est_tables.append(est_tables[-1])
+            continue
+        gathered = gather_by_key(
+            edges, "src", counters, "node", "regs", "regs", pair_schema, pa.binary()
+        ).map_batches(
+            lambda t: t.select(["dst", "regs"]).rename_columns(["node", "regs"]),
+            batch_format="pyarrow",
+        )
+        counters = _merge(counters.union(gathered))
+        est_tables.append(_est_tbl(counters))
+
+    # Attach est_0..est_R onto the node/url table, then the harmonic
+    # epilogue — all narrow int tables.
+    out = nodes_urls
+    schema_so_far = node_url_schema
+    for r, tbl in enumerate(est_tables):
+        out = gather_by_key(
+            out, "node", tbl, "node", "est", f"_e{r}", schema_so_far, pa.int64()
+        )
+        schema_so_far = pa.schema(
+            list(schema_so_far) + [pa.field(f"_e{r}", pa.int64())]
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return _HB_SCHEMA.empty_table()
+        e = [
+            batch.column(f"_e{r}").to_numpy(zero_copy_only=False)
+            for r in range(n_rounds + 1)
+        ]
+        harm = np.zeros(batch.num_rows, np.int64)
+        for r in range(1, n_rounds + 1):
+            harm += (e[r] - e[r - 1]) // r
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url"),
+                "est1_e6": pa.array(e[1], pa.int64()),
+                "est2_e6": pa.array(e[min(2, n_rounds)], pa.int64()),
+                "est3_e6": pa.array(e[min(3, n_rounds)], pa.int64()),
+                "harmonic_e6": pa.array(harm, pa.int64()),
+            },
+            schema=_HB_SCHEMA,
+        )
+
+    return out.map_batches(_final, batch_format="pyarrow")

@@ -4729,3 +4729,145 @@ def test_section_graph_segmentless_url_falls_back_to_host(ray_session, tmp_path)
         ("https://a.test", "https://a.test/s"): (1, 1),
         ("https://b.test/t", "https://b.test/t"): (1, 1),
     }
+
+
+def _hb_mirror_est(regs: dict[int, int]) -> int:
+    """Sequential raw-HLL estimate mirror (independent of links.py's
+    packed-byte vectorized path): regs maps register index -> rank."""
+    from smart_ocr_ray.ops.links import HB_EST_CAP_E6, HB_M, HB_NUM_E6, HB_RANK0
+
+    s = sum(2 ** (HB_RANK0 - regs.get(j, 0)) for j in range(HB_M))
+    return min(HB_NUM_E6 // s, HB_EST_CAP_E6)
+
+
+def test_link_harmonic_matches_sequential_hyperball(ray_session, tmp_path):
+    """link_harmonic over the fixture corpus == a pure-Python
+    sequential HyperBall (dict-of-dicts registers, explicit round
+    loop) using the same frozen integer rules."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.functions.textstats import _kgram_hash64
+    from smart_ocr_ray.ops.links import (
+        HB_M,
+        HB_RANK0,
+        _host,
+        link_harmonic,
+        page_hrefs,
+    )
+
+    n = 60
+    table = generate_pages(n)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls = table.column("url").to_pylist()
+    htmls = table.column("html").to_pylist()
+    html_urls = [
+        u for u, h in zip(urls, htmls) if sniff_doc_kind(h or b"") == "html"
+    ]
+    node_of = {u: int(_hash64(u)) % 2**63 for u in html_urls}
+    node_set = set(node_of.values())
+
+    # sequential init
+    counters: dict[int, dict[int, int]] = {}
+    for u in html_urls:
+        h = _kgram_hash64(u)
+        v = h >> 4
+        rank = HB_RANK0 - v.bit_length() if v else HB_RANK0
+        regs = counters.setdefault(node_of[u], {})
+        regs[h & (HB_M - 1)] = max(regs.get(h & (HB_M - 1), 0), rank)
+
+    # sequential distinct existing-target edge set, no self-loops
+    edges = set()
+    for u, h in zip(urls, htmls):
+        if u not in node_of:
+            continue
+        for href in page_hrefs(h or b""):
+            if not href.startswith("/"):
+                continue
+            dst = _host(u) + href
+            if dst in node_of and node_of[dst] != node_of[u]:
+                edges.add((node_of[u], node_of[dst]))
+
+    ests = {v: [_hb_mirror_est(counters[v])] for v in counters}
+    for _ in range(3):  # synchronous rounds
+        nxt = {v: dict(counters[v]) for v in counters}
+        for s, d in edges:
+            for j, val in counters[s].items():
+                if val > nxt[d].get(j, 0):
+                    nxt[d][j] = val
+        counters = nxt
+        for v in counters:
+            ests[v].append(_hb_mirror_est(counters[v]))
+
+    want = {}
+    for u in html_urls:
+        e = ests[node_of[u]]
+        harm = sum((e[r] - e[r - 1]) // r for r in range(1, 4))
+        want[u] = (e[1], e[2], e[3], harm)
+
+    got = {
+        r["url"]: (r["est1_e6"], r["est2_e6"], r["est3_e6"], r["harmonic_e6"])
+        for r in link_harmonic(str(pdir)).take_all()
+    }
+    assert got == want
+    # the graph actually grows balls: some page has est3 > est1, and
+    # fixture hubs give a positive top harmonic score
+    assert any(v[2] > v[0] for v in got.values())
+    assert max(v[3] for v in got.values()) > 0
+
+
+def test_link_harmonic_edge_free_graph_zero_centrality(ray_session, tmp_path):
+    """Pages with no internal links keep their radius-0 ball at every
+    radius: est1 == est2 == est3 and harmonic == 0 (and the op does
+    not crash on the empty edge table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import link_harmonic
+
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([f"https://h.test/p/{i}" for i in range(5)]),
+            "warc_ts": pa.array(list(range(5)), pa.timestamp("us")),
+            "html": pa.array(
+                [b"<html><body><p>plain page</p></body></html>"] * 5, pa.binary()
+            ),
+            "text": pa.array(["plain page"] * 5),
+            "lang": pa.array(["en"] * 5),
+        }),
+        pdir / "pages.parquet",
+    )
+    rows = link_harmonic(str(pdir)).take_all()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["est1_e6"] == r["est2_e6"] == r["est3_e6"] > 0
+        assert r["harmonic_e6"] == 0
+
+
+def test_link_harmonic_all_binary_corpus_empty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import link_harmonic
+
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(["https://h.test/a"]),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"%FIX-LAYOUT junk"], pa.binary()),
+            "text": pa.array([""]),
+            "lang": pa.array(["en"]),
+        }),
+        pdir / "pages.parquet",
+    )
+    ds = link_harmonic(str(pdir))
+    assert ds.take_all() == []
+    assert ds.schema().names == [
+        "url", "est1_e6", "est2_e6", "est3_e6", "harmonic_e6",
+    ]
