@@ -344,6 +344,14 @@ def _q_link_harmonic(sf_dir: str):
     return link_harmonic(_pages_path(sf_dir))
 
 
+def _q_link_hits(sf_dir: str):
+    """HITS hub/authority centrality over the page link graph
+    (Kleinberg 1999), exact-integer L1-normalized iteration."""
+    from smart_ocr_ray.ops.links import link_hits
+
+    return link_hits(_pages_path(sf_dir))
+
+
 def _q_link_pagerank(sf_dir: str):
     """PageRank over the real page link graph."""
     from smart_ocr_ray.ops.links import link_pagerank
@@ -727,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "section_graph": _q_section_graph,
         "link_harmonic": _q_link_harmonic,
+        "link_hits": _q_link_hits,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2145,6 +2154,61 @@ def _link_harmonic_sql(n_rounds: int = 3) -> str:
     """
 
 
+def _link_hits_sql(n_iter: int = 2) -> str:
+    """Oracle for ``link_hits``: the HITS half-steps unrolled —
+    edge-join sums with a LEFT JOIN zero-fill and the exact
+    floor-division L1 renormalization on HUGEINT (grid constants
+    injected from the repo)."""
+    from smart_ocr_ray.ops.links import HITS_INIT, HITS_T
+
+    steps = []
+    prev_hub = "h0"
+    for r in range(1, n_iter + 1):
+        steps.append(f"""a{r}r AS (
+          SELECT ed.dst AS node, sum(p.s) AS s
+          FROM edges ed JOIN {prev_hub} p ON p.node = ed.src GROUP BY ed.dst
+        ), a{r} AS (
+          SELECT n.node,
+                 CASE WHEN (SELECT coalesce(sum(s), 0) FROM a{r}r) = 0 THEN 0
+                      ELSE ({HITS_T}::HUGEINT * coalesce(r.s, 0))
+                           // (SELECT sum(s) FROM a{r}r) END AS s
+          FROM nds n LEFT JOIN a{r}r r ON r.node = n.node
+        ), h{r}r AS (
+          SELECT ed.src AS node, sum(a.s) AS s
+          FROM edges ed JOIN a{r} a ON a.node = ed.dst GROUP BY ed.src
+        ), h{r} AS (
+          SELECT n.node,
+                 CASE WHEN (SELECT coalesce(sum(s), 0) FROM h{r}r) = 0 THEN 0
+                      ELSE ({HITS_T}::HUGEINT * coalesce(r.s, 0))
+                           // (SELECT sum(s) FROM h{r}r) END AS s
+          FROM nds n LEFT JOIN h{r}r r ON r.node = n.node
+        )""")
+        prev_hub = f"h{r}"
+    return f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS node
+          FROM h
+        ), nds AS (
+          SELECT DISTINCT node FROM ids
+        ), edges AS (
+          SELECT DISTINCT si.node AS src, di.node AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+          WHERE si.node <> di.node
+        ), h0 AS (
+          SELECT node, {HITS_INIT}::HUGEINT AS s FROM nds
+        ), {", ".join(steps)}
+        SELECT ids.url,
+               CAST(a{n_iter}.s AS BIGINT) AS auth_e12,
+               CAST(h{n_iter}.s AS BIGINT) AS hub_e12
+        FROM ids
+        JOIN a{n_iter} ON a{n_iter}.node = ids.node
+        JOIN h{n_iter} ON h{n_iter}.node = ids.node
+    """
+
+
 def _section_graph_sql() -> str:
     """Oracle for ``section_graph``: regexp link harvest →
     existing-target edges → endpoint urls collapsed to sections
@@ -2186,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["anchor_texts"] = _anchor_texts_sql()
         corpus_dependent["section_graph"] = _section_graph_sql()
         corpus_dependent["link_harmonic"] = _link_harmonic_sql()
+        corpus_dependent["link_hits"] = _link_hits_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

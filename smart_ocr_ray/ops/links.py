@@ -1703,3 +1703,204 @@ def link_harmonic(pages_path: str, n_rounds: int = 3) -> ray.data.Dataset:
         )
 
     return out.map_batches(_final, batch_format="pyarrow")
+
+
+HITS_T = 10**12  # L1 normalization grid: each score vector sums to ~T
+HITS_INIT = 10**6
+_HITS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("auth_e12", pa.int64()),
+        ("hub_e12", pa.int64()),
+    ]
+)
+
+
+def link_hits(pages_path: str, n_iter: int = 2) -> ray.data.Dataset:
+    """HITS hub/authority scores over the page link graph (Kleinberg
+    1999) — the complementary centrality pair to PageRank a webgraph
+    product ships: authorities are pages good hubs point AT, hubs are
+    pages that point at good authorities (directory/link-roundup pages
+    rank as hubs, canonical content as authorities). Reference has no
+    link ops — novel per SURVEY §2 'beyond the reference'.
+
+    Frozen integer semantics (mirrored by the SQL oracle):
+      * graph = distinct existing-target internal edges, self-loops
+        dropped, nodes = `_hash64(url) % 2^63` (the link-family rule);
+      * hub_0 = 10^6 per node;
+      * iteration r: auth_raw(v) = sum of hub_{r-1} over in-edges,
+        then L1-renormalize to the 10^12 grid — auth(v) =
+        (10^12 * auth_raw(v)) // S_a with S_a the global raw sum
+        (all-zero stays all-zero); hub_raw(v) = sum of auth_r over
+        out-edges, renormalized the same way. Exact floor division —
+        the L1 (not the classical L2) norm keeps every intermediate
+        an exact integer; the RANKING is what consumers use and the
+        grid is deterministic at any cluster size.
+
+    Output: (url, auth_e12, hub_e12) after ``n_iter`` iterations.
+
+    Scale shape: each half-step is one `gather_by_key` sort (scores
+    onto edges) + a union-with-zeros + one `reduce_by_keys` integer
+    sum — the pagerank shape with normalization instead of damping.
+    The global S is a driver SCALAR (`Dataset.sum`), never a
+    materialized table. Per-node scores <= 10^12, so an int64 raw sum
+    is safe up to in-degree ~9*10^6 on a single node; beyond that the
+    grid constant should shrink with cluster size.
+    """
+    from ..functions.hashing import _hash64
+    from ..tuning import join_partitions as _jp
+    from .grouped import gather_by_key, reduce_by_keys
+
+    jp = _jp()
+    M = 2**63
+
+    parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:  # all-binary corpus
+        return ray.data.from_arrow(_HITS_SCHEMA.empty_table())
+
+    node_url_schema = pa.schema([("node", pa.int64()), ("url", pa.string())])
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return node_url_schema.empty_table()
+        urls = batch.column("url").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(
+                    [int(_hash64(u)) % M for u in urls], pa.int64()
+                ),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=node_url_schema,
+        )
+
+    nodes_urls = (
+        parsed.map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        .map_batches(_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+    # distinct node ids (hash collisions share one score row, as the
+    # SQL oracle's DISTINCT does)
+    nds = reduce_by_keys(
+        nodes_urls.map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow"
+        ),
+        ["node"], None, how="count", out="_n",
+    ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow").materialize()
+
+    score_schema = pa.schema([("node", pa.int64()), ("s", pa.int64())])
+
+    def _const(value: int):
+        def _m(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "node" not in batch.column_names:
+                return score_schema.empty_table()
+            return pa.Table.from_pydict(
+                {
+                    "node": batch.column("node"),
+                    "s": pa.array(
+                        np.full(batch.num_rows, value, np.int64), pa.int64()
+                    ),
+                },
+                schema=score_schema,
+            )
+
+        return _m
+
+    zeros = nds.map_batches(_const(0), batch_format="pyarrow").materialize()
+    hub = nds.map_batches(_const(HITS_INIT), batch_format="pyarrow").materialize()
+
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def _pair_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return pair_schema.empty_table()
+        s = [int(_hash64(u)) % M for u in batch.column("src").to_pylist()]
+        d = [int(_hash64(u)) % M for u in batch.column("dst").to_pylist()]
+        keep = [i for i in range(len(s)) if s[i] != d[i]]
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array([s[i] for i in keep], pa.int64()),
+                "dst": pa.array([d[i] for i in keep], pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    node_ids = nds.map_batches(
+        lambda t: t.rename_columns(["dst"]), batch_format="pyarrow"
+    )
+    raw_pairs = (
+        _parsed_edges(parsed)
+        .map_batches(_pair_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+    have_edges = raw_pairs.count() > 0
+    if have_edges:
+        edges = (
+            reduce_by_keys(
+                raw_pairs.join(node_ids, "inner", jp, on=("dst",)),
+                ["src", "dst"], None, how="count", out="_n",
+            )
+            .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+            .repartition(jp)
+            .materialize()
+        )
+        have_edges = edges.count() > 0
+
+    def _step(score: ray.data.Dataset, from_col: str, to_col: str) -> ray.data.Dataset:
+        """One half-step: sum `score` over edges arriving at `to_col`
+        endpoints from `from_col` endpoints, then L1-renormalize."""
+        gathered = gather_by_key(
+            edges, from_col, score, "node", "s", "sv", pair_schema, pa.int64()
+        ).map_batches(
+            lambda t: t.select([to_col, "sv"]).rename_columns(["node", "s"]),
+            batch_format="pyarrow",
+        )
+        raw = (
+            reduce_by_keys(
+                gathered.union(zeros).repartition(jp), ["node"], "s", how="sum"
+            )
+            .repartition(jp)
+            .materialize()
+        )
+        total = int(raw.sum("s") or 0)
+
+        def _norm(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "node" not in batch.column_names:
+                return score_schema.empty_table()
+            vals = batch.column("s").to_pylist()
+            return pa.Table.from_pydict(
+                {
+                    "node": batch.column("node"),
+                    "s": pa.array(
+                        [0 if total == 0 else (HITS_T * v) // total for v in vals],
+                        pa.int64(),
+                    ),
+                },
+                schema=score_schema,
+            )
+
+        return raw.map_batches(_norm, batch_format="pyarrow").materialize()
+
+    auth = zeros
+    if have_edges:
+        for _ in range(n_iter):
+            auth = _step(hub, "src", "dst")   # authorities collect hub mass
+            hub = _step(auth, "dst", "src")   # hubs collect authority mass
+    else:
+        hub = zeros
+
+    out = gather_by_key(
+        nodes_urls, "node", auth, "node", "s", "auth_e12",
+        node_url_schema, pa.int64(),
+    )
+    out = gather_by_key(
+        out, "node", hub, "node", "s", "hub_e12",
+        pa.schema(list(node_url_schema) + [pa.field("auth_e12", pa.int64())]),
+        pa.int64(),
+    )
+    return out.map_batches(
+        lambda t: t.select(["url", "auth_e12", "hub_e12"]),
+        batch_format="pyarrow",
+    )

@@ -4871,3 +4871,95 @@ def test_link_harmonic_all_binary_corpus_empty(ray_session, tmp_path):
     assert ds.schema().names == [
         "url", "est1_e6", "est2_e6", "est3_e6", "harmonic_e6",
     ]
+
+
+def test_link_hits_matches_sequential_mirror(ray_session, tmp_path):
+    """link_hits over the fixture corpus == a pure-Python sequential
+    HITS with the same frozen integer L1-renormalization rules."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.links import (
+        HITS_INIT,
+        HITS_T,
+        _host,
+        link_hits,
+        page_hrefs,
+    )
+
+    n = 60
+    table = generate_pages(n)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls = table.column("url").to_pylist()
+    htmls = table.column("html").to_pylist()
+    html_urls = [
+        u for u, h in zip(urls, htmls) if sniff_doc_kind(h or b"") == "html"
+    ]
+    node_of = {u: int(_hash64(u)) % 2**63 for u in html_urls}
+    nodes = sorted(set(node_of.values()))
+
+    edges = set()
+    for u, h in zip(urls, htmls):
+        if u not in node_of:
+            continue
+        for href in page_hrefs(h or b""):
+            if href.startswith("/"):
+                dst = _host(u) + href
+                if dst in node_of and node_of[dst] != node_of[u]:
+                    edges.add((node_of[u], node_of[dst]))
+
+    def norm(raw: dict) -> dict:
+        total = sum(raw.values())
+        if total == 0:
+            return {v: 0 for v in nodes}
+        return {v: (HITS_T * raw.get(v, 0)) // total for v in nodes}
+
+    hub = {v: HITS_INIT for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(2):
+        raw_a = {}
+        for s, d in edges:
+            raw_a[d] = raw_a.get(d, 0) + hub[s]
+        auth = norm(raw_a)
+        raw_h = {}
+        for s, d in edges:
+            raw_h[s] = raw_h.get(s, 0) + auth[d]
+        hub = norm(raw_h)
+
+    got = {
+        r["url"]: (r["auth_e12"], r["hub_e12"])
+        for r in link_hits(str(pdir)).take_all()
+    }
+    want = {u: (auth[node_of[u]], hub[node_of[u]]) for u in html_urls}
+    assert got == want
+    # both score vectors renormalize to ~the grid and are non-trivial
+    assert abs(sum(a for a, _ in got.values()) - HITS_T) < len(got)
+    assert len({a for a, _ in got.values()}) > 5
+
+
+def test_link_hits_edge_free_graph_all_zero(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import link_hits
+
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([f"https://h.test/p/{i}" for i in range(4)]),
+            "warc_ts": pa.array(list(range(4)), pa.timestamp("us")),
+            "html": pa.array(
+                [b"<html><body><p>plain page</p></body></html>"] * 4, pa.binary()
+            ),
+            "text": pa.array(["plain page"] * 4),
+            "lang": pa.array(["en"] * 4),
+        }),
+        pdir / "pages.parquet",
+    )
+    rows = link_hits(str(pdir)).take_all()
+    assert len(rows) == 4
+    assert all(r["auth_e12"] == 0 and r["hub_e12"] == 0 for r in rows)
