@@ -352,6 +352,14 @@ def _q_link_hits(sf_dir: str):
     return link_hits(_pages_path(sf_dir))
 
 
+def _q_link_clustering(sf_dir: str):
+    """Dense per-page local clustering coefficient (degree + triangle
+    count + exact e6 coefficient) — the link-farm density signal."""
+    from smart_ocr_ray.ops.links import link_clustering
+
+    return link_clustering(_pages_path(sf_dir))
+
+
 def _q_link_pagerank(sf_dir: str):
     """PageRank over the real page link graph."""
     from smart_ocr_ray.ops.links import link_pagerank
@@ -736,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "section_graph": _q_section_graph,
         "link_harmonic": _q_link_harmonic,
         "link_hits": _q_link_hits,
+        "link_clustering": _q_link_clustering,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2009,14 +2018,16 @@ def _bpe_encode_sql(rounds: int = 6) -> str:
     )
 
 
-def _link_triangles_sql() -> str:
-    """Oracle for ``link_triangles``: regexp link harvest → int64 ids
-    (same md5 rule as the other link oracles) → distinct undirected
-    edges → degree-ordered orientation → wedge self-join closed by the
-    oriented third edge (each triangle counted once, at its
-    (degree, id)-smallest vertex) → per-node counts → id→url join."""
-    return f"""
-        WITH {_link_ctes()}, ids AS (
+def _triangle_ctes() -> str:
+    """Shared CTE chain of the triangle-family oracles
+    (``link_triangles`` / ``link_clustering``): regexp link harvest →
+    int64 ids (same md5 rule as the other link oracles) → distinct
+    undirected edges → per-node degree → degree-ordered orientation →
+    wedge self-join closed by the oriented third edge (each triangle
+    counted once, at its (degree, id)-smallest vertex) → per-node
+    counts. Ends in ``ids(url, vec_id)``, ``deg(node, d)``,
+    ``counts(node, n_triangles)``."""
+    return f"""{_link_ctes()}, ids AS (
           SELECT url,
                  CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
                       AS BIGINT) AS vec_id
@@ -2054,9 +2065,35 @@ def _link_triangles_sql() -> str:
             UNION ALL SELECT v FROM tri
             UNION ALL SELECT w FROM tri
           ) GROUP BY node
-        )
+        )"""
+
+
+def _link_triangles_sql() -> str:
+    """Oracle for ``link_triangles``: the shared triangle CTE chain
+    (``_triangle_ctes``) with a sparse counts → url join."""
+    return f"""
+        WITH {_triangle_ctes()}
         SELECT i.url, CAST(c.n_triangles AS BIGINT) AS n_triangles
         FROM counts c JOIN ids i ON c.node = i.vec_id
+        ORDER BY i.url
+    """
+
+
+def _link_clustering_sql() -> str:
+    """Oracle for ``link_clustering``: the shared triangle CTE chain
+    with a DENSE per-page left-join rollup and the exact e6
+    floor-division local clustering coefficient."""
+    return f"""
+        WITH {_triangle_ctes()}
+        SELECT i.url,
+               CAST(coalesce(dg.d, 0) AS BIGINT) AS degree,
+               CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CAST(CASE WHEN coalesce(dg.d, 0) >= 2
+                    THEN (2000000 * coalesce(c.n_triangles, 0))
+                         // (dg.d * (dg.d - 1))
+                    ELSE 0 END AS BIGINT) AS coeff_e6
+        FROM ids i LEFT JOIN deg dg ON dg.node = i.vec_id
+                   LEFT JOIN counts c ON c.node = i.vec_id
         ORDER BY i.url
     """
 
@@ -2251,6 +2288,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["section_graph"] = _section_graph_sql()
         corpus_dependent["link_harmonic"] = _link_harmonic_sql()
         corpus_dependent["link_hits"] = _link_hits_sql()
+        corpus_dependent["link_clustering"] = _link_clustering_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

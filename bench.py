@@ -269,6 +269,10 @@ def run_bench() -> dict:
 
         timed("link_hits", lambda _sf: link_hits(pages_path))
 
+        from smart_ocr_ray.ops.links import link_clustering
+
+        timed("link_clustering", lambda _sf: link_clustering(pages_path))
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

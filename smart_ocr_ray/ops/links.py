@@ -681,13 +681,14 @@ def link_components(pages_path: str) -> ray.data.Dataset:
     )
 
 
-def link_triangles(pages_path: str) -> ray.data.Dataset:
-    """Per-page triangle counts over the UNDIRECTED page link graph —
-    the webgraph clustering-coefficient numerator (link-farm / spam
-    neighborhoods are triangle-dense; editorial link structures are
-    tree-like), and the classic two-hop-join distributed-graph shape
-    none of the other graph ops exercise. Reference has no link ops —
-    novel per SURVEY §2 'beyond the reference'.
+def _triangle_core(pages_path: str):
+    """Shared core of ``link_triangles`` / ``link_clustering``: the
+    (node, url) table, distinct undirected edges, per-node degrees and
+    per-node triangle counts. Returns (nodes_urls, und, deg, counts,
+    jp); each element after the first is None from its first
+    degenerate stage on (all-binary corpus → all None; no undirected
+    edges → und/deg/counts None; no wedges or no triangles → counts
+    None).
 
     Graph: same node/edge rule as ``link_components`` — nodes are the
     corpus's html pages as ``_hash64(url) % 2^63`` ids, edges the
@@ -704,10 +705,6 @@ def link_triangles(pages_path: str) -> ray.data.Dataset:
     self-join from exploding on power-law webgraphs — without it the
     wedge count at a degree-d hub is d².
 
-    Output: (url, n_triangles) for pages in >= 1 triangle, sorted by
-    url. Zero-triangle pages are absent (join the link_graph rollup
-    for a dense per-page table).
-
     Scale shape: one corpus parse (shared ``_parsed_pages``); dedup
     and degree via ``reduce_by_keys`` sorts over fixed-width id pairs;
     two hash joins attach degrees; ONE wedge self-join on the oriented
@@ -722,11 +719,10 @@ def link_triangles(pages_path: str) -> ray.data.Dataset:
 
     jp = _jp()
     M = 2**63
-    out_schema = pa.schema([("url", pa.string()), ("n_triangles", pa.int64())])
 
     parsed = _parsed_pages(pages_path)
     if parsed.count() == 0:  # all-binary corpus
-        return ray.data.from_arrow(out_schema.empty_table())
+        return None, None, None, None, jp
 
     id_schema = pa.schema([("vec_id", pa.int64()), ("url", pa.string())])
 
@@ -802,7 +798,7 @@ def link_triangles(pages_path: str) -> ray.data.Dataset:
         .materialize()
     )
     if und.count() == 0:  # dangling-link corpus: no edges, no triangles
-        return ray.data.from_arrow(out_schema.empty_table())
+        return nodes_urls, None, None, None, jp
 
     def _endpoints(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "a" not in batch.column_names:
@@ -898,7 +894,7 @@ def link_triangles(pages_path: str) -> ray.data.Dataset:
         .materialize()
     )
     if wedges.count() == 0:
-        return ray.data.from_arrow(out_schema.empty_table())
+        return nodes_urls, und, deg, None, jp
 
     closing = oriented.map_batches(
         lambda t: t.select(["src", "dst"]).rename_columns(["v", "w"]),
@@ -920,11 +916,35 @@ def link_triangles(pages_path: str) -> ray.data.Dataset:
             }
         )
 
-    counts = reduce_by_keys(
-        tri.map_batches(_tri_nodes, batch_format="pyarrow"),
-        ["node"], None, how="count", out="n_triangles",
-    ).repartition(jp)
+    counts = (
+        reduce_by_keys(
+            tri.map_batches(_tri_nodes, batch_format="pyarrow"),
+            ["node"], None, how="count", out="n_triangles",
+        )
+        .repartition(jp)
+        .materialize()
+    )
     if counts.count() == 0:
+        return nodes_urls, und, deg, None, jp
+    return nodes_urls, und, deg, counts, jp
+
+
+def link_triangles(pages_path: str) -> ray.data.Dataset:
+    """Per-page triangle counts over the UNDIRECTED page link graph —
+    the webgraph clustering-coefficient numerator (link-farm / spam
+    neighborhoods are triangle-dense; editorial link structures are
+    tree-like), and the classic two-hop-join distributed-graph shape
+    none of the other graph ops exercise. Reference has no link ops —
+    novel per SURVEY §2 'beyond the reference'. Algorithm, graph rule
+    and scale shape: see ``_triangle_core``.
+
+    Output: (url, n_triangles) for pages in >= 1 triangle, sorted by
+    url. Zero-triangle pages are absent (``link_clustering`` is the
+    dense per-page table).
+    """
+    out_schema = pa.schema([("url", pa.string()), ("n_triangles", pa.int64())])
+    nodes_urls, _und, _deg, counts, jp = _triangle_core(pages_path)
+    if counts is None:
         return ray.data.from_arrow(out_schema.empty_table())
 
     labeled = counts.join(
@@ -943,6 +963,91 @@ def link_triangles(pages_path: str) -> ray.data.Dataset:
         )
 
     return labeled.map_batches(_shape, batch_format="pyarrow").sort("url")
+
+
+_CLUSTERING_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("degree", pa.int64()),
+        ("n_triangles", pa.int64()),
+        ("coeff_e6", pa.int64()),
+    ]
+)
+
+
+def link_clustering(pages_path: str) -> ray.data.Dataset:
+    """Per-page local clustering coefficient over the undirected page
+    link graph — THE spam/link-farm density signal (a page whose
+    neighbors all interlink sits in a clique-like boosting
+    neighborhood; editorial link structures are locally tree-like):
+
+        coeff_e6 = (2 * n_triangles * 10^6) // (degree * (degree - 1))
+
+    on the exact e6 integer grid (0 when degree < 2). Dense output —
+    EVERY html page gets a row (degree/triangles 0-filled), unlike
+    ``link_triangles``' sparse numerator:
+
+        (url, degree, n_triangles, coeff_e6)       sorted by url
+
+    Graph rule and triangle algorithm are shared with
+    ``link_triangles`` (``_triangle_core``); this op adds two
+    left-outer joins (degree and triangle tables onto the page table —
+    narrow int tables, V rows) and one vectorized coefficient map.
+    """
+    nodes_urls, _und, deg, counts, jp = _triangle_core(pages_path)
+    if nodes_urls is None:  # all-binary corpus
+        return ray.data.from_arrow(_CLUSTERING_SCHEMA.empty_table())
+
+    out = nodes_urls
+    if deg is not None:
+        out = out.join(
+            deg.map_batches(
+                lambda t: t.rename_columns(["vec_id", "degree"]),
+                batch_format="pyarrow",
+            ),
+            "left_outer", jp, on=("vec_id",),
+        ).repartition(jp)
+    if counts is not None:
+        out = out.join(
+            counts.map_batches(
+                lambda t: t.rename_columns(["vec_id", "n_triangles"]),
+                batch_format="pyarrow",
+            ),
+            "left_outer", jp, on=("vec_id",),
+        ).repartition(jp)
+
+    def _coeff(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return _CLUSTERING_SCHEMA.empty_table()
+        n = batch.num_rows
+        zero = pa.array(np.zeros(n, np.int64), pa.int64())
+        d = (
+            pc.fill_null(batch.column("degree"), 0).cast(pa.int64())
+            if "degree" in batch.column_names
+            else zero
+        )
+        t = (
+            pc.fill_null(batch.column("n_triangles"), 0).cast(pa.int64())
+            if "n_triangles" in batch.column_names
+            else zero
+        )
+        dn = d.to_numpy(zero_copy_only=False)
+        tn = t.to_numpy(zero_copy_only=False)
+        denom = dn * (dn - 1)
+        coeff = np.where(denom > 0, (2_000_000 * tn) // np.maximum(denom, 1), 0)
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "degree": d,
+                "n_triangles": t,
+                "coeff_e6": pa.array(coeff.astype(np.int64), pa.int64()),
+            },
+            schema=_CLUSTERING_SCHEMA,
+        )
+
+    return out.map_batches(_coeff, batch_format="pyarrow").sort("url")
 
 
 class _StructureCollector(HTMLParser):

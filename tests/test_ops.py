@@ -4963,3 +4963,83 @@ def test_link_hits_edge_free_graph_all_zero(ray_session, tmp_path):
     rows = link_hits(str(pdir)).take_all()
     assert len(rows) == 4
     assert all(r["auth_e12"] == 0 and r["hub_e12"] == 0 for r in rows)
+
+
+def test_link_clustering_topology_and_triangles_consistency(ray_session, tmp_path):
+    """Closed-form topology: a 4-clique (coeff 1.0), a 3-path middle
+    (degree 2, no triangle, coeff 0), and a link-less page (degree 0)
+    — dense output covers every html page; n_triangles agrees with
+    link_triangles where nonzero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import link_clustering, link_triangles
+
+    def page(*targets: str) -> bytes:
+        body = "".join(f'<a href="{t}">x</a>' for t in targets)
+        return f"<html><body>{body}<p>content</p></body></html>".encode()
+
+    # clique pages c0..c3 all link each other; path p0-p1-p2; lone
+    urls = [f"https://h.test/c{i}" for i in range(4)] + [
+        "https://h.test/p0", "https://h.test/p1", "https://h.test/p2",
+        "https://h.test/lone",
+    ]
+    htmls = (
+        [page(*[f"/c{j}" for j in range(4) if j != i]) for i in range(4)]
+        + [page("/p1"), page("/p2"), page("/p1"), page()]
+    )
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(urls),
+            "warc_ts": pa.array(list(range(len(urls))), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(["x"] * len(urls)),
+            "lang": pa.array(["en"] * len(urls)),
+        }),
+        pdir / "pages.parquet",
+    )
+    got = {
+        r["url"]: (r["degree"], r["n_triangles"], r["coeff_e6"])
+        for r in link_clustering(str(pdir)).take_all()
+    }
+    assert len(got) == 8
+    for i in range(4):  # clique: d=3, 3 triangles each, coeff = 1.0
+        assert got[f"https://h.test/c{i}"] == (3, 3, 1_000_000)
+    assert got["https://h.test/p1"] == (2, 0, 0)  # path middle
+    assert got["https://h.test/p0"] == (1, 0, 0)
+    assert got["https://h.test/p2"] == (1, 0, 0)
+    assert got["https://h.test/lone"] == (0, 0, 0)
+
+    tri = {r["url"]: r["n_triangles"] for r in link_triangles(str(pdir)).take_all()}
+    assert tri == {u: t for u, (_, t, _) in got.items() if t > 0}
+
+
+def test_link_clustering_no_edges_dense_zero(ray_session, tmp_path):
+    """Dangling-link corpus: every page present with all-zero stats
+    (the degenerate _triangle_core levels compose)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import link_clustering
+
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(["https://h.test/a", "https://h.test/b"]),
+            "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+            "html": pa.array(
+                [b'<html><body><a href="/nowhere">x</a></body></html>',
+                 b"<html><body><p>plain</p></body></html>"], pa.binary()
+            ),
+            "text": pa.array(["x", "plain"]),
+            "lang": pa.array(["en", "en"]),
+        }),
+        pdir / "pages.parquet",
+    )
+    got = {r["url"]: (r["degree"], r["n_triangles"], r["coeff_e6"])
+           for r in link_clustering(str(pdir)).take_all()}
+    assert got == {
+        "https://h.test/a": (0, 0, 0),
+        "https://h.test/b": (0, 0, 0),
+    }
