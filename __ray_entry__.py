@@ -760,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": text_analysis.bpe_merges,
         "bpe_encode": text_analysis.bpe_encode,
         "phrase_search": text_analysis.phrase_search,
+        "bm25_search": text_analysis.bm25_search,
         "dataset_split": text_analysis.dataset_split,
         "passage_chunks": text_analysis.passage_chunks,
         "pii_scrub": _q_pii_scrub,
@@ -3280,6 +3281,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.c_new >= 5
             ORDER BY score DESC, c.term ASC
             LIMIT 20
+        """,
+        "bm25_search": r"""
+            -- Exact-integer BM25 (ops/text_analysis.bm25_search):
+            -- k1 = 6/5, b = 3/4 denominators cleared by 10*avgdl,
+            -- bit-grid idf = bit_length(N // df), e6 floor grid.
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, len(toks) AS dl FROM t
+            ), stats AS (
+              SELECT count(*) AS n,
+                     greatest(sum(dl) // count(*), 1) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+              WHERE term IN ('dup', 'hash', 'join')
+              GROUP BY doc_id, term
+            ), idf AS (
+              SELECT term,
+                     length(to_base(CAST((SELECT n FROM stats) // count(*)
+                                         AS BIGINT), 2)) AS bits
+              FROM tf GROUP BY term
+            ), parts AS (
+              SELECT tf.doc_id,
+                     (CAST(idf.bits AS HUGEINT) * 22 * s.avgdl * tf.tf * 1000000)
+                       // (10 * s.avgdl * tf.tf + 3 * s.avgdl + 9 * dl.dl) AS part
+              FROM tf
+              JOIN idf ON idf.term = tf.term
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats s
+            ), scores AS (
+              SELECT doc_id, sum(part) AS score FROM parts GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS rnk,
+                   CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(score AS BIGINT) AS score_e6
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "phrase_search": r"""
             -- Positional phrase search (ops/text_analysis.phrase_search):

@@ -256,6 +256,7 @@ def run_bench() -> dict:
         timed("rrf_fuse", similarity.rrf_fuse)
         timed("dedup_weights", dedup.dedup_weights)
         timed("winnow_containment", dedup.winnow_containment)
+        timed("bm25_search", text_analysis.bm25_search)
 
         from smart_ocr_ray.ops.links import section_graph
 

@@ -3147,3 +3147,188 @@ def passage_chunks(
         )
 
     return read_documents(sf_dir).map_batches(_chunks, batch_format="pyarrow")
+
+
+BM25_QUERY: tuple[str, ...] = ("dup", "hash", "join")
+_BM25_SCHEMA = pa.schema(
+    [("rnk", pa.int64()), ("doc_id", pa.int64()), ("score_e6", pa.int64())]
+)
+
+
+def bm25_search(
+    sf_dir: str, query: tuple[str, ...] = BM25_QUERY, k: int = 10
+) -> ray.data.Dataset:
+    """BM25 ranked retrieval for one query over the documents corpus —
+    the query-time inverted-index product a curation pipeline uses for
+    retrieval-based decontamination and dedup-candidate mining
+    (`tfidf_top_terms` is the per-DOC offline profile; this is the
+    per-QUERY ranked search with the Robertson saturation + length
+    normalization tf-idf lacks).
+
+    Frozen exact-integer BM25 (k1 = 6/5, b = 3/4 — the standard 1.2 /
+    0.75 as exact rationals; mirrored literally by the SQL oracle):
+
+      * tokens: lowercase whitespace split of trimmed text ('' → 0);
+      * N = ALL docs, avgdl = total_tokens // N (floor);
+      * idf_bits(t) = bit_length(N // df(t)) — the repo's bit-grid
+        integer log2 (cf. ``unigram_surprisal``), df = docs containing
+        t (ranking-isomorphic to log-idf on the bit grid);
+      * per (doc, query term): clearing k1/b denominators by 10*avgdl,
+
+            part_e6 = (idf_bits * 22 * avgdl * tf * 10^6)
+                      // (10 * avgdl * tf + 3 * avgdl + 9 * dl)
+
+        (exactly idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) on
+        the e6 floor grid); doc score = sum over query terms present;
+      * top-k by (score_e6 desc, doc_id asc) with 1-based rank.
+
+    Output: (rnk, doc_id, score_e6), k rows.
+
+    Scale shape: ONE tokenize pass per document emits (a) a per-doc dl
+    row — two ints, feeding the global N/total scalar sums — and (b) a
+    (doc_id, term, tf, dl) row per query term PRESENT (dl carried
+    inline, so no dl join later), so the shuffle moves O(matching docs
+    * |query|), not O(corpus); df is a |query|-row driver-side table;
+    scoring is a stateless map over the match rows with a broadcast
+    idf dict; per-doc sums via one ``reduce_by_keys``; top-k via the
+    per-block ``block_topk`` combiner + one tiny final rank pass
+    (O(blocks * k) rows move).
+    """
+    from collections import Counter
+
+    import numpy as np
+
+    from .grouped import block_topk, map_key_groups, reduce_by_keys
+
+    qterms = tuple(query)
+    qset = set(qterms)
+    docs = read_documents(sf_dir)
+
+    scan_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),  # "" marks the per-doc dl row
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+        ]
+    )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        # ONE text pass per doc: the dl row (term "") plus one row per
+        # query term present.
+        ids, terms, tfs, dls = [], [], [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").strip().lower().split()
+            ids.append(int(i)); terms.append(""); tfs.append(0)
+            dls.append(len(toks))
+            c = Counter(tok for tok in toks if tok in qset)
+            for term, tf in c.items():
+                ids.append(int(i)); terms.append(term); tfs.append(tf)
+                dls.append(len(toks))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+            },
+            schema=scan_schema,
+        )
+
+    import pyarrow.compute as pc
+
+    scan = docs.map_batches(_scan, batch_format="pyarrow").materialize()
+    dl_tbl = scan.map_batches(
+        lambda t: t.filter(pc.equal(t.column("term"), "")).select(
+            ["doc_id", "dl"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_docs = dl_tbl.count()
+    if n_docs == 0:
+        return ray.data.from_arrow(_BM25_SCHEMA.empty_table())
+    total_tokens = int(dl_tbl.sum("dl") or 0)
+    avgdl = max(total_tokens // n_docs, 1)  # avgdl 0 would zero every denom
+
+    # match rows already carry dl from the single scan — no join needed
+    tf_tbl = scan.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("term"), "")),
+        batch_format="pyarrow",
+    ).materialize()
+    if tf_tbl.count() == 0:  # no doc contains any query term
+        return ray.data.from_arrow(_BM25_SCHEMA.empty_table())
+
+    # df per query term: a |query|-row table — driver-side by design.
+    df_rows = reduce_by_keys(
+        tf_tbl.map_batches(
+            lambda t: t.select(["term"]), batch_format="pyarrow"
+        ),
+        ["term"], None, how="count", out="df",
+    ).take_all()
+    idf_bits = {r["term"]: (n_docs // r["df"]).bit_length() for r in df_rows}
+
+    matched = tf_tbl
+    part_schema = pa.schema([("doc_id", pa.int64()), ("part", pa.int64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return part_schema.empty_table()
+        parts = [
+            (idf_bits[term] * 22 * avgdl * tf * 1_000_000)
+            // (10 * avgdl * tf + 3 * avgdl + 9 * dl)
+            for term, tf, dl in zip(
+                batch.column("term").to_pylist(),
+                batch.column("tf").to_pylist(),
+                batch.column("dl").to_pylist(),
+            )
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "part": pa.array(parts, pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    scores = reduce_by_keys(
+        matched.map_batches(_score, batch_format="pyarrow"),
+        ["doc_id"], "part", how="sum", out="score_e6",
+    )
+
+    # per-block top-k combiner, then one global rank over O(blocks*k)
+    def _block_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return batch
+        s = batch.column("score_e6").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        take, _ = block_topk(np.zeros(len(s), np.int64), (d, -s), k)
+        return batch.take(pa.array(take))
+
+    pre = scores.map_batches(
+        _block_top, batch_format="pyarrow", batch_size=None
+    )
+
+    def _rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _BM25_SCHEMA.empty_table()
+        s = group.column("score_e6").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        take, ranks = block_topk(np.zeros(len(s), np.int64), (d, -s), k)
+        return pa.Table.from_pydict(
+            {
+                "rnk": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(d[take], pa.int64()),
+                "score_e6": pa.array(s[take], pa.int64()),
+            },
+            schema=_BM25_SCHEMA,
+        )
+
+    # single-group final rank: constant key co-locates the O(blocks*k)
+    # combiner survivors
+    final = pre.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    return map_key_groups(final, "_g", lambda g: _rank(g))

@@ -5043,3 +5043,89 @@ def test_link_clustering_no_edges_dense_zero(ray_session, tmp_path):
         "https://h.test/a": (0, 0, 0),
         "https://h.test/b": (0, 0, 0),
     }
+
+
+def test_bm25_search_manual_rule_identity(ray_session, tmp_path):
+    """bm25_search == the frozen integer BM25 rule computed by hand on
+    an engineered corpus exercising idf contrast (rare vs common
+    term), tf saturation, length normalization, empty docs, and the
+    (score desc, doc_id asc) tie-break."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bm25_search
+
+    texts = [
+        "dup dup dup join filler words here",       # rare term, high tf
+        "dup join filler words here padding x",     # rare term, tf 1
+        "hash join hash join hash join",            # common terms only
+        "join " + "pad " * 40,                      # long doc: length penalty
+        "join join",                                # short doc: length boost
+        "nothing relevant at all",                  # no query term
+        "",                                         # empty
+        "join join",                                # exact tie with doc 4
+    ]
+    sf = tmp_path / "bm"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+
+    # hand mirror of the frozen rule
+    toks = [t.strip().lower().split() for t in texts]
+    n = len(texts)
+    dl = [len(tk) for tk in toks]
+    avgdl = max(sum(dl) // n, 1)
+    q = ("dup", "hash", "join")
+    df = {t: sum(1 for tk in toks if t in tk) for t in q}
+    idf = {t: (n // df[t]).bit_length() for t in q if df[t]}
+    scores = {}
+    for i, tk in enumerate(toks):
+        s = 0
+        for t in q:
+            tf = tk.count(t)
+            if tf:
+                s += (idf[t] * 22 * avgdl * tf * 10**6) // (
+                    10 * avgdl * tf + 3 * avgdl + 9 * dl[i]
+                )
+        if s:
+            scores[i] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [
+        (r["doc_id"], r["score_e6"], r["rnk"])
+        for r in sorted(bm25_search(str(sf)).take_all(), key=lambda r: r["rnk"])
+    ]
+    assert got == [(d, s, i + 1) for i, (d, s) in enumerate(want)]
+    # the engineered properties actually hold
+    by_doc = dict(scores)
+    assert by_doc[0] > by_doc[1]          # tf raises score, sublinearly
+    assert by_doc[4] > by_doc[3]          # shorter doc outranks longer
+    assert by_doc[4] == by_doc[7]         # exact tie -> doc_id order
+    assert 5 not in by_doc and 6 not in by_doc
+    tie_ranks = {d: r for d, _s, r in got if d in (4, 7)}
+    assert tie_ranks[4] + 1 == tie_ranks[7]
+
+
+def test_bm25_search_no_match_and_empty_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bm25_search
+
+    sf = tmp_path / "bm0"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["nothing here", "still nothing"], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    ds = bm25_search(str(sf))
+    assert ds.take_all() == []
+    assert ds.schema().names == ["rnk", "doc_id", "score_e6"]
