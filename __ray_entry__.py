@@ -335,6 +335,14 @@ def _q_section_graph(sf_dir: str):
     return section_graph(_pages_path(sf_dir))
 
 
+def _q_section_profile(sf_dir: str):
+    """Per-section curation stats (page counts, degree sums, text
+    bytes, floor-division means) — the host-level filter table."""
+    from smart_ocr_ray.ops.links import section_profile
+
+    return section_profile(_pages_path(sf_dir))
+
+
 def _q_link_harmonic(sf_dir: str):
     """HyperBall neighborhood function + radius-3 harmonic centrality
     over the page link graph (Boldi & Vigna 2013 — the Common-Crawl
@@ -745,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_harmonic": _q_link_harmonic,
         "link_hits": _q_link_hits,
         "link_clustering": _q_link_clustering,
+        "section_profile": _q_section_profile,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2270,6 +2279,42 @@ def _section_graph_sql() -> str:
     """
 
 
+def _section_profile_sql() -> str:
+    """Oracle for ``section_profile``: the link_graph degree CTEs plus
+    a column-pruned text-byte scan, sections via regexp, and the two
+    floor-division means."""
+    return f"""
+        WITH {_link_ctes()}, o AS (
+          SELECT h.url,
+                 count(a.href) AS out_links
+          FROM h LEFT JOIN a ON h.url = a.url GROUP BY h.url
+        ), ind AS (
+          SELECT e.dst AS url, count(*) AS ind
+          FROM e JOIN h ON e.dst = h.url GROUP BY e.dst
+        ), pt AS (
+          SELECT url, octet_length(encode(coalesce(text, ''))) AS tb
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+        ), sec AS (
+          SELECT regexp_extract(o.url, '^(https?://[^/]+(/[^/]+)?)', 1)
+                   AS section,
+                 o.out_links,
+                 coalesce(ind.ind, 0) AS ind,
+                 pt.tb
+          FROM o LEFT JOIN ind ON o.url = ind.url
+                 JOIN pt ON o.url = pt.url
+        )
+        SELECT section,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(out_links) AS BIGINT) AS out_links,
+               CAST(sum(ind) AS BIGINT) AS in_degree,
+               CAST(sum(tb) AS BIGINT) AS text_bytes,
+               CAST(sum(tb) // count(*) AS BIGINT) AS mean_text_bytes,
+               CAST((1000 * sum(out_links)) // count(*) AS BIGINT)
+                 AS mean_out_links_e3
+        FROM sec GROUP BY section
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # Corpus-dependent pseudo-oracles (they materialize the pages/golden
     # tables for _ORACLE_SF at build time): degrade to rows-only rather
@@ -2290,6 +2335,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_harmonic"] = _link_harmonic_sql()
         corpus_dependent["link_hits"] = _link_hits_sql()
         corpus_dependent["link_clustering"] = _link_clustering_sql()
+        corpus_dependent["section_profile"] = _section_profile_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

@@ -274,6 +274,10 @@ def run_bench() -> dict:
 
         timed("link_clustering", lambda _sf: link_clustering(pages_path))
 
+        from smart_ocr_ray.ops.links import section_profile
+
+        timed("section_profile", lambda _sf: section_profile(pages_path))
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

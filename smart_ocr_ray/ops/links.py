@@ -2009,3 +2009,122 @@ def link_hits(pages_path: str, n_iter: int = 2) -> ray.data.Dataset:
         lambda t: t.select(["url", "auth_e12", "hub_e12"]),
         batch_format="pyarrow",
     )
+
+
+_SECTION_PROFILE_SCHEMA = pa.schema(
+    [
+        ("section", pa.string()),
+        ("n_pages", pa.int64()),
+        ("out_links", pa.int64()),
+        ("in_degree", pa.int64()),
+        ("text_bytes", pa.int64()),
+        ("mean_text_bytes", pa.int64()),
+        ("mean_out_links_e3", pa.int64()),
+    ]
+)
+
+
+def section_profile(pages_path: str) -> ray.data.Dataset:
+    """Host/section-level curation stats — the node-side companion to
+    ``section_graph``'s edge rollup, and the per-host statistic table
+    crawl curation filters urls BY (C4/FineWeb-style: hosts with
+    tiny mean document length or link-farm-grade outlink density get
+    blocked wholesale before any per-document scoring runs).
+
+    Per url section (``scheme://host/<first path segment>``), over the
+    corpus's html pages:
+
+        (section, n_pages, out_links, in_degree, text_bytes,
+         mean_text_bytes, mean_out_links_e3)
+
+    — anchor/in-degree sums from the ``link_graph`` degree rollup
+    (existing-target edge rule), reference-text byte totals, and the
+    two floor-division means (mean_out_links on the e3 grid).
+
+    Scale shape: the shared corpus parse via ``link_graph``; ONE extra
+    column-pruned read of (url, text) whose strings die at a
+    byte-length map; one url-keyed join of two narrow int tables; the
+    final rollup is one ``map_key_groups`` sort on the section key
+    with vectorized in-group sums — output is O(sections).
+    """
+    from .grouped import map_key_groups
+
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+    per_page = link_graph(pages_path).materialize()
+    if per_page.count() == 0:  # all-binary corpus
+        return ray.data.from_arrow(_SECTION_PROFILE_SCHEMA.empty_table())
+
+    bytes_schema = pa.schema([("url", pa.string()), ("tb", pa.int64())])
+
+    def _bytes(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return bytes_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "tb": pa.array(
+                    [
+                        len((t or "").encode("utf-8"))
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            },
+            schema=bytes_schema,
+        )
+
+    tb = ray.data.read_parquet(pages_path, columns=["url", "text"]).map_batches(
+        _bytes, batch_format="pyarrow"
+    )
+    joined = per_page.join(tb, "inner", jp, on=("url",)).repartition(jp)
+
+    sec_schema = pa.schema(
+        [
+            ("section", pa.string()),
+            ("out_links", pa.int64()),
+            ("in_degree", pa.int64()),
+            ("tb", pa.int64()),
+        ]
+    )
+
+    def _sec(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return sec_schema.empty_table()
+        m = pc.extract_regex(batch.column("url").cast(pa.string()), _SECTION_RE)
+        return pa.Table.from_pydict(
+            {
+                "section": pc.struct_field(m, "sec"),
+                "out_links": batch.column("out_links").cast(pa.int64()),
+                "in_degree": batch.column("in_degree").cast(pa.int64()),
+                "tb": batch.column("tb").cast(pa.int64()),
+            },
+            schema=sec_schema,
+        )
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SECTION_PROFILE_SCHEMA.empty_table()
+        n = group.num_rows
+        ol = int(group.column("out_links").to_numpy(zero_copy_only=False).sum())
+        ind = int(group.column("in_degree").to_numpy(zero_copy_only=False).sum())
+        tbs = int(group.column("tb").to_numpy(zero_copy_only=False).sum())
+        return pa.Table.from_pydict(
+            {
+                "section": group.column("section").slice(0, 1),
+                "n_pages": pa.array([n], pa.int64()),
+                "out_links": pa.array([ol], pa.int64()),
+                "in_degree": pa.array([ind], pa.int64()),
+                "text_bytes": pa.array([tbs], pa.int64()),
+                "mean_text_bytes": pa.array([tbs // n], pa.int64()),
+                "mean_out_links_e3": pa.array([(1000 * ol) // n], pa.int64()),
+            },
+            schema=_SECTION_PROFILE_SCHEMA,
+        )
+
+    return map_key_groups(
+        joined.map_batches(_sec, batch_format="pyarrow"), ["section"], _rollup
+    )

@@ -5129,3 +5129,87 @@ def test_bm25_search_no_match_and_empty_corpus(ray_session, tmp_path):
     ds = bm25_search(str(sf))
     assert ds.take_all() == []
     assert ds.schema().names == ["rnk", "doc_id", "score_e6"]
+
+
+def test_section_profile_matches_sequential_mirror(ray_session, tmp_path):
+    """section_profile == sequential mirror: per section, page count,
+    anchor/in-degree sums (link_graph edge rule), utf-8 text bytes and
+    the floor-division means."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.ops.links import _host, page_hrefs, section_profile
+
+    n = 60
+    table = generate_pages(n)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls = table.column("url").to_pylist()
+    htmls = table.column("html").to_pylist()
+    texts = table.column("text").to_pylist()
+    html_urls = {
+        u for u, h in zip(urls, htmls) if sniff_doc_kind(h or b"") == "html"
+    }
+
+    def section(u: str) -> str:
+        return re.match(r"^(https?://[^/]+(/[^/]+)?)", u).group(1)
+
+    out_links = {}
+    in_deg = {u: 0 for u in html_urls}
+    tb = {}
+    for u, h, t in zip(urls, htmls, texts):
+        if u not in html_urls:
+            continue
+        hrefs = page_hrefs(h or b"")
+        out_links[u] = len(hrefs)
+        tb[u] = len((t or "").encode("utf-8"))
+        for href in hrefs:
+            if href.startswith("/"):
+                dst = _host(u) + href
+                if dst in html_urls:
+                    in_deg[dst] += 1
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, ol, ind, tb
+    for u in html_urls:
+        a = agg[section(u)]
+        a[0] += 1; a[1] += out_links[u]; a[2] += in_deg[u]; a[3] += tb[u]
+
+    want = {
+        s: (v[0], v[1], v[2], v[3], v[3] // v[0], (1000 * v[1]) // v[0])
+        for s, v in agg.items()
+    }
+    got = {
+        r["section"]: (
+            r["n_pages"], r["out_links"], r["in_degree"], r["text_bytes"],
+            r["mean_text_bytes"], r["mean_out_links_e3"],
+        )
+        for r in section_profile(str(pdir)).take_all()
+    }
+    assert got == want
+    assert len(got) > 3  # several sections actually present
+
+
+def test_section_profile_all_binary_empty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import section_profile
+
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(["https://h.test/a"]),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b"%FIX-LAYOUT junk"], pa.binary()),
+            "text": pa.array([""]),
+            "lang": pa.array(["en"]),
+        }),
+        pdir / "pages.parquet",
+    )
+    ds = section_profile(str(pdir))
+    assert ds.take_all() == []
