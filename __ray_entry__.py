@@ -343,6 +343,14 @@ def _q_section_profile(sf_dir: str):
     return section_profile(_pages_path(sf_dir))
 
 
+def _q_link_frontier(sf_dir: str):
+    """Crawl-frontier BFS: min link distance from the hash-seed
+    allowlist within 3 hops (-1 = unreached), dense per page."""
+    from smart_ocr_ray.ops.links import link_frontier
+
+    return link_frontier(_pages_path(sf_dir))
+
+
 def _q_link_harmonic(sf_dir: str):
     """HyperBall neighborhood function + radius-3 harmonic centrality
     over the page link graph (Boldi & Vigna 2013 — the Common-Crawl
@@ -754,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hits": _q_link_hits,
         "link_clustering": _q_link_clustering,
         "section_profile": _q_section_profile,
+        "link_frontier": _q_link_frontier,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2279,6 +2288,40 @@ def _section_graph_sql() -> str:
     """
 
 
+def _link_frontier_sql(n_rounds: int = 3, seed_mod: int = 8) -> str:
+    """Oracle for ``link_frontier``: seeded distance table unrolled
+    through ``n_rounds`` union-min edge relaxations, dense -1 fill."""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""d{r} AS (
+          SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d{r - 1}
+            UNION ALL
+            SELECT ed.dst AS node, c.d + 1 AS d
+            FROM edges ed JOIN d{r - 1} c ON c.node = ed.src
+          ) GROUP BY node
+        )""")
+    return f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS node
+          FROM h
+        ), nds AS (
+          SELECT DISTINCT node FROM ids
+        ), edges AS (
+          SELECT DISTINCT si.node AS src, di.node AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+          WHERE si.node <> di.node
+        ), d0 AS (
+          SELECT node, 0 AS d FROM nds WHERE node % {seed_mod} = 0
+        ), {", ".join(rounds)}
+        SELECT ids.url, CAST(coalesce(dd.d, -1) AS BIGINT) AS dist
+        FROM ids LEFT JOIN d{n_rounds} dd ON dd.node = ids.node
+    """
+
+
 def _section_profile_sql() -> str:
     """Oracle for ``section_profile``: the link_graph degree CTEs plus
     a column-pruned text-byte scan, sections via regexp, and the two
@@ -2336,6 +2379,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_hits"] = _link_hits_sql()
         corpus_dependent["link_clustering"] = _link_clustering_sql()
         corpus_dependent["section_profile"] = _section_profile_sql()
+        corpus_dependent["link_frontier"] = _link_frontier_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

@@ -278,6 +278,10 @@ def run_bench() -> dict:
 
         timed("section_profile", lambda _sf: section_profile(pages_path))
 
+        from smart_ocr_ray.ops.links import link_frontier
+
+        timed("link_frontier", lambda _sf: link_frontier(pages_path))
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

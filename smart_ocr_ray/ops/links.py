@@ -2128,3 +2128,178 @@ def section_profile(pages_path: str) -> ray.data.Dataset:
     return map_key_groups(
         joined.map_batches(_sec, batch_format="pyarrow"), ["section"], _rollup
     )
+
+
+_FRONTIER_SCHEMA = pa.schema([("url", pa.string()), ("dist", pa.int64())])
+
+
+def link_frontier(
+    pages_path: str, n_rounds: int = 3, seed_mod: int = 8
+) -> ray.data.Dataset:
+    """Crawl-frontier BFS over the page link graph: the minimum link
+    distance from a seed set within ``n_rounds`` hops — the
+    crawl-scheduling / seed-expansion-depth product (a targeted crawl
+    fetches frontier depth 1, then 2, ...; distance from the trusted
+    seed list is also a curation trust signal, cf. the random-walk
+    variant ``link_ppr``). The min-plus iteration completes the
+    distributed graph-recurrence family: sum (`link_pagerank`,
+    `link_hits`), max (`link_harmonic`), min (here).
+
+    Frozen semantics (mirrored by the SQL oracle): seeds = pages with
+    ``_hash64(url) % 2^63 % seed_mod == 0`` (the `link_ppr` allowlist
+    stand-in), dist 0; round r relaxes every edge (w, v):
+    dist(v) <- min(dist(v), dist_{r-1}(w) + 1); pages unreached after
+    ``n_rounds`` report dist = -1 (dense output, one row per html
+    page).
+
+    Scale shape: the distance table is one int64 pair per REACHED
+    node; each round is one `gather_by_key` sort (frontier distances
+    onto edges) + one `reduce_by_keys` min — no hash joins, blocks
+    repartition-bounded per round; the final dense fill is one
+    left-outer join of the V-row url table.
+    """
+    from ..functions.hashing import _hash64
+    from ..tuning import join_partitions as _jp
+    from .grouped import gather_by_key, reduce_by_keys
+
+    jp = _jp()
+    M = 2**63
+
+    parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:  # all-binary corpus
+        return ray.data.from_arrow(_FRONTIER_SCHEMA.empty_table())
+
+    node_url_schema = pa.schema([("node", pa.int64()), ("url", pa.string())])
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return node_url_schema.empty_table()
+        urls = batch.column("url").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array([int(_hash64(u)) % M for u in urls], pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=node_url_schema,
+        )
+
+    nodes_urls = (
+        parsed.map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        .map_batches(_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+    nds = reduce_by_keys(
+        nodes_urls.map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow"
+        ),
+        ["node"], None, how="count", out="_n",
+    ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow").materialize()
+
+    dist_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+
+    def _seed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return dist_schema.empty_table()
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        keep = nodes % seed_mod == 0
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes[keep], pa.int64()),
+                "d": pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+            },
+            schema=dist_schema,
+        )
+
+    dist = nds.map_batches(_seed, batch_format="pyarrow").materialize()
+    have_seeds = dist.count() > 0
+
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def _pair_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return pair_schema.empty_table()
+        s = [int(_hash64(u)) % M for u in batch.column("src").to_pylist()]
+        d = [int(_hash64(u)) % M for u in batch.column("dst").to_pylist()]
+        keep = [i for i in range(len(s)) if s[i] != d[i]]
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array([s[i] for i in keep], pa.int64()),
+                "dst": pa.array([d[i] for i in keep], pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    have_edges = False
+    if have_seeds:
+        node_ids = nds.map_batches(
+            lambda t: t.rename_columns(["dst"]), batch_format="pyarrow"
+        )
+        raw_pairs = (
+            _parsed_edges(parsed)
+            .map_batches(_pair_ids, batch_format="pyarrow")
+            .repartition(jp)
+            .materialize()
+        )
+        have_edges = raw_pairs.count() > 0
+        if have_edges:
+            edges = (
+                reduce_by_keys(
+                    raw_pairs.join(node_ids, "inner", jp, on=("dst",)),
+                    ["src", "dst"], None, how="count", out="_n",
+                )
+                .map_batches(
+                    lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+                )
+                .repartition(jp)
+                .materialize()
+            )
+            have_edges = edges.count() > 0
+
+    if have_seeds and have_edges:
+        for _ in range(n_rounds):
+            relaxed = gather_by_key(
+                edges, "src", dist, "node", "d", "dsrc", pair_schema, pa.int64()
+            ).map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "node": t.column("dst").cast(pa.int64()),
+                        "d": pa.array(
+                            t.column("dsrc").to_numpy(zero_copy_only=False) + 1,
+                            pa.int64(),
+                        ),
+                    },
+                    schema=dist_schema,
+                )
+                if t.num_rows
+                else dist_schema.empty_table(),
+                batch_format="pyarrow",
+            )
+            dist = (
+                reduce_by_keys(
+                    dist.union(relaxed).repartition(jp), ["node"], "d", how="min"
+                )
+                .repartition(jp)
+                .materialize()
+            )
+
+    out = nodes_urls
+    if dist.count() > 0:
+        out = nodes_urls.join(dist, "left_outer", jp, on=("node",)).repartition(jp)
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return _FRONTIER_SCHEMA.empty_table()
+        d = (
+            pc.fill_null(batch.column("d"), -1).cast(pa.int64())
+            if "d" in batch.column_names
+            else pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {"url": batch.column("url").cast(pa.string()), "dist": d},
+            schema=_FRONTIER_SCHEMA,
+        )
+
+    return out.map_batches(_fill, batch_format="pyarrow")

@@ -5213,3 +5213,81 @@ def test_section_profile_all_binary_empty(ray_session, tmp_path):
     )
     ds = section_profile(str(pdir))
     assert ds.take_all() == []
+
+
+def test_link_frontier_matches_sequential_bfs(ray_session, tmp_path):
+    """link_frontier == sequential BFS (bounded rounds, seed rule,
+    -1 fill) over the fixture corpus."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.links import _host, link_frontier, page_hrefs
+
+    n = 60
+    table = generate_pages(n)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls = table.column("url").to_pylist()
+    htmls = table.column("html").to_pylist()
+    html_urls = [u for u, h in zip(urls, htmls)
+                 if sniff_doc_kind(h or b"") == "html"]
+    node_of = {u: int(_hash64(u)) % 2**63 for u in html_urls}
+
+    edges = set()
+    for u, h in zip(urls, htmls):
+        if u not in node_of:
+            continue
+        for href in page_hrefs(h or b""):
+            if href.startswith("/"):
+                dst = _host(u) + href
+                if dst in node_of and node_of[dst] != node_of[u]:
+                    edges.add((node_of[u], node_of[dst]))
+
+    dist = {v: 0 for v in set(node_of.values()) if v % 8 == 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for s, d in edges:
+            if s in dist and dist[s] + 1 < nxt.get(d, 1 << 60):
+                nxt[d] = dist[s] + 1
+        dist = nxt
+
+    got = {r["url"]: r["dist"] for r in link_frontier(str(pdir)).take_all()}
+    want = {u: dist.get(node_of[u], -1) for u in html_urls}
+    assert got == want
+    # the corpus exercises every band: seeds, hops 1..3, unreached
+    vals = set(got.values())
+    assert {0, 1, -1} <= vals and (2 in vals or 3 in vals)
+
+
+def test_link_frontier_no_seeds_all_unreached(ray_session, tmp_path):
+    """seed_mod with no matching node: every page reports -1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.links import link_frontier
+
+    urls = [f"https://h.test/p/{i}" for i in range(6)]
+    # a prime far above any node id cannot divide it (ids < 2^63)
+    seed_mod = 2**63 + 5
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(urls),
+            "warc_ts": pa.array(list(range(6)), pa.timestamp("us")),
+            "html": pa.array(
+                [b'<html><body><a href="/p/0">x</a><p>t</p></body></html>'] * 6,
+                pa.binary(),
+            ),
+            "text": pa.array(["t"] * 6),
+            "lang": pa.array(["en"] * 6),
+        }),
+        pdir / "pages.parquet",
+    )
+    assert all(int(_hash64(u)) % 2**63 % seed_mod != 0 for u in urls)
+    rows = link_frontier(str(pdir), seed_mod=seed_mod).take_all()
+    assert len(rows) == 6
+    assert all(r["dist"] == -1 for r in rows)
