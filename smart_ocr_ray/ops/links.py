@@ -2043,15 +2043,13 @@ def section_profile(pages_path: str) -> ray.data.Dataset:
 
     Scale shape: the shared corpus parse via ``link_graph``; ONE extra
     column-pruned read of (url, text) whose strings die at a
-    byte-length map; one url-keyed join of two narrow int tables; the
-    final rollup is one ``map_key_groups`` sort on the section key
-    with vectorized in-group sums — output is O(sections).
+    byte-length map; one url-keyed ``gather_by_key`` sort attaches the
+    bytes to the degree rows; the final rollup is one
+    ``map_key_groups`` sort on the section key with vectorized
+    in-group sums — output is O(sections).
     """
     from .grouped import map_key_groups
 
-    from ..tuning import join_partitions as _jp
-
-    jp = _jp()
     per_page = link_graph(pages_path).materialize()
     if per_page.count() == 0:  # all-binary corpus
         return ray.data.from_arrow(_SECTION_PROFILE_SCHEMA.empty_table())
@@ -2078,7 +2076,14 @@ def section_profile(pages_path: str) -> ray.data.Dataset:
     tb = ray.data.read_parquet(pages_path, columns=["url", "text"]).map_batches(
         _bytes, batch_format="pyarrow"
     )
-    joined = per_page.join(tb, "inner", jp, on=("url",)).repartition(jp)
+    # gather_by_key, not a hash join: the url-string Acero join
+    # measured 5x the whole-op budget here (the same pathology the
+    # pair-attachment ops hit; see BASELINE.md "sort-gather").
+    from .grouped import gather_by_key
+
+    joined = gather_by_key(
+        per_page, "url", tb, "url", "tb", "tb", _PAGE_DEG_SCHEMA, pa.int64()
+    )
 
     sec_schema = pa.schema(
         [
