@@ -176,80 +176,68 @@ def link_graph(
     for every HTML page — out_links counts ALL anchors, out_internal
     the site-internal subset, in_degree the internal links arriving
     from other corpus pages (dangling targets never count).
+
+    Join-free (ninth r3 session): the original existing-target inner
+    join + left-outer degree join on url strings were the heaviest
+    stages of every dependent (Acero string-key joins — the measured
+    pathology BASELINE.md's sort-gather note documents). Instead, the
+    per-url zero rows and the edge-target one rows UNION into one
+    ``reduce_by_keys`` sum — dangling targets accumulate counts under
+    keys no page row carries, so the subsequent ``gather_by_key``
+    (attach in_degree onto the page rows) drops them for free,
+    preserving the existing-target rule with two sorts and no hash
+    join.
     """
     from ..tuning import join_partitions as _jp
+    from .grouped import gather_by_key, reduce_by_keys
 
     jp = _jp()
     if parsed is None:
         parsed = _parsed_pages(pages_path)
     if parsed.count() == 0:
         # all-binary/empty corpus: the materialized parse is schema-less
-        # (map_batches skips empty blocks) and would break the joins.
+        # (map_batches skips empty blocks) and would break downstream.
         return ray.data.from_arrow(_PAGE_DEG_SCHEMA.empty_table())
     per_page = parsed.map_batches(
         lambda b: b.select(["url", "out_links", "out_internal"]),
         batch_format="pyarrow",
     )
 
-    # Edges whose target is a real corpus page: inner join against the
-    # page-url table, then count per target. Only (src, dst) strings
-    # shuffle — never payloads.
-    url_tbl = parsed.map_batches(
-        lambda b: b.select(["url"]), batch_format="pyarrow"
-    )
-    edges = _parsed_edges(parsed).repartition(jp)
-    ind_schema = pa.schema([("url", pa.string()), ("in_degree", pa.int64())])
+    cnt_schema = pa.schema([("url", pa.string()), ("c", pa.int64())])
 
-    def _retype_ind(batch: pa.Table) -> pa.Table:
+    def _zero(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return cnt_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "c": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            },
+            schema=cnt_schema,
+        )
+
+    def _one(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "dst" not in batch.column_names:
-            return ind_schema.empty_table()
+            return cnt_schema.empty_table()
         return pa.Table.from_pydict(
             {
                 "url": batch.column("dst").cast(pa.string()),
-                "in_degree": batch.column("count()").cast(pa.int64()),
+                "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
             },
-            schema=ind_schema,
+            schema=cnt_schema,
         )
 
-    in_deg = (
-        edges.join(
-            url_tbl.map_batches(
-                lambda b: b.rename_columns(["dst"]), batch_format="pyarrow"
-            ),
-            "inner",
-            jp,
-            on=("dst",),
-        )
-        .groupby("dst")
-        .count()
-        .map_batches(_retype_ind, batch_format="pyarrow")
-        .repartition(jp)
-        .materialize()
+    in_deg = reduce_by_keys(
+        parsed.map_batches(_zero, batch_format="pyarrow")
+        .union(_parsed_edges(parsed).map_batches(_one, batch_format="pyarrow"))
+        .repartition(jp),
+        ["url"], "c", how="sum",
     )
 
-    def _fill(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = batch.num_rows
-        ind = (
-            pc.fill_null(batch.column("in_degree"), 0)
-            if "in_degree" in batch.column_names
-            else pa.array([0] * n, pa.int64())
-        )
-        return pa.Table.from_pydict(
-            {
-                "url": batch.column("url"),
-                "out_links": batch.column("out_links"),
-                "out_internal": batch.column("out_internal"),
-                "in_degree": ind.cast(pa.int64()),
-            },
-            schema=_PAGE_DEG_SCHEMA,
-        )
-
-    joined = per_page
-    if in_deg.count() > 0:
-        joined = per_page.join(in_deg, "left_outer", jp, on=("url",))
-    return joined.map_batches(_fill, batch_format="pyarrow")
+    return gather_by_key(
+        per_page, "url", in_deg, "url", "c", "in_degree",
+        _PAGE_SCHEMA, pa.int64(),
+    )
 
 
 def link_pagerank(
@@ -1892,7 +1880,10 @@ def link_hits(pages_path: str, n_iter: int = 2) -> ray.data.Dataset:
             lambda t: t.select(["node"]), batch_format="pyarrow"
         ),
         ["node"], None, how="count", out="_n",
-    ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow").materialize()
+    ).map_batches(
+        lambda t: t.select(["node"]), batch_format="pyarrow"
+    ).repartition(jp).materialize()  # repartition launders Ray 2.49's
+    # schema-less empty sort blocks (they break the Acero edge join)
 
     score_schema = pa.schema([("node", pa.int64()), ("s", pa.int64())])
 
@@ -2199,7 +2190,10 @@ def link_frontier(
             lambda t: t.select(["node"]), batch_format="pyarrow"
         ),
         ["node"], None, how="count", out="_n",
-    ).map_batches(lambda t: t.select(["node"]), batch_format="pyarrow").materialize()
+    ).map_batches(
+        lambda t: t.select(["node"]), batch_format="pyarrow"
+    ).repartition(jp).materialize()  # repartition launders Ray 2.49's
+    # schema-less empty sort blocks (they break the Acero edge join)
 
     dist_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
 

@@ -275,3 +275,54 @@ def test_token_packing_window_invariants(counts, budget):
     total = sum(counts)
     if total:
         assert last_end == (total - 1) // budget
+
+
+def test_new_link_ops_survive_malformed_markup(ray_session, tmp_path):
+    """The ninth-session link ops (section graph/profile, HyperBall,
+    HITS, clustering, frontier) run to completion on adversarial
+    markup — unclosed tags, attribute-less anchors, href-less anchors,
+    self-closing anchors, entity soup, a link to a '//'-prefixed
+    protocol-relative target — and agree on the page set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import (
+        link_clustering,
+        link_frontier,
+        link_harmonic,
+        link_hits,
+        section_graph,
+        section_profile,
+    )
+
+    pages = [
+        b"<html><body><a href='/p/1'>unquoted attr style</a><p>t</p>",
+        b'<html><body><a>no href</a><a href>empty</a><a href="/p/0">ok</a>',
+        b'<html><body><a href="//cdn.test/x">protocol-relative</a><p>&amp;&bogus;</p></body></html>',
+        b'<html><body><a href="/p/1"/><a href="/p/1"></a><table><tr><td><a href="/p/0">nested',
+    ]
+    urls = [f"https://h.test/p/{i}" for i in range(len(pages))]
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(urls),
+            "warc_ts": pa.array(list(range(len(pages))), pa.timestamp("us")),
+            "html": pa.array(pages, pa.binary()),
+            "text": pa.array(["t"] * len(pages)),
+            "lang": pa.array(["en"] * len(pages)),
+        }),
+        pdir / "pages.parquet",
+    )
+    p = str(pdir)
+    n = len(urls)
+    assert len(link_harmonic(p).take_all()) == n
+    assert len(link_hits(p).take_all()) == n
+    assert len(link_clustering(p).take_all()) == n
+    assert len(link_frontier(p).take_all()) == n
+    prof = {r["section"]: r for r in section_profile(p).take_all()}
+    assert sum(r["n_pages"] for r in prof.values()) == n
+    # protocol-relative '//cdn.test/x' resolves as site-internal by the
+    # frozen href-starts-with-'/' rule: it becomes a dangling target
+    # (https://h.test//cdn.test/x does not exist) and forms no edge.
+    sg = section_graph(p).take_all()
+    assert all(r["dst_section"].startswith("https://h.test") for r in sg)
