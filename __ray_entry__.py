@@ -772,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "anchor_texts": _q_anchor_texts,
         "hll_registers": text_analysis.hll_registers,
+        "ngram_cardinality": text_analysis.ngram_cardinality,
         "cms_heavy_hitters": text_analysis.cms_heavy_hitters,
         "bpe_pair_counts": text_analysis.bpe_pair_counts,
         "pmi_pairs": text_analysis.pmi_pairs,
@@ -4196,6 +4197,46 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, rnk, term, tf, df, score FROM r WHERE rnk <= 3
+        """,
+        "ngram_cardinality": """
+            -- Distinct n-gram HLL estimates (ops/text_analysis.
+            -- ngram_cardinality): bm25 token rule, 256 registers per
+            -- n with the hll_registers rank rule, raw integer
+            -- estimator NUM // (1e6 * S) with untouched registers
+            -- contributing 2^57 to S.
+            WITH t AS (
+              SELECT list_filter(str_split_regex(lower(coalesce(text,'')), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT 1 AS n, unnest(toks) AS gram FROM t
+              UNION ALL
+              SELECT 2, toks[i] || ' ' || toks[i+1]
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+              UNION ALL
+              SELECT 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+            ), h AS (
+              SELECT n, md5_number_lower(gram) AS hv FROM g
+            ), r AS (
+              SELECT n, CAST(hv % 256 AS BIGINT) AS register,
+                     CASE WHEN hv // 256 = 0 THEN 57
+                          ELSE 57 - length(to_base(CAST(hv // 256 AS BIGINT), 2))
+                     END AS val
+              FROM h
+            ), m AS (
+              SELECT n, register, max(val) AS val FROM r GROUP BY n, register
+            ), s AS (
+              SELECT n,
+                     sum(CAST((1::BIGINT << (57 - val)) AS HUGEINT))
+                       + (256 - count(*)) * 144115188075855872::HUGEINT AS sv
+              FROM m GROUP BY n
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(LEAST(6783906126233423092444561408::HUGEINT
+                              // (1000000::HUGEINT * sv),
+                              1000000000000000000::HUGEINT) AS BIGINT) AS est
+            FROM s
         """,
         "hll_registers": """
             -- HyperLogLog registers b=8 (ops/text_analysis.

@@ -3332,3 +3332,96 @@ def bm25_search(
         batch_format="pyarrow",
     )
     return map_key_groups(final, "_g", lambda g: _rank(g))
+
+
+# ngram_cardinality constants: alpha_256 = 0.7213/(1 + 1.079/256)
+# frozen on the e6 rational grid, the 57-rank register rule shared with
+# hll_registers, and the raw-estimator numerator
+# alpha_e6 * 256^2 * 2^57 (exact integer, injected into the SQL oracle).
+NGRAM_HLL_ALPHA_E6 = 718274
+NGRAM_HLL_NUM = NGRAM_HLL_ALPHA_E6 * 65536 * (1 << 57)
+NGRAM_HLL_CAP = 10**18
+_NGRAM_CARD_SCHEMA = pa.schema([("n", pa.int64()), ("est", pa.int64())])
+
+
+def ngram_cardinality(sf_dir: str, max_n: int = 3) -> ray.data.Dataset:
+    """Corpus-distinct n-gram cardinality estimates for n = 1..max_n —
+    the Heaps-law / vocabulary-growth diagnostic a pretraining corpus
+    ships ("how much unique text is in here"), and the sketch answer
+    to a question whose exact form (count-distinct over ~corpus-sized
+    n-gram sets) needs an all-to-all shuffle per n.
+
+    Frozen exact-integer semantics (mirrored by the SQL oracle):
+    tokens = lowercase whitespace split ('' drops — the `bm25_search`
+    rule); an n-gram is n adjacent tokens joined by one space; hash =
+    the 64-bit md5 (`_kgram_hash64` == ``md5_number_lower``); 256
+    registers per n with the ``hll_registers`` rank rule (register =
+    low byte, rank = 57 − bit_length(high 56 bits), 57 when zero);
+    estimate = the RAW HLL estimator on the integer grid
+
+        est = (alpha_e6 * 256^2 * 2^57) // (10^6 * S),
+        S   = sum_j 2^(57 - M_j)   (M_j = 0 for untouched registers)
+
+    with NO bias corrections (cf. ``link_harmonic``'s rationale) and a
+    defensive 10^18 cap. Output: (n, est), one row per n that has at
+    least one n-gram in the corpus.
+
+    Scale shape: duplicates cannot change a register max, so there is
+    NO distinct pass — each block reduces to <= 256*max_n partial
+    (n, register, rank) rows, the groupby is (n, register)-keyed
+    (768 groups at any corpus size), and the estimator runs per n over
+    256 ints. This is the sketch counterpart to the exact
+    ``vocab_ngrams`` counts.
+    """
+    from .grouped import map_key_groups, reduce_by_keys
+
+    from ..functions.textstats import _kgram_hash64
+
+    docs = read_documents(sf_dir)
+    part_schema = pa.schema(
+        [("n", pa.int64()), ("register", pa.int64()), ("rank", pa.int64())]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        regs: dict[tuple[int, int], int] = {}
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").strip().lower().split()
+            for n in range(1, max_n + 1):
+                for i in range(len(toks) - n + 1):
+                    h = _kgram_hash64(" ".join(toks[i : i + n]))
+                    idx = h & 0xFF
+                    v = h >> 8
+                    rank = 57 - v.bit_length() if v else 57
+                    key = (n, idx)
+                    if rank > regs.get(key, 0):
+                        regs[key] = rank
+        keys = sorted(regs)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([k[0] for k in keys], pa.int64()),
+                "register": pa.array([k[1] for k in keys], pa.int64()),
+                "rank": pa.array([regs[k] for k in keys], pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    merged = reduce_by_keys(
+        docs.map_batches(_partial, batch_format="pyarrow"),
+        ["n", "register"], "rank", how="max",
+    )
+
+    def _est(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _NGRAM_CARD_SCHEMA.empty_table()
+        vals = group.column("rank").to_pylist()
+        s = sum(1 << (57 - v) for v in vals) + (256 - len(vals)) * (1 << 57)
+        est = min(NGRAM_HLL_NUM // (1_000_000 * s), NGRAM_HLL_CAP)
+        return pa.Table.from_pydict(
+            {
+                "n": group.column("n").slice(0, 1),
+                "est": pa.array([est], pa.int64()),
+            },
+            schema=_NGRAM_CARD_SCHEMA,
+        )
+
+    return map_key_groups(merged, ["n"], _est)

@@ -5291,3 +5291,63 @@ def test_link_frontier_no_seeds_all_unreached(ray_session, tmp_path):
     rows = link_frontier(str(pdir), seed_mod=seed_mod).take_all()
     assert len(rows) == 6
     assert all(r["dist"] == -1 for r in rows)
+
+
+def test_ngram_cardinality_mirror_and_duplicate_insensitivity(ray_session, tmp_path):
+    """ngram_cardinality == the sequential register mirror, and —
+    the property that justifies the sketch — duplicating every
+    document leaves all estimates bit-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.functions.textstats import _kgram_hash64
+    from smart_ocr_ray.ops.text_analysis import (
+        NGRAM_HLL_CAP,
+        NGRAM_HLL_NUM,
+        ngram_cardinality,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the quick brown fox strikes again and again",
+        "",
+        "single",
+    ]
+
+    def mirror(docs):
+        regs = {}
+        for t in docs:
+            toks = t.strip().lower().split()
+            for n in (1, 2, 3):
+                for i in range(len(toks) - n + 1):
+                    h = _kgram_hash64(" ".join(toks[i:i + n]))
+                    idx, v = h & 0xFF, h >> 8
+                    rank = 57 - v.bit_length() if v else 57
+                    regs[(n, idx)] = max(regs.get((n, idx), 0), rank)
+        out = {}
+        for n in (1, 2, 3):
+            vals = [r for (m, _i), r in regs.items() if m == n]
+            if not vals:
+                continue
+            s = sum(1 << (57 - v) for v in vals) + (256 - len(vals)) * (1 << 57)
+            out[n] = min(NGRAM_HLL_NUM // (1_000_000 * s), NGRAM_HLL_CAP)
+        return out
+
+    def run(docs, name):
+        sf = tmp_path / name
+        sf.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict({
+                "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }),
+            sf / "documents.parquet",
+        )
+        return {r["n"]: r["est"] for r in ngram_cardinality(str(sf)).take_all()}
+
+    got = run(texts, "a")
+    assert got == mirror(texts)
+    assert set(got) == {1, 2, 3} and all(v > 0 for v in got.values())
+    # sketch property: duplicates are invisible
+    assert run(texts * 2, "b") == got
