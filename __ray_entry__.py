@@ -319,6 +319,18 @@ def _q_frames(sf_dir: str):
     return frames.drop_columns(["payload"])
 
 
+def _q_frame_dedup(sf_dir: str):
+    """Frame-level exact dedup (media × dedup composition): one row per
+    distinct sampled-frame content hash with its copy count and the
+    (url, frame_idx)-min surviving copy."""
+    import ray.data
+
+    from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages
+
+    pages = ray.data.read_parquet(_pages_path(sf_dir), columns=["url", "html"])
+    return frame_dedup(media_from_pages(pages))
+
+
 def _q_link_graph(sf_dir: str):
     """Outlink extraction + page-graph degrees over the html payloads
     (the Common-Crawl "wat" analog)."""
@@ -845,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "multimodal_features": _q_multimodal,
         "multimodal_frames": _q_frames,
+        "frame_dedup": _q_frame_dedup,
         "multimodal_decode_real": _q_decode_real,
     }
 
@@ -1525,6 +1538,35 @@ def _frames_oracle_sql() -> str:
                CAST(u.i AS INTEGER) AS frame_idx,
                CAST(u.i * 1000 AS BIGINT) AS ts_ms
         FROM f, unnest(range(0, CAST(least(n_frames, 16) AS BIGINT), 2)) AS u(i)
+    """
+
+
+def _frame_dedup_oracle_sql() -> str:
+    """Frame-level exact dedup over the same byte-arithmetic frame rows
+    as ``_frames_oracle_sql``: a frame's identity is the md5 of the
+    UPPERCASE-HEX encoding of its byte slice (hex-string md5 on both
+    sides because DuckDB's md5 is VARCHAR-only); substring offsets are
+    doubled (2 hex chars per byte). Survivor = ordered-aggregate first
+    over (url, frame_idx)."""
+    return f"""
+        WITH pages AS (
+          SELECT url, hex(html) AS hx,
+                 CAST(ceil(octet_length(html) / 4096.0) AS BIGINT) AS n_frames
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+          WHERE octet_length(html) > 0
+        ),
+        fr AS (
+          SELECT url, CAST(u.i AS INTEGER) AS frame_idx,
+                 md5(substring(hx, CAST(u.i * 8192 + 1 AS BIGINT), 8192))
+                   AS frame_hash
+          FROM pages,
+               unnest(range(0, CAST(least(n_frames, 16) AS BIGINT), 2)) AS u(i)
+        )
+        SELECT frame_hash,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               first(url ORDER BY url, frame_idx) AS url,
+               first(frame_idx ORDER BY url, frame_idx) AS frame_idx
+        FROM fr GROUP BY frame_hash
     """
 
 
@@ -2367,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         corpus_dependent.update(_extract_family_oracles())
         corpus_dependent["multimodal_frames"] = _frames_oracle_sql()
+        corpus_dependent["frame_dedup"] = _frame_dedup_oracle_sql()
         corpus_dependent["link_graph"] = _link_graph_oracle_sql()
         corpus_dependent["link_pagerank"] = _link_pagerank_sql()
         corpus_dependent["link_ppr"] = _link_ppr_sql()

@@ -281,6 +281,18 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.links import link_frontier
 
         timed("link_frontier", lambda _sf: link_frontier(pages_path))
+        timed("ngram_cardinality", text_analysis.ngram_cardinality)
+
+        from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages
+
+        timed(
+            "frame_dedup",
+            lambda _sf: frame_dedup(
+                media_from_pages(
+                    ray.data.read_parquet(pages_path, columns=["url", "html"])
+                )
+            ),
+        )
 
     ray.shutdown()
 

@@ -412,3 +412,96 @@ def sample_frames(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+_FRAME_DEDUP_SCHEMA = pa.schema(
+    [
+        ("frame_hash", pa.string()),
+        ("n_copies", pa.int64()),
+        ("url", pa.string()),
+        ("frame_idx", pa.int32()),
+    ]
+)
+
+
+def frame_dedup(
+    media: ray.data.Dataset, stride: int = 2, max_frames: int = 8
+) -> ray.data.Dataset:
+    """Frame-level exact dedup: the media × dedup composition a video
+    corpus runs before feature extraction (intros/outros/test cards
+    repeat across files; deduping frames BEFORE the expensive decode/
+    embed stage is the standard cost cut). Reference-semantics analog:
+    the D1 first-wins content-hash rule (core/metadata.py:58-67)
+    applied to ``sample_frames`` output instead of documents.
+
+    Frozen semantics (mirrored exactly by the SQL oracle): frame rows
+    come from ``FrameSampler`` (stride/max_frames defaults); a frame's
+    identity is ``md5(uppercase_hex(frame_bytes))`` — hex-string md5,
+    not raw-byte md5, because DuckDB's ``md5`` takes VARCHAR only, so
+    this keeps oracle and engine on one grid; the surviving copy is
+    the (url, frame_idx)-lexicographic minimum; ``n_copies`` counts
+    every sampled occurrence. Output: one row per distinct frame.
+
+    Scale shape: the shuffle carries (hash, url, frame_idx, n) — never
+    frame bytes, which die in the hashing stage; blocks pre-collapse
+    duplicate hashes (count + block-local min survivor) before the
+    sort, so the all-to-all moves one row per distinct hash per block;
+    the global pass is the ``reduce_by_keys`` sort + reduceat idiom
+    (no per-group UDF)."""
+    from .grouped import group_bounds
+
+    frames = sample_frames(media, stride=stride, max_frames=max_frames)
+
+    sort_keys = [
+        ("frame_hash", "ascending"),
+        ("url", "ascending"),
+        ("frame_idx", "ascending"),
+    ]
+
+    def _hash_and_collapse(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5((p or b"").hex().upper().encode()).hexdigest()
+            for p in batch.column("payload").to_pylist()
+        ]
+        t = pa.Table.from_pydict(
+            {
+                "frame_hash": pa.array(hashes, pa.string()),
+                "url": batch.column("url"),
+                "frame_idx": batch.column("frame_idx"),
+            }
+        ).sort_by(sort_keys)
+        bounds = group_bounds(t, ["frame_hash"])
+        starts = pa.array(bounds[:-1])
+        return pa.Table.from_pydict(
+            {
+                "frame_hash": t.column("frame_hash").take(starts),
+                "url": t.column("url").take(starts),
+                "frame_idx": t.column("frame_idx").take(starts),
+                "n": pa.array(np.diff(bounds), pa.int64()),
+            }
+        )
+
+    def _final(block: pa.Table) -> pa.Table:
+        block = block.combine_chunks()
+        bounds = group_bounds(block, ["frame_hash"])
+        starts = bounds[:-1]
+        n = block.column("n").to_numpy(zero_copy_only=False)
+        idx = pa.array(starts)
+        return pa.Table.from_pydict(
+            {
+                "frame_hash": block.column("frame_hash").take(idx),
+                "n_copies": pa.array(
+                    np.add.reduceat(n, starts) if len(starts) else n[:0],
+                    pa.int64(),
+                ),
+                "url": block.column("url").take(idx),
+                "frame_idx": block.column("frame_idx").take(idx),
+            },
+            schema=_FRAME_DEDUP_SCHEMA,
+        )
+
+    return (
+        frames.map_batches(_hash_and_collapse, batch_format="pyarrow")
+        .sort([k for k, _ in sort_keys])
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )

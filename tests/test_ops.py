@@ -5351,3 +5351,39 @@ def test_ngram_cardinality_mirror_and_duplicate_insensitivity(ray_session, tmp_p
     assert set(got) == {1, 2, 3} and all(v > 0 for v in got.values())
     # sketch property: duplicates are invisible
     assert run(texts * 2, "b") == got
+
+
+def test_frame_dedup_counts_and_survivors(ray_session):
+    """frame_dedup: copy counts per distinct frame content, with the
+    (url, frame_idx)-lexicographic-min survivor — a repeated frame
+    inside one video AND across videos collapses to one row."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from smart_ocr_ray.ops.multimodal import FRAME_BYTES, frame_dedup
+
+    a = b"\x01" * FRAME_BYTES
+    b = b"\x02" * FRAME_BYTES
+    tail = b"\x03" * 100  # short final frame
+    rows = [
+        # frames sampled at stride 2: indices 0, 2, 4 → a, a, tail
+        {"url": "v1", "payload": a + b + a + b + tail},
+        # index 0 → a (cross-video duplicate of v1's)
+        {"url": "v0", "payload": a},
+        {"url": "v2", "payload": b""},  # no frames
+    ]
+    out = frame_dedup(ray.data.from_arrow(pa.Table.from_pylist(rows))).take_all()
+
+    def h(data: bytes) -> str:
+        return hashlib.md5(data.hex().upper().encode()).hexdigest()
+
+    got = {r["frame_hash"]: r for r in out}
+    assert len(out) == len(got) == 2  # a-frames collapse; tail distinct
+    ra = got[h(a)]
+    assert ra["n_copies"] == 3
+    assert (ra["url"], ra["frame_idx"]) == ("v0", 0)  # lexicographic min
+    rt = got[h(tail)]
+    assert rt["n_copies"] == 1
+    assert (rt["url"], rt["frame_idx"]) == ("v1", 4)
