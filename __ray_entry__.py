@@ -363,6 +363,14 @@ def _q_link_frontier(sf_dir: str):
     return link_frontier(_pages_path(sf_dir))
 
 
+def _q_link_kcore(sf_dir: str):
+    """k-core coreness per page (h-index iteration, 4 pinned rounds),
+    dense per html page with edgeless pages at core 0."""
+    from smart_ocr_ray.ops.links import link_kcore
+
+    return link_kcore(_pages_path(sf_dir))
+
+
 def _q_link_harmonic(sf_dir: str):
     """HyperBall neighborhood function + radius-3 harmonic centrality
     over the page link graph (Boldi & Vigna 2013 — the Common-Crawl
@@ -775,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_clustering": _q_link_clustering,
         "section_profile": _q_section_profile,
         "link_frontier": _q_link_frontier,
+        "link_kcore": _q_link_kcore,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2130,6 +2139,49 @@ def _triangle_ctes() -> str:
         )"""
 
 
+def _link_kcore_sql(n_rounds: int = 4) -> str:
+    """Oracle for ``link_kcore``: the h-index iteration unrolled —
+    init c0 = degree over the distinct undirected edge table, each
+    round a window-ranked ``max(least(v, rn))`` per node (the textbook
+    SQL h-index), dense url output with edgeless pages at 0."""
+    prev = "c0"
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""c{r} AS (
+          SELECT dst AS node, max(least(v, rn)) AS c FROM (
+            SELECT e.dst, p.c AS v,
+                   row_number() OVER (PARTITION BY e.dst ORDER BY p.c DESC)
+                     AS rn
+            FROM e2 e JOIN {prev} p ON e.src = p.node
+          ) GROUP BY dst
+        )""")
+        prev = f"c{r}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS vec_id
+          FROM h
+        ), edges AS (
+          SELECT si.vec_id AS src, di.vec_id AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+        ), und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), e2 AS (
+          SELECT a AS src, b AS dst FROM und
+          UNION ALL SELECT b, a FROM und
+        ), c0 AS (
+          SELECT src AS node, count(*) AS c FROM e2 GROUP BY src
+        ),
+        {rounds_sql}
+        SELECT i.url, CAST(coalesce(p.c, 0) AS BIGINT) AS core
+        FROM ids i LEFT JOIN {prev} p ON p.node = i.vec_id
+    """
+
+
 def _link_triangles_sql() -> str:
     """Oracle for ``link_triangles``: the shared triangle CTE chain
     (``_triangle_ctes``) with a sparse counts → url join."""
@@ -2424,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_clustering"] = _link_clustering_sql()
         corpus_dependent["section_profile"] = _section_profile_sql()
         corpus_dependent["link_frontier"] = _link_frontier_sql()
+        corpus_dependent["link_kcore"] = _link_kcore_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

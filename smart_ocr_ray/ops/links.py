@@ -2302,3 +2302,211 @@ def link_frontier(
         )
 
     return out.map_batches(_fill, batch_format="pyarrow")
+
+
+_KCORE_SCHEMA = pa.schema([("url", pa.string()), ("core", pa.int64())])
+
+
+def link_kcore(pages_path: str, n_rounds: int = 4) -> ray.data.Dataset:
+    """k-core decomposition (coreness) over the UNDIRECTED page link
+    graph — the classic density measure crawl curation ranks against
+    (the dense "core" of a site survives aggressive filtering; low-core
+    pages are the fringe), completing the distributed graph family
+    (pagerank/HITS = sum, harmonic = max, frontier = min, here = order
+    statistic).
+
+    Frozen semantics (mirrored by the SQL oracle): the h-index
+    iteration of Lü et al. — init c(v) = degree, then ``n_rounds``
+    synchronous rounds of c(v) <- H({c(u) : u ~ v}) where H is the
+    h-index (the largest h with >= h neighbors of value >= h). The
+    sequence decreases monotonically to the exact coreness; rounds are
+    PINNED (like ``link_harmonic``/``link_hits``) so both engines
+    compute the identical intermediate. Edgeless pages report core 0
+    (dense output, one row per html page).
+
+    Scale shape: one corpus parse; the edge table is distinct
+    undirected id pairs built once (the ``link_frontier`` shape); each
+    round is one ``gather_by_key`` sort (values onto edges) + one
+    (node, value)-sorted block pass computing per-group h-indexes with
+    ``group_bounds`` + reduceat — no per-group UDF, no hash joins in
+    the loop; only fixed-width id rows shuffle.
+    """
+    from ..functions.hashing import _hash64
+    from ..tuning import join_partitions as _jp
+    from .grouped import gather_by_key, group_bounds, reduce_by_keys
+
+    jp = _jp()
+    M = 2**63
+
+    parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:  # all-binary corpus
+        return ray.data.from_arrow(_KCORE_SCHEMA.empty_table())
+
+    node_url_schema = pa.schema([("node", pa.int64()), ("url", pa.string())])
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return node_url_schema.empty_table()
+        urls = batch.column("url").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array([int(_hash64(u)) % M for u in urls], pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=node_url_schema,
+        )
+
+    nodes_urls = (
+        parsed.map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        .map_batches(_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    raw_schema = pa.schema([("srcid", pa.int64()), ("dstid", pa.int64())])
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def _pair_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return raw_schema.empty_table()
+        s = np.array(
+            [int(_hash64(u)) % M for u in batch.column("src").to_pylist()],
+            np.int64,
+        )
+        d = np.array(
+            [int(_hash64(u)) % M for u in batch.column("dst").to_pylist()],
+            np.int64,
+        )
+        keep = s != d  # self-loops drop
+        return pa.Table.from_pydict(
+            {
+                "srcid": pa.array(s[keep], pa.int64()),
+                "dstid": pa.array(d[keep], pa.int64()),
+            },
+            schema=raw_schema,
+        )
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "srcid" not in batch.column_names:
+            return pair_schema.empty_table()
+        s = batch.column("srcid").to_numpy(zero_copy_only=False)
+        d = batch.column("dstid").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    node_ids = nodes_urls.map_batches(
+        lambda t: t.select(["node"]).rename_columns(["dstid"]),
+        batch_format="pyarrow",
+    )
+    und = (
+        reduce_by_keys(
+            _parsed_edges(parsed)
+            .map_batches(_pair_ids, batch_format="pyarrow")
+            .repartition(jp)
+            .join(node_ids, "inner", jp, on=("dstid",))  # existing targets only
+            .repartition(jp)
+            .map_batches(_canon, batch_format="pyarrow"),
+            ["a", "b"], None, how="count", out="_n",
+        )
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    c_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+    e2_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    c = None
+    if und.count() > 0:
+
+        def _bidir(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "a" not in batch.column_names:
+                return e2_schema.empty_table()
+            a = batch.column("a").cast(pa.int64())
+            b = batch.column("b").cast(pa.int64())
+            return pa.concat_tables(
+                [
+                    pa.Table.from_pydict({"src": a, "dst": b}, schema=e2_schema),
+                    pa.Table.from_pydict({"src": b, "dst": a}, schema=e2_schema),
+                ]
+            ).combine_chunks()
+
+        e2 = und.map_batches(_bidir, batch_format="pyarrow").repartition(jp).materialize()
+
+        # init: c(v) = degree (each e2 row contributes 1 to its src)
+        c = (
+            reduce_by_keys(
+                e2.map_batches(
+                    lambda t: t.select(["src"]).rename_columns(["node"]),
+                    batch_format="pyarrow",
+                ),
+                ["node"], None, how="count", out="c",
+            )
+            .repartition(jp)
+            .materialize()
+        )
+
+        def _hindex(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return c_schema.empty_table()
+            # The global sort co-locates each dst (keys-only sort, the
+            # map_key_groups contract); the value ordering the h-index
+            # scan needs is a local vectorized sort.
+            block = block.sort_by(
+                [("dst", "ascending"), ("v", "ascending")]
+            ).combine_chunks()
+            bounds = group_bounds(block, ["dst"])
+            starts = bounds[:-1]
+            v = block.column("v").to_numpy(zero_copy_only=False)
+            # ascending within group: element j of an m-group scores
+            # min(v_j, m - j); the group max is the h-index.
+            rank_from_end = np.repeat(bounds[1:], np.diff(bounds)) - np.arange(
+                len(v)
+            )
+            h_elem = np.minimum(v, rank_from_end)
+            return pa.Table.from_pydict(
+                {
+                    "node": block.column("dst").take(pa.array(starts)).cast(
+                        pa.int64()
+                    ),
+                    "c": pa.array(np.maximum.reduceat(h_elem, starts), pa.int64()),
+                },
+                schema=c_schema,
+            )
+
+        for _ in range(n_rounds):
+            vals = gather_by_key(
+                e2, "src", c, "node", "c", "v", e2_schema, pa.int64()
+            )
+            c = (
+                vals.sort(["dst"])
+                .map_batches(_hindex, batch_format="pyarrow", batch_size=None)
+                .repartition(jp)
+                .materialize()
+            )
+
+    out = nodes_urls
+    if c is not None and c.count() > 0:
+        out = nodes_urls.join(c, "left_outer", jp, on=("node",)).repartition(jp)
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return _KCORE_SCHEMA.empty_table()
+        core = (
+            pc.fill_null(batch.column("c"), 0).cast(pa.int64())
+            if "c" in batch.column_names
+            else pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {"url": batch.column("url").cast(pa.string()), "core": core},
+            schema=_KCORE_SCHEMA,
+        )
+
+    return out.map_batches(_fill, batch_format="pyarrow")

@@ -5387,3 +5387,102 @@ def test_frame_dedup_counts_and_survivors(ray_session):
     rt = got[h(tail)]
     assert rt["n_copies"] == 1
     assert (rt["url"], rt["frame_idx"]) == ("v1", 4)
+
+
+def test_link_kcore_matches_mirror_and_exact_coreness(ray_session, tmp_path):
+    """link_kcore == the sequential h-index mirror (4 pinned rounds),
+    AND — validating the round budget — the mirror equals TRUE
+    coreness (exact iterative peeling) on the fixture corpus."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.links import _host, link_kcore, page_hrefs
+
+    table = generate_pages(60)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls = table.column("url").to_pylist()
+    htmls = table.column("html").to_pylist()
+    html_urls = [u for u, h in zip(urls, htmls)
+                 if sniff_doc_kind(h or b"") == "html"]
+    node_of = {u: int(_hash64(u)) % 2**63 for u in html_urls}
+
+    und = set()
+    for u, h in zip(urls, htmls):
+        if u not in node_of:
+            continue
+        for href in page_hrefs(h or b""):
+            if href.startswith("/"):
+                dst = _host(u) + href
+                if dst in node_of and node_of[dst] != node_of[u]:
+                    und.add(tuple(sorted((node_of[u], node_of[dst]))))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def hindex(vals):
+        vals = sorted(vals, reverse=True)
+        h = 0
+        for i, v in enumerate(vals, 1):
+            if v >= i:
+                h = i
+        return h
+
+    c = {v: len(ns) for v, ns in adj.items()}
+    for _ in range(4):
+        c = {v: hindex([c[u] for u in ns]) for v, ns in adj.items()}
+
+    got = {r["url"]: r["core"] for r in link_kcore(str(pdir)).take_all()}
+    want = {u: c.get(node_of[u], 0) for u in html_urls}
+    assert got == want
+
+    # exact peeling: remove nodes of degree < k repeatedly, k = 1, 2, ...
+    core = {v: 0 for v in adj}
+    live = dict(adj)
+    k = 1
+    while live:
+        while True:
+            drop = [v for v, ns in live.items() if len(ns) < k]
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+                for u in live[v]:
+                    if u in live:
+                        live[u].discard(v)
+                del live[v]
+        k += 1
+    assert c == core  # 4 rounds reach the fixpoint on this corpus
+    assert max(c.values(), default=0) >= 2  # corpus exercises a 2-core
+
+
+def test_link_kcore_zero_edge_corpus_all_zero(ray_session, tmp_path):
+    """Pages whose only links dangle (no resolvable targets): every
+    page is edgeless and reports core 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import link_kcore
+
+    urls = [f"https://h.test/p/{i}" for i in range(5)]
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(urls),
+            "warc_ts": pa.array(list(range(5)), pa.timestamp("us")),
+            "html": pa.array(
+                [b'<html><body><a href="/nowhere/x">x</a><p>t</p></body></html>'] * 5,
+                pa.binary(),
+            ),
+            "text": pa.array(["t"] * 5),
+            "lang": pa.array(["en"] * 5),
+        }),
+        pdir / "pages.parquet",
+    )
+    rows = link_kcore(str(pdir)).take_all()
+    assert len(rows) == 5
+    assert all(r["core"] == 0 for r in rows)
