@@ -371,6 +371,14 @@ def _q_link_kcore(sf_dir: str):
     return link_kcore(_pages_path(sf_dir))
 
 
+def _q_crawl_schedule(sf_dir: str):
+    """Politeness-bounded fetch plan: per-section (wave, slot)
+    assignment with at most 4 concurrent fetches per section."""
+    from smart_ocr_ray.ops.links import crawl_schedule
+
+    return crawl_schedule(_pages_path(sf_dir))
+
+
 def _q_link_harmonic(sf_dir: str):
     """HyperBall neighborhood function + radius-3 harmonic centrality
     over the page link graph (Boldi & Vigna 2013 — the Common-Crawl
@@ -784,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "section_profile": _q_section_profile,
         "link_frontier": _q_link_frontier,
         "link_kcore": _q_link_kcore,
+        "crawl_schedule": _q_crawl_schedule,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2139,6 +2148,30 @@ def _triangle_ctes() -> str:
         )"""
 
 
+def _crawl_schedule_sql(per_host: int = 4) -> str:
+    """Oracle for ``crawl_schedule``: window row_number per section
+    (the ``section_graph`` regexp) ordered by (warc_ts, url), floor-div
+    wave and mod slot."""
+    return f"""
+        WITH p AS (
+          SELECT url, warc_ts,
+                 coalesce(regexp_extract(url,
+                          '^(https?://[^/]+(/[^/]+)?)', 1), '') AS section
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+        ), r AS (
+          SELECT url, section,
+                 row_number() OVER (
+                   PARTITION BY section ORDER BY warc_ts, url
+                 ) - 1 AS rk
+          FROM p
+        )
+        SELECT url, section,
+               CAST(rk // {per_host} AS BIGINT) AS wave,
+               CAST(rk % {per_host} AS BIGINT) AS slot
+        FROM r
+    """
+
+
 def _link_kcore_sql(n_rounds: int = 4) -> str:
     """Oracle for ``link_kcore``: the h-index iteration unrolled —
     init c0 = degree over the distinct undirected edge table, each
@@ -2477,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["section_profile"] = _section_profile_sql()
         corpus_dependent["link_frontier"] = _link_frontier_sql()
         corpus_dependent["link_kcore"] = _link_kcore_sql()
+        corpus_dependent["crawl_schedule"] = _crawl_schedule_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

@@ -285,6 +285,10 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.links import link_kcore
 
         timed("link_kcore", lambda _sf: link_kcore(pages_path))
+
+        from smart_ocr_ray.ops.links import crawl_schedule
+
+        timed("crawl_schedule", lambda _sf: crawl_schedule(pages_path))
         timed("ngram_cardinality", text_analysis.ngram_cardinality)
 
         from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages

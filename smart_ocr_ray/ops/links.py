@@ -2510,3 +2510,89 @@ def link_kcore(pages_path: str, n_rounds: int = 4) -> ray.data.Dataset:
         )
 
     return out.map_batches(_fill, batch_format="pyarrow")
+
+
+_SCHEDULE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("section", pa.string()),
+        ("wave", pa.int64()),
+        ("slot", pa.int64()),
+    ]
+)
+
+
+def crawl_schedule(pages_path: str, per_host: int = 4) -> ray.data.Dataset:
+    """Politeness-bounded crawl scheduling: assign every url a fetch
+    WAVE and connection SLOT such that no host-section ever sees more
+    than ``per_host`` concurrent fetches — the frontier-to-fetch-plan
+    step every polite crawler runs (robots.txt concurrency budgets /
+    crawl-delay honoring), and the planning counterpart to
+    ``link_frontier``'s discovery BFS.
+
+    Frozen semantics (mirrored by the SQL oracle): the politeness key
+    is the url's SECTION (the ``section_graph`` rule —
+    ``scheme://host/<first path segment>``, '' for non-matching urls);
+    within a section urls rank 0-based by (warc_ts asc, url asc) —
+    recrawl freshness order with a deterministic tie-break; then
+    ``wave = rank // per_host`` (the round in which the url is
+    fetched) and ``slot = rank % per_host`` (which of the host's
+    connections fetches it). Dense output: one row per page, ALL
+    pages (binary payloads get fetched too — no html parse in this op
+    at all).
+
+    Scale shape: a column-pruned (url, warc_ts) read — payload bytes
+    never load; ONE groupby-shaped sort on the section key with a
+    per-group vectorized local sort + arange (``map_key_groups``).
+    A single section's rows must fit one worker heap (the
+    ``events_running_total`` contract); if one host ever outgrows
+    that, the two-level prefix-sum pattern (`token_packing`) applies
+    per section.
+    """
+    from .grouped import map_key_groups
+
+    pages = ray.data.read_parquet(pages_path, columns=["url", "warc_ts"])
+
+    key_schema = pa.schema(
+        [
+            ("section", pa.string()),
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+        ]
+    )
+
+    def _key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return key_schema.empty_table()
+        m = pc.extract_regex(batch.column("url").cast(pa.string()), _SECTION_RE)
+        return pa.Table.from_pydict(
+            {
+                "section": pc.fill_null(pc.struct_field(m, "sec"), ""),
+                "url": batch.column("url").cast(pa.string()),
+                "warc_ts": batch.column("warc_ts").cast(pa.timestamp("us")),
+            },
+            schema=key_schema,
+        )
+
+    def _rank(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SCHEDULE_SCHEMA.empty_table()
+        g = group.sort_by(
+            [("warc_ts", "ascending"), ("url", "ascending")]
+        ).combine_chunks()
+        rank = np.arange(g.num_rows, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "url": g.column("url"),
+                "section": g.column("section"),
+                "wave": pa.array(rank // per_host, pa.int64()),
+                "slot": pa.array(rank % per_host, pa.int64()),
+            },
+            schema=_SCHEDULE_SCHEMA,
+        )
+
+    return map_key_groups(
+        pages.map_batches(_key, batch_format="pyarrow"), "section", _rank
+    )

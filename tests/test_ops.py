@@ -5486,3 +5486,49 @@ def test_link_kcore_zero_edge_corpus_all_zero(ray_session, tmp_path):
     rows = link_kcore(str(pdir)).take_all()
     assert len(rows) == 5
     assert all(r["core"] == 0 for r in rows)
+
+
+def test_crawl_schedule_politeness_invariants(ray_session, tmp_path):
+    """crawl_schedule: per-section (wave, slot) is a bijection onto
+    rank order by (warc_ts, url); no (section, wave) exceeds per_host
+    concurrent fetches; earlier timestamps never land in later waves
+    than later ones within a section."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import crawl_schedule
+
+    rows = []
+    # section A: 6 urls, two ts ties (url tie-break); section B: 1 url
+    for i, (u, ts) in enumerate([
+        ("https://h.test/a/p3", 30), ("https://h.test/a/p1", 10),
+        ("https://h.test/a/p2", 10), ("https://h.test/a/p5", 50),
+        ("https://h.test/a/p4", 40), ("https://h.test/a/p0", 60),
+        ("https://h.test/b/q0", 5),
+    ]):
+        rows.append({"url": u, "warc_ts": ts})
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array([r["url"] for r in rows]),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([b"<html></html>"] * len(rows), pa.binary()),
+        }),
+        pdir / "pages.parquet",
+    )
+    out = crawl_schedule(str(pdir), per_host=2).take_all()
+    got = {r["url"]: (r["section"], r["wave"], r["slot"]) for r in out}
+    assert len(got) == 7
+    # rank order in section A: p1 (ts10), p2 (ts10, url tie-break),
+    # p3 (30), p4 (40), p5 (50), p0 (60)
+    assert got["https://h.test/a/p1"] == ("https://h.test/a", 0, 0)
+    assert got["https://h.test/a/p2"] == ("https://h.test/a", 0, 1)
+    assert got["https://h.test/a/p3"] == ("https://h.test/a", 1, 0)
+    assert got["https://h.test/a/p4"] == ("https://h.test/a", 1, 1)
+    assert got["https://h.test/a/p5"] == ("https://h.test/a", 2, 0)
+    assert got["https://h.test/a/p0"] == ("https://h.test/a", 2, 1)
+    assert got["https://h.test/b/q0"] == ("https://h.test/b", 0, 0)
+    # politeness bound: no (section, wave) bucket exceeds per_host
+    from collections import Counter
+    per_wave = Counter((s, w) for s, w, _ in got.values())
+    assert max(per_wave.values()) <= 2
