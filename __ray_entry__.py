@@ -371,6 +371,14 @@ def _q_link_kcore(sf_dir: str):
     return link_kcore(_pages_path(sf_dir))
 
 
+def _q_link_walks(sf_dir: str):
+    """Deterministic random walks (hash-argmin next hop, 3 steps) from
+    the hash-seed quarter of pages — the DeepWalk/node2vec corpus."""
+    from smart_ocr_ray.ops.links import link_walks
+
+    return link_walks(_pages_path(sf_dir))
+
+
 def _q_crawl_schedule(sf_dir: str):
     """Politeness-bounded fetch plan: per-section (wave, slot)
     assignment with at most 4 concurrent fetches per section."""
@@ -793,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_frontier": _q_link_frontier,
         "link_kcore": _q_link_kcore,
         "crawl_schedule": _q_crawl_schedule,
+        "link_walks": _q_link_walks,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2148,6 +2157,56 @@ def _triangle_ctes() -> str:
         )"""
 
 
+def _link_walks_sql(n_steps: int = 3, seed_mod: int = 4) -> str:
+    """Oracle for ``link_walks``: the hash-argmin steps unrolled —
+    each a window row_number over ``md5_number_lower`` of the exact
+    ``"{src}:{t}:{dst}"`` string the Ray side hashes, ties by dst."""
+    steps = []
+    prev = "w0"
+    for t in range(1, n_steps + 1):
+        steps.append(f"""w{t} AS (
+          SELECT walk, cur FROM (
+            SELECT w.walk, d.dst AS cur,
+                   row_number() OVER (
+                     PARTITION BY w.walk
+                     ORDER BY md5_number_lower(
+                       CAST(w.cur AS VARCHAR) || ':{t}:'
+                         || CAST(d.dst AS VARCHAR)), d.dst
+                   ) AS rn
+            FROM {prev} w JOIN dedges d ON d.src = w.cur
+          ) WHERE rn = 1
+        )""")
+        prev = f"w{t}"
+    steps_sql = ",\n".join(steps)
+    union_sql = "\n          UNION ALL ".join(
+        f"SELECT walk, {t} AS step, cur FROM w{t}" for t in range(n_steps + 1)
+    )
+    return f"""
+        WITH {_link_ctes()}, ids AS (
+          SELECT url,
+                 CAST(md5_number_lower(url) % 9223372036854775808::HUGEINT
+                      AS BIGINT) AS vec_id
+          FROM h
+        ), dedges AS (
+          SELECT DISTINCT si.vec_id AS src, di.vec_id AS dst
+          FROM e JOIN ids si ON e.src = si.url
+                 JOIN ids di ON e.dst = di.url
+          WHERE si.vec_id <> di.vec_id
+        ), w0 AS (
+          SELECT vec_id AS walk, vec_id AS cur FROM ids
+          WHERE vec_id % {seed_mod} = 0
+        ),
+        {steps_sql},
+        tr AS (
+          {union_sql}
+        )
+        SELECT i0.url AS start_url, CAST(tr.step AS BIGINT) AS step,
+               i1.url AS url
+        FROM tr JOIN ids i0 ON tr.walk = i0.vec_id
+                JOIN ids i1 ON tr.cur = i1.vec_id
+    """
+
+
 def _crawl_schedule_sql(per_host: int = 4) -> str:
     """Oracle for ``crawl_schedule``: window row_number per section
     (the ``section_graph`` regexp) ordered by (warc_ts, url), floor-div
@@ -2511,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_frontier"] = _link_frontier_sql()
         corpus_dependent["link_kcore"] = _link_kcore_sql()
         corpus_dependent["crawl_schedule"] = _crawl_schedule_sql()
+        corpus_dependent["link_walks"] = _link_walks_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

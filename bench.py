@@ -289,6 +289,10 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.links import crawl_schedule
 
         timed("crawl_schedule", lambda _sf: crawl_schedule(pages_path))
+
+        from smart_ocr_ray.ops.links import link_walks
+
+        timed("link_walks", lambda _sf: link_walks(pages_path))
         timed("ngram_cardinality", text_analysis.ngram_cardinality)
 
         from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages

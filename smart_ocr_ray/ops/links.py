@@ -2596,3 +2596,234 @@ def crawl_schedule(pages_path: str, per_host: int = 4) -> ray.data.Dataset:
     return map_key_groups(
         pages.map_batches(_key, batch_format="pyarrow"), "section", _rank
     )
+
+
+_WALKS_SCHEMA = pa.schema(
+    [
+        ("start_url", pa.string()),
+        ("step", pa.int64()),
+        ("url", pa.string()),
+    ]
+)
+
+
+def link_walks(
+    pages_path: str, n_steps: int = 3, seed_mod: int = 4
+) -> ray.data.Dataset:
+    """Deterministic graph random walks over the directed page link
+    graph — the walk-corpus primitive graph-embedding training
+    (DeepWalk / node2vec) and random-walk-based sampling consume: one
+    bounded-length walk per seed page, materialized as (start_url,
+    step, url) rows. Completes the graph family with the
+    iterated-frontier-of-ONE shape (PPR walks in expectation; this op
+    walks literally).
+
+    Frozen semantics (mirrored by the SQL oracle): seeds are pages
+    with ``node % seed_mod == 0`` (the ``link_frontier`` allowlist
+    rule), emitted as step 0; at step t (1-based) a walker at v moves
+    to the out-neighbor u minimizing
+    ``md5_number_lower(f"{v}:{t}:{u}")`` (ties by u) over the DISTINCT
+    resolved-target edge set — a pseudo-random but engine-independent
+    choice, exactly reproducible in SQL; a walker at a node with no
+    out-edges stops (no further rows).
+
+    Scale shape: one corpus parse; per step ONE hash join of the
+    walker table (≤ seeds rows, two int64s each) against the edge
+    table plus one ``map_key_groups`` argmin — candidate fan-out is
+    bounded by the walkers' out-degrees; urls attach once at the end
+    via two ``gather_by_key`` sorts. Payload bytes die at the parse;
+    nothing corpus-sized touches the driver.
+    """
+    from ..functions.hashing import _hash64
+    from ..tuning import join_partitions as _jp
+    from .grouped import gather_by_key, map_key_groups, reduce_by_keys
+
+    jp = _jp()
+    M = 2**63
+
+    parsed = _parsed_pages(pages_path)
+    if parsed.count() == 0:  # all-binary corpus
+        return ray.data.from_arrow(_WALKS_SCHEMA.empty_table())
+
+    node_url_schema = pa.schema([("node", pa.int64()), ("url", pa.string())])
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return node_url_schema.empty_table()
+        urls = batch.column("url").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "node": pa.array([int(_hash64(u)) % M for u in urls], pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=node_url_schema,
+        )
+
+    nodes_urls = (
+        parsed.map_batches(lambda b: b.select(["url"]), batch_format="pyarrow")
+        .map_batches(_ids, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def _pair_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return edge_schema.empty_table()
+        s = np.array(
+            [int(_hash64(u)) % M for u in batch.column("src").to_pylist()],
+            np.int64,
+        )
+        d = np.array(
+            [int(_hash64(u)) % M for u in batch.column("dst").to_pylist()],
+            np.int64,
+        )
+        keep = s != d
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(s[keep], pa.int64()),
+                "dst": pa.array(d[keep], pa.int64()),
+            },
+            schema=edge_schema,
+        )
+
+    node_ids = nodes_urls.map_batches(
+        lambda t: t.select(["node"]).rename_columns(["dst"]),
+        batch_format="pyarrow",
+    )
+    edges = (
+        reduce_by_keys(
+            _parsed_edges(parsed)
+            .map_batches(_pair_ids, batch_format="pyarrow")
+            .repartition(jp)
+            .join(node_ids, "inner", jp, on=("dst",))  # existing targets only
+            .repartition(jp),
+            ["src", "dst"], None, how="count", out="_n",
+        )
+        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    state_schema = pa.schema([("walk", pa.int64()), ("src", pa.int64())])
+    trace_schema = pa.schema(
+        [("walk", pa.int64()), ("step", pa.int64()), ("cur", pa.int64())]
+    )
+
+    def _seed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return state_schema.empty_table()
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        keep = nodes % seed_mod == 0
+        return pa.Table.from_pydict(
+            {
+                "walk": pa.array(nodes[keep], pa.int64()),
+                "src": pa.array(nodes[keep], pa.int64()),
+            },
+            schema=state_schema,
+        )
+
+    state = (
+        nodes_urls.map_batches(_seed, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    def _trace_of(st: ray.data.Dataset, step: int) -> ray.data.Dataset:
+        def _t(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "walk" not in batch.column_names:
+                return trace_schema.empty_table()
+            return pa.Table.from_pydict(
+                {
+                    "walk": batch.column("walk").cast(pa.int64()),
+                    "step": pa.array(
+                        np.full(batch.num_rows, step, np.int64), pa.int64()
+                    ),
+                    "cur": batch.column("src").cast(pa.int64()),
+                },
+                schema=trace_schema,
+            )
+
+        return st.map_batches(_t, batch_format="pyarrow")
+
+    traces = [_trace_of(state, 0)]
+    have_edges = edges.count() > 0
+
+    cand_schema = pa.schema(
+        [("walk", pa.int64()), ("dst", pa.int64()), ("h", pa.uint64())]
+    )
+
+    for t in range(1, n_steps + 1):
+        if not have_edges or state.count() == 0:
+            break
+
+        def _score(batch: pa.Table, _t=t) -> pa.Table:
+            if batch.num_rows == 0 or "walk" not in batch.column_names:
+                return cand_schema.empty_table()
+            srcs = batch.column("src").to_pylist()
+            dsts = batch.column("dst").to_pylist()
+            return pa.Table.from_pydict(
+                {
+                    "walk": batch.column("walk").cast(pa.int64()),
+                    "dst": pa.array(dsts, pa.int64()),
+                    "h": pa.array(
+                        [int(_hash64(f"{s}:{_t}:{d}")) for s, d in zip(srcs, dsts)],
+                        pa.uint64(),
+                    ),
+                },
+                schema=cand_schema,
+            )
+
+        cands = (
+            edges.join(state, "inner", jp, on=("src",))
+            .map_batches(_score, batch_format="pyarrow")
+        )
+
+        def _pick(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return state_schema.empty_table()
+            g = group.sort_by([("h", "ascending"), ("dst", "ascending")])
+            return pa.Table.from_pydict(
+                {
+                    "walk": g.column("walk").slice(0, 1).cast(pa.int64()),
+                    "src": g.column("dst").slice(0, 1).cast(pa.int64()),
+                },
+                schema=state_schema,
+            )
+
+        state = (
+            map_key_groups(cands, "walk", _pick)
+            .repartition(jp)
+            .materialize()
+        )
+        traces.append(_trace_of(state, t))
+
+    trace = traces[0]
+    for extra in traces[1:]:
+        trace = trace.union(extra)
+    trace = trace.repartition(jp)
+
+    with_start = gather_by_key(
+        trace, "walk", nodes_urls, "node", "url", "start_url",
+        trace_schema, pa.string(),
+    )
+    ws_schema = pa.schema(list(trace_schema) + [pa.field("start_url", pa.string())])
+    with_url = gather_by_key(
+        with_start, "cur", nodes_urls, "node", "url", "url",
+        ws_schema, pa.string(),
+    )
+
+    def _out(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "start_url" not in batch.column_names:
+            return _WALKS_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "start_url": batch.column("start_url").cast(pa.string()),
+                "step": batch.column("step").cast(pa.int64()),
+                "url": batch.column("url").cast(pa.string()),
+            },
+            schema=_WALKS_SCHEMA,
+        )
+
+    return with_url.map_batches(_out, batch_format="pyarrow")

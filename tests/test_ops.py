@@ -5532,3 +5532,56 @@ def test_crawl_schedule_politeness_invariants(ray_session, tmp_path):
     from collections import Counter
     per_wave = Counter((s, w) for s, w, _ in got.values())
     assert max(per_wave.values()) <= 2
+
+
+def test_link_walks_matches_sequential_mirror(ray_session, tmp_path):
+    """link_walks == the sequential walk mirror: hash-argmin next hop
+    per step over distinct resolved edges, dead ends stop the walk."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.functions.assess import sniff_doc_kind
+    from smart_ocr_ray.functions.hashing import _hash64
+    from smart_ocr_ray.ops.links import _host, link_walks, page_hrefs
+
+    table = generate_pages(60)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    urls = table.column("url").to_pylist()
+    htmls = table.column("html").to_pylist()
+    html_urls = [u for u, h in zip(urls, htmls)
+                 if sniff_doc_kind(h or b"") == "html"]
+    node_of = {u: int(_hash64(u)) % 2**63 for u in html_urls}
+    url_of = {v: u for u, v in node_of.items()}
+
+    adj = {}
+    for u, h in zip(urls, htmls):
+        if u not in node_of:
+            continue
+        for href in page_hrefs(h or b""):
+            if href.startswith("/"):
+                dst = _host(u) + href
+                if dst in node_of and node_of[dst] != node_of[u]:
+                    adj.setdefault(node_of[u], set()).add(node_of[dst])
+
+    want = set()
+    for start in node_of.values():
+        if start % 4 != 0:
+            continue
+        cur = start
+        want.add((url_of[start], 0, url_of[cur]))
+        for t in (1, 2, 3):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda d: (int(_hash64(f"{cur}:{t}:{d}")), d))
+            want.add((url_of[start], t, url_of[cur]))
+
+    got = {
+        (r["start_url"], r["step"], r["url"])
+        for r in link_walks(str(pdir)).take_all()
+    }
+    assert got == want
+    steps = {s for _, s, _ in got}
+    assert steps == {0, 1, 2, 3}  # the corpus sustains full-length walks
