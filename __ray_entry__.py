@@ -827,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": dedup.line_dedup,
         "dedup_normalized": dedup.dedup_normalized,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
         "corpus_curation": _q_corpus_curation,
@@ -2766,6 +2767,37 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT left_id, right_id, round(e, 6) AS est_jaccard
             FROM est WHERE e >= 0.7
+        """,
+        "dedup_incremental_minhash": "WITH "
+        + minhash_base
+        + """,
+            -- incremental ingest (ops/dedup.dedup_incremental_minhash):
+            -- cross-side bucket candidates only (old = even doc_id,
+            -- new = odd), match floor 45/64 signature components, best
+            -- old match per new doc (max k, ties to min old id).
+            cross_cand AS (
+              SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+              FROM band n JOIN band o
+                ON n.band_idx = o.band_idx AND n.bsig = o.bsig
+              WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+            ),
+            k2 AS (
+              SELECT c.new_id, c.old_id,
+                     sum(CASE WHEN sl.s = sr.s THEN 1 ELSE 0 END) AS k
+              FROM cross_cand c
+              JOIN sigfull sl ON sl.doc_id = c.new_id
+              JOIN sigfull sr ON sr.doc_id = c.old_id AND sl.pi = sr.pi
+              GROUP BY c.new_id, c.old_id
+              HAVING sum(CASE WHEN sl.s = sr.s THEN 1 ELSE 0 END) >= 45
+            ),
+            rb AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY new_id ORDER BY k DESC, old_id ASC) AS rn
+              FROM k2
+            )
+            SELECT new_id AS doc_id, old_id AS matched_old,
+                   CAST(k AS BIGINT) AS match_k64
+            FROM rb WHERE rn = 1
         """,
         "dedup_clusters": "WITH RECURSIVE "
         + minhash_base

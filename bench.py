@@ -169,6 +169,7 @@ def run_bench() -> dict:
         timed("dedup_exact", dedup.dedup_exact)
         timed("dedup_normalized", dedup.dedup_normalized)
         timed("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
+        timed("dedup_incremental_minhash", dedup.dedup_incremental_minhash)
         timed("ann_cosine_topk", similarity.ann_cosine_topk)
         timed("embedding_kmeans", similarity.embedding_kmeans)
         timed("doc_quality", text_analysis.quality)

@@ -1754,3 +1754,140 @@ def setjoin_pairs(
 
     verified = joined.map_batches(_verify, batch_format="pyarrow", batch_size=None)
     return typed_if_empty(known.union(verified), out_schema)
+
+
+# Incremental-dedup match floor: 45 of 64 signature components
+# (= ceil(0.7 * 64), the dedup_minhash_lsh threshold on the exact
+# integer grid the SQL oracle shares).
+INCR_MATCH_K_MIN = 45
+
+_INCR_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("matched_old", pa.int64()),
+        ("match_k64", pa.int64()),
+    ]
+)
+
+
+def dedup_incremental_minhash(
+    sf_dir: str, num_perm: int = 64, num_bands: int = 16
+) -> ray.data.Dataset:
+    """Incremental near-dup detection: which NEW-crawl documents are
+    near-duplicates of the EXISTING corpus — the asymmetric MinHash-LSH
+    query every recrawl ingest runs BEFORE admitting documents (the
+    near-dup counterpart to ``bloom_dedup``'s exact membership check;
+    snapshot split shared with ``trending_terms``/``crawl_diff``: old =
+    even doc_id, new = odd).
+
+    Frozen semantics (mirrored by the SQL oracle): both sides band
+    with the shared seeded ``MinHasher``; candidates are CROSS-side
+    bucket cohabitants only (new × old — old×old and new×new pairs
+    are never formed, the work asymmetry that makes incremental
+    ingest cheap); a candidate matches when ≥ ``INCR_MATCH_K_MIN`` of
+    the 64 signature components agree (the 0.7 estimate on the exact
+    /64 integer grid); each matched new doc reports its best old
+    match — max ``match_k64``, ties to the min old id. Output: one
+    row per matched new doc.
+
+    Scale shape: identical to ``dedup_minhash_lsh`` (band rows ~1 KB/
+    doc, singleton buckets skipped); hot buckets collapse identical
+    signatures PER SIDE — new-side star members inherit their rep's
+    matches verbatim inside the bucket (signature-identical ⇒
+    match-identical, so the expansion is exact), old-side members
+    never need restoring because the min-old-id tie-break always
+    prefers their (id-min) representative; representatives are capped
+    with a logged drop. Cross-band duplicates collapse via the
+    sort+reduceat pair dedup, then one ``map_key_groups`` argmax per
+    new doc.
+    """
+    from .grouped import map_key_groups, reduce_by_keys
+
+    bands = read_documents(sf_dir).map_batches(
+        _MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    pair_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("matched_old", pa.int64()),
+            ("match_k64", pa.int64()),
+        ]
+    )
+
+    def _cross(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pair_schema.empty_table()
+        uniq: dict[int, bytes] = {}
+        for d, s in zip(
+            group.column("doc_id").to_pylist(), group.column("sig").to_pylist()
+        ):
+            uniq[d] = s
+        new_ids = sorted(d for d in uniq if d % 2 == 1)
+        old_ids = sorted(d for d in uniq if d % 2 == 0)
+        if not new_ids or not old_ids:
+            return pair_schema.empty_table()
+
+        star_map: dict[int, list[int]] = {}
+        if len(new_ids) + len(old_ids) > HOT_BUCKET_LIMIT:
+            new_ids, new_stars = collapse_hot_bucket(
+                new_ids, key_of=uniq.__getitem__, limit=0, label="incr-new"
+            )
+            for rep, m in new_stars:
+                star_map.setdefault(rep, []).append(m)
+            # old-side members collapse WITHOUT expansion: their rep is
+            # the id-min of an identical-signature group, so the final
+            # min-old-id tie-break picks it anyway.
+            old_ids, _old_stars = collapse_hot_bucket(
+                old_ids, key_of=uniq.__getitem__, limit=0, label="incr-old"
+            )
+
+        mat_n = np.stack([np.frombuffer(uniq[d], dtype=np.uint64) for d in new_ids])
+        mat_o = np.stack([np.frombuffer(uniq[d], dtype=np.uint64) for d in old_ids])
+        k = (mat_n[:, None, :] == mat_o[None, :, :]).sum(axis=2)
+        iu, ju = np.nonzero(k >= INCR_MATCH_K_MIN)
+        out_new: list[int] = []
+        out_old: list[int] = []
+        out_k: list[int] = []
+        for i, j in zip(iu, ju):
+            rep = new_ids[int(i)]
+            old = old_ids[int(j)]
+            kk = int(k[i, j])
+            for n in (rep, *star_map.get(rep, ())):
+                out_new.append(n)
+                out_old.append(old)
+                out_k.append(kk)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_new, pa.int64()),
+                "matched_old": pa.array(out_old, pa.int64()),
+                "match_k64": pa.array(out_k, pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    candidates = map_key_groups(bands, "band_key", _cross, min_group_size=2)
+    deduped = reduce_by_keys(
+        candidates, ["doc_id", "matched_old"], "match_k64", "max"
+    )
+
+    def _best(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _INCR_SCHEMA.empty_table()
+        g = group.sort_by(
+            [("match_k64", "descending"), ("matched_old", "ascending")]
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": g.column("doc_id").slice(0, 1).cast(pa.int64()),
+                "matched_old": g.column("matched_old").slice(0, 1).cast(pa.int64()),
+                "match_k64": g.column("match_k64").slice(0, 1).cast(pa.int64()),
+            },
+            schema=_INCR_SCHEMA,
+        )
+
+    return map_key_groups(deduped, "doc_id", _best)

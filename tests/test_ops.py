@@ -5585,3 +5585,45 @@ def test_link_walks_matches_sequential_mirror(ray_session, tmp_path):
     assert got == want
     steps = {s for _, s, _ in got}
     assert steps == {0, 1, 2, 3}  # the corpus sustains full-length walks
+
+
+def test_dedup_incremental_minhash_matches_and_hot_bucket_guard(ray_session, tmp_path):
+    """dedup_incremental_minhash: only cross-side (new odd vs old
+    even) matches surface, each new doc reports its id-min best old
+    match; a degenerate corpus (hundreds of identical docs → every
+    band bucket hot) completes with every new doc matched to the
+    GLOBAL min old id at k=64 — the per-side star collapse preserves
+    exact results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import dedup_incremental_minhash
+
+    def write(docs, name):
+        sf = tmp_path / name
+        sf.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict({
+                "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }),
+            sf / "documents.parquet",
+        )
+        return str(sf)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about distributed dataflow engines"
+    # doc 0 (old) == doc 1 (new) == doc 3 (new); doc 2 (old) distinct;
+    # doc 5 (new) matches nothing old.
+    docs = [base, base, other, base, other + " shifted", "unrelated text entirely here"]
+    rows = dedup_incremental_minhash(write(docs, "a")).take_all()
+    got = {r["doc_id"]: (r["matched_old"], r["match_k64"]) for r in rows}
+    assert got[1] == (0, 64) and got[3] == (0, 64)
+    assert 5 not in got  # no old near-dup
+    assert all(d % 2 == 1 for d in got)  # only new docs report
+
+    # degenerate: 300 identical docs — every bucket hot (> 64 members)
+    rows = dedup_incremental_minhash(write([base] * 300, "b")).take_all()
+    got = {r["doc_id"]: (r["matched_old"], r["match_k64"]) for r in rows}
+    assert set(got) == set(range(1, 300, 2))  # every new doc matched
+    assert all(v == (0, 64) for v in got.values())  # global min old id
