@@ -763,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis over documents ---
         "doc_token_counts": text_analysis.token_counts,
         "doc_quality": text_analysis.quality,
+        "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
         "doc_fingerprints": lambda sf: text_analysis.fingerprints(sf).drop_columns(["n_winnow"]),
         "doc_winnow": lambda sf: text_analysis.fingerprints(sf).drop_columns(["text_md5"]),
@@ -3085,6 +3086,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es >= s_fr THEN 'es'
                         ELSE 'fr' END AS pred_lang
             FROM scored
+        """,
+        "gopher_rules": r"""
+            -- Gopher filter bank (ops/text_analysis.gopher_rules):
+            -- exact-integer rule inequalities, bits = violations.
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS raw,
+                     list_filter(str_split_regex(lower(coalesce(text, '')),
+                                 '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(toks) AS n,
+                     coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                       AS chars,
+                     (len(raw) - len(replace(raw, '#', '')))
+                       + (len(raw) - len(replace(raw, '...', ''))) // 3
+                       AS symbols,
+                     len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                       AS alpha,
+                     len(list_filter(['the','be','to','of','and','that',
+                                      'have','with'],
+                                     s -> list_contains(toks, s))) AS stops
+              FROM t
+            ), f AS (
+              SELECT doc_id, n,
+                     (CASE WHEN n BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+                   + (CASE WHEN 3 * n <= chars AND chars <= 10 * n
+                           THEN 0 ELSE 2 END)
+                   + (CASE WHEN 10 * symbols > n THEN 4 ELSE 0 END)
+                   + (CASE WHEN 5 * alpha < 4 * n THEN 8 ELSE 0 END)
+                   + (CASE WHEN stops < 2 THEN 16 ELSE 0 END) AS flags
+              FROM m
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                   CAST(flags AS BIGINT) AS flags,
+                   CAST(CASE WHEN flags = 0 THEN 1 ELSE 0 END AS BIGINT)
+                     AS keep
+            FROM f
         """,
         "doc_fingerprints": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "dedup_exact": """

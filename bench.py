@@ -173,6 +173,7 @@ def run_bench() -> dict:
         timed("ann_cosine_topk", similarity.ann_cosine_topk)
         timed("embedding_kmeans", similarity.embedding_kmeans)
         timed("doc_quality", text_analysis.quality)
+        timed("gopher_rules", text_analysis.gopher_rules)
         timed("domain_stats", text_analysis.domain_stats)
         timed("line_dedup", dedup.line_dedup)
         timed("substring_dedup", dedup.substring_dedup)

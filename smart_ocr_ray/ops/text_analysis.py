@@ -3425,3 +3425,87 @@ def ngram_cardinality(sf_dir: str, max_n: int = 3) -> ray.data.Dataset:
         )
 
     return map_key_groups(merged, ["n"], _est)
+
+
+# gopher_rules: the published Gopher (Rae et al. 2021, arXiv:2112.11446
+# Table A1) filter thresholds, frozen on exact integer inequalities so
+# the SQL oracle is bit-identical. Bits set = rule VIOLATED.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_FLAG_WORD_COUNT = 1       # n_words outside [50, 100_000]
+GOPHER_FLAG_MEAN_WORD_LEN = 2    # mean word length outside [3, 10]
+GOPHER_FLAG_SYMBOL_RATIO = 4     # (#'#' + #'...') / words > 0.1
+GOPHER_FLAG_ALPHA_WORDS = 8      # < 80% of words contain [a-z]
+GOPHER_FLAG_STOPWORDS = 16       # < 2 distinct Gopher stop words
+_GOPHER_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_words", pa.int64()),
+        ("flags", pa.int64()),
+        ("keep", pa.int64()),
+    ]
+)
+
+
+def gopher_rules(sf_dir: str) -> ray.data.Dataset:
+    """The Gopher quality-filter rule bank — the named filter battery
+    (Rae et al. 2021) most pretraining pipelines run verbatim, as a
+    per-document flag bitmask + keep decision (bits record WHICH rule
+    fired, the diagnostic a curation dashboard needs; ``doc_quality``
+    is the scoring view, this is the published decision table).
+
+    Frozen exact-integer semantics (mirrored by the SQL oracle); words
+    = lowercase whitespace tokens (the ``bm25_search`` rule):
+
+      bit 1: n_words outside [50, 100000]
+      bit 2: mean word length outside [3, 10]
+             (3·n ≤ Σlen(w) AND Σlen(w) ≤ 10·n)
+      bit 4: symbol ratio — 10·(count('#') + count('...')) > n_words
+      bit 8: alphabetic words — 5·|{w: w has [a-z]}| < 4·n_words
+      bit 16: fewer than 2 DISTINCT Gopher stop words present
+              ("the be to of and that have with")
+
+    ``keep = 1`` iff flags == 0. The paper's line-shape rules (bullet/
+    ellipsis line fractions) are N/A on this corpus's single-line
+    documents and deliberately omitted. Stateless single-pass map —
+    the trivially-parallel scale shape; no shuffle at any corpus size.
+    """
+    import re
+
+    alpha_re = re.compile(r"[a-z]")
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_n, out_f, out_k = [], [], []
+        for t in batch.column("text").to_pylist():
+            raw = t or ""
+            toks = raw.strip().lower().split()
+            n = len(toks)
+            chars = sum(len(w) for w in toks)
+            symbols = raw.count("#") + raw.count("...")
+            alpha = sum(1 for w in toks if alpha_re.search(w))
+            stops = sum(1 for s in GOPHER_STOPS if s in toks)
+            flags = 0
+            if not (50 <= n <= 100_000):
+                flags |= GOPHER_FLAG_WORD_COUNT
+            if not (3 * n <= chars <= 10 * n):
+                flags |= GOPHER_FLAG_MEAN_WORD_LEN
+            if 10 * symbols > n:
+                flags |= GOPHER_FLAG_SYMBOL_RATIO
+            if 5 * alpha < 4 * n:
+                flags |= GOPHER_FLAG_ALPHA_WORDS
+            if stops < 2:
+                flags |= GOPHER_FLAG_STOPWORDS
+            out_n.append(n)
+            out_f.append(flags)
+            out_k.append(1 if flags == 0 else 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(out_n, pa.int64()),
+                "flags": pa.array(out_f, pa.int64()),
+                "keep": pa.array(out_k, pa.int64()),
+            },
+            schema=_GOPHER_SCHEMA,
+        )
+
+    return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")

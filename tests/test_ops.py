@@ -5627,3 +5627,53 @@ def test_dedup_incremental_minhash_matches_and_hot_bucket_guard(ray_session, tmp
     got = {r["doc_id"]: (r["matched_old"], r["match_k64"]) for r in rows}
     assert set(got) == set(range(1, 300, 2))  # every new doc matched
     assert all(v == (0, 64) for v in got.values())  # global min old id
+
+
+def test_gopher_rules_flag_matrix(ray_session, tmp_path):
+    """gopher_rules: each rule fires on a targeted violation and a
+    clean long document keeps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import (
+        GOPHER_FLAG_ALPHA_WORDS,
+        GOPHER_FLAG_MEAN_WORD_LEN,
+        GOPHER_FLAG_STOPWORDS,
+        GOPHER_FLAG_SYMBOL_RATIO,
+        GOPHER_FLAG_WORD_COUNT,
+        gopher_rules,
+    )
+
+    clean = ("the report says that we have to work with care and be sure "
+             "of every number before anyone moves ahead ") * 3  # 60 words
+    docs = [
+        clean,                                      # 0: keeps
+        "short text with the and of that",          # 1: word count only... stops ok
+        clean + " " + "## ### #### ##### " * 4,     # 2: symbols
+        ("aa " * 60) + "the be",                     # 3: mean len + alpha ok... len 2 <3 viol
+        ("1234 " * 60) + "the be",                   # 4: alpha violation
+        clean.replace("the ", "xx ").replace("that ", "yy ")
+             .replace("have ", "zz ").replace("to ", "qq ")
+             .replace("of ", "pp ").replace("and ", "rr ")
+             .replace("be ", "ss ").replace("with ", "tt "),  # 5: no stops
+        "",                                          # 6: empty
+    ]
+    sf = tmp_path / "gsf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(str(sf)).take_all()}
+    assert got[0]["flags"] == 0 and got[0]["keep"] == 1
+    assert got[1]["flags"] & GOPHER_FLAG_WORD_COUNT
+    assert got[2]["flags"] & GOPHER_FLAG_SYMBOL_RATIO
+    assert got[3]["flags"] & GOPHER_FLAG_MEAN_WORD_LEN
+    assert got[4]["flags"] & GOPHER_FLAG_ALPHA_WORDS
+    assert got[5]["flags"] & GOPHER_FLAG_STOPWORDS
+    assert got[6]["n_words"] == 0
+    assert got[6]["flags"] & GOPHER_FLAG_WORD_COUNT
+    assert got[6]["flags"] & GOPHER_FLAG_STOPWORDS
+    assert all(r["keep"] == (1 if r["flags"] == 0 else 0) for r in got.values())
