@@ -769,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": lambda sf: text_analysis.fingerprints(sf).drop_columns(["text_md5"]),
         "domain_stats": text_analysis.domain_stats,
         "top_bigrams": text_analysis.top_ngrams,
+        "bigram_lm": text_analysis.bigram_lm,
         "trending_terms": text_analysis.trending_terms,
         "contamination_check": text_analysis.contamination_check,
         "quality_filter": text_analysis.quality_filter,
@@ -3086,6 +3087,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es >= s_fr THEN 'es'
                         ELSE 'fr' END AS pred_lang
             FROM scored
+        """,
+        "bigram_lm": r"""
+            -- Bigram LM table (ops/text_analysis.bigram_lm): top-3
+            -- continuations per prefix, exact floor-div conditional
+            -- probability against the FULL denominator.
+            WITH t AS (
+              SELECT list_filter(str_split_regex(lower(coalesce(text, '')),
+                                 '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+            ), c AS (
+              SELECT w1, w2, count(*) AS c FROM g GROUP BY w1, w2
+            ), d AS (
+              SELECT w1, sum(c) AS den FROM c GROUP BY w1
+            ), r AS (
+              SELECT c.w1, c.w2, c.c, d.den,
+                     row_number() OVER (
+                       PARTITION BY c.w1 ORDER BY c.c DESC, c.w2 ASC) AS rnk
+              FROM c JOIN d USING (w1) WHERE c.c >= 5
+            )
+            SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2,
+                   CAST(c AS BIGINT) AS c,
+                   CAST((1000000 * c) // den AS BIGINT) AS p_e6
+            FROM r WHERE rnk <= 3
         """,
         "gopher_rules": r"""
             -- Gopher filter bank (ops/text_analysis.gopher_rules):

@@ -217,6 +217,7 @@ def run_bench() -> dict:
         timed("events_range_join", relational.events_range_join)
         timed("events_hll_hourly", relational.events_hll_hourly)
         timed("pmi_pairs", text_analysis.pmi_pairs)
+        timed("bigram_lm", text_analysis.bigram_lm)
         timed("bpe_merges", text_analysis.bpe_merges)
         timed("bpe_encode", text_analysis.bpe_encode)
         timed("crawl_diff", dedup.crawl_diff)

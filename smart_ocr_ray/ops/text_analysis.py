@@ -3509,3 +3509,105 @@ def gopher_rules(sf_dir: str) -> ray.data.Dataset:
         )
 
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
+_BIGRAM_LM_SCHEMA = pa.schema(
+    [
+        ("w1", pa.string()),
+        ("rnk", pa.int64()),
+        ("w2", pa.string()),
+        ("c", pa.int64()),
+        ("p_e6", pa.int64()),
+    ]
+)
+
+
+def bigram_lm(
+    sf_dir: str, min_count: int = 5, k: int = 3
+) -> ray.data.Dataset:
+    """Bigram language-model table: the top-``k`` continuations of
+    every prefix word with their exact conditional probabilities — the
+    count-based n-gram LM estimation step (Kneser-Ney's raw-count
+    input; also the autocomplete / next-token-suggestion table), and
+    the CONDITIONAL ranking the symmetric ``pmi_pairs`` /
+    ``top_bigrams`` rollups don't give.
+
+    Frozen semantics (mirrored by the SQL oracle): tokens = lowercase
+    whitespace split; adjacent ordered pairs (w1, w2); continuations
+    with corpus count < ``min_count`` drop; ``p_e6 = (1e6·c(w1,w2)) //
+    den(w1)`` where den(w1) = Σ_w2 c(w1,w2) over ALL continuations
+    (so kept rows of a prefix need not sum to 1e6 — the denominator
+    is the true LM normalizer, not the survivors'); rank by (c desc,
+    w2 asc), top ``k`` per prefix.
+
+    Scale shape: per-block bigram Counters collapse repeats before
+    the ONE (w1, w2) shuffle; the denominator reduces FROM the pair
+    table (no second corpus pass) and gathers back by w1 with the
+    sort-gather; ranking is a per-prefix ``map_key_groups`` top-k.
+    Text never shuffles; the pair table is vocab²-bounded per block.
+    """
+    from collections import Counter
+
+    import numpy as np
+
+    from .grouped import gather_by_key, map_key_groups, reduce_by_keys
+
+    docs = read_documents(sf_dir)
+
+    pair_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
+    )
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").strip().lower().split()
+            cnt.update(zip(toks, toks[1:]))
+        keys = list(cnt.keys())
+        return pa.Table.from_pydict(
+            {
+                "w1": pa.array([p[0] for p in keys], pa.string()),
+                "w2": pa.array([p[1] for p in keys], pa.string()),
+                "c": pa.array([cnt[p] for p in keys], pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    pairs = reduce_by_keys(
+        docs.map_batches(_pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"], "c", how="sum",
+    ).materialize()
+
+    den = reduce_by_keys(pairs, ["w1"], "c", how="sum", out="den")
+
+    withden = gather_by_key(
+        pairs, "w1", den, "w1", "den", "den", pair_schema, pa.int64()
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pc.greater_equal(batch.column("c"), min_count))
+
+    def _topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _BIGRAM_LM_SCHEMA.empty_table()
+        g = group.sort_by([("c", "descending"), ("w2", "ascending")]).slice(0, k)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        den_v = g.column("den").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "w1": g.column("w1"),
+                "rnk": pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)),
+                "w2": g.column("w2"),
+                "c": g.column("c").cast(pa.int64()),
+                "p_e6": pa.array(1_000_000 * c // den_v, pa.int64()),
+            },
+            schema=_BIGRAM_LM_SCHEMA,
+        )
+
+    return map_key_groups(
+        withden.map_batches(_filter, batch_format="pyarrow"), "w1", _topk
+    )

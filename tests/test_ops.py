@@ -5677,3 +5677,32 @@ def test_gopher_rules_flag_matrix(ray_session, tmp_path):
     assert got[6]["flags"] & GOPHER_FLAG_WORD_COUNT
     assert got[6]["flags"] & GOPHER_FLAG_STOPWORDS
     assert all(r["keep"] == (1 if r["flags"] == 0 else 0) for r in got.values())
+
+
+def test_bigram_lm_known_counts(ray_session, tmp_path):
+    """bigram_lm: exact conditional probabilities against the FULL
+    denominator, min_count drop, (count desc, w2 asc) ranking."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bigram_lm
+
+    # one bigram per doc (single-doc chaining would create extra
+    # bigrams at the joins: "a b a b" contains 'b a')
+    docs = (["a b"] * 6) + (["a c"] * 5) + (["a d"] * 2) + (["b a"] * 5)
+    sf = tmp_path / "blm"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = bigram_lm(str(sf)).take_all()
+    got = {(r["w1"], r["w2"]): (r["rnk"], r["c"], r["p_e6"]) for r in rows}
+    # den(a) = 13 (6+5+2 including the dropped 'a d')
+    assert got[("a", "b")] == (1, 6, 1_000_000 * 6 // 13)
+    assert got[("a", "c")] == (2, 5, 1_000_000 * 5 // 13)
+    assert ("a", "d") not in got  # min_count
+    assert got[("b", "a")] == (1, 5, 1_000_000)
+    assert len(got) == 3
