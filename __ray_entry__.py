@@ -371,6 +371,14 @@ def _q_link_kcore(sf_dir: str):
     return link_kcore(_pages_path(sf_dir))
 
 
+def _q_url_templates(sf_dir: str):
+    """URL path-template mining: digit runs collapse to N, one row per
+    template with page count and min example url."""
+    from smart_ocr_ray.ops.urls import url_templates
+
+    return url_templates(_pages_path(sf_dir))
+
+
 def _q_link_walks(sf_dir: str):
     """Deterministic random walks (hash-argmin next hop, 3 steps) from
     the hash-seed quarter of pages — the DeepWalk/node2vec corpus."""
@@ -804,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_kcore": _q_link_kcore,
         "crawl_schedule": _q_crawl_schedule,
         "link_walks": _q_link_walks,
+        "url_templates": _q_url_templates,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2210,6 +2219,18 @@ def _link_walks_sql(n_steps: int = 3, seed_mod: int = 4) -> str:
     """
 
 
+def _url_templates_sql() -> str:
+    """Oracle for ``url_templates``: global digit-run regexp_replace +
+    count/min rollup over the same pages parquet."""
+    return f"""
+        SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS template,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               min(url) AS example_url
+        FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+        GROUP BY 1
+    """
+
+
 def _crawl_schedule_sql(per_host: int = 4) -> str:
     """Oracle for ``crawl_schedule``: window row_number per section
     (the ``section_graph`` regexp) ordered by (warc_ts, url), floor-div
@@ -2574,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_kcore"] = _link_kcore_sql()
         corpus_dependent["crawl_schedule"] = _crawl_schedule_sql()
         corpus_dependent["link_walks"] = _link_walks_sql()
+        corpus_dependent["url_templates"] = _url_templates_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

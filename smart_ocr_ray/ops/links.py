@@ -2452,7 +2452,7 @@ def link_kcore(pages_path: str, n_rounds: int = 4) -> ray.data.Dataset:
         )
 
         def _hindex(block: pa.Table) -> pa.Table:
-            if block.num_rows == 0:
+            if block.num_rows == 0 or "dst" not in block.column_names:
                 return c_schema.empty_table()
             # The global sort co-locates each dst (keys-only sort, the
             # map_key_groups contract); the value ordering the h-index

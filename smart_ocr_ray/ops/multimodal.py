@@ -482,7 +482,11 @@ def frame_dedup(
         )
 
     def _final(block: pa.Table) -> pa.Table:
-        block = block.combine_chunks()
+        if block.num_rows == 0 or "frame_hash" not in block.column_names:
+            return _FRAME_DEDUP_SCHEMA.empty_table()
+        # Keys-only global sort co-locates each hash (the
+        # map_key_groups contract); the survivor order is local.
+        block = block.sort_by(sort_keys).combine_chunks()
         bounds = group_bounds(block, ["frame_hash"])
         starts = bounds[:-1]
         n = block.column("n").to_numpy(zero_copy_only=False)
@@ -502,6 +506,6 @@ def frame_dedup(
 
     return (
         frames.map_batches(_hash_and_collapse, batch_format="pyarrow")
-        .sort([k for k, _ in sort_keys])
+        .sort(["frame_hash"])
         .map_batches(_final, batch_format="pyarrow", batch_size=None)
     )

@@ -159,3 +159,77 @@ def url_canonical(sf_dir: str) -> ray.data.Dataset:
     return rows.sort("canon_url").map_batches(
         _pick_latest, batch_format="pyarrow", batch_size=None
     )
+
+
+_TEMPLATE_SCHEMA = pa.schema(
+    [
+        ("template", pa.string()),
+        ("n_pages", pa.int64()),
+        ("example_url", pa.string()),
+    ]
+)
+
+
+def url_templates(pages_path: str) -> ray.data.Dataset:
+    """URL path-template mining: collapse digit runs to ``N`` and count
+    pages per resulting template — the sitemap-structure discovery a
+    crawler runs to find parametric page families (product/article/
+    listing patterns), prioritize crawl frontiers by family size, and
+    spot infinite URL spaces (calendar traps show up as one template
+    with an enormous count).
+
+    Frozen semantics (mirrored by the SQL oracle): ``template =
+    regexp_replace(url, '[0-9]+' -> 'N', global)``; output one row per
+    template with its page count and the lexicographically-min example
+    url. Scale shape: stateless template map, then ONE sorted pass
+    computing count + first-url per template (the ``reduce_by_keys``
+    sort+reduceat idiom, both aggregates in one block scan); urls are
+    the only shuffled bytes.
+    """
+    import re
+
+    from .grouped import group_bounds
+
+    digit_re = re.compile(r"[0-9]+")
+    pages = ray.data.read_parquet(pages_path, columns=["url"])
+
+    kv_schema = pa.schema([("template", pa.string()), ("url", pa.string())])
+
+    def _template(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return kv_schema.empty_table()
+        urls = [u or "" for u in batch.column("url").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "template": pa.array(
+                    [digit_re.sub("N", u) for u in urls], pa.string()
+                ),
+                "url": pa.array(urls, pa.string()),
+            },
+            schema=kv_schema,
+        )
+
+    def _rollup(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "template" not in block.column_names:
+            return _TEMPLATE_SCHEMA.empty_table()
+        # Keys-only global sort co-locates each template (the
+        # map_key_groups contract); the example-url min is a local sort.
+        block = block.sort_by(
+            [("template", "ascending"), ("url", "ascending")]
+        ).combine_chunks()
+        bounds = group_bounds(block, ["template"])
+        starts = pa.array(bounds[:-1])
+        return pa.Table.from_pydict(
+            {
+                "template": block.column("template").take(starts),
+                "n_pages": pa.array(np.diff(bounds), pa.int64()),
+                "example_url": block.column("url").take(starts),
+            },
+            schema=_TEMPLATE_SCHEMA,
+        )
+
+    return (
+        pages.map_batches(_template, batch_format="pyarrow")
+        .sort(["template"])
+        .map_batches(_rollup, batch_format="pyarrow", batch_size=None)
+    )

@@ -5706,3 +5706,30 @@ def test_bigram_lm_known_counts(ray_session, tmp_path):
     assert ("a", "d") not in got  # min_count
     assert got[("b", "a")] == (1, 5, 1_000_000)
     assert len(got) == 3
+
+
+def test_url_templates_digit_collapse(ray_session, tmp_path):
+    """url_templates: digit runs collapse to N, counts and min example
+    per template, non-digit urls stay themselves."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.urls import url_templates
+
+    urls = [
+        "https://h.test/item/123",
+        "https://h.test/item/7",
+        "https://h.test/item/99/reviews",
+        "https://h.test/about",
+        "https://h2.test/item/4",
+    ]
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(pa.Table.from_pydict({"url": pa.array(urls)}),
+                   pdir / "pages.parquet")
+    got = {r["template"]: (r["n_pages"], r["example_url"])
+           for r in url_templates(str(pdir)).take_all()}
+    assert got["https://h.test/item/N"] == (2, "https://h.test/item/123")
+    assert got["https://h.test/item/N/reviews"] == (1, "https://h.test/item/99/reviews")
+    assert got["https://h.test/about"] == (1, "https://h.test/about")
+    assert got["https://hN.test/item/N"] == (1, "https://h2.test/item/4")
+    assert len(got) == 4
