@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_k": text_analysis.sample_exact_k,
         "sample_stratified_k": text_analysis.sample_stratified_k,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
+        "lang_length_quantiles": text_analysis.lang_length_quantiles,
         "corpus_profile": text_analysis.corpus_profile,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_repetition": text_analysis.doc_repetition,
@@ -849,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_weights": dedup.dedup_weights,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "dedup_simhash_clusters": dedup.dedup_simhash_clusters,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "substring_dedup": dedup.substring_dedup,
         "winnow_pairs": dedup.winnow_pairs,
@@ -2922,6 +2924,29 @@ def oracle_sql() -> dict[str, str]:
               ON (a.f >> 48) = (b.f >> 48) AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 3
         """,
+        # Components over the simhash pair edges — same recursive-
+        # reach shape as dedup_clusters, on the simhash pair CTE.
+        "dedup_simhash_clusters": "WITH RECURSIVE " + _SIMHASH_VAL_CTE + r""",
+            fp AS (
+              SELECT d.doc_id, CAST(coalesce(v.v, 0) AS UBIGINT) AS f
+              FROM documents d LEFT JOIN val v USING (doc_id)
+            ),
+            p2 AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM fp a JOIN fp b
+                ON (a.f >> 48) = (b.f >> 48) AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.f, b.f)) <= 3
+            ),
+            edges AS (SELECT left_id AS node, right_id AS peer FROM p2
+                      UNION ALL SELECT right_id, left_id FROM p2),
+            reach(node, label) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.peer
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
         "doc_winnow": r"""
             WITH t AS (SELECT doc_id, coalesce(text,'') AS txt FROM documents),
             kg AS (
@@ -4400,6 +4425,31 @@ def oracle_sql() -> dict[str, str]:
                  (VALUES (25), (50), (75), (90), (99)) q(q)
             WHERE w.cum * 100 >= q.q * n.n_total
             GROUP BY q.q
+        """,
+        "lang_length_quantiles": """
+            -- Grouped variant of doc_length_quantiles
+            -- (ops/text_analysis.lang_length_quantiles): per lang, the
+            -- smallest length v with cum_count(v) * 100 >= q * n_lang.
+            WITH tok AS (
+              SELECT lang,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(
+                                   trim(coalesce(text, '')), '\\s+'))
+                     END AS n_tok
+              FROM documents
+            ), c AS (
+              SELECT lang, n_tok, count(*) AS cnt FROM tok GROUP BY lang, n_tok
+            ), w AS (
+              SELECT lang, n_tok,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY n_tok) AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS n_lang
+              FROM c
+            )
+            SELECT w.lang, CAST(q.q AS BIGINT) AS quantile_pct,
+                   CAST(min(w.n_tok) AS BIGINT) AS n_tokens
+            FROM w, (VALUES (25), (50), (75), (90), (99)) q(q)
+            WHERE w.cum * 100 >= q.q * w.n_lang
+            GROUP BY w.lang, q.q
         """,
         "line_dedup": """
             -- Fixed 8-token line windows (ops/dedup.line_dedup), hot =

@@ -523,6 +523,30 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     return map_key_groups(fp, "bucket", _pairs, min_group_size=2)
 
 
+def dedup_simhash_clusters(
+    sf_dir: str, max_hamming: int = 3, max_rounds: int = 20
+) -> ray.data.Dataset:
+    """SimHash near-duplicate CLUSTERS: the ``dedup_simhash_pairs``
+    candidate edges closed into connected components — completing the
+    SimHash family to the same pairs→clusters shape as MinHash
+    (``dedup_clusters``), winnowing (``winnow_clusters``) and
+    embedding LSH (``embedding_neardup_clusters``).
+
+    Components use the shared distributed min-label propagation
+    (``cluster_pairs``): labels never touch the driver, pointer
+    jumping converges in O(log diameter) rounds, and the hot-bucket
+    star collapse inside the pair stage is exactly component-
+    preserving (a collapsed member keeps an edge to its identical-
+    fingerprint representative), so clusters are correct even past the
+    guard threshold where the all-pairs list itself is truncated.
+
+    Output: (doc_id, cluster_id = min doc_id of the component),
+    members of near-dup groups only, sorted by doc_id.
+    """
+    pairs = dedup_simhash_pairs(sf_dir, max_hamming=max_hamming)
+    return cluster_pairs(pairs.drop_columns(["hamming"]), max_rounds=max_rounds)
+
+
 def ngram_jaccard_pairs(
     sf_dir: str, max_doc_id: int = 300, threshold: float = 0.2, k: int = 3
 ) -> ray.data.Dataset:

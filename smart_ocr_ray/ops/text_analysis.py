@@ -537,6 +537,78 @@ def doc_length_quantiles(
     )
 
 
+def lang_length_quantiles(
+    sf_dir: str, quantiles: tuple[int, ...] = (25, 50, 75, 90, 99)
+) -> ray.data.Dataset:
+    """Exact PER-LANGUAGE token-length quantiles — the grouped variant
+    of ``doc_length_quantiles`` (same integer-grid rule: the q-th
+    percentile is the smallest length v with ``cum_count(v) * 100 >=
+    q * n_lang``). Curation pipelines cut length thresholds per
+    language because script density differs (CJK packs a sentence into
+    what a whitespace tokenizer calls 3 "tokens"); a single global
+    quantile table over-prunes one language and under-prunes another.
+
+    Scale shape: fully distributed, no driver walk — per-batch token
+    counts → ``groupby(lang, n_tokens).count()`` collapses the corpus
+    to per-language histograms (rows bounded by distinct lengths ×
+    languages, independent of corpus size), then ``map_key_groups`` on
+    lang runs the cumulative walk inside each co-located histogram.
+
+    Output: one row per (lang, quantile_pct), sorted upstream of the
+    driver by the map_key_groups key sort.
+    """
+    import numpy as np
+
+    from .grouped import map_key_groups
+
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("quantile_pct", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "lang": batch.column("lang"),
+                "n_tokens": pa.array(
+                    [token_count(t or "") for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def _walk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        group = group.sort_by("n_tokens")
+        lang = group.column("lang")[0].as_py()
+        lens = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(group.column("count()").to_numpy(zero_copy_only=False))
+        n_total = int(cum[-1])
+        # smallest v with cum*100 >= q*n_total — searchsorted on the
+        # monotone cum array, one shot for all quantiles.
+        idx = np.searchsorted(cum * 100, [q * n_total for q in quantiles], side="left")
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array([lang] * len(quantiles), pa.string()),
+                "quantile_pct": pa.array(list(quantiles), pa.int64()),
+                "n_tokens": pa.array(lens[idx], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    hist = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        .map_batches(_tok, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .count()
+    )
+    return map_key_groups(hist, "lang", _walk)
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Per-document top-k terms by an integer-grid tf-idf:
     ``score = tf * ((1_000_000 * n_docs) // df)`` — the idf factor is a

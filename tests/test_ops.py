@@ -909,6 +909,69 @@ def test_simhash_pairs_semantics_and_degenerate_guard(ray_session, tmp_path):
     assert len(pairs) == n_dup - 1  # the distinct doc never pairs
 
 
+def test_simhash_clusters_star_and_isolation(ray_session, tmp_path):
+    """dedup_simhash_clusters: two identical-text families become two
+    components labeled by their min doc_id; the distinct doc is absent;
+    the guarded star (family A > HOT_BUCKET_LIMIT) still yields ONE
+    component — the collapse is component-preserving."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import dedup_simhash_clusters
+
+    fam_a = "the quick brown fox jumps over the lazy dog again and again " * 5
+    fam_b = "completely different content about maritime navigation charts " * 5
+    lone = "a third unrelated essay on volcanic basalt column formation " * 5
+    n_a = 80  # > HOT_BUCKET_LIMIT — exercises the star collapse
+    texts = [fam_a] * n_a + [fam_b, fam_b, lone]
+    sf = tmp_path / "shcl"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = dedup_simhash_clusters(str(sf)).take_all()
+    labels = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(labels) == n_a + 2  # lone doc never appears
+    assert all(labels[d] == 0 for d in range(n_a))
+    assert labels[n_a] == n_a and labels[n_a + 1] == n_a
+
+
+def test_lang_length_quantiles_exact(ray_session, tmp_path):
+    """lang_length_quantiles: per-language integer-grid quantiles match
+    the hand-computed rule (smallest v with cum*100 >= q*n) on a corpus
+    with two languages of different length profiles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import lang_length_quantiles
+
+    # en: lengths 1..10 (one doc each); fr: lengths 5, 5, 20.
+    texts = [("en", "w " * n) for n in range(1, 11)]
+    texts += [("fr", "m " * 5), ("fr", "m " * 5), ("fr", "m " * 20)]
+    sf = tmp_path / "lq"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "lang": pa.array([l for l, _ in texts], pa.string()),
+            "text": pa.array([t.strip() for _, t in texts], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {(r["lang"], r["quantile_pct"]): r["n_tokens"]
+            for r in lang_length_quantiles(str(sf)).take_all()}
+    # en, n=10: q25 -> cum>=2.5 -> len 3; q50 -> 5; q75 -> 8; q90 -> 9; q99 -> 10
+    assert rows[("en", 25)] == 3 and rows[("en", 50)] == 5
+    assert rows[("en", 75)] == 8 and rows[("en", 90)] == 9
+    assert rows[("en", 99)] == 10
+    # fr, n=3: cum(5)=2 -> covers q25/q50 (2*100 >= 50*3); q75+ -> 20
+    assert rows[("fr", 25)] == 5 and rows[("fr", 50)] == 5
+    assert rows[("fr", 75)] == 20 and rows[("fr", 99)] == 20
+    assert len(rows) == 10
+
+
 def test_embedding_neardup_exact_and_lsh_recall(ray_session, tmp_path):
     """Embedding-cosine near-dup: the exact variant finds every pair, and
     the hyperplane-LSH scale path recovers most true near-dup pairs on a
