@@ -379,6 +379,14 @@ def _q_url_templates(sf_dir: str):
     return url_templates(_pages_path(sf_dir))
 
 
+def _q_shard_plan(sf_dir: str):
+    """Compaction plan over the pages corpus directory: per-file row
+    counts from footers only, greedy contiguous target-row packing."""
+    from smart_ocr_ray.ops.storage import shard_plan
+
+    return shard_plan(_pages_path(sf_dir))
+
+
 def _q_link_walks(sf_dir: str):
     """Deterministic random walks (hash-argmin next hop, 3 steps) from
     the hash-seed quarter of pages — the DeepWalk/node2vec corpus."""
@@ -814,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": _q_crawl_schedule,
         "link_walks": _q_link_walks,
         "url_templates": _q_url_templates,
+        "shard_plan": _q_shard_plan,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2233,6 +2242,31 @@ def _url_templates_sql() -> str:
     """
 
 
+def _shard_plan_sql(target_rows: int = 1000) -> str:
+    """Oracle for ``shard_plan``: count rows per file via
+    ``filename=true`` (== the footer num_rows the Ray side reads),
+    exclusive prefix sum over basename order, floor-div shard id."""
+    return f"""
+        WITH f AS (
+          SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+                 count(*) AS n_rows
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet',
+                            filename=true)
+          GROUP BY 1
+        ), c AS (
+          SELECT file, n_rows,
+                 coalesce(sum(n_rows) OVER (
+                   ORDER BY file
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cum_prev
+          FROM f
+        )
+        SELECT file, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(cum_prev // {target_rows} AS BIGINT) AS shard
+        FROM c
+    """
+
+
 def _crawl_schedule_sql(per_host: int = 4) -> str:
     """Oracle for ``crawl_schedule``: window row_number per section
     (the ``section_graph`` regexp) ordered by (warc_ts, url), floor-div
@@ -2598,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["crawl_schedule"] = _crawl_schedule_sql()
         corpus_dependent["link_walks"] = _link_walks_sql()
         corpus_dependent["url_templates"] = _url_templates_sql()
+        corpus_dependent["shard_plan"] = _shard_plan_sql()
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

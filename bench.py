@@ -297,6 +297,16 @@ def run_bench() -> dict:
 
         timed("link_walks", lambda _sf: link_walks(pages_path))
         timed("ngram_cardinality", text_analysis.ngram_cardinality)
+        timed("dedup_simhash_clusters", dedup.dedup_simhash_clusters)
+        timed("lang_length_quantiles", text_analysis.lang_length_quantiles)
+
+        from smart_ocr_ray.ops.urls import url_templates
+
+        timed("url_templates", lambda _sf: url_templates(pages_path))
+
+        from smart_ocr_ray.ops.storage import shard_plan
+
+        timed("shard_plan", lambda _sf: shard_plan(pages_path))
 
         from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages
 

@@ -181,10 +181,14 @@ def url_templates(pages_path: str) -> ray.data.Dataset:
     Frozen semantics (mirrored by the SQL oracle): ``template =
     regexp_replace(url, '[0-9]+' -> 'N', global)``; output one row per
     template with its page count and the lexicographically-min example
-    url. Scale shape: stateless template map, then ONE sorted pass
-    computing count + first-url per template (the ``reduce_by_keys``
-    sort+reduceat idiom, both aggregates in one block scan); urls are
-    the only shuffled bytes.
+    url. Scale shape: both aggregates are algebraic (count = sum of
+    partial counts, example = min of partial mins), so the template map
+    COLLAPSES each block to one partial row per distinct template
+    before the sort — the very hot template this op exists to surface
+    (a calendar trap is one template with millions of pages) ships as
+    one row per map block instead of one row per page, so it can never
+    skew the sort's range partitioning; the final sorted pass merges
+    partials per template.
     """
     import re
 
@@ -193,20 +197,35 @@ def url_templates(pages_path: str) -> ray.data.Dataset:
     digit_re = re.compile(r"[0-9]+")
     pages = ray.data.read_parquet(pages_path, columns=["url"])
 
-    kv_schema = pa.schema([("template", pa.string()), ("url", pa.string())])
+    part_schema = pa.schema(
+        [
+            ("template", pa.string()),
+            ("n_pages", pa.int64()),
+            ("example_url", pa.string()),
+        ]
+    )
 
     def _template(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "url" not in batch.column_names:
-            return kv_schema.empty_table()
+            return part_schema.empty_table()
         urls = [u or "" for u in batch.column("url").to_pylist()]
+        partial: dict[str, tuple[int, str]] = {}
+        for u in urls:
+            t = digit_re.sub("N", u)
+            seen = partial.get(t)
+            partial[t] = (
+                (1, u)
+                if seen is None
+                else (seen[0] + 1, u if u < seen[1] else seen[1])
+            )
+        keys = sorted(partial)
         return pa.Table.from_pydict(
             {
-                "template": pa.array(
-                    [digit_re.sub("N", u) for u in urls], pa.string()
-                ),
-                "url": pa.array(urls, pa.string()),
+                "template": pa.array(keys, pa.string()),
+                "n_pages": pa.array([partial[t][0] for t in keys], pa.int64()),
+                "example_url": pa.array([partial[t][1] for t in keys], pa.string()),
             },
-            schema=kv_schema,
+            schema=part_schema,
         )
 
     def _rollup(block: pa.Table) -> pa.Table:
@@ -215,15 +234,18 @@ def url_templates(pages_path: str) -> ray.data.Dataset:
         # Keys-only global sort co-locates each template (the
         # map_key_groups contract); the example-url min is a local sort.
         block = block.sort_by(
-            [("template", "ascending"), ("url", "ascending")]
+            [("template", "ascending"), ("example_url", "ascending")]
         ).combine_chunks()
         bounds = group_bounds(block, ["template"])
         starts = pa.array(bounds[:-1])
+        counts = block.column("n_pages").to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict(
             {
                 "template": block.column("template").take(starts),
-                "n_pages": pa.array(np.diff(bounds), pa.int64()),
-                "example_url": block.column("url").take(starts),
+                "n_pages": pa.array(
+                    np.add.reduceat(counts, bounds[:-1]), pa.int64()
+                ),
+                "example_url": block.column("example_url").take(starts),
             },
             schema=_TEMPLATE_SCHEMA,
         )

@@ -939,6 +939,31 @@ def test_simhash_clusters_star_and_isolation(ray_session, tmp_path):
     assert labels[n_a] == n_a and labels[n_a + 1] == n_a
 
 
+def test_shard_plan_greedy_packing(ray_session, tmp_path):
+    """shard_plan: exclusive-prefix-sum floor-div packing over basename
+    order, row counts from footers; a file straddling the target
+    boundary stays in the shard its cum_prev places it in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.storage import shard_plan
+
+    sizes = {"a.parquet": 400, "b.parquet": 700, "c.parquet": 100,
+             "d.parquet": 900}
+    d = tmp_path / "shards"; d.mkdir()
+    for name, n in sizes.items():
+        pq.write_table(
+            pa.Table.from_pydict({"x": pa.array(range(n), pa.int64())}),
+            d / name,
+        )
+    (d / "_SUCCESS").touch()  # non-parquet files are ignored
+    plan = {r["file"]: (r["n_rows"], r["shard"])
+            for r in shard_plan(str(d), target_rows=1000).take_all()}
+    # cum_prev: a=0, b=400, c=1100, d=1200 -> shards 0,0,1,1
+    assert plan == {"a.parquet": (400, 0), "b.parquet": (700, 0),
+                    "c.parquet": (100, 1), "d.parquet": (900, 1)}
+
+
 def test_lang_length_quantiles_exact(ray_session, tmp_path):
     """lang_length_quantiles: per-language integer-grid quantiles match
     the hand-computed rule (smallest v with cum*100 >= q*n) on a corpus
