@@ -781,6 +781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.quality,
         "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
+        "code_switch_spans": text_analysis.code_switch_spans,
+        "majority_lang_strip": text_analysis.majority_lang_strip,
         "doc_fingerprints": lambda sf: text_analysis.fingerprints(sf).drop_columns(["n_winnow"]),
         "doc_winnow": lambda sf: text_analysis.fingerprints(sf).drop_columns(["text_md5"]),
         "domain_stats": text_analysis.domain_stats,
@@ -2242,6 +2244,61 @@ def _url_templates_sql() -> str:
     """
 
 
+def _code_switch_ctes() -> str:
+    """Shared CTE chain for the windowed language-ID family
+    (``code_switch_spans`` / ``majority_lang_strip``): lang_id's
+    stopword-argmax rule applied to the whole doc (doc_lang) and to
+    each non-overlapping 32-token window (win_lang), one ``wl`` row
+    per window carrying the window's joined token string (piece)."""
+    return f"""t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+                FROM documents
+            ), d AS (
+                SELECT doc_id, toks,
+                       len(list_filter(toks, x -> list_contains({_STOP_DE}, x))) AS s_de,
+                       len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains({_STOP_ES}, x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains({_STOP_FR}, x))) AS s_fr,
+                       len(toks) AS n
+                FROM t
+            ), dl AS (
+                SELECT doc_id, toks,
+                       CASE WHEN n = 0 THEN 'und'
+                            WHEN greatest(s_de, s_en, s_es, s_fr) < 2 THEN 'und'
+                            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                            WHEN s_es >= s_fr THEN 'es'
+                            ELSE 'fr' END AS doc_lang,
+                       n
+                FROM d
+            ), w AS (
+                SELECT doc_id, doc_lang, u.i AS win_idx,
+                       toks[(u.i * 32 + 1):(u.i * 32 + 32)] AS win
+                FROM dl, unnest(range(0, greatest((n + 31) // 32, 1))) AS u(i)
+            ), ws AS (
+                SELECT doc_id, doc_lang, win_idx,
+                       array_to_string(win, ' ') AS piece,
+                       len(list_filter(win, x -> list_contains({_STOP_DE}, x))) AS s_de,
+                       len(list_filter(win, x -> list_contains({_STOP_EN}, x))) AS s_en,
+                       len(list_filter(win, x -> list_contains({_STOP_ES}, x))) AS s_es,
+                       len(list_filter(win, x -> list_contains({_STOP_FR}, x))) AS s_fr,
+                       len(win) AS n
+                FROM w
+            ), wl AS (
+                SELECT doc_id, win_idx, piece,
+                       CASE WHEN n = 0 THEN 'und'
+                            WHEN greatest(s_de, s_en, s_es, s_fr) < 2 THEN 'und'
+                            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                            WHEN s_es >= s_fr THEN 'es'
+                            ELSE 'fr' END AS win_lang,
+                       doc_lang
+                FROM ws
+            )"""
+
+
 def _shard_plan_sql(target_rows: int = 1000) -> str:
     """Oracle for ``shard_plan``: count rows per file via
     ``filename=true`` (== the footer num_rows the Ray side reads),
@@ -3169,6 +3226,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es >= s_fr THEN 'es'
                         ELSE 'fr' END AS pred_lang
             FROM scored
+        """,
+        # Windowed language-ID family: the lang_id stopword-argmax rule
+        # per non-overlapping 32-token window; empty docs get one 'und'
+        # window at idx 0. Shared CTE chain in _code_switch_ctes().
+        "code_switch_spans": "WITH " + _code_switch_ctes() + """
+            SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx, win_lang,
+                   doc_lang,
+                   (win_lang <> doc_lang AND win_lang <> 'und') AS switched
+            FROM wl
+        """,
+        "majority_lang_strip": "WITH " + _code_switch_ctes() + """,
+            -- keep = NOT switched; rebuilt text = kept windows' lowered
+            -- tokens joined ' ' in window order, shipped as md5
+            -- (ops/text_analysis.majority_lang_strip).
+            flagged AS (
+              SELECT doc_id, win_idx, piece,
+                     (win_lang <> doc_lang AND win_lang <> 'und') AS sw
+              FROM wl
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(count(*) FILTER (WHERE NOT sw) AS BIGINT)
+                     AS kept_windows,
+                   md5(coalesce(string_agg(piece, ' ' ORDER BY win_idx)
+                                FILTER (WHERE NOT sw), '')) AS kept_md5
+            FROM flagged GROUP BY doc_id
         """,
         "bigram_lm": r"""
             -- Bigram LM table (ops/text_analysis.bigram_lm): top-3

@@ -307,6 +307,8 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.storage import shard_plan
 
         timed("shard_plan", lambda _sf: shard_plan(pages_path))
+        timed("code_switch_spans", text_analysis.code_switch_spans)
+        timed("majority_lang_strip", text_analysis.majority_lang_strip)
 
         from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages
 

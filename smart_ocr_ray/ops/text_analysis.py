@@ -609,6 +609,133 @@ def lang_length_quantiles(
     return map_key_groups(hist, "lang", _walk)
 
 
+def code_switch_spans(sf_dir: str, window: int = 32) -> ray.data.Dataset:
+    """Windowed language-ID — the CCNet move of running langid per
+    PARAGRAPH instead of per document, here on fixed token windows:
+    multilingual pages (boilerplate in one language, content in
+    another; quoted passages; code-switched forums) get a per-window
+    language so curation can keep the majority-language spans instead
+    of dropping the whole page.
+
+    Frozen semantics (mirrored by the SQL oracle): tokens = lowered
+    whitespace split of the trimmed text (the ``lang_id`` rule);
+    non-overlapping ``window``-token windows, last partial window
+    kept; per-window ``predict_lang`` (stopword-bank argmax, ≥2 hits
+    else 'und'); ``doc_lang`` = predict_lang over the whole doc;
+    ``switched`` = window lang differs from doc lang and is not 'und'.
+    Dense output: one row per window.
+
+    Scale shape: a stateless vectorized-per-doc map — no shuffle, no
+    broadcast, no driver state at any corpus size; output rows are
+    corpus_tokens/window, written/consumed streaming.
+    """
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("win_idx", pa.int64()),
+            ("win_lang", pa.string()),
+            ("doc_lang", pa.string()),
+            ("switched", pa.bool_()),
+        ]
+    )
+
+    def _spans(batch: pa.Table) -> pa.Table:
+        ids, widx, wl, dl, sw = [], [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").strip().lower().split()
+            doc_lang = predict_lang(t or "")
+            n_win = max(1, (len(toks) + window - 1) // window) if toks else 1
+            for i in range(n_win):
+                piece = " ".join(toks[i * window : (i + 1) * window])
+                win_lang = predict_lang(piece)
+                ids.append(int(d))
+                widx.append(i)
+                wl.append(win_lang)
+                dl.append(doc_lang)
+                sw.append(win_lang != doc_lang and win_lang != "und")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "win_idx": pa.array(widx, pa.int64()),
+                "win_lang": pa.array(wl, pa.string()),
+                "doc_lang": pa.array(dl, pa.string()),
+                "switched": pa.array(sw, pa.bool_()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(_spans, batch_format="pyarrow")
+    )
+
+
+def majority_lang_strip(sf_dir: str, window: int = 32) -> ray.data.Dataset:
+    """Majority-language text rewrite — the KEEP half of
+    ``code_switch_spans`` (the CCNet cleanup that drops foreign-language
+    paragraphs instead of the whole page): windows whose language
+    differs from the document's (and is not 'und') are removed, the
+    rest rejoin in order.
+
+    Frozen semantics (mirrored by the SQL oracle): windows/langs as in
+    ``code_switch_spans``; keep a window iff NOT switched; rebuilt
+    text = kept windows' LOWERED tokens joined with single spaces in
+    window order (the tokenization is lossy by design — this op's
+    contract is the token stream, like ``repetition_strip``'s line
+    windows). Output: (doc_id, n_windows, kept_windows, kept_md5) —
+    the rebuilt text ships as an md5 so corpus-scale text never lands
+    in the gate's compare.
+
+    Scale shape: identical to ``code_switch_spans`` — one stateless
+    map, no shuffle at any corpus size.
+    """
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_windows", pa.int64()),
+            ("kept_windows", pa.int64()),
+            ("kept_md5", pa.string()),
+        ]
+    )
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        ids, nw, kw, km = [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").strip().lower().split()
+            doc_lang = predict_lang(t or "")
+            n_win = max(1, (len(toks) + window - 1) // window) if toks else 1
+            kept: list[str] = []
+            for i in range(n_win):
+                piece = " ".join(toks[i * window : (i + 1) * window])
+                win_lang = predict_lang(piece)
+                if not (win_lang != doc_lang and win_lang != "und"):
+                    kept.append(piece)
+            ids.append(int(d))
+            nw.append(n_win)
+            kw.append(len(kept))
+            km.append(content_md5(" ".join(kept)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_windows": pa.array(nw, pa.int64()),
+                "kept_windows": pa.array(kw, pa.int64()),
+                "kept_md5": pa.array(km, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(_strip, batch_format="pyarrow")
+    )
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Per-document top-k terms by an integer-grid tf-idf:
     ``score = tf * ((1_000_000 * n_docs) // df)`` — the idf factor is a

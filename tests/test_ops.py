@@ -939,6 +939,65 @@ def test_simhash_clusters_star_and_isolation(ray_session, tmp_path):
     assert labels[n_a] == n_a and labels[n_a + 1] == n_a
 
 
+def test_code_switch_spans_windows(ray_session, tmp_path):
+    """code_switch_spans: a doc whose first 32 tokens are English and
+    next 32 French gets win0=en (unswitched), win1=fr (switched); doc
+    lang is the tie-break winner 'en'; an empty doc yields one 'und'
+    row at win_idx 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import code_switch_spans
+
+    mixed = " ".join(["the and of it"] * 8 + ["le est dans une"] * 8)
+    sf = tmp_path / "cs"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([mixed, ""], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {(r["doc_id"], r["win_idx"]): r
+            for r in code_switch_spans(str(sf)).take_all()}
+    assert len(rows) == 3
+    assert rows[(0, 0)]["win_lang"] == "en" and not rows[(0, 0)]["switched"]
+    assert rows[(0, 1)]["win_lang"] == "fr" and rows[(0, 1)]["switched"]
+    assert rows[(0, 0)]["doc_lang"] == "en"  # 32-32 tie breaks by code
+    assert rows[(1, 0)]["win_lang"] == "und" and not rows[(1, 0)]["switched"]
+
+
+def test_majority_lang_strip_keep_rule(ray_session, tmp_path):
+    """majority_lang_strip: the French window of a majority-English doc
+    is dropped, the rebuilt text is the kept lowered-token stream, and
+    an empty doc keeps its single 'und' window (md5 of '')."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import majority_lang_strip
+
+    en_piece = " ".join(["the and of it"] * 8)   # 32 en tokens
+    fr_piece = " ".join(["le est dans une"] * 8)  # 32 fr tokens
+    sf = tmp_path / "mls"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            # doc 0: en + fr + en -> middle window dropped
+            "text": pa.array([f"{en_piece} {fr_piece} {en_piece}", ""],
+                             pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in majority_lang_strip(str(sf)).take_all()}
+    assert rows[0]["n_windows"] == 3 and rows[0]["kept_windows"] == 2
+    want = hashlib.md5(f"{en_piece} {en_piece}".encode()).hexdigest()
+    assert rows[0]["kept_md5"] == want
+    assert rows[1]["n_windows"] == 1 and rows[1]["kept_windows"] == 1
+    assert rows[1]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
 def test_shard_plan_greedy_packing(ray_session, tmp_path):
     """shard_plan: exclusive-prefix-sum floor-div packing over basename
     order, row counts from footers; a file straddling the target
