@@ -796,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified_k": text_analysis.sample_stratified_k,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "lang_length_quantiles": text_analysis.lang_length_quantiles,
+        "tokenizer_fertility": text_analysis.tokenizer_fertility,
         "corpus_profile": text_analysis.corpus_profile,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "doc_repetition": text_analysis.doc_repetition,
@@ -3171,6 +3172,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "tokenizer_fertility": f"""
+            -- Per-language bpeish-per-word fertility on the 1e6 integer
+            -- grid (ops/text_analysis.tokenizer_fertility); HUGEINT
+            -- product so corpus-scale sums never overflow the floor-div.
+            WITH t AS (
+              SELECT coalesce(lang, '') AS lang,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len({_TOKENS}) END AS n_tok,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '[A-Za-z]+|[0-9]+|[^ \\t\\r\\n\\x0b\\x0cA-Za-z0-9]')) AS n_bp
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_bp) AS BIGINT) AS sum_bpeish,
+                   CAST((CAST(1000000 AS HUGEINT) * sum(n_bp))
+                        // greatest(sum(n_tok), 1) AS BIGINT) AS fertility_e6
+            FROM t GROUP BY lang
         """,
         "doc_token_counts": f"""
             SELECT doc_id,

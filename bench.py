@@ -309,6 +309,7 @@ def run_bench() -> dict:
         timed("shard_plan", lambda _sf: shard_plan(pages_path))
         timed("code_switch_spans", text_analysis.code_switch_spans)
         timed("majority_lang_strip", text_analysis.majority_lang_strip)
+        timed("tokenizer_fertility", text_analysis.tokenizer_fertility)
 
         from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages
 

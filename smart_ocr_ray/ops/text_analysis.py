@@ -736,6 +736,97 @@ def majority_lang_strip(sf_dir: str, window: int = 32) -> ray.data.Dataset:
     )
 
 
+def tokenizer_fertility(sf_dir: str) -> ray.data.Dataset:
+    """Per-language tokenizer fertility — sub-word tokens produced per
+    whitespace word (the multilingual tokenizer-budget diagnostic: a
+    tokenizer trained lopsidedly emits 2-4× more tokens per word for
+    under-represented languages, inflating their effective sequence
+    cost). Here the sub-word side is the deterministic ``bpeish``
+    stand-in tokenizer shared with ``token_counts``.
+
+    Frozen semantics (mirrored by the SQL oracle):
+    ``fertility_e6 = (1_000_000 * sum_bpeish) // max(sum_tokens, 1)``
+    per language — integer grid, exact across engines; Python bigint
+    on the Ray side so corpus-scale sums never overflow before the
+    floor-div.
+
+    Scale shape: per-block partial sums collapse each batch to one row
+    per language BEFORE the shuffle; the groupby moves rows bounded by
+    languages × blocks; the fertility division runs over the tiny
+    per-language table.
+    """
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("sum_tokens", pa.int64()),
+            ("sum_bpeish", pa.int64()),
+        ]
+    )
+
+    def _part(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            text = t or ""
+            a = agg.setdefault(lang or "", [0, 0, 0])
+            a[0] += 1
+            a[1] += token_count(text)
+            a[2] += bpeish_token_count(text)
+        keys = sorted(agg)
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(keys, pa.string()),
+                "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "sum_tokens": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "sum_bpeish": pa.array([agg[k][2] for k in keys], pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        list(part_schema) + [("fertility_e6", pa.int64())]
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        fert = [
+            (1_000_000 * int(bp)) // max(int(tk), 1)
+            for bp, tk in zip(
+                batch.column("sum_bpeish").to_pylist(),
+                batch.column("sum_tokens").to_pylist(),
+            )
+        ]
+        return pa.Table.from_pydict(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_docs"),
+                "sum_tokens": batch.column("sum_tokens"),
+                "sum_bpeish": batch.column("sum_bpeish"),
+                "fertility_e6": pa.array(fert, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+        )
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Sum("sum_bpeish", alias_name="sum_bpeish"),
+        )
+        .map_batches(_fin, batch_format="pyarrow")
+    )
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Per-document top-k terms by an integer-grid tf-idf:
     ``score = tf * ((1_000_000 * n_docs) // df)`` — the idf factor is a

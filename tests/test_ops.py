@@ -967,6 +967,31 @@ def test_code_switch_spans_windows(ray_session, tmp_path):
     assert rows[(1, 0)]["win_lang"] == "und" and not rows[(1, 0)]["switched"]
 
 
+def test_tokenizer_fertility_grid(ray_session, tmp_path):
+    """tokenizer_fertility: exact per-language (1e6*sum_bpeish)//sum_tokens
+    with empty docs counted into n_docs but not the sums."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import tokenizer_fertility
+
+    sf = tmp_path / "tf"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "lang": pa.array(["en", "fr", "fr"], pa.string()),
+            # en: 2 words / 2 bpeish; fr: "a-b x!" = 2 words / 5 bpeish
+            "text": pa.array(["ab cd", "a-b x!", ""], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["lang"]: r for r in tokenizer_fertility(str(sf)).take_all()}
+    assert rows["en"]["n_docs"] == 1 and rows["en"]["fertility_e6"] == 1_000_000
+    assert rows["fr"]["n_docs"] == 2
+    assert rows["fr"]["sum_tokens"] == 2 and rows["fr"]["sum_bpeish"] == 5
+    assert rows["fr"]["fertility_e6"] == 2_500_000
+
+
 def test_majority_lang_strip_keep_rule(ray_session, tmp_path):
     """majority_lang_strip: the French window of a majority-English doc
     is dropped, the rebuilt text is the kept lowered-token stream, and
