@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": text_analysis.phrase_search,
         "bm25_search": text_analysis.bm25_search,
         "dataset_split": text_analysis.dataset_split,
+        "cluster_safe_split": text_analysis.cluster_safe_split,
         "passage_chunks": text_analysis.passage_chunks,
         "pii_scrub": _q_pii_scrub,
         # --- dedup family ---
@@ -2933,6 +2934,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        # Leakage-safe split: dataset_split's hash rule keyed by the
+        # near-dup cluster representative (ops/text_analysis.
+        # cluster_safe_split) — same components chain as dedup_clusters.
+        "cluster_safe_split": "WITH RECURSIVE "
+        + minhash_base
+        + """,
+            p2 AS (SELECT left_id, right_id FROM est WHERE e >= 0.7),
+            edges AS (SELECT left_id AS node, right_id AS peer FROM p2
+                      UNION ALL SELECT right_id, left_id FROM p2),
+            reach(node, label) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+              UNION
+              SELECT e.node, r.label FROM edges e JOIN reach r ON r.node = e.peer
+            ),
+            cl AS (
+              SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY node
+            ),
+            g AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+              FROM documents d LEFT JOIN cl c USING (doc_id)
+            ),
+            bk AS (
+              SELECT doc_id, group_id,
+                     CAST(md5_number_lower('split-v1:' ||
+                          CAST(group_id AS VARCHAR)) % 1000 AS BIGINT) AS bucket
+              FROM g
+            )
+            SELECT doc_id, group_id, bucket,
+                   CASE WHEN bucket >= 990 THEN 'test'
+                        WHEN bucket >= 980 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM bk
         """,
         "dedup_survivors": "WITH RECURSIVE "
         + minhash_base

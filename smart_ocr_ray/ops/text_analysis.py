@@ -2481,6 +2481,101 @@ def dataset_split(
     return docs.map_batches(_assign, batch_format="pyarrow")
 
 
+def cluster_safe_split(
+    sf_dir: str,
+    salt: str = "split-v1",
+    val_permille: int = 10,
+    test_permille: int = 10,
+    threshold: float = 0.7,
+) -> ray.data.Dataset:
+    """Leakage-safe train/val/test assignment: ``dataset_split``'s hash
+    rule keyed by the document's NEAR-DUP CLUSTER representative
+    instead of its own id, so an entire MinHash near-duplicate cluster
+    always lands in ONE split — the classic eval-leakage bug (a test
+    document's near-copy in train) is impossible by construction.
+    Singleton documents key by their own id, making this a strict
+    superset of ``dataset_split``'s guarantees with identical marginal
+    split rates.
+
+    Frozen semantics (mirrored by the SQL oracle): ``group_id =
+    cluster_id`` from ``dedup_clusters`` when the doc is in a near-dup
+    cluster else ``doc_id``; ``bucket = md5-hash(salt:group_id) %
+    1000``; same permille thresholds as ``dataset_split``.
+
+    Scale shape: the cluster table holds only near-dup members (far
+    smaller than the corpus) and attaches via ONE left_outer join;
+    the split map is stateless. Empty cluster tables branch around the
+    schema-less-empty-join hazard (the ``dedup_survivors`` idiom).
+    """
+    from ..functions.textstats import _kgram_hash64
+    from ..tuning import join_partitions as _jp
+    from .dedup import dedup_clusters
+
+    jp = _jp()
+    lo_test = 1000 - int(test_permille)
+    lo_val = lo_test - int(val_permille)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("group_id", pa.int64()),
+            ("bucket", pa.int64()),
+            ("split", pa.string()),
+        ]
+    )
+
+    cluster_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+
+    def _retype(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return cluster_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+            },
+            schema=cluster_schema,
+        )
+
+    clusters = (
+        dedup_clusters(sf_dir, threshold=threshold)
+        .map_batches(_retype, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    joined = read_documents(sf_dir).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    if clusters.count() > 0:
+        joined = joined.join(clusters, "left_outer", jp, on=("doc_id",))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        cl = (
+            batch.column("cluster_id").to_pylist()
+            if "cluster_id" in batch.column_names
+            else [None] * len(ids)
+        )
+        groups = [int(c) if c is not None else int(d) for d, c in zip(ids, cl)]
+        buckets = [_kgram_hash64(f"{salt}:{g}") % 1000 for g in groups]
+        split = [
+            "test" if b >= lo_test else ("val" if b >= lo_val else "train")
+            for b in buckets
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([int(d) for d in ids], pa.int64()),
+                "group_id": pa.array(groups, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(_assign, batch_format="pyarrow")
+
+
 def bpe_encode(sf_dir: str, rounds: int = 6) -> ray.data.Dataset:
     """Apply the corpus-trained BPE merge table (``bpe_merges``,
     Sennrich et al. 2016) back onto every document — the tokenizer

@@ -967,6 +967,35 @@ def test_code_switch_spans_windows(ray_session, tmp_path):
     assert rows[(1, 0)]["win_lang"] == "und" and not rows[(1, 0)]["switched"]
 
 
+def test_cluster_safe_split_leakage_guard(ray_session, tmp_path):
+    """cluster_safe_split: near-dup docs share group_id (= cluster min)
+    and therefore the SAME split; singletons key by their own id with
+    the exact dataset_split hash rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.functions.textstats import _kgram_hash64
+    from smart_ocr_ray.ops.text_analysis import cluster_safe_split
+
+    dup = "an identical paragraph of webtext repeated verbatim " * 6
+    texts = {5: dup, 9: dup, 2: "a completely different standalone page " * 6}
+    sf = tmp_path / "css"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in cluster_safe_split(str(sf)).take_all()}
+    assert rows[5]["group_id"] == 5 and rows[9]["group_id"] == 5
+    assert rows[5]["split"] == rows[9]["split"]
+    assert rows[2]["group_id"] == 2
+    for d in (2, 5, 9):
+        want = _kgram_hash64(f"split-v1:{rows[d]['group_id']}") % 1000
+        assert rows[d]["bucket"] == want
+
+
 def test_tokenizer_fertility_grid(ray_session, tmp_path):
     """tokenizer_fertility: exact per-language (1e6*sum_bpeish)//sum_tokens
     with empty docs counted into n_docs but not the sums."""
