@@ -788,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": text_analysis.domain_stats,
         "top_bigrams": text_analysis.top_ngrams,
         "bigram_lm": text_analysis.bigram_lm,
+        "bigram_surprisal": text_analysis.bigram_surprisal,
         "trending_terms": text_analysis.trending_terms,
         "contamination_check": text_analysis.contamination_check,
         "quality_filter": text_analysis.quality_filter,
@@ -3308,6 +3309,38 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(string_agg(piece, ' ' ORDER BY win_idx)
                                 FILTER (WHERE NOT sw), '')) AS kept_md5
             FROM flagged GROUP BY doc_id
+        """,
+        "bigram_surprisal": r"""
+            -- Per-doc bigram-LM surprisal (ops/text_analysis.
+            -- bigram_surprisal): bits = bit_length(den(w1) // c(w1,w2))
+            -- via exact to_base(x, 2) length; docs with < 2 tokens have
+            -- no row.
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(coalesce(text, '')),
+                                 '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+            ), dtf AS (
+              SELECT doc_id, w1, w2, count(*) AS tf FROM g GROUP BY ALL
+            ), c AS (
+              SELECT w1, w2, sum(tf) AS c FROM dtf GROUP BY ALL
+            ), dn AS (
+              SELECT w1, sum(c) AS den FROM c GROUP BY ALL
+            ), b AS (
+              SELECT c.w1, c.w2,
+                     length(to_base(CAST(dn.den // c.c AS BIGINT), 2)) AS bits
+              FROM c JOIN dn USING (w1)
+            ), s AS (
+              SELECT doc_id, sum(tf * bits) AS sb, sum(tf) AS nb
+              FROM dtf JOIN b USING (w1, w2) GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+                   CAST(sb AS BIGINT) AS surprisal_bits,
+                   CAST((1000 * sb) // nb AS BIGINT) AS mean_bits_e3
+            FROM s
         """,
         "bigram_lm": r"""
             -- Bigram LM table (ops/text_analysis.bigram_lm): top-3

@@ -311,6 +311,7 @@ def run_bench() -> dict:
         timed("majority_lang_strip", text_analysis.majority_lang_strip)
         timed("tokenizer_fertility", text_analysis.tokenizer_fertility)
         timed("cluster_safe_split", text_analysis.cluster_safe_split)
+        timed("bigram_surprisal", text_analysis.bigram_surprisal)
 
         from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages
 

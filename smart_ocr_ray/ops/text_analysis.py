@@ -3907,6 +3907,169 @@ _BIGRAM_LM_SCHEMA = pa.schema(
 )
 
 
+def bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Per-document bigram-LM surprisal — the KenLM-style conditional
+    step up from ``unigram_surprisal``: a doc scores high when its
+    ADJACENT word pairs are improbable under the corpus bigram model,
+    catching shuffled/templated word salad that unigram frequencies
+    miss entirely (every token common, no pair ever seen together).
+
+    Frozen semantics (mirrored by the SQL oracle): tokens/bigrams as
+    in ``bigram_lm``; per bigram ``bits = bit_length(den(w1) //
+    c(w1, w2))`` — the integer ⌊log2⌋+1 surrogate for −log p(w2|w1),
+    exact on both engines; per doc ``surprisal_bits = Σ tf·bits``,
+    ``n_bigrams = Σ tf``, ``mean_bits_e3 = (1000·surprisal_bits) //
+    n_bigrams``. Docs with fewer than 2 tokens have no bigrams and no
+    row (the filter consumer treats absent as unscorable).
+
+    Scale shape: per-doc bigram tf rows (repeats collapsed in-block);
+    the corpus bigram-count table reduces FROM them (no second pass),
+    den gathers back by w1; bits attach to the doc rows via ONE
+    distributed (w1, w2) hash join — the bigram table is vocab²-
+    bounded, corpus-scale on real webtext, so never broadcast; final
+    per-doc integer-sum groupby. Text never shuffles.
+    """
+    from collections import Counter
+
+    import numpy as np
+
+    from ..tuning import join_partitions as _jp
+    from .grouped import gather_by_key, reduce_by_keys
+
+    jp = _jp()
+    docs = read_documents(sf_dir)
+
+    dtf_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("tf", pa.int64()),
+        ]
+    )
+
+    def _doc_tf(batch: pa.Table) -> pa.Table:
+        ids, w1s, w2s, tfs = [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").strip().lower().split()
+            for (a, b), tf in Counter(zip(toks, toks[1:])).items():
+                ids.append(int(d))
+                w1s.append(a)
+                w2s.append(b)
+                tfs.append(tf)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            },
+            schema=dtf_schema,
+        )
+
+    # The repartitions launder schema-less empty blocks ahead of the
+    # (w1, w2) join (the cluster_pairs lesson: Acero's key resolution
+    # raises on an untyped block on either side).
+    dtf = (
+        docs.map_batches(_doc_tf, batch_format="pyarrow")
+        .repartition(jp)
+        .materialize()
+    )
+
+    pair_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
+    )
+    pairs = reduce_by_keys(
+        dtf.map_batches(
+            lambda t: t.select(["w1", "w2", "tf"]), batch_format="pyarrow"
+        ),
+        ["w1", "w2"], "tf", how="sum", out="c",
+    ).materialize()
+    den = reduce_by_keys(pairs, ["w1"], "c", how="sum", out="den")
+    withden = gather_by_key(
+        pairs, "w1", den, "w1", "den", "den", pair_schema, pa.int64()
+    )
+
+    bits_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("bits", pa.int64())]
+    )
+
+    def _bits(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "den" not in batch.column_names:
+            return bits_schema.empty_table()
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        dn = batch.column("den").to_numpy(zero_copy_only=False)
+        blen = np.frexp((dn // c).astype(np.float64))[1].astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "bits": pa.array(blen, pa.int64()),
+            },
+            schema=bits_schema,
+        )
+
+    bits = withden.map_batches(_bits, batch_format="pyarrow").repartition(jp)
+
+    contrib_schema = pa.schema(
+        [("doc_id", pa.int64()), ("tf", pa.int64()), ("wbits", pa.int64())]
+    )
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "bits" not in batch.column_names:
+            return contrib_schema.empty_table()
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        b = batch.column("bits").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "wbits": pa.array(tf * b, pa.int64()),
+            },
+            schema=contrib_schema,
+        )
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        dtf.join(bits, "inner", jp, on=("w1", "w2"))
+        .map_batches(_contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("tf", alias_name="n_bigrams"),
+            Sum("wbits", alias_name="surprisal_bits"),
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("surprisal_bits", pa.int64()),
+            ("mean_bits_e3", pa.int64()),
+        ]
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return out_schema.empty_table()
+        nb = batch.column("n_bigrams").to_numpy(zero_copy_only=False)
+        sb = batch.column("surprisal_bits").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "surprisal_bits": pa.array(sb, pa.int64()),
+                "mean_bits_e3": pa.array((1000 * sb) // nb, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return sums.map_batches(_fin, batch_format="pyarrow")
+
+
 def bigram_lm(
     sf_dir: str, min_count: int = 5, k: int = 3
 ) -> ray.data.Dataset:

@@ -967,6 +967,32 @@ def test_code_switch_spans_windows(ray_session, tmp_path):
     assert rows[(1, 0)]["win_lang"] == "und" and not rows[(1, 0)]["switched"]
 
 
+def test_bigram_surprisal_exact_bits(ray_session, tmp_path):
+    """bigram_surprisal: hand-computed den//c bit-lengths; docs with
+    fewer than 2 tokens emit no row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bigram_surprisal
+
+    sf = tmp_path / "bs"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a b", "a b x", ""], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in bigram_surprisal(str(sf)).take_all()}
+    # c: (a,b)=3 (b,a)=1 (b,x)=1; den: a=3 b=2
+    # bits: (a,b)=bitlen(1)=1, (b,a)=bitlen(2)=2, (b,x)=2
+    assert len(rows) == 2
+    assert rows[0]["n_bigrams"] == 3 and rows[0]["surprisal_bits"] == 4
+    assert rows[0]["mean_bits_e3"] == 1333
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["surprisal_bits"] == 3
+    assert rows[1]["mean_bits_e3"] == 1500
+
+
 def test_cluster_safe_split_leakage_guard(ray_session, tmp_path):
     """cluster_safe_split: near-dup docs share group_id (= cluster min)
     and therefore the SAME split; singletons key by their own id with
