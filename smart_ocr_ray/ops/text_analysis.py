@@ -3978,6 +3978,21 @@ def bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
         .materialize()
     )
 
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("surprisal_bits", pa.int64()),
+            ("mean_bits_e3", pa.int64()),
+        ]
+    )
+    # A corpus with zero bigrams (every doc < 2 tokens) leaves every
+    # downstream table schema-less-empty — branch around the whole
+    # chain (the winnow_containment lesson; dtf is already
+    # materialized so the count is free).
+    if dtf.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
     pair_schema = pa.schema(
         [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
     )
@@ -4041,15 +4056,6 @@ def bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
             Sum("tf", alias_name="n_bigrams"),
             Sum("wbits", alias_name="surprisal_bits"),
         )
-    )
-
-    out_schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("n_bigrams", pa.int64()),
-            ("surprisal_bits", pa.int64()),
-            ("mean_bits_e3", pa.int64()),
-        ]
     )
 
     def _fin(batch: pa.Table) -> pa.Table:

@@ -993,6 +993,28 @@ def test_bigram_surprisal_exact_bits(ray_session, tmp_path):
     assert rows[1]["mean_bits_e3"] == 1500
 
 
+def test_bigram_surprisal_zero_bigram_corpus(ray_session, tmp_path):
+    """bigram_surprisal: a corpus where every doc has < 2 tokens yields
+    a TYPED empty dataset (the schema-less-empty hazard class)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import bigram_surprisal
+
+    sf = tmp_path / "bz"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["solo", ""], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    ds = bigram_surprisal(str(sf))
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {
+        "doc_id", "n_bigrams", "surprisal_bits", "mean_bits_e3"}
+
+
 def test_cluster_safe_split_leakage_guard(ray_session, tmp_path):
     """cluster_safe_split: near-dup docs share group_id (= cluster min)
     and therefore the SAME split; singletons key by their own id with
