@@ -789,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": text_analysis.top_ngrams,
         "bigram_lm": text_analysis.bigram_lm,
         "bigram_surprisal": text_analysis.bigram_surprisal,
+        "vocab_coverage": text_analysis.vocab_coverage,
         "trending_terms": text_analysis.trending_terms,
         "contamination_check": text_analysis.contamination_check,
         "quality_filter": text_analysis.quality_filter,
@@ -3309,6 +3310,41 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(string_agg(piece, ' ' ORDER BY win_idx)
                                 FILTER (WHERE NOT sw), '')) AS kept_md5
             FROM flagged GROUP BY doc_id
+        """,
+        "vocab_coverage": r"""
+            -- Vocabulary coverage curve (ops/text_analysis.
+            -- vocab_coverage): smallest most-frequent-first vocab with
+            -- cum*100 >= p*A, exact integer partial rank inside the
+            -- boundary frequency class.
+            WITH t AS (
+              SELECT list_filter(str_split_regex(lower(coalesce(text, '')),
+                                 '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), tf AS (
+              SELECT u.tok, count(*) AS cf
+              FROM t, unnest(toks) AS u(tok) GROUP BY u.tok
+            ), h AS (
+              SELECT cf, count(*) AS n_terms FROM tf GROUP BY cf
+            ), w AS (
+              SELECT cf, n_terms, cf * n_terms AS mass,
+                     sum(cf * n_terms) OVER (ORDER BY cf DESC) AS cum,
+                     sum(n_terms) OVER (ORDER BY cf DESC) AS terms_cum
+              FROM h
+            ), a AS (SELECT sum(cf * n_terms) AS total FROM h),
+            sel AS (
+              SELECT p.p, w.cf, w.cum - w.mass AS cum_before,
+                     w.terms_cum - w.n_terms AS n_higher,
+                     p.p * a.total AS need
+              FROM w, a, (VALUES (50), (90), (95), (99)) p(p)
+              WHERE w.cum * 100 >= p.p * a.total
+                AND (w.cum - w.mass) * 100 < p.p * a.total
+            )
+            SELECT CAST(p AS BIGINT) AS coverage_pct,
+                   CAST(n_higher + (need - 100 * cum_before + 100 * cf - 1)
+                        // (100 * cf) AS BIGINT) AS vocab_size,
+                   CAST(cum_before + ((need - 100 * cum_before + 100 * cf - 1)
+                        // (100 * cf)) * cf AS BIGINT) AS cum_tokens
+            FROM sel
         """,
         "bigram_surprisal": r"""
             -- Per-doc bigram-LM surprisal (ops/text_analysis.

@@ -4076,6 +4076,99 @@ def bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     return sums.map_batches(_fin, batch_format="pyarrow")
 
 
+def vocab_coverage(
+    sf_dir: str, targets: tuple[int, ...] = (50, 90, 95, 99)
+) -> "pa.Table":
+    """Vocabulary coverage curve — the smallest vocabulary (most-
+    frequent-first) covering each target percentage of corpus token
+    mass: the sizing analysis run before fixing a tokenizer's vocab
+    budget or an embedding table (pairs with ``tokenizer_fertility``;
+    Zipf makes the 50→99 gap the interesting number).
+
+    Frozen semantics (mirrored by the SQL oracle): tokens = lowered
+    whitespace split; vocabulary ordered by (cf desc, token asc);
+    ``vocab_size`` = smallest rank r whose cumulative frequency
+    satisfies ``cum(r) * 100 >= p * A`` (A = corpus token total);
+    within the boundary frequency class every term contributes the
+    same cf, so the partial rank is the exact integer ceil
+    ``(p·A − 100·cum_before) / (100·cf)`` — the tie order never
+    changes the answer and no per-term global sort is needed.
+
+    Scale shape: per-block token Counters collapse before the ONE
+    vocabulary shuffle (``reduce_by_keys``); the vocabulary then
+    collapses to its FREQUENCY HISTOGRAM (one row per distinct cf —
+    bounded ~O(√total_tokens) by Zipf, independent of vocab size), and
+    only that histogram reaches the driver for the cumulative walk
+    (the ``doc_length_quantiles`` contract).
+    """
+    from collections import Counter
+
+    from .grouped import reduce_by_keys
+
+    docs = read_documents(sf_dir)
+
+    tok_schema = pa.schema([("tok", pa.string()), ("c", pa.int64())])
+
+    def _tok_partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            cnt.update((t or "").strip().lower().split())
+        keys = list(cnt.keys())
+        return pa.Table.from_pydict(
+            {
+                "tok": pa.array(keys, pa.string()),
+                "c": pa.array([cnt[k] for k in keys], pa.int64()),
+            },
+            schema=tok_schema,
+        )
+
+    cf = reduce_by_keys(
+        docs.map_batches(_tok_partial, batch_format="pyarrow"),
+        ["tok"], "c", how="sum", out="cf",
+    )
+    hist = reduce_by_keys(
+        cf.map_batches(lambda t: t.select(["cf"]), batch_format="pyarrow"),
+        ["cf"], None, how="count", out="n_terms",
+    ).take_all()
+
+    out_schema = pa.schema(
+        [
+            ("coverage_pct", pa.int64()),
+            ("vocab_size", pa.int64()),
+            ("cum_tokens", pa.int64()),
+        ]
+    )
+    hist.sort(key=lambda r: -int(r["cf"]))
+    a_total = sum(int(r["cf"]) * int(r["n_terms"]) for r in hist)
+    if a_total == 0:
+        return out_schema.empty_table()
+
+    pcts, sizes, cums = [], [], []
+    for p in targets:
+        need = p * a_total
+        cum_before = 0
+        n_higher = 0
+        for r in hist:
+            cfv, nt = int(r["cf"]), int(r["n_terms"])
+            mass = cfv * nt
+            if (cum_before + mass) * 100 >= need:
+                k = (need - 100 * cum_before + 100 * cfv - 1) // (100 * cfv)
+                pcts.append(p)
+                sizes.append(n_higher + k)
+                cums.append(cum_before + k * cfv)
+                break
+            cum_before += mass
+            n_higher += nt
+    return pa.Table.from_pydict(
+        {
+            "coverage_pct": pa.array(pcts, pa.int64()),
+            "vocab_size": pa.array(sizes, pa.int64()),
+            "cum_tokens": pa.array(cums, pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
 def bigram_lm(
     sf_dir: str, min_count: int = 5, k: int = 3
 ) -> ray.data.Dataset:

@@ -967,6 +967,27 @@ def test_code_switch_spans_windows(ray_session, tmp_path):
     assert rows[(1, 0)]["win_lang"] == "und" and not rows[(1, 0)]["switched"]
 
 
+def test_vocab_coverage_exact_curve(ray_session, tmp_path):
+    """vocab_coverage: hand-computed Zipf toy (a×6 b×3 c×1, A=10) —
+    boundary-class partial ranks are exact integers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import vocab_coverage
+
+    sf = tmp_path / "vc"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a a a b b c", "a a b"], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["coverage_pct"]: (r["vocab_size"], r["cum_tokens"])
+            for r in vocab_coverage(str(sf)).to_pylist()}
+    assert rows == {50: (1, 6), 90: (2, 9), 95: (3, 10), 99: (3, 10)}
+
+
 def test_bigram_surprisal_exact_bits(ray_session, tmp_path):
     """bigram_surprisal: hand-computed den//c bit-lengths; docs with
     fewer than 2 tokens emit no row."""
