@@ -899,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": relational.events_sliding,
         "sessionize_events": relational.sessionize_events,
         "events_running_total": relational.events_running_total,
+        "bot_users": relational.bot_users,
         "events_anomaly": relational.events_anomaly,
         "events_decayed": relational.events_decayed,
         "events_funnel": relational.events_funnel,
@@ -4403,6 +4404,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_value_e2
             FROM sessions GROUP BY user_id, session_seq
+        """,
+        "bot_users": """
+            -- Metronomic-user detection (ops/relational.bot_users):
+            -- whole-second gaps under (ts, event_id) order, exact
+            -- integer computational-formula variance, CV<=0.1 flag.
+            WITH g AS (
+              SELECT user_id,
+                     (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                     )) // 1000000 AS gap_s
+              FROM events
+            ), s AS (
+              SELECT user_id, count(*) AS n_g,
+                     sum(gap_s) AS sx, sum(gap_s * gap_s) AS sxx
+              FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+            ), n AS (
+              SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+            )
+            SELECT n.user_id,
+                   CAST(n.n_events AS BIGINT) AS n_events,
+                   CAST(s.sx // s.n_g AS BIGINT) AS mean_gap_s,
+                   CAST((s.n_g * s.sxx - s.sx * s.sx) // (s.n_g * s.n_g)
+                        AS BIGINT) AS gap_var,
+                   (n.n_events >= 20 AND
+                    100 * ((s.n_g * s.sxx - s.sx * s.sx) // (s.n_g * s.n_g))
+                      <= (s.sx // s.n_g) * (s.sx // s.n_g)) AS is_bot
+            FROM n JOIN s USING (user_id)
         """,
         "events_running_total": """
             -- Inclusive per-user prefix sums on the 1e-2 integer grid

@@ -312,6 +312,7 @@ def run_bench() -> dict:
         timed("tokenizer_fertility", text_analysis.tokenizer_fertility)
         timed("cluster_safe_split", text_analysis.cluster_safe_split)
         timed("bigram_surprisal", text_analysis.bigram_surprisal)
+        timed("bot_users", relational.bot_users)
 
         from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages
 

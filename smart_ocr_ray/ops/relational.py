@@ -849,6 +849,79 @@ def item_cooccurrence(
     return counted.map_batches(_filter_min, batch_format="pyarrow")
 
 
+def bot_users(sf_dir: str, min_events: int = 20) -> ray.data.Dataset:
+    """Metronomic-user (bot) detection over the event stream — traffic
+    whose inter-event gaps are too REGULAR to be human (schedulers,
+    scrapers, monitors fire on fixed periods; humans are bursty).
+    Bot-generated events pollute engagement-derived training signals,
+    so curation flags these users before any per-user aggregate.
+
+    Frozen semantics (mirrored by the SQL oracle): per user under the
+    deterministic total order (ts asc, event_id asc), gaps in whole
+    seconds ``(us₂ − us₁) // 1_000_000``; exact integer moments
+    ``mean_gap_s = Σg // n_g`` and
+    ``gap_var = (n_g·Σg² − (Σg)²) // n_g²`` (the computational-formula
+    variance, floor-divided once at the end so both engines agree);
+    ``is_bot = n_events ≥ min_events AND 100·gap_var ≤ mean_gap_s²``
+    (coefficient of variation ≤ ~0.1 on the integer grid). Users with
+    a single event have no gaps and no row.
+
+    Scale shape: ONE user-keyed sort (``map_key_groups``), per-group
+    numpy diff + integer sums — no Python loop over events, nothing on
+    the driver; a user's events fit one worker heap (the sessionize
+    contract).
+    """
+    from .grouped import map_key_groups
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("mean_gap_s", pa.int64()),
+            ("gap_var", pa.int64()),
+            ("is_bot", pa.bool_()),
+        ]
+    )
+
+    def _score(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return out_schema.empty_table()
+        group = group.combine_chunks()
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        gaps = np.diff(ts[order]) // 1_000_000
+        n_g = len(gaps)
+        sx = int(gaps.sum())
+        sxx = int((gaps * gaps).sum())
+        mean_gap = sx // n_g
+        var = (n_g * sxx - sx * sx) // (n_g * n_g)
+        n_events = group.num_rows
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([int(group.column("user_id")[0].as_py())]),
+                "n_events": pa.array([n_events], pa.int64()),
+                "mean_gap_s": pa.array([mean_gap], pa.int64()),
+                "gap_var": pa.array([var], pa.int64()),
+                "is_bot": pa.array(
+                    [n_events >= min_events and 100 * var <= mean_gap * mean_gap],
+                    pa.bool_(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return map_key_groups(events, "user_id", _score, min_group_size=2)
+
+
 def events_running_total(sf_dir: str) -> ray.data.Dataset:
     """Per-user ORDERED running aggregate over the event stream — the
     cumulative-window primitive (SQL ``SUM(...) OVER (PARTITION BY user

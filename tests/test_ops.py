@@ -967,6 +967,42 @@ def test_code_switch_spans_windows(ray_session, tmp_path):
     assert rows[(1, 0)]["win_lang"] == "und" and not rows[(1, 0)]["switched"]
 
 
+def test_bot_users_metronome_flag(ray_session, tmp_path):
+    """bot_users: a 25-event perfectly periodic user flags as bot
+    (var 0); a bursty 3-event user doesn't (n < 20 and high var);
+    single-event users emit no row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import bot_users
+
+    us = 1_000_000
+    rows = []
+    for i in range(25):  # user 1: every 60 s exactly
+        rows.append((100 + i, 1, i * 60 * us))
+    rows.append((200, 2, 0))  # user 2: gaps 10 s, 1000 s
+    rows.append((201, 2, 10 * us))
+    rows.append((202, 2, 1010 * us))
+    rows.append((300, 3, 5 * us))  # single event: no row
+    sf = tmp_path / "bot"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }),
+        sf / "events.parquet",
+    )
+    out = {r["user_id"]: r for r in bot_users(str(sf)).take_all()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_events"] == 25 and out[1]["gap_var"] == 0
+    assert out[1]["mean_gap_s"] == 60 and out[1]["is_bot"]
+    # user 2: gaps 10,1000 -> mean 505, var = (2*1000100 - 1020100)//4
+    assert out[2]["mean_gap_s"] == 505
+    assert out[2]["gap_var"] == (2 * (100 + 1_000_000) - 1010 * 1010) // 4
+    assert not out[2]["is_bot"]
+
+
 def test_vocab_coverage_exact_curve(ray_session, tmp_path):
     """vocab_coverage: hand-computed Zipf toy (a×6 b×3 c×1, A=10) —
     boundary-class partial ranks are exact integers."""
