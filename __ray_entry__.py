@@ -857,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
+        "domain_dedup_stats": dedup.domain_dedup_stats,
         "corpus_curation": _q_corpus_curation,
         "blocklist_filter": _q_blocklist_filter,
         "bloom_dedup": dedup.bloom_dedup,
@@ -2978,6 +2979,26 @@ def oracle_sql() -> dict[str, str]:
         + _survivors_ctes()
         + """
             SELECT doc_id, keep, reason FROM sverdict
+        """,
+        # Per-source dedup-rate rollup (ops/dedup.domain_dedup_stats):
+        # survivors verdicts joined back to each doc's source.
+        "domain_dedup_stats": "WITH RECURSIVE "
+        + minhash_base
+        + ","
+        + _survivors_ctes()
+        + """
+            SELECT coalesce(d.source, '') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN s.reason = '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN s.reason = 'exact_dup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact_dup,
+                   CAST(sum(CASE WHEN s.reason = 'near_dup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_near_dup,
+                   CAST((1000 * sum(CASE WHEN s.reason = '' THEN 1 ELSE 0 END))
+                        // count(*) AS BIGINT) AS kept_permille
+            FROM documents d JOIN sverdict s USING (doc_id)
+            GROUP BY coalesce(d.source, '')
         """,
         "corpus_curation": "WITH RECURSIVE "
         + minhash_base

@@ -547,6 +547,103 @@ def dedup_simhash_clusters(
     return cluster_pairs(pairs.drop_columns(["hamming"]), max_rounds=max_rounds)
 
 
+def domain_dedup_stats(sf_dir: str, threshold: float = 0.7) -> ray.data.Dataset:
+    """Per-source dedup-rate rollup — the curation dashboard table that
+    tells you WHERE the duplication lives (a mirror site shows up as
+    one source with a collapsed keep rate; a mostly-original source
+    keeps ~1000 permille), joining the ``dedup_survivors`` verdicts
+    back to each document's source.
+
+    Frozen semantics (mirrored by the SQL oracle): per source —
+    n_docs, n_kept (reason ''), n_exact_dup, n_near_dup,
+    ``kept_permille = (1000 * n_kept) // n_docs``.
+
+    Scale shape: one doc_id hash join of two corpus-narrow tables
+    (verdicts and (doc_id, source)); per-block partials collapse to
+    one row per source BEFORE the final groupby, so the shuffle moves
+    sources × blocks rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..tuning import join_partitions as _jp
+
+    jp = _jp()
+
+    src = read_documents(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+    ).repartition(jp)
+    verdicts = dedup_survivors(sf_dir, threshold=threshold).repartition(jp)
+
+    part_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("n_exact_dup", pa.int64()),
+            ("n_near_dup", pa.int64()),
+        ]
+    )
+
+    def _part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "source" not in batch.column_names:
+            return part_schema.empty_table()
+        agg: dict[str, list[int]] = {}
+        for s, r in zip(
+            batch.column("source").to_pylist(), batch.column("reason").to_pylist()
+        ):
+            a = agg.setdefault(s or "", [0, 0, 0, 0])
+            a[0] += 1
+            if r == "":
+                a[1] += 1
+            elif r == "exact_dup":
+                a[2] += 1
+            elif r == "near_dup":
+                a[3] += 1
+        keys = sorted(agg)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "n_kept": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "n_exact_dup": pa.array([agg[k][2] for k in keys], pa.int64()),
+                "n_near_dup": pa.array([agg[k][3] for k in keys], pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(list(part_schema) + [("kept_permille", pa.int64())])
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "source" not in batch.column_names:
+            return out_schema.empty_table()
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        nk = batch.column("n_kept").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "n_docs": batch.column("n_docs"),
+                "n_kept": batch.column("n_kept"),
+                "n_exact_dup": batch.column("n_exact_dup"),
+                "n_near_dup": batch.column("n_near_dup"),
+                "kept_permille": pa.array((1000 * nk) // nd, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        src.join(verdicts, "inner", jp, on=("doc_id",))
+        .map_batches(_part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_exact_dup", alias_name="n_exact_dup"),
+            Sum("n_near_dup", alias_name="n_near_dup"),
+        )
+        .map_batches(_fin, batch_format="pyarrow")
+    )
+
+
 def ngram_jaccard_pairs(
     sf_dir: str, max_doc_id: int = 300, threshold: float = 0.2, k: int = 3
 ) -> ray.data.Dataset:

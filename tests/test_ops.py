@@ -967,6 +967,35 @@ def test_code_switch_spans_windows(ray_session, tmp_path):
     assert rows[(1, 0)]["win_lang"] == "und" and not rows[(1, 0)]["switched"]
 
 
+def test_domain_dedup_stats_rollup(ray_session, tmp_path):
+    """domain_dedup_stats: a mirror source (every doc an exact copy of
+    doc 0) collapses to kept_permille 0 except the representative's
+    source; an original source keeps 1000 permille."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import domain_dedup_stats
+
+    dup = "the same mirrored article body repeated across the mirror " * 6
+    rows = [(0, "orig", dup)]  # representative lives in 'orig'
+    rows += [(i, "mirror", dup) for i in range(1, 5)]
+    rows += [(10, "orig", "a unique piece of original writing " * 6)]
+    sf = tmp_path / "dds"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["source"]: r for r in domain_dedup_stats(str(sf)).take_all()}
+    assert out["orig"]["n_docs"] == 2 and out["orig"]["kept_permille"] == 1000
+    assert out["mirror"]["n_docs"] == 4 and out["mirror"]["n_kept"] == 0
+    assert out["mirror"]["n_exact_dup"] == 4
+    assert out["mirror"]["kept_permille"] == 0
+
+
 def test_bot_users_metronome_flag(ray_session, tmp_path):
     """bot_users: a 25-event perfectly periodic user flags as bot
     (var 0); a bursty 3-event user doesn't (n < 20 and high var);
