@@ -379,6 +379,14 @@ def _q_url_templates(sf_dir: str):
     return url_templates(_pages_path(sf_dir))
 
 
+def _q_link_degree_hist(sf_dir: str):
+    """Degree-distribution histogram over the page link graph (one row
+    per (axis, degree value)) — the power-law diagnostic."""
+    from smart_ocr_ray.ops.links import link_degree_hist
+
+    return link_degree_hist(_pages_path(sf_dir))
+
+
 def _q_shard_plan(sf_dir: str):
     """Compaction plan over the pages corpus directory: per-file row
     counts from footers only, greedy contiguous target-row packing."""
@@ -828,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_walks": _q_link_walks,
         "url_templates": _q_url_templates,
         "shard_plan": _q_shard_plan,
+        "link_degree_hist": _q_link_degree_hist,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2696,6 +2705,18 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_walks"] = _link_walks_sql()
         corpus_dependent["url_templates"] = _url_templates_sql()
         corpus_dependent["shard_plan"] = _shard_plan_sql()
+        # Degree histogram composes the link_graph oracle as a CTE.
+        corpus_dependent["link_degree_hist"] = f"""
+            WITH lg AS ({_link_graph_oracle_sql()})
+            SELECT axis, CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM (
+              SELECT 'out' AS axis, out_links AS degree FROM lg
+              UNION ALL
+              SELECT 'in' AS axis, in_degree AS degree FROM lg
+            )
+            GROUP BY axis, degree
+        """
     except Exception as exc:  # noqa: BLE001 — any corpus failure degrades
         import sys
 

@@ -2726,6 +2726,30 @@ def test_link_pagerank_matches_pure_python_recurrence(ray_session, tmp_path):
     assert max(got.values()) > 2 * floor
 
 
+def test_link_degree_hist_matches_link_graph(ray_session, tmp_path):
+    """link_degree_hist: the histogram equals a Counter over the
+    link_graph rows it composes from, for both axes."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.fixtures import generate_pages
+    from smart_ocr_ray.ops.links import link_degree_hist, link_graph
+
+    table = generate_pages(40)
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(table, pdir / "pages.parquet")
+
+    lg = link_graph(str(pdir)).take_all()
+    want = Counter()
+    for r in lg:
+        want[("out", r["out_links"])] += 1
+        want[("in", r["in_degree"])] += 1
+    got = {(r["axis"], r["degree"]): r["n_pages"]
+           for r in link_degree_hist(str(pdir)).take_all()}
+    assert got == dict(want)
+
+
 def test_link_components_match_union_find(ray_session, tmp_path):
     """Connected components over the fixture link graph == a
     sequential union-find over the same DOM-harvested edges; isolated
