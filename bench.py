@@ -314,6 +314,10 @@ def run_bench() -> dict:
         timed("bigram_surprisal", text_analysis.bigram_surprisal)
         timed("bot_users", relational.bot_users)
 
+        from smart_ocr_ray.ops.links import link_degree_hist
+
+        timed("link_degree_hist", lambda _sf: link_degree_hist(pages_path))
+
         from smart_ocr_ray.ops.multimodal import frame_dedup, media_from_pages
 
         timed(
