@@ -798,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": text_analysis.bigram_lm,
         "bigram_surprisal": text_analysis.bigram_surprisal,
         "vocab_coverage": text_analysis.vocab_coverage,
+        "source_gini": text_analysis.source_gini,
         "trending_terms": text_analysis.trending_terms,
         "contamination_check": text_analysis.contamination_check,
         "quality_filter": text_analysis.quality_filter,
@@ -3353,6 +3354,23 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(string_agg(piece, ' ' ORDER BY win_idx)
                                 FILTER (WHERE NOT sw), '')) AS kept_md5
             FROM flagged GROUP BY doc_id
+        """,
+        "source_gini": """
+            -- Source-concentration Gini (ops/text_analysis.source_gini):
+            -- rank formula on the exact integer grid.
+            WITH c AS (
+              SELECT coalesce(source, '') AS s, count(*) AS c
+              FROM documents GROUP BY 1
+            ), r AS (
+              SELECT c, row_number() OVER (ORDER BY c, s) AS i FROM c
+            ), t AS (
+              SELECT count(*) AS n, sum(c) AS tot, sum(i * c) AS ic FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_sources,
+                   CAST(tot AS BIGINT) AS n_docs,
+                   CAST((1000000 * (2 * ic - (n + 1) * tot)) // (n * tot)
+                        AS BIGINT) AS gini_e6
+            FROM t
         """,
         "vocab_coverage": r"""
             -- Vocabulary coverage curve (ops/text_analysis.

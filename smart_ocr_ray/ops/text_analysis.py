@@ -4076,6 +4076,57 @@ def bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     return sums.map_batches(_fin, batch_format="pyarrow")
 
 
+def source_gini(sf_dir: str) -> "pa.Table":
+    """Source-concentration Gini coefficient — the one-number diversity
+    diagnostic for a corpus mix (0 = every source contributes equally,
+    →1 = one source dominates); data-mixture work tracks it because a
+    skewed crawl silently becomes a single-domain model.
+
+    Frozen semantics (mirrored by the SQL oracle): per-source doc
+    counts c_i ranked ascending by (count, source) i = 1..n;
+    ``gini_e6 = (1e6 · (2·Σ i·c_i − (n+1)·Σc)) // (n·Σc)`` — the
+    standard rank formula on the exact integer grid (rank ties within
+    equal counts cannot change Σ i·c_i). Output: one row
+    (n_sources, n_docs, gini_e6).
+
+    Scale shape: the corpus collapses to per-source counts (a
+    ``groupby(source).count()`` — source-count-bounded, the
+    ``doc_length_quantiles`` driver-walk contract); only that tiny
+    table reaches the driver.
+    """
+    counts = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .groupby("source")
+        .count()
+        .take_all()
+    )
+    out_schema = pa.schema(
+        [
+            ("n_sources", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("gini_e6", pa.int64()),
+        ]
+    )
+    if not counts:
+        return out_schema.empty_table()
+    ranked = sorted(
+        ((int(r["count()"]), r["source"] or "") for r in counts),
+        key=lambda t: (t[0], t[1]),
+    )
+    n = len(ranked)
+    tot = sum(c for c, _ in ranked)
+    ic = sum(i * c for i, (c, _) in enumerate(ranked, start=1))
+    gini_e6 = (1_000_000 * (2 * ic - (n + 1) * tot)) // (n * tot)
+    return pa.Table.from_pydict(
+        {
+            "n_sources": pa.array([n], pa.int64()),
+            "n_docs": pa.array([tot], pa.int64()),
+            "gini_e6": pa.array([gini_e6], pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
 def vocab_coverage(
     sf_dir: str, targets: tuple[int, ...] = (50, 90, 95, 99)
 ) -> "pa.Table":

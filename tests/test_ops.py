@@ -1032,6 +1032,32 @@ def test_bot_users_metronome_flag(ray_session, tmp_path):
     assert not out[2]["is_bot"]
 
 
+def test_source_gini_exact(ray_session, tmp_path):
+    """source_gini: equal sources -> 0; a 1:9 split -> exactly 0.4 on
+    the e6 grid (rank formula)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import source_gini
+
+    def _write(d, sources):
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict({
+                "doc_id": pa.array(range(len(sources)), pa.int64()),
+                "source": pa.array(sources, pa.string()),
+            }),
+            d / "documents.parquet",
+        )
+
+    even = tmp_path / "even"; _write(even, ["a", "b"])
+    skew = tmp_path / "skew"; _write(skew, ["a"] + ["b"] * 9)
+    r_even = source_gini(str(even)).to_pylist()[0]
+    r_skew = source_gini(str(skew)).to_pylist()[0]
+    assert r_even == {"n_sources": 2, "n_docs": 2, "gini_e6": 0}
+    assert r_skew == {"n_sources": 2, "n_docs": 10, "gini_e6": 400000}
+
+
 def test_vocab_coverage_exact_curve(ray_session, tmp_path):
     """vocab_coverage: hand-computed Zipf toy (a×6 b×3 c×1, A=10) —
     boundary-class partial ranks are exact integers."""
