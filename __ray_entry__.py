@@ -379,6 +379,14 @@ def _q_url_templates(sf_dir: str):
     return url_templates(_pages_path(sf_dir))
 
 
+def _q_crawl_budget(sf_dir: str):
+    """Largest-remainder apportionment of a 10k fetch budget across
+    host sections (quotas sum to exactly the budget)."""
+    from smart_ocr_ray.ops.links import crawl_budget
+
+    return crawl_budget(_pages_path(sf_dir))
+
+
 def _q_link_degree_hist(sf_dir: str):
     """Degree-distribution histogram over the page link graph (one row
     per (axis, degree value)) — the power-law diagnostic."""
@@ -838,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": _q_url_templates,
         "shard_plan": _q_shard_plan,
         "link_degree_hist": _q_link_degree_hist,
+        "crawl_budget": _q_crawl_budget,
         "link_pagerank": _q_link_pagerank,
         "link_components": _q_link_components,
         "link_communities": _q_link_communities,
@@ -2340,6 +2349,36 @@ def _shard_plan_sql(target_rows: int = 1000) -> str:
     """
 
 
+def _crawl_budget_sql(budget: int = 10_000) -> str:
+    """Oracle for ``crawl_budget``: largest-remainder (Hamilton)
+    apportionment over section page counts — base floor-div quota plus
+    one unit to the top-remainder sections (ties section asc)."""
+    return f"""
+        WITH p AS (
+          SELECT coalesce(regexp_extract(url,
+                   '^(https?://[^/]+(/[^/]+)?)', 1), '') AS section
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+        ), c AS (
+          SELECT section, count(*) AS c FROM p GROUP BY section
+        ), t AS (SELECT sum(c) AS total FROM c),
+        q AS (
+          SELECT section, c,
+                 ({budget} * c) // t.total AS base,
+                 ({budget} * c) % t.total AS rem
+          FROM c, t
+        ), lo AS (SELECT {budget} - sum(base) AS leftover FROM q),
+        r AS (
+          SELECT section, c, base,
+                 row_number() OVER (ORDER BY rem DESC, section) AS rk
+          FROM q
+        )
+        SELECT section, CAST(c AS BIGINT) AS n_pages,
+               CAST(base + CASE WHEN rk <= (SELECT leftover FROM lo)
+                                THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM r
+    """
+
+
 def _crawl_schedule_sql(per_host: int = 4) -> str:
     """Oracle for ``crawl_schedule``: window row_number per section
     (the ``section_graph`` regexp) ordered by (warc_ts, url), floor-div
@@ -2703,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_frontier"] = _link_frontier_sql()
         corpus_dependent["link_kcore"] = _link_kcore_sql()
         corpus_dependent["crawl_schedule"] = _crawl_schedule_sql()
+        corpus_dependent["crawl_budget"] = _crawl_budget_sql()
         corpus_dependent["link_walks"] = _link_walks_sql()
         corpus_dependent["url_templates"] = _url_templates_sql()
         corpus_dependent["shard_plan"] = _shard_plan_sql()

@@ -289,6 +289,79 @@ def link_degree_hist(pages_path: str) -> ray.data.Dataset:
     )
 
 
+_BUDGET_SCHEMA = pa.schema(
+    [
+        ("section", pa.string()),
+        ("n_pages", pa.int64()),
+        ("quota", pa.int64()),
+    ]
+)
+
+
+def crawl_budget(pages_path: str, budget: int = 10_000) -> ray.data.Dataset:
+    """Apportion a global recrawl fetch budget across host sections
+    proportionally to their page counts — the allocation step between
+    frontier discovery (``link_frontier``) and fetch scheduling
+    (``crawl_schedule``). Uses the largest-remainder method (Hamilton
+    apportionment), the standard way to hand out an integer budget
+    with zero rounding loss: quotas sum to EXACTLY ``budget``.
+
+    Frozen semantics (mirrored by the SQL oracle): sections = the
+    ``section_graph`` url rule; base quota ``(budget · c_s) // C``
+    (C = total pages); the ``budget − Σbase`` leftover units go one
+    each to the sections with the largest remainders
+    ``(budget · c_s) % C``, ties broken by section ascending.
+
+    Scale shape: a column-pruned url read collapses to per-section
+    counts (section-count-bounded); only that tiny table reaches the
+    driver for the remainder ranking (the ``doc_length_quantiles``
+    contract).
+    """
+    import pyarrow.compute as pc
+
+    pages = ray.data.read_parquet(pages_path, columns=["url"])
+
+    sec_schema = pa.schema([("section", pa.string())])
+
+    def _sec(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return sec_schema.empty_table()
+        m = pc.extract_regex(batch.column("url").cast(pa.string()), _SECTION_RE)
+        return pa.Table.from_pydict(
+            {"section": pc.fill_null(pc.struct_field(m, "sec"), "")},
+            schema=sec_schema,
+        )
+
+    counts = (
+        pages.map_batches(_sec, batch_format="pyarrow")
+        .groupby("section")
+        .count()
+        .take_all()
+    )
+    if not counts:
+        return ray.data.from_arrow(_BUDGET_SCHEMA.empty_table())
+    c = {r["section"]: int(r["count()"]) for r in counts}
+    total = sum(c.values())
+    base = {s: (budget * v) // total for s, v in c.items()}
+    leftover = budget - sum(base.values())
+    by_remainder = sorted(
+        c, key=lambda s: (-((budget * c[s]) % total), s)
+    )
+    for s in by_remainder[:leftover]:
+        base[s] += 1
+    secs = sorted(c)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "section": pa.array(secs, pa.string()),
+                "n_pages": pa.array([c[s] for s in secs], pa.int64()),
+                "quota": pa.array([base[s] for s in secs], pa.int64()),
+            },
+            schema=_BUDGET_SCHEMA,
+        )
+    )
+
+
 def link_pagerank(
     pages_path: str,
     n_iter: int = 3,

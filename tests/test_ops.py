@@ -2752,6 +2752,32 @@ def test_link_pagerank_matches_pure_python_recurrence(ray_session, tmp_path):
     assert max(got.values()) > 2 * floor
 
 
+def test_crawl_budget_largest_remainder(ray_session, tmp_path):
+    """crawl_budget: Hamilton apportionment — equal thirds of budget 10
+    give 3 each, the leftover unit goes to the lexicographically first
+    section; quotas always sum to exactly the budget."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.links import crawl_budget
+
+    urls = [f"https://s.test/{sec}/{i}" for sec in ("a", "b", "c")
+            for i in range(1)]
+    pdir = tmp_path / "pages"; pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array([b"<html></html>"] * len(urls), pa.binary()),
+        }),
+        pdir / "pages.parquet",
+    )
+    rows = {r["section"]: r["quota"]
+            for r in crawl_budget(str(pdir), budget=10).take_all()}
+    assert rows == {"https://s.test/a": 4, "https://s.test/b": 3,
+                    "https://s.test/c": 3}
+    assert sum(rows.values()) == 10
+
+
 def test_link_degree_hist_matches_link_graph(ray_session, tmp_path):
     """link_degree_hist: the histogram equals a Counter over the
     link_graph rows it composes from, for both axes."""
