@@ -797,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.quality,
         "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
+        "lang_margin": text_analysis.lang_margin,
         "code_switch_spans": text_analysis.code_switch_spans,
         "majority_lang_strip": text_analysis.majority_lang_strip,
         "doc_fingerprints": lambda sf: text_analysis.fingerprints(sf).drop_columns(["n_winnow"]),
@@ -3344,6 +3345,43 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1.0 ELSE 0.0 END)
                    , 6) AS quality_score
             FROM t
+        """,
+        "lang_margin": f"""
+            -- Language-ID confidence margin (ops/text_analysis.
+            -- lang_margin): second-best = max of pairwise minima (the
+            -- 2nd order statistic of 4 values), margin = best - second.
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains({_STOP_DE}, x))) AS s_de,
+                       len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains({_STOP_ES}, x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains({_STOP_FR}, x))) AS s_fr,
+                       len(toks) AS n
+                FROM t
+            ), m AS (
+                SELECT doc_id,
+                       CASE WHEN n = 0 THEN 'und'
+                            WHEN greatest(s_de, s_en, s_es, s_fr) < 2 THEN 'und'
+                            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                            WHEN s_es >= s_fr THEN 'es'
+                            ELSE 'fr' END AS pred_lang,
+                       greatest(s_de, s_en, s_es, s_fr) AS best,
+                       greatest(least(s_de, s_en), least(s_de, s_es),
+                                least(s_de, s_fr), least(s_en, s_es),
+                                least(s_en, s_fr), least(s_es, s_fr)) AS second
+                FROM scored
+            )
+            SELECT doc_id, pred_lang,
+                   CAST(best AS BIGINT) AS best_hits,
+                   CAST(best - second AS BIGINT) AS margin,
+                   (pred_lang <> 'und' AND best - second >= 2) AS confident
+            FROM m
         """,
         "lang_id": f"""
             WITH t AS (

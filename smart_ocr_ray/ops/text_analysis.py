@@ -80,6 +80,68 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
 
 
+def lang_margin(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID with a CONFIDENCE MARGIN — the CCNet move of keeping
+    only documents whose language call is unambiguous (a page scoring
+    en 9 / fr 8 is code-switched or template noise; a downstream
+    monolingual corpus wants margin, not just argmax).
+
+    Frozen semantics (mirrored by the SQL oracle): per doc, stopword
+    hits per bank (the ``predict_lang`` rule); ``pred_lang`` = the
+    argmax with its tie-break (hits desc, code asc; 'und' below 2
+    hits); ``margin`` = best hits − second-best hits (0 for empty
+    docs); ``confident`` = pred_lang ≠ 'und' AND margin ≥ 2. Dense
+    output, one row per doc.
+
+    Scale shape: stateless map, no shuffle at any corpus size.
+    """
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pred_lang", pa.string()),
+            ("best_hits", pa.int64()),
+            ("margin", pa.int64()),
+            ("confident", pa.bool_()),
+        ]
+    )
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        ids, langs, bests, margins, confs = [], [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            hits = {
+                lang: sum(1 for x in toks if x in set(STOPWORDS[lang]))
+                for lang in sorted(STOPWORDS)
+            }
+            ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))
+            best_lang, best = ranked[0]
+            second = ranked[1][1]
+            pred = best_lang if toks and best >= 2 else "und"
+            ids.append(int(d))
+            langs.append(pred)
+            bests.append(best)
+            margins.append(best - second)
+            confs.append(pred != "und" and best - second >= 2)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pred_lang": pa.array(langs, pa.string()),
+                "best_hits": pa.array(bests, pa.int64()),
+                "margin": pa.array(margins, pa.int64()),
+                "confident": pa.array(confs, pa.bool_()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(_batch, batch_format="pyarrow")
+    )
+
+
 def domain_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-(source, lang) corpus rollup — the per-domain quality view a
     crawl pipeline runs before sampling (``source`` is this corpus's

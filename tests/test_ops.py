@@ -1032,6 +1032,37 @@ def test_bot_users_metronome_flag(ray_session, tmp_path):
     assert not out[2]["is_bot"]
 
 
+def test_lang_margin_confidence(ray_session, tmp_path):
+    """lang_margin: a clean-English doc is confident; an en/fr tie has
+    margin 0 (tie-break picks en, not confident); empty and
+    no-stopword docs are 'und'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import lang_margin
+
+    sf = tmp_path / "lm"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "the and of it",                    # en 4 / others 0
+                "the and of it le est dans une",    # en 4 / fr 4 tie
+                "",                                  # empty
+                "xyz qrs",                           # no stopwords
+            ], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in lang_margin(str(sf)).take_all()}
+    assert rows[0]["pred_lang"] == "en" and rows[0]["margin"] == 4
+    assert rows[0]["confident"]
+    assert rows[1]["pred_lang"] == "en" and rows[1]["margin"] == 0
+    assert not rows[1]["confident"]
+    assert rows[2]["pred_lang"] == "und" and not rows[2]["confident"]
+    assert rows[3]["pred_lang"] == "und" and rows[3]["best_hits"] == 0
+
+
 def test_source_gini_exact(ray_session, tmp_path):
     """source_gini: equal sources -> 0; a 1:9 split -> exactly 0.4 on
     the e6 grid (rank formula)."""
