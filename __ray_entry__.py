@@ -804,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": lambda sf: text_analysis.fingerprints(sf).drop_columns(["text_md5"]),
         "domain_stats": text_analysis.domain_stats,
         "top_bigrams": text_analysis.top_ngrams,
+        "ngram_novelty": text_analysis.ngram_novelty,
         "bigram_lm": text_analysis.bigram_lm,
         "bigram_surprisal": text_analysis.bigram_surprisal,
         "vocab_coverage": text_analysis.vocab_coverage,
@@ -4023,6 +4024,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "ngram_novelty": r"""
+            -- Per-doc trigram novelty in doc_id ingest order
+            -- (ops/text_analysis.ngram_novelty): a gram is novel in
+            -- exactly the min-doc_id document containing it; dedup is
+            -- on the 16-hex md5 key, matching the Ray side.
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(md5(u.g), 1, 16) AS gk FROM (
+                SELECT doc_id, CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS gl
+                FROM t
+              ), unnest(gl) AS u(g)
+            ),
+            firsts AS (SELECT gk, min(doc_id) AS first_doc FROM grams GROUP BY gk),
+            novel AS (SELECT first_doc AS doc_id, count(*) AS c
+                      FROM firsts GROUP BY first_doc),
+            tot AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id)
+            SELECT tot.doc_id AS doc_id,
+                   CAST(tot.c AS BIGINT) AS n_distinct,
+                   CAST(coalesce(novel.c, 0) AS BIGINT) AS n_novel
+            FROM tot LEFT JOIN novel ON tot.doc_id = novel.doc_id
+            ORDER BY doc_id
         """,
         "corpus_profile": """
             -- Pre-flight table profile (ops/text_analysis.

@@ -4371,3 +4371,111 @@ def bigram_lm(
     return map_key_groups(
         withden.map_batches(_filter, batch_format="pyarrow"), "w1", _topk
     )
+
+
+def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+    """Per-document n-gram novelty in ingest order — the
+    marginal-contribution diagnostic an incremental crawl uses to
+    decide when further fetching stops adding new content (novelty
+    collapsing toward zero means the frontier is exhausted).
+    ``ngram_cardinality`` gives the corpus-level Heaps-law view; this
+    is its exact per-document attribution.
+
+    Frozen rule (mirrored exactly in SQL): tokens are the
+    ``top_ngrams`` tokenization (lowercase whitespace split); a
+    document's gram set is its DISTINCT word ``n``-grams keyed by
+    ``substr(md5(gram), 1, 16)`` (dedup happens on the KEY, so both
+    sides agree even under a hash collision); ingest order is
+    ``doc_id`` ascending; a gram is NOVEL in exactly the minimum-
+    doc_id document containing it. Output one row per document with
+    >= 1 gram: (doc_id, n_distinct, n_novel) ordered by doc_id — the
+    novelty rate is the exact integer pair, no float division.
+
+    Scale shape (the ``line_dedup`` discipline — nothing corpus-scale
+    ever lands on the driver, ONE corpus shuffle):
+
+      1. map_batches docs -> DISTINCT (gk, doc_id) pair rows, bounded
+         by tokens/doc; the fixed-width 16-hex md5 key ships instead
+         of gram text, so the shuffle payload is independent of gram
+         length.
+      2. ONE global ``sort("gk")`` co-locates each gram's rows (Ray's
+         range sort keeps equal single-column keys in one block — the
+         same invariant ``line_dedup`` pins with its sorted-block
+         pass); a vectorized block pass computes each group's min
+         doc_id with ``np.minimum.reduceat`` and collapses the block
+         to per-doc PARTIALS (doc_id, nd, nn) — at most one row per
+         doc per block, so step 3's input is doc-sized, not
+         gram-sized.
+      3. one small ``groupby(doc_id).sum`` over the partials, then a
+         doc-sized sort.
+    """
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .grouped import group_bounds
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        gks: list[str] = []
+        ids: list[int] = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            if len(toks) < n:
+                continue
+            keys = {
+                hashlib.md5(
+                    " ".join(toks[i : i + n]).encode("utf-8")
+                ).hexdigest()[:16]
+                for i in range(len(toks) - n + 1)
+            }
+            gks.extend(keys)
+            ids.extend([int(d)] * len(keys))
+        return pa.Table.from_pydict(
+            {
+                "gk": pa.array(gks, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow")
+
+    _PARTIAL_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("nd", pa.int64()), ("nn", pa.int64())]
+    )
+
+    def _partials(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        block = block.sort_by([("gk", "ascending")]).combine_chunks()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        bounds = group_bounds(block, ["gk"])
+        min_doc = np.minimum.reduceat(ids, bounds[:-1])
+        tot_ids, tot_c = np.unique(ids, return_counts=True)
+        nn = np.zeros(len(tot_ids), dtype=np.int64)
+        nov_ids, nov_c = np.unique(min_doc, return_counts=True)
+        # every group min is one of the block's doc_ids, so searchsorted
+        # into tot_ids is exact
+        nn[np.searchsorted(tot_ids, nov_ids)] = nov_c
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(tot_ids.astype(np.int64)),
+                "nd": pa.array(tot_c.astype(np.int64)),
+                "nn": pa.array(nn),
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    partials = pairs.sort("gk").map_batches(
+        _partials, batch_format="pyarrow", batch_size=None
+    )
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("nd", alias_name="n_distinct"), Sum("nn", alias_name="n_novel")
+    )
+    return agg.sort("doc_id")

@@ -6175,3 +6175,32 @@ def test_url_templates_digit_collapse(ray_session, tmp_path):
     assert got["https://h.test/about"] == (1, "https://h.test/about")
     assert got["https://hN.test/item/N"] == (1, "https://h2.test/item/4")
     assert len(got) == 4
+
+
+def test_ngram_novelty_first_owner(ray_session, tmp_path):
+    """ngram_novelty: a gram is novel only in its min-doc_id document;
+    docs with fewer than n tokens are absent; counts are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import ngram_novelty
+
+    sf = tmp_path / "nn"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "a b c d",    # {abc, bcd} both novel
+                "a b c",      # {abc} first seen in doc 0
+                "b c d e",    # {bcd} old, {cde} novel
+                "x y",        # no trigram -> absent
+            ], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = ngram_novelty(str(sf)).take_all()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    by = {r["doc_id"]: (r["n_distinct"], r["n_novel"]) for r in rows}
+    assert by[0] == (2, 2)
+    assert by[1] == (1, 0)
+    assert by[2] == (2, 1)
