@@ -313,6 +313,7 @@ def run_bench() -> dict:
         timed("cluster_safe_split", text_analysis.cluster_safe_split)
         timed("bigram_surprisal", text_analysis.bigram_surprisal)
         timed("bot_users", relational.bot_users)
+        timed("ngram_novelty", text_analysis.ngram_novelty)
 
         from smart_ocr_ray.ops.links import link_degree_hist
 
