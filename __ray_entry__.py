@@ -296,11 +296,13 @@ def _q_multimodal(sf_dir: str):
 
 
 def _q_decode_real(sf_dir: str):
-    """REAL raster decode over deterministic 24-bit BMP payloads
-    derived from the documents table (incl. truncated-file failures):
-    a pixel-parsing codec (stdlib+numpy), not the FakeDecoder stand-in.
-    Features dropped from the hash (list column); dims/flags/errors are
-    the checked surface."""
+    """REAL raster decode over deterministic 24-bit BMP + 8-bit PNG
+    payloads derived from the documents table (incl. truncated-file
+    and CRC-corruption failures): pixel-parsing codecs (stdlib+numpy;
+    PNG via stdlib zlib with CRC-verified chunks and full filter
+    reconstruction), not the FakeDecoder stand-in. Features dropped
+    from the hash (list column); dims/flags/errors are the checked
+    surface."""
     from smart_ocr_ray.ops.multimodal import decode_rasters, raster_from_documents
 
     return decode_rasters(raster_from_documents(sf_dir)).drop_columns(["features"])
@@ -401,6 +403,58 @@ def _q_shard_plan(sf_dir: str):
     from smart_ocr_ray.ops.storage import shard_plan
 
     return shard_plan(_pages_path(sf_dir))
+
+
+_COMPACT_TARGET = 120
+
+
+def _q_shard_compact(sf_dir: str):
+    """Executes the compaction plan (ops/storage.compact_shards:
+    per-shard atomic tmp+rename merge with manifest resume) and reads
+    BACK the compacted output — the checked surface is the full row
+    multiset with every row's landed shard, so a lost, duplicated, or
+    misplaced row fails the value-hash gate. The oracle recomputes the
+    plan in SQL from the ORIGINAL (pre-compaction) files."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from smart_ocr_ray.fixtures import FIXTURES_VERSION
+    from smart_ocr_ray.ops.storage import compact_shards
+
+    pages = _pages_path(sf_dir)
+    out = (
+        f"/tmp/smart_ocr_ray_compact_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_v{FIXTURES_VERSION}"
+    )
+    compact_shards(
+        pages, out, target_rows=_COMPACT_TARGET,
+        input_sig=f"gate-v{FIXTURES_VERSION}",
+    )
+    ds = ray.data.read_parquet(out, columns=["url", "html"], include_paths=True)
+
+    shard_re = re.compile(r"shard-(\d+)\.parquet$")
+
+    def _check(batch: pa.Table) -> pa.Table:
+        shards = [
+            int(shard_re.search(p).group(1))
+            for p in batch.column("path").to_pylist()
+        ]
+        md5s = [
+            hashlib.md5((h or b"").hex().encode()).hexdigest()
+            for h in batch.column("html").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url").cast(pa.string()),
+                "shard": pa.array(shards, pa.int64()),
+                "html_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_check, batch_format="pyarrow")
 
 
 def _q_link_walks(sf_dir: str):
@@ -847,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_walks": _q_link_walks,
         "url_templates": _q_url_templates,
         "shard_plan": _q_shard_plan,
+        "shard_compact": _q_shard_compact,
         "link_degree_hist": _q_link_degree_hist,
         "crawl_budget": _q_crawl_budget,
         "link_pagerank": _q_link_pagerank,
@@ -2351,6 +2406,36 @@ def _shard_plan_sql(target_rows: int = 1000) -> str:
     """
 
 
+def _shard_compact_sql(target_rows: int = _COMPACT_TARGET) -> str:
+    """Oracle for ``shard_compact``: recompute the plan (same window
+    arithmetic as the ``shard_plan`` oracle) over the ORIGINAL
+    pre-compaction files and emit the expected (url, shard, html_md5)
+    row multiset — the Ray side reads these from the compacted files,
+    so equality proves the rewrite lost/duplicated/misplaced nothing.
+    md5 basis is the lowercase hex of the html blob (DuckDB md5 is
+    VARCHAR-only, the multimodal_features technique)."""
+    return f"""
+        WITH rows AS (
+          SELECT url, lower(hex(coalesce(html, ''::BLOB))) AS hx,
+                 regexp_extract(filename, '([^/]+)$', 1) AS file
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet',
+                            filename=true)
+        ), f AS (
+          SELECT file, count(*) AS n_rows FROM rows GROUP BY file
+        ), plan AS (
+          SELECT file,
+                 coalesce(sum(n_rows) OVER (
+                   ORDER BY file
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) // {target_rows} AS shard
+          FROM f
+        )
+        SELECT r.url, CAST(p.shard AS BIGINT) AS shard,
+               md5(r.hx) AS html_md5
+        FROM rows r JOIN plan p USING (file)
+    """
+
+
 def _crawl_budget_sql(budget: int = 10_000) -> str:
     """Oracle for ``crawl_budget``: largest-remainder (Hamilton)
     apportionment over section page counts — base floor-div quota plus
@@ -2748,6 +2833,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["link_walks"] = _link_walks_sql()
         corpus_dependent["url_templates"] = _url_templates_sql()
         corpus_dependent["shard_plan"] = _shard_plan_sql()
+        corpus_dependent["shard_compact"] = _shard_compact_sql()
         # Degree histogram composes the link_graph oracle as a CTE.
         corpus_dependent["link_degree_hist"] = f"""
             WITH lg AS ({_link_graph_oracle_sql()})
@@ -4030,6 +4116,10 @@ def oracle_sql() -> dict[str, str]:
             -- (ops/text_analysis.ngram_novelty): a gram is novel in
             -- exactly the min-doc_id document containing it; dedup is
             -- on the 16-hex md5 key, matching the Ray side.
+            -- PINNED to n=3: this oracle hardcodes trigrams because
+            -- the queries() registration calls ngram_novelty(sf_dir)
+            -- with the default n=3; a variant with another n needs
+            -- its own oracle with the gram width changed in lockstep.
             WITH t AS (
               SELECT doc_id,
                      list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
@@ -4780,32 +4870,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode_real": """
             -- Writer/parser duality check: the raster corpus generator
-            -- (ops/multimodal.raster_from_documents) derives each BMP's
-            -- geometry from doc_id; the REAL decoder (PixmapDecoder)
+            -- (ops/multimodal.raster_from_documents) derives each
+            -- image's format (doc_id%3: 0 bmp, else png) and geometry
+            -- from doc_id; the REAL decoder (PixmapDecoder, incl. the
+            -- stdlib-zlib PNG path with full filter reconstruction)
             -- must parse back exactly those dims, flag exactly the
-            -- every-7th truncated payloads, and report byte-accurate
-            -- truncation errors. All integer math — SQL reproduces the
-            -- expected output without decoding anything.
+            -- every-7th truncated payloads and the %11==5 CRC-corrupt
+            -- PNGs, and report the deterministic error strings. All
+            -- integer math — SQL reproduces the expected output
+            -- without decoding anything.
             WITH g AS (
               SELECT doc_id,
                      8 + (doc_id % 48) AS w,
                      8 + ((doc_id * 7) % 48) AS h,
-                     (doc_id % 7) <> 3 AS ok
+                     CAST(doc_id % 3 AS INTEGER) AS kind,
+                     (doc_id % 7) = 3 AS trunc,
+                     (doc_id % 7) <> 3 AND (doc_id % 3) <> 0
+                       AND (doc_id % 11) = 5 AS crcbad
               FROM documents
             ),
             geom AS (
-              SELECT doc_id, w, h, ok,
+              SELECT doc_id, w, h, kind, trunc, crcbad,
                      ((w * 3 + 3) // 4) * 4 * h AS need
               FROM g
             )
             SELECT 'raster://doc/' || doc_id AS url,
-                   'bmp' AS fmt,
-                   CAST(CASE WHEN ok THEN w ELSE 0 END AS INTEGER) AS width,
-                   CAST(CASE WHEN ok THEN h ELSE 0 END AS INTEGER) AS height,
-                   ok AS decode_ok,
-                   CASE WHEN ok THEN ''
-                        ELSE printf('truncated BMP pixel data (%d/%d)',
-                                    54 + need // 2, 54 + need) END AS error
+                   CASE WHEN kind = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+                   CAST(CASE WHEN trunc OR crcbad THEN 0 ELSE w END
+                        AS INTEGER) AS width,
+                   CAST(CASE WHEN trunc OR crcbad THEN 0 ELSE h END
+                        AS INTEGER) AS height,
+                   NOT (trunc OR crcbad) AS decode_ok,
+                   CASE WHEN NOT (trunc OR crcbad) THEN ''
+                        WHEN kind = 0 THEN
+                          printf('truncated BMP pixel data (%d/%d)',
+                                 54 + need // 2, 54 + need)
+                        WHEN trunc THEN 'truncated PNG chunk'
+                        ELSE 'bad PNG chunk CRC (IDAT)' END AS error
             FROM geom
         """,
         "supplier_part_counts": """

@@ -1,7 +1,7 @@
 """Command-line entry points (the ``socr process`` analog).
 
     python -m smart_ocr_ray.cli extract --input DIR_OR_FILE --output DIR \\
-        [--partitions 8] [--multi-extractor] [--resume/--no-resume]
+        [--partitions N] [--multi-extractor] [--resume/--no-resume]
     python -m smart_ocr_ray.cli score --extracted DIR --golden FILE
     python -m smart_ocr_ray.cli query NAME --sf DIR [--output DIR] [--list]
     python -m smart_ocr_ray.cli convert --input SHARD_DIR --output DIR \\
@@ -180,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("extract", help="run the extraction pipeline, resumably")
     p.add_argument("--input", required=True, help="pages parquet file or directory")
     p.add_argument("--output", required=True, help="output directory (partitioned)")
-    p.add_argument("--partitions", type=int, default=8)
+    p.add_argument("--partitions", type=int, default=None,
+                   help="partition count; default: auto-sized from corpus bytes vs object-store budget")
     p.add_argument("--input-sig", default="", help="input fingerprint for resume validity")
     p.add_argument("--multi-extractor", action="store_true")
     p.set_defaults(fn=cmd_extract)

@@ -2170,19 +2170,21 @@ def section_profile(pages_path: str) -> ray.data.Dataset:
     bytes_schema = pa.schema([("url", pa.string()), ("tb", pa.int64())])
 
     def _bytes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if batch.num_rows == 0 or "url" not in batch.column_names:
             return bytes_schema.empty_table()
+        # Vectorized UTF-8 byte length: binary_length on the string
+        # column counts bytes (not codepoints); nulls count as 0 to
+        # match the frozen `len((t or "").encode())` semantics.
+        tb = pc.fill_null(
+            pc.binary_length(batch.column("text").cast(pa.string())).cast(
+                pa.int64()
+            ),
+            0,
+        )
         return pa.Table.from_pydict(
-            {
-                "url": batch.column("url").cast(pa.string()),
-                "tb": pa.array(
-                    [
-                        len((t or "").encode("utf-8"))
-                        for t in batch.column("text").to_pylist()
-                    ],
-                    pa.int64(),
-                ),
-            },
+            {"url": batch.column("url").cast(pa.string()), "tb": tb},
             schema=bytes_schema,
         )
 

@@ -4,15 +4,20 @@ metadata, processed by actor-pool ``map_batches`` stages.
 Compressed image/audio decode libraries are not present in this
 container, so the general decode kernel is a clearly-marked
 deterministic stand-in (``FakeDecoder``) with a ``NotImplementedError``
-seam (``RealDecoder``) where PIL/ffmpeg drops in. For uncompressed
-raster formats no library is needed: ``PixmapDecoder`` is a REAL
-pixel-parsing codec (24-bit BMP, binary PPM/PGM, stdlib+numpy) with
-typed decode-failure rows, exercised end-to-end against generated BMP
-bytes (including truncated files) by the ``multimodal_decode_real``
-query and its writer/parser-duality SQL oracle. The Ray-side contract
-is identical across all of them: binary column in, small
-payload-size-aware batches, actor pool with per-actor setup, fixed
-output schema with feature vectors.
+seam (``RealDecoder``) where PIL/ffmpeg drops in. For formats
+parseable without codec libraries no stand-in is needed:
+``PixmapDecoder`` is a REAL pixel-parsing codec for 24-bit BMP and
+binary PPM/PGM (stdlib+numpy) AND for 8-bit grayscale/truecolor PNG —
+a full stdlib-``zlib`` implementation: chunk walk with CRC-32
+verification, IDAT inflate, and per-scanline filter reconstruction
+(all five filter types: None/Sub/Up/Average/Paeth). Malformed,
+truncated, and CRC-corrupt payloads produce typed decode-failure
+rows; the ``multimodal_decode_real`` query exercises the BMP and PNG
+paths (including both failure modes) end-to-end against its
+writer/parser-duality SQL oracle. The Ray-side contract is identical
+across all decoders: binary column in, small payload-size-aware
+batches, actor pool with per-actor setup, fixed output schema with
+feature vectors.
 """
 
 from __future__ import annotations
@@ -75,19 +80,19 @@ class FakeDecoder:
 
 
 class RealDecoder:
-    """The seam for a full codec stack (PIL/ffmpeg/torchvision).
-    Keeping the class here pins the constructor/batch contract; for the
-    uncompressed raster formats parseable WITHOUT codec libraries (BMP
-    24-bit, binary PPM/PGM) a genuinely real decode path exists below —
-    ``PixmapDecoder``."""
+    """The seam for a full codec stack (PIL/ffmpeg/torchvision —
+    JPEG/WebP/video). Keeping the class here pins the constructor/batch
+    contract; for the formats parseable WITHOUT codec libraries a
+    genuinely real decode path exists below — ``PixmapDecoder`` handles
+    uncompressed BMP/PPM/PGM and compressed 8-bit PNG (stdlib zlib)."""
 
     def __init__(self, *_args, **_kwargs):
         raise NotImplementedError(
-            "compressed image/audio decode libraries are not available "
-            "in this environment; swap FakeDecoder for a real codec "
+            "JPEG/WebP/video decode libraries are not available in "
+            "this environment; swap FakeDecoder for a real codec "
             "with the same (batch: pa.Table['url','payload']) -> "
-            "features contract, or use PixmapDecoder for uncompressed "
-            "BMP/PPM/PGM payloads"
+            "features contract, or use PixmapDecoder for BMP/PPM/PGM/"
+            "PNG payloads (real pixel-parsing decode, no libraries)"
         )
 
 
@@ -153,14 +158,179 @@ def _parse_bmp(data: bytes):
     return w, h, 3, rows[..., ::-1]  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(data: bytes):
+    """8-bit grayscale (color type 0) / truecolor (color type 2) PNG →
+    (w, h, channels, ndarray) — a REAL decode built entirely on stdlib
+    ``zlib`` + numpy: signature + chunk walk with CRC-32 verification
+    of every chunk, IDAT concatenation + inflate, and per-scanline
+    reconstruction of all five PNG filter types (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6). Raises ValueError on truncation, CRC
+    corruption, bad inflate streams, or unsupported variants
+    (palette/alpha/16-bit/interlaced) — each with a deterministic
+    message the SQL oracle can predict."""
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = channels = None
+    idat = b""
+    seen_iend = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk")
+        clen, ctype = struct.unpack_from(">I4s", data, pos)
+        if pos + 12 + clen > len(data):
+            raise ValueError("truncated PNG chunk")
+        chunk = data[pos + 8 : pos + 8 + clen]
+        crc = struct.unpack_from(">I", data, pos + 8 + clen)[0]
+        if zlib.crc32(data[pos + 4 : pos + 8 + clen]) & 0xFFFFFFFF != crc:
+            raise ValueError(
+                f"bad PNG chunk CRC ({ctype.decode('ascii', 'replace')})"
+            )
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 \
+                    or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            channels = 3 if color == 2 else 1
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + clen
+    if w is None or channels is None:
+        raise ValueError("missing PNG IHDR")
+    if not seen_iend:
+        raise ValueError("truncated PNG (no IEND)")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        raise ValueError("bad PNG IDAT stream")
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data length mismatch ({len(raw)}/{h * (1 + stride)})"
+        )
+    arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    filters = arr[:, 0]
+    out = np.empty((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        line = arr[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:
+            # Sub: sequential add of the left pixel — a per-channel
+            # cumsum mod 256 (mod distributes over the additions).
+            rec = (
+                np.cumsum(line.reshape(w, channels), axis=0) & 0xFF
+            ).reshape(stride)
+        elif f == 2:
+            rec = (line + prev) & 0xFF
+        elif f == 3:
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                rec[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                b = prev[x]
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return w, h, channels, out.astype(np.uint8).reshape(h, w, channels)
+
+
+def _write_png(px: np.ndarray) -> bytes:
+    """Minimal deterministic PNG writer (8-bit gray or RGB) — the
+    duality partner of ``_parse_png`` used by the raster corpus
+    generator and the round-trip tests. Scanline ``y`` uses filter
+    ``y % 5``, so every decode of a generated image exercises all five
+    filter reconstructions. Encoding predictors read ORIGINAL (not
+    reconstructed) neighbors, so the encoder is fully vectorized."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    color = 2 if ch == 3 else 0
+    raw = bytearray()
+    prev = np.zeros((w, ch), np.int16)
+    for y in range(h):
+        row = px[y].astype(np.int16)
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        upleft = np.zeros_like(row)
+        upleft[1:] = prev[:-1]
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            da = np.abs(p - left)
+            db = np.abs(p - prev)
+            dc = np.abs(p - upleft)
+            pred = np.where(
+                (da <= db) & (da <= dc), left, np.where(db <= dc, prev, upleft)
+            )
+            filt = row - pred
+        raw.append(f)
+        raw += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 class PixmapDecoder:
-    """REAL decode + feature stage for uncompressed raster payloads
-    (24-bit BMP, binary PPM/PGM) — an actual pixel-parsing codec built
-    on stdlib + numpy, no image libraries. Malformed or truncated
-    payloads produce a typed ``decode_ok=False`` row (never a crash,
-    never a dropped row) — the failure surface a real pipeline must
-    absorb from a crawl. Deterministic 8-dim features from true pixel
-    statistics."""
+    """REAL decode + feature stage for raster payloads (24-bit BMP,
+    binary PPM/PGM, 8-bit gray/RGB PNG) — an actual pixel-parsing
+    codec built on stdlib + numpy, no image libraries (PNG via stdlib
+    zlib: CRC-verified chunk walk, IDAT inflate, full filter
+    reconstruction). Malformed or truncated payloads produce a typed
+    ``decode_ok=False`` row (never a crash, never a dropped row) — the
+    failure surface a real pipeline must absorb from a crawl.
+    Deterministic 8-dim features from true pixel statistics."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -178,6 +348,9 @@ class PixmapDecoder:
                 elif data[:2] == b"BM":
                     fmt = "bmp"
                     w, h, ch, px = _parse_bmp(data)
+                elif data.startswith(_PNG_SIG):
+                    fmt = "png"
+                    w, h, ch, px = _parse_png(data)
                 else:
                     raise ValueError("unrecognized raster format")
                 px = px.astype(np.float64)
@@ -232,10 +405,15 @@ def decode_rasters(
 
 def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
     """Deterministic raster corpus derived from the documents table:
-    each doc's text bytes tile a w×h 24-bit BMP (sizes vary per doc) —
-    REAL format bytes for the real decoder, generated without any
-    image library. Every 7th doc is truncated mid-pixel-data so the
-    corpus exercises the decode-failure path end-to-end."""
+    each doc's text bytes tile a w×h image (sizes vary per doc) — REAL
+    format bytes for the real decoder, generated without any image
+    library. Format rotates by ``doc_id % 3``: 0 → 24-bit BMP, 1 → RGB
+    PNG, 2 → grayscale PNG (PNG scanlines cycle all five filter
+    types). Failure injection, so the corpus exercises every typed
+    decode-failure path end-to-end: every 7th doc is truncated
+    (BMP mid-pixel-data; PNG mid-chunk-header at byte 39), and PNG
+    docs with ``doc_id % 11 == 5`` get their IDAT CRC's last byte
+    flipped (CRC-corruption path — BMP has no checksum to corrupt)."""
     import struct
 
     def _make(batch: pa.Table) -> pa.Table:
@@ -246,15 +424,36 @@ def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
             seed = (text or "").encode("utf-8") or b"\x00"
             w = 8 + (doc_id % max_dim)
             h = 8 + ((doc_id * 7) % max_dim)
-            stride = (w * 3 + 3) & ~3
-            need = stride * h
-            reps = -(-need // len(seed))
-            pixels = (seed * reps)[:need]
-            header = b"BM" + struct.pack("<IHHI", 54 + need, 0, 0, 54)
-            dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, need, 2835, 2835, 0, 0)
-            data = header + dib + pixels
-            if doc_id % 7 == 3:
-                data = data[: 54 + need // 2]  # truncated mid-pixels
+            kind = doc_id % 3
+            if kind == 0:
+                stride = (w * 3 + 3) & ~3
+                need = stride * h
+                reps = -(-need // len(seed))
+                pixels = (seed * reps)[:need]
+                header = b"BM" + struct.pack("<IHHI", 54 + need, 0, 0, 54)
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, need, 2835, 2835, 0, 0
+                )
+                data = header + dib + pixels
+                if doc_id % 7 == 3:
+                    data = data[: 54 + need // 2]  # truncated mid-pixels
+            else:
+                ch = 3 if kind == 1 else 1
+                need = w * h * ch
+                reps = -(-need // len(seed))
+                px = np.frombuffer((seed * reps)[:need], np.uint8).reshape(
+                    h, w, ch
+                )
+                data = _write_png(px)
+                if doc_id % 7 == 3:
+                    # sig(8) + IHDR(25) + 6 bytes: mid-IDAT-header
+                    data = data[:39]
+                elif doc_id % 11 == 5:
+                    # IEND is the final 12 bytes, so the byte before it
+                    # is the last byte of the IDAT CRC: flip it.
+                    buf = bytearray(data)
+                    buf[-13] ^= 0xFF
+                    data = bytes(buf)
             urls.append(f"raster://doc/{doc_id}")
             payloads.append(data)
         return pa.Table.from_pydict(

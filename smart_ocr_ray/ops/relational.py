@@ -287,40 +287,88 @@ def events_sliding(sf_dir: str, window_hours: int = 2, slide_hours: int = 1) -> 
     return agg.map_batches(_round, batch_format="pandas").sort(["event_type", "window_start"])
 
 
+_SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_seq", pa.int64()),
+        ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")),
+        ("n_events", pa.int64()),
+        ("sum_value_e2", pa.int64()),
+    ]
+)
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
-    """Session windows per user: events sorted by ts within a user group;
-    a gap > gap_minutes starts a new session. groupby(user_id) keeps all
-    of a user's events on one worker; ordering is established inside the
-    group (never assumed from block order)."""
+    """Session windows per user: events ordered by ts within a user; a
+    gap > gap_minutes starts a new session.
+
+    Scale shape: ONE ``sort("user_id")`` shuffle (exactly the shuffle
+    ``groupby.map_groups`` would issue, inheriting the same
+    equal-keys-co-located-per-block invariant) followed by a single
+    vectorized block pass — block-local (user_id, ts) sort, break
+    detection on the int64 microsecond grid, per-session rollups via
+    ``np.add.reduceat``. No per-group UDF calls, no pandas conversion
+    (this was the last pandas ``map_groups`` alongside the as-of join;
+    replaced per the r3 advice with the same sort+reduceat idiom the
+    other grouped ops use).
+
+    value sits on a 1e-2 grid (see grid rationale at the top of this
+    file): summing per-row integers is exact and order-invariant,
+    unlike rounding a float sum, which can straddle a rounding
+    boundary depending on summation order (the one driver hash
+    failure in r1).
+    """
     events = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    gap_us = int(gap_minutes) * 60 * 1_000_000
 
-    def _sessions(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for user_id, g in df.groupby("user_id"):
-            g = g.sort_values("ts")
-            gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-            session_ids = gaps.cumsum()
-            for sid, s in g.groupby(session_ids):
-                out.append(
-                    {
-                        "user_id": int(user_id),
-                        "session_seq": int(sid),
-                        "session_start": s["ts"].iloc[0],
-                        "session_end": s["ts"].iloc[-1],
-                        "n_events": len(s),
-                        # value sits on a 1e-2 grid (see grid rationale at the
-                        # top of this file): summing per-row integers is exact
-                        # and order-invariant, unlike rounding a float sum,
-                        # which can straddle a rounding boundary depending on
-                        # summation order (the one driver hash failure in r1).
-                        "sum_value_e2": int(
-                            np.round(s["value"].to_numpy() * 100.0).sum()
-                        ),
-                    }
-                )
-        return pd.DataFrame(out)
+    def _sessions(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _SESSION_SCHEMA.empty_table()
+        block = block.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending")]
+        ).combine_chunks()
+        user = block.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ts = block.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        val_e2 = np.round(
+            block.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        n = len(user)
+        new_user = np.concatenate(([True], user[1:] != user[:-1]))
+        gap_brk = np.concatenate(([False], (ts[1:] - ts[:-1]) > gap_us))
+        starts = np.flatnonzero(new_user | gap_brk)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        n_events = np.diff(np.concatenate((starts, [n])))
+        sum_e2 = np.add.reduceat(val_e2, starts)
+        # session_seq restarts at 0 per user: global session index
+        # minus the index of the user's first session.
+        sess_user = user[starts]
+        u_first = np.concatenate(([True], sess_user[1:] != sess_user[:-1]))
+        first_idx = np.flatnonzero(u_first)
+        offsets = np.repeat(
+            first_idx, np.diff(np.concatenate((first_idx, [len(starts)])))
+        )
+        seq = np.arange(len(starts)) - offsets
+        ts_type = pa.timestamp("us")
+        return pa.Table.from_arrays(
+            [
+                pa.array(sess_user, pa.int64()),
+                pa.array(seq, pa.int64()),
+                pa.array(ts[starts], pa.int64()).cast(ts_type),
+                pa.array(ts[ends], pa.int64()).cast(ts_type),
+                pa.array(n_events, pa.int64()),
+                pa.array(sum_e2, pa.int64()),
+            ],
+            schema=_SESSION_SCHEMA,
+        )
 
-    return events.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    return events.sort("user_id").map_batches(
+        _sessions, batch_format="pyarrow", batch_size=None
+    )
 
 
 def top_users_by_value(sf_dir: str, k: int = 20) -> ray.data.Dataset:
@@ -347,10 +395,15 @@ def events_asof_join(
     its timestamp (the attribution query: "which click preceded this
     purchase").
 
-    Shape: filter both streams at the read → ``groupby(user_id)`` →
-    per-group sorted ``searchsorted`` carry-forward (vectorized numpy,
-    no Python row loop). Partitioning assumption (documented per the
-    brief): all events of one user fit one group — true for user-keyed
+    Shape: filter both streams at the read → ONE ``sort("user_id")``
+    shuffle (the identical shuffle ``groupby.map_groups`` issues, same
+    equal-keys-per-block invariant) → a single vectorized block pass
+    handling ALL users at once: rights deduped with one lexsort, then
+    a merged (user, ts, side) lexsort + running rights-counter gives
+    every left row its at-or-before right in O(n log n) with zero
+    per-group Python (replaced the per-group pandas ``map_groups``
+    per the r3 advice). Partitioning assumption (documented per the
+    brief): all events of one user fit one block — true for user-keyed
     event logs; a pathological single-user firehose would need
     time-bucketed salting with boundary carry-over.
 
@@ -377,36 +430,76 @@ def events_asof_join(
         ]
     )
 
-    def _asof(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["event_type"] == left_type]
-        right = group[group["event_type"] == right_type]
-        if left.empty or right.empty:
-            return pd.DataFrame(columns=[f.name for f in out_schema])
-        # Dedup rights per ts (keep max event_id), then sort by ts.
-        right = (
-            right.sort_values(["ts", "event_id"])
-            .drop_duplicates("ts", keep="last")
-            .reset_index(drop=True)
-        )
-        left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        r_ts = right["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        l_ts = left["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
-        hit = idx >= 0
-        matched = right.iloc[idx[hit]]
-        out = pd.DataFrame(
-            {
-                "user_id": left.loc[hit, "user_id"].to_numpy(),
-                "event_id": left.loc[hit, "event_id"].to_numpy(),
-                "ts": left.loc[hit, "ts"].to_numpy(),
-                "matched_event_id": matched["event_id"].to_numpy(),
-                "matched_ts": matched["ts"].to_numpy(),
-                "gap_us": l_ts[hit] - r_ts[idx[hit]],
-            }
-        )
-        return out
+    def _asof(block: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return events.groupby("user_id").map_groups(_asof, batch_format="pandas")
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        user = block.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ts = block.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = block.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        is_r = pc.equal(block.column("event_type"), right_type).to_numpy(
+            zero_copy_only=False
+        )
+        is_l = pc.equal(block.column("event_type"), left_type).to_numpy(
+            zero_copy_only=False
+        )
+        # Rights: sort by (user, ts, event_id), dedup to one row per
+        # (user, ts) keeping max event_id (run-last after the sort).
+        r_user, r_ts, r_eid = user[is_r], ts[is_r], eid[is_r]
+        l_user, l_ts, l_eid = user[is_l], ts[is_l], eid[is_l]
+        if len(r_user) == 0 or len(l_user) == 0:
+            return out_schema.empty_table()
+        ro = np.lexsort((r_eid, r_ts, r_user))
+        r_user, r_ts, r_eid = r_user[ro], r_ts[ro], r_eid[ro]
+        last = np.concatenate(
+            ((r_user[1:] != r_user[:-1]) | (r_ts[1:] != r_ts[:-1]), [True])
+        )
+        r_user, r_ts, r_eid = r_user[last], r_ts[last], r_eid[last]
+        # Merged carry-forward: order rights+lefts by (user, ts, side)
+        # with rights before lefts at equal ts (at-or-before is
+        # inclusive). The running count of rights seen at each left's
+        # merged position, minus one, indexes the latest right with
+        # (user, ts) <= (l_user, l_ts) in the sorted rights array; a
+        # user mismatch there means "no prior right" (inner as-of).
+        nr = len(r_user)
+        m_user = np.concatenate((r_user, l_user))
+        m_ts = np.concatenate((r_ts, l_ts))
+        m_side = np.concatenate(
+            (np.zeros(nr, np.int8), np.ones(len(l_user), np.int8))
+        )
+        mo = np.lexsort((m_side, m_ts, m_user))
+        side_s = m_side[mo]
+        cum_r = np.cumsum(side_s == 0)
+        left_pos = np.flatnonzero(side_s == 1)
+        ridx = cum_r[left_pos] - 1
+        lrow = mo[left_pos] - nr
+        valid = ridx >= 0
+        valid &= r_user[np.clip(ridx, 0, None)] == l_user[lrow]
+        ridx, lrow = ridx[valid], lrow[valid]
+        ts_type = pa.timestamp("us")
+        return pa.Table.from_arrays(
+            [
+                pa.array(l_user[lrow], pa.int64()),
+                pa.array(l_eid[lrow], pa.int64()),
+                pa.array(l_ts[lrow], pa.int64()).cast(ts_type),
+                pa.array(r_eid[ridx], pa.int64()),
+                pa.array(r_ts[ridx], pa.int64()).cast(ts_type),
+                pa.array(l_ts[lrow] - r_ts[ridx], pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return events.sort("user_id").map_batches(
+        _asof, batch_format="pyarrow", batch_size=None
+    )
 
 
 def events_range_join(

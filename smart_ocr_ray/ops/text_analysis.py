@@ -4391,6 +4391,15 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     >= 1 gram: (doc_id, n_distinct, n_novel) ordered by doc_id — the
     novelty rate is the exact integer pair, no float division.
 
+    Gate-level cross-check (cheap invariant): sum(n_novel) over all
+    documents MUST equal the corpus-wide distinct gk count (one
+    groupby-count over the pair rows) — each gram is novel in exactly
+    one document. Correctness of the block pass depends on Ray's
+    range sort keeping all rows of an equal gk in one block (the
+    ``line_dedup`` invariant); a silent split would inflate n_novel,
+    and this equality is the detector
+    (``tests/test_ops.py::test_ngram_novelty_invariant``).
+
     Scale shape (the ``line_dedup`` discipline — nothing corpus-scale
     ever lands on the driver, ONE corpus shuffle):
 

@@ -106,10 +106,61 @@ def _write_manifest_atomic(out_dir: str, part: int, manifest: dict) -> None:
     os.replace(tmp, path)  # atomic commit (metadata.py:48-56 pattern)
 
 
+_AUTO_EXPANSION = 3.0  # uncompressed pages bytes → in-flight working set
+_AUTO_BUDGET_FRACTION = 0.5  # leave headroom for shuffle + output blocks
+
+
+def auto_partitions(
+    input_paths, object_store_budget: float | None = None
+) -> int:
+    """Derive a partition count from corpus bytes vs the object-store
+    budget — footer-only (no data read), so it costs one metadata round
+    regardless of corpus size.
+
+    Sizing rule: one partition's in-flight working set is its
+    uncompressed input bytes × ``_AUTO_EXPANSION`` (decoded Arrow
+    blocks + extraction output + shuffle copies, measured ~2-3× on the
+    4M-doc run — the single-shot failure BASELINE.md documents was
+    exactly this working set exceeding the store and collapsing into
+    disk-spill thrash). Keeping it under
+    ``_AUTO_BUDGET_FRACTION`` × object store means the streaming
+    executor never spills the hot path, so::
+
+        partitions = ceil(total_bytes × EXPANSION / (budget × FRACTION))
+
+    clamped to [1, 4096]. ``object_store_budget`` defaults to the live
+    cluster's ``object_store_memory`` resource (sums over nodes on a
+    real cluster — more nodes → fewer, larger partitions, which is the
+    right direction: partitions exist to bound memory, not to create
+    parallelism; each partition is internally fully parallel).
+    """
+    import math
+
+    import pyarrow.parquet as pq
+
+    files = resolve_input_files(input_paths)
+    if not files:
+        return 1
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+        )
+    if object_store_budget is None and ray.is_initialized():
+        object_store_budget = ray.cluster_resources().get(
+            "object_store_memory", 0.0
+        )
+    if not object_store_budget:
+        object_store_budget = 2 * 1024**3  # conservative un-initialized default
+    usable = object_store_budget * _AUTO_BUDGET_FRACTION
+    return max(1, min(4096, math.ceil(total * _AUTO_EXPANSION / usable)))
+
+
 def run_partitioned(
     input_paths,
     out_dir: str,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     input_sig: str = "",
     **pipeline_kwargs,
 ) -> dict:
@@ -119,6 +170,12 @@ def run_partitioned(
     is fully parallel); sequential partitions bound the blast radius of
     a failure to one partition's work. Returns a summary dict.
 
+    ``num_partitions=None`` (default) sizes the partition count from
+    the corpus's parquet footers vs the object-store budget
+    (``auto_partitions``), so the oversized single-shot case that dies
+    on spill bandwidth is partitioned automatically and a small corpus
+    stays single-pass.
+
     File mode (shard files >= partitions): each partition reads ONLY its
     assigned shard files — the corpus is scanned once total, which is
     what makes this viable on a 100 TB input. Row mode (toy inputs with
@@ -126,7 +183,10 @@ def run_partitioned(
     whole (small) input.
     """
     os.makedirs(out_dir, exist_ok=True)
-    summary = {"completed": [], "skipped": [], "rows": 0}
+    if num_partitions is None:
+        num_partitions = auto_partitions(input_paths)
+    summary = {"completed": [], "skipped": [], "rows": 0,
+               "num_partitions": num_partitions}
 
     files = resolve_input_files(input_paths)
     file_mode = files is not None and len(files) >= num_partitions

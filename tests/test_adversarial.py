@@ -217,20 +217,86 @@ def test_pixmap_decoder_real_formats_and_corruption():
 
 def test_raster_corpus_roundtrip(ray_session):
     """Writer/parser duality on the deterministic raster corpus: the
-    real decoder recovers the generator's dims for every intact BMP and
-    flags exactly the every-7th truncated payloads."""
+    real decoder recovers the generator's dims for every intact
+    BMP/PNG, flags exactly the every-7th truncated payloads, and flags
+    exactly the %11==5 CRC-corrupt PNGs."""
     from smart_ocr_ray.ops.multimodal import decode_rasters, raster_from_documents
 
     out = decode_rasters(raster_from_documents("/root/testdata/sf0.001")).take_all()
     assert out
+    seen_fmts = set()
     for r in out:
         doc_id = int(r["url"].rsplit("/", 1)[1])
+        seen_fmts.add(r["fmt"])
+        assert r["fmt"] == ("bmp" if doc_id % 3 == 0 else "png")
         if doc_id % 7 == 3:
             assert not r["decode_ok"] and "truncated" in r["error"], r["url"]
+        elif doc_id % 3 != 0 and doc_id % 11 == 5:
+            assert not r["decode_ok"], r["url"]
+            assert r["error"] == "bad PNG chunk CRC (IDAT)"
         else:
             assert r["decode_ok"], (r["url"], r["error"])
             assert r["width"] == 8 + doc_id % 48
             assert r["height"] == 8 + (doc_id * 7) % 48
+    assert seen_fmts == {"bmp", "png"}
+
+
+def test_png_codec_roundtrip_exact_pixels():
+    """_write_png → _parse_png recovers the EXACT pixel array for RGB
+    and grayscale images tall enough that every filter type (0-4) is
+    used on some scanline — byte-exact reconstruction through zlib
+    inflate + Sub/Up/Average/Paeth filter inversion."""
+    import numpy as np
+
+    from smart_ocr_ray.ops.multimodal import _parse_png, _write_png
+
+    rng = np.random.default_rng(7)
+    for ch in (3, 1):
+        px = rng.integers(0, 256, size=(11, 5, ch), dtype=np.uint8)
+        w, h, ch_out, rec = _parse_png(_write_png(px))
+        assert (w, h, ch_out) == (5, 11, ch)
+        assert np.array_equal(rec, px)
+
+
+def test_png_codec_failure_surface():
+    """Typed failures: truncation mid-chunk, CRC corruption, corrupt
+    IDAT stream, unsupported variants — each a ValueError with a
+    deterministic message (the oracle-predicted strings)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from smart_ocr_ray.ops.multimodal import _parse_png, _write_png
+
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    good = _write_png(px)
+    assert _parse_png(good)[:2] == (5, 4)
+
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        _parse_png(good[:39])
+    buf = bytearray(good)
+    buf[-13] ^= 0xFF  # last byte of IDAT CRC
+    with pytest.raises(ValueError, match=r"bad PNG chunk CRC \(IDAT\)"):
+        _parse_png(bytes(buf))
+    # corrupt the deflate stream but fix the CRC so the chunk passes
+    bad = bytearray(good)
+    idat_len = struct.unpack_from(">I", good, 33)[0]
+    bad[41 + 2] ^= 0xFF  # inside IDAT payload
+    crc = zlib.crc32(bytes(bad[37 : 41 + idat_len])) & 0xFFFFFFFF
+    struct.pack_into(">I", bad, 41 + idat_len, crc)
+    with pytest.raises(ValueError, match="bad PNG IDAT stream"):
+        _parse_png(bytes(bad))
+    # unsupported: 16-bit depth in IHDR (CRC fixed)
+    deep = bytearray(good)
+    deep[24] = 16
+    crc = zlib.crc32(bytes(deep[12:29])) & 0xFFFFFFFF
+    struct.pack_into(">I", deep, 29, crc)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        _parse_png(bytes(deep))
+    with pytest.raises(ValueError, match="not a PNG"):
+        _parse_png(b"\x89PNG but not really")
 
 
 @given(

@@ -1268,6 +1268,74 @@ def test_shard_plan_greedy_packing(ray_session, tmp_path):
                     "c.parquet": (100, 1), "d.parquet": (900, 1)}
 
 
+def test_compact_shards_atomic_resume(ray_session, tmp_path):
+    """compact_shards executes the plan with per-shard atomic commits:
+    the row multiset is byte-identical pre/post; a kill mid-compaction
+    (simulated: one shard's commit record removed, stale tmp file left
+    behind) resumes by recomputing exactly the uncommitted shard; an
+    input_sig change invalidates everything."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.storage import compact_shards
+
+    src = tmp_path / "src"; src.mkdir()
+    rng_rows = 0
+    for i in range(6):
+        n = 50 + i * 17
+        pq.write_table(
+            pa.Table.from_pydict({
+                "url": pa.array([f"u{i}-{j}" for j in range(n)], pa.string()),
+                "v": pa.array(range(rng_rows, rng_rows + n), pa.int64()),
+            }),
+            src / f"f{i}.parquet",
+        )
+        rng_rows += n
+    out = tmp_path / "out"
+
+    s1 = compact_shards(str(src), str(out), target_rows=120, input_sig="s1")
+    assert s1["skipped"] == [] and s1["rows"] == rng_rows
+    assert s1["n_shards"] == len(s1["completed"]) >= 3
+
+    def read_all():
+        t = pa.concat_tables([
+            pq.read_table(out / f) for f in sorted(os.listdir(out))
+            if f.endswith(".parquet") and not f.startswith("_")
+        ])
+        return sorted(zip(t["url"].to_pylist(), t["v"].to_pylist()))
+
+    orig = sorted(
+        (u, v)
+        for i in range(6)
+        for u, v in zip(
+            pq.read_table(src / f"f{i}.parquet")["url"].to_pylist(),
+            pq.read_table(src / f"f{i}.parquet")["v"].to_pylist(),
+        )
+    )
+    assert read_all() == orig  # byte-identical row multiset post-compaction
+
+    # Kill simulation: shard 1 committed its file but lost its manifest
+    # (or vice versa — either way it is uncommitted); a stale tmp file
+    # from the dead worker lingers.
+    victim = s1["completed"][1]
+    os.remove(out / "_manifests" / f"shard-{victim}.json")
+    (out / "_tmp-shard-99-12345.parquet").write_bytes(b"garbage")
+
+    s2 = compact_shards(str(src), str(out), target_rows=120, input_sig="s1")
+    assert s2["completed"] == [victim]
+    assert sorted(s2["skipped"] + s2["completed"]) == s1["completed"]
+    assert s2["rows"] == rng_rows
+    assert not any(f.startswith("_tmp-") for f in os.listdir(out))
+    assert read_all() == orig
+
+    # Changed input signature: nothing is trusted, everything rebuilt.
+    s3 = compact_shards(str(src), str(out), target_rows=120, input_sig="s2")
+    assert s3["skipped"] == [] and sorted(s3["completed"]) == s1["completed"]
+    assert read_all() == orig
+
+
 def test_lang_length_quantiles_exact(ray_session, tmp_path):
     """lang_length_quantiles: per-language integer-grid quantiles match
     the hand-computed rule (smallest v with cum*100 >= q*n) on a corpus
@@ -6204,3 +6272,58 @@ def test_ngram_novelty_first_owner(ray_session, tmp_path):
     assert by[0] == (2, 2)
     assert by[1] == (1, 0)
     assert by[2] == (2, 1)
+    # each gram is novel exactly once: {abc, bcd, cde}
+    assert sum(r["n_novel"] for r in rows) == 3
+
+
+def test_ngram_novelty_invariant(ray_session, tmp_path):
+    """Cross-block invariant: sum(n_novel) == corpus-wide distinct
+    gram count. Detects the equal-gk-split-across-blocks hazard the
+    block pass silently depends on (ADVICE r3): each gram has exactly
+    one min-doc_id owner, so the totals must balance even when the
+    pair table spans many blocks. Uses a small vocab over many docs so
+    grams collide heavily across documents, and repartitions the input
+    so the sorted pair table genuinely has multiple blocks."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import ngram_novelty
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for _ in range(300)
+    ]
+    sf = tmp_path / "nni"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        sf / "documents.parquet",
+        row_group_size=25,  # many row groups -> many input blocks
+    )
+    rows = ngram_novelty(str(sf)).take_all()
+
+    # Python reference: per-doc distinct trigram sets + first-owner.
+    import hashlib
+    seen: set[str] = set()
+    ref = {}
+    for d, t in enumerate(texts):
+        toks = t.lower().split()
+        keys = {
+            hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()[:16]
+            for i in range(len(toks) - 2)
+        }
+        if not keys:
+            continue
+        ref[d] = (len(keys), len(keys - seen))
+        seen |= keys
+
+    got = {r["doc_id"]: (r["n_distinct"], r["n_novel"]) for r in rows}
+    assert got == ref
+    # the invariant itself: every gram novel exactly once
+    assert sum(nn for _, nn in got.values()) == len(seen)

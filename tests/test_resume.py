@@ -238,3 +238,51 @@ def test_committed_keys_ignore_uncommitted_partition(
     # parts= scopes the read to partitions being recomputed.
     assert keys(committed_keys_ds(out_dir, parts=[0])) == reduced
     assert committed_keys_ds(out_dir, parts=[1]) is None
+
+
+def test_auto_partitions_sizing(ray_session, fixture_parquet):
+    """auto_partitions derives the count from parquet footers vs the
+    object-store budget: an oversized corpus (tiny budget) splits into
+    >1 partition, a comfortable budget stays single-pass, and the
+    count scales ~linearly in corpus bytes / budget."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.state.manifests import (
+        _AUTO_BUDGET_FRACTION,
+        _AUTO_EXPANSION,
+        auto_partitions,
+        resolve_input_files,
+    )
+
+    files = resolve_input_files(fixture_parquet)
+    total = sum(
+        sum(
+            pq.ParquetFile(f).metadata.row_group(i).total_byte_size
+            for i in range(pq.ParquetFile(f).metadata.num_row_groups)
+        )
+        for f in files
+    )
+    assert total > 0
+    # Budget sized so the working set is ~5.3 partitions' worth.
+    budget = total * _AUTO_EXPANSION / _AUTO_BUDGET_FRACTION / 5.3
+    n = auto_partitions(fixture_parquet, object_store_budget=budget)
+    assert n == 6  # ceil(5.3)
+    assert auto_partitions(fixture_parquet, object_store_budget=total * 100) == 1
+    # Clamps: never 0, never unbounded.
+    assert auto_partitions(fixture_parquet, object_store_budget=1.0) == 4096
+
+
+def test_run_partitioned_auto(ray_session, fixture_parquet, tmp_path_factory):
+    """num_partitions=None auto-sizes (here: small corpus → 1
+    partition against the live object store) and completes end-to-end
+    with the same total rows as the explicit-count runs."""
+    from smart_ocr_ray.state.manifests import run_partitioned
+
+    out_dir = str(tmp_path_factory.mktemp("extracted_auto"))
+    summary = run_partitioned(
+        fixture_parquet, out_dir, input_sig="auto-v1",
+        max_html_bytes=16 * 1024,
+    )
+    assert summary["num_partitions"] >= 1
+    assert summary["rows"] == 110
+    assert len(summary["completed"]) == summary["num_partitions"]
