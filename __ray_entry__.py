@@ -957,6 +957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": similarity.embedding_neardup_lsh,
         "embedding_neardup_clusters": similarity.embedding_neardup_clusters,
         "embedding_knn_graph": similarity.embedding_knn_graph,
+        "graph_ann_search": similarity.graph_ann_search,
+        "graph_ann_recall": similarity.graph_ann_recall,
         "embedding_kmeans": similarity.embedding_kmeans,
         "semdedup_sample": similarity.semdedup_sample,
         "embedding_outliers": similarity.embedding_outliers,
@@ -2434,6 +2436,113 @@ def _shard_compact_sql(target_rows: int = _COMPACT_TARGET) -> str:
                md5(r.hx) AS html_md5
         FROM rows r JOIN plan p USING (file)
     """
+
+
+def _graph_ann_sql(
+    k: int = 10, n_queries: int = 5, knn_k: int = 10, beam: int = 16,
+    hops: int = 5,
+) -> str:
+    """Oracle for ``graph_ann_search``: the beam walk unrolled to its
+    fixed ``hops`` rounds as chained CTEs over the knn-graph CTE (the
+    ``embedding_knn_graph`` oracle's arithmetic) — entry point from
+    the centroid-medoid on the 1e-6 grid, per-hop candidate = graph
+    neighbors of the frontier minus visited, beam cut by
+    (e6 desc, vec_id asc), final top-k over the visited union. Every
+    ranking lives on the e6 integer grid so DuckDB and numpy land on
+    identical walks."""
+    e6 = (
+        "CAST(round(list_cosine_similarity(e.embedding, q.q_emb) "
+        "* 1000000) AS BIGINT)"
+    )
+    # embedding dim as an injected literal: DuckDB's range() table
+    # function cannot hold a subquery (footer-only row-group read).
+    dim = len(
+        pq.ParquetFile(f"{_ORACLE_SF}/embeddings.parquet")
+        .read_row_group(0, columns=["embedding"])
+        .column("embedding")[0]
+        .as_py()
+    )
+    parts = [
+        f"""
+            g AS (
+              SELECT vec_id, nbr FROM (
+                SELECT sym.*, row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY cos_sim_e3 DESC, nbr ASC) AS rnk
+                FROM (
+                  SELECT left_id AS vec_id, right_id AS nbr, cos_sim_e3
+                  FROM lsh_pairs
+                  UNION ALL
+                  SELECT right_id, left_id, cos_sim_e3 FROM lsh_pairs
+                ) sym
+              ) WHERE rnk <= {knn_k}
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+            ),
+            cent AS (
+              SELECT i, avg(embedding[i]) AS c
+              FROM embeddings, range(1, {dim} + 1) t(i)
+              GROUP BY i
+            ),
+            centv AS (SELECT list(c ORDER BY i) AS cv FROM cent),
+            med AS (
+              SELECT vec_id AS entry FROM embeddings, centv
+              ORDER BY CAST(round(list_cosine_similarity(embedding, cv)
+                            * 1000000) AS BIGINT) DESC, vec_id ASC
+              LIMIT 1
+            ),
+            v0 AS (
+              SELECT q.query_id, m.entry AS vec_id, {e6} AS e6
+              FROM q, med m JOIN embeddings e ON e.vec_id = m.entry
+            ),
+            f0 AS (SELECT query_id, vec_id FROM v0)
+        """
+    ]
+    for t in range(1, hops + 1):
+        parts.append(
+            f""",
+            c{t} AS (
+              SELECT DISTINCT f.query_id, g.nbr AS vec_id
+              FROM f{t - 1} f JOIN g ON g.vec_id = f.vec_id
+              WHERE NOT EXISTS (
+                SELECT 1 FROM v{t - 1} v
+                WHERE v.query_id = f.query_id AND v.vec_id = g.nbr)
+            ),
+            s{t} AS (
+              SELECT c.query_id, c.vec_id, {e6} AS e6,
+                     row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {e6} DESC, c.vec_id ASC) AS rn
+              FROM c{t} c
+              JOIN embeddings e ON e.vec_id = c.vec_id
+              JOIN q ON q.query_id = c.query_id
+            ),
+            f{t} AS (SELECT query_id, vec_id FROM s{t} WHERE rn <= {beam}),
+            v{t} AS (
+              SELECT * FROM v{t - 1}
+              UNION ALL
+              SELECT query_id, vec_id, e6 FROM s{t} WHERE rn <= {beam}
+            )
+        """
+        )
+    parts.append(
+        f""",
+            final AS (
+              SELECT query_id, vec_id, e6,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY e6 DESC, vec_id ASC) AS rank
+              FROM v{hops}
+            )
+            SELECT query_id, vec_id,
+                   CAST(floor((e6 + 500) / 1000.0) AS BIGINT) AS cos_sim_e3,
+                   CAST(rank AS BIGINT) AS rank
+            FROM final WHERE rank <= {k}
+        """
+    )
+    return "".join(parts)
 
 
 def _crawl_budget_sql(budget: int = 10_000) -> str:
@@ -5468,6 +5577,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000000 // coalesce(j.n, 1) AS BIGINT) AS weight_e6
         FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
         ORDER BY d.doc_id
+    """
+    out["graph_ann_search"] = "WITH " + _hyperplane_lsh_sql() + "," + _graph_ann_sql()
+    out["graph_ann_recall"] = f"""
+        WITH a AS (SELECT query_id, vec_id FROM ({out["ann_cosine_topk"]})),
+             b AS (SELECT query_id, vec_id FROM ({out["graph_ann_search"]}))
+        SELECT a.query_id,
+               CAST(count(b.vec_id) AS BIGINT) AS n_common,
+               CAST(1000000 * count(b.vec_id) // 10 AS BIGINT) AS recall_e6
+        FROM a LEFT JOIN b USING (query_id, vec_id)
+        GROUP BY a.query_id
     """
     out["rrf_fuse"] = f"""
         WITH a AS (SELECT query_id, vec_id, rank FROM ({out["ann_cosine_topk"]})),

@@ -171,6 +171,7 @@ def run_bench() -> dict:
         timed("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
         timed("dedup_incremental_minhash", dedup.dedup_incremental_minhash)
         timed("ann_cosine_topk", similarity.ann_cosine_topk)
+        timed("graph_ann_search", similarity.graph_ann_search)
         timed("embedding_kmeans", similarity.embedding_kmeans)
         timed("doc_quality", text_analysis.quality)
         timed("gopher_rules", text_analysis.gopher_rules)

@@ -6327,3 +6327,40 @@ def test_ngram_novelty_invariant(ray_session, tmp_path):
     assert got == ref
     # the invariant itself: every gram novel exactly once
     assert sum(nn for _, nn in got.values()) == len(seen)
+
+
+def test_graph_ann_search_recall_and_bounds(ray_session):
+    """Graph beam search: high recall vs exact cosine top-k at default
+    parameters (the audit that pins the approximation, as
+    lsh_recall_eval pins LSH), deterministic across runs, and every
+    result node is graph-reachable within `hops` of the medoid entry
+    (the walk cannot teleport)."""
+    from smart_ocr_ray.ops.similarity import (
+        _centroid_medoid,
+        embedding_knn_graph,
+        graph_ann_recall,
+        graph_ann_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rec = graph_ann_recall(sf).take_all()
+    assert len(rec) == 5
+    assert sum(r["n_common"] for r in rec) >= 45  # >= 90% mean recall
+
+    out1 = graph_ann_search(sf).take_all()
+    out2 = graph_ann_search(sf).take_all()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(out1, key=key) == sorted(out2, key=key)
+    assert {r["rank"] for r in out1} == set(range(1, 11))
+
+    # reachability: BFS over the knn graph from the entry point
+    entry = _centroid_medoid(sf)
+    edges = {}
+    for r in embedding_knn_graph(sf, k=10).take_all():
+        edges.setdefault(int(r["vec_id"]), []).append(int(r["nbr"]))
+    seen = {entry}
+    frontier = [entry]
+    for _ in range(5):
+        frontier = [n for v in frontier for n in edges.get(v, []) if n not in seen]
+        seen.update(frontier)
+    assert {int(r["vec_id"]) for r in out1} <= seen
