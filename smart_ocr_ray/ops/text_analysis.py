@@ -9,6 +9,7 @@ verifies them value-for-value (see ``__ray_entry__.oracle_sql``).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.textstats import (
@@ -28,16 +29,75 @@ def read_documents(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+def _flat(arr) -> pa.Array:
+    """ChunkedArray → single Array (empty-safe)."""
+    if isinstance(arr, pa.ChunkedArray):
+        return (
+            arr.combine_chunks()
+            if arr.num_chunks
+            else pa.array([], type=arr.type)
+        )
+    return arr
+
+
+def _arrow_token_stream(
+    batch: pa.Table, col: str = "text", lower: bool = True
+) -> tuple[pa.Array, pa.Array]:
+    """Vectorized ``(t or "").lower().split()`` over a whole batch:
+    returns ``(tokens, parents)`` — the flattened token stream and each
+    token's row index within the batch. One RE2 ``\\s+`` split +
+    list-flatten + empty-filter, all pyarrow kernels; equals Python
+    ``str.split()`` on ASCII whitespace, which is also exactly the
+    ``regexp_split_to_array(..., '\\s+')`` class every token-grid SQL
+    oracle uses — so vectorizing ALIGNS the engine with the oracle
+    rather than drifting from it (r3 advice: vectorize the per-row
+    token loops where the oracle grid survives)."""
+    src = pc.fill_null(batch.column(col).cast(pa.string()), "")
+    if lower:
+        src = pc.utf8_lower(src)
+    lists = pc.split_pattern_regex(src, r"\s+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    return _flat(flat.filter(mask)), _flat(parents.filter(mask))
+
+
+def _arrow_ngrams(
+    tokens: pa.Array, parents: pa.Array, n: int
+) -> tuple[pa.Array, pa.Array]:
+    """Space-joined word ``n``-grams over a (tokens, parents) stream:
+    returns (grams, parent-row-of-gram). A window is a gram iff its
+    first and last token share a parent (parents are nondecreasing, so
+    the endpoints pin the whole window). Vectorized: ``n`` array
+    slices + one ``binary_join_element_wise``."""
+    m = len(tokens)
+    if m < n:
+        return pa.array([], pa.string()), pa.array([], pa.int64())
+    width = m - n + 1
+    cols = [tokens.slice(i, width) for i in range(n)]
+    par0 = parents.slice(0, width)
+    same = pc.equal(par0, parents.slice(n - 1, width))
+    grams = pc.binary_join_element_wise(*cols, " ")
+    return _flat(grams.filter(same)), _flat(par0.filter(same))
+
+
 def token_counts(sf_dir: str) -> ray.data.Dataset:
     """doc_id, n_tokens (whitespace), n_bpeish (sub-word-ish)."""
 
     def _batch(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        # Vectorized token_count / bpeish_token_count: one RE2
+        # count_substring_regex per column (same \S+ / BPE-ish classes
+        # as the frozen scalar functions and their SQL oracles).
+        text = pc.fill_null(batch.column("text").cast(pa.string()), "")
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array([token_count(t or "") for t in texts], pa.int64()),
-                "n_bpeish": pa.array([bpeish_token_count(t or "") for t in texts], pa.int64()),
+                "n_tokens": pc.count_substring_regex(text, r"\S+").cast(
+                    pa.int64()
+                ),
+                "n_bpeish": pc.count_substring_regex(
+                    text, r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+                ).cast(pa.int64()),
             }
         )
 
@@ -219,20 +279,16 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20) -> ray.data.Dataset:
     aggregated (distinct-ngram-sized) table with a deterministic
     (count desc, ngram asc) tie order mirrored by the SQL oracle."""
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+    _schema = pa.schema([("ngram", pa.string()), ("cnt", pa.int64())])
 
-        counts: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            toks = (t or "").lower().split()
-            counts.update(
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            )
-        return pa.Table.from_pydict(
-            {
-                "ngram": pa.array(list(counts.keys()), pa.string()),
-                "cnt": pa.array(list(counts.values()), pa.int64()),
-            }
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks, par = _arrow_token_stream(batch)
+        grams, _ = _arrow_ngrams(toks, par, n)
+        if len(grams) == 0:
+            return _schema.empty_table()
+        vc = pc.value_counts(grams)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts")], schema=_schema
         )
 
     from ray.data.aggregate import Sum
@@ -904,11 +960,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     combiner (lossless: keeps k rows per (block, doc)) before the final
     ``map_key_groups`` rank.
     """
-    from collections import Counter
-
     import numpy as np
 
-    from ..functions.textstats import _TOKEN_RE
     from ..tuning import join_partitions as _jp
     from .grouped import map_key_groups
 
@@ -916,22 +969,23 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     n_docs = docs.count()
     jp = _jp()
 
+    _tf_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
     def _tf(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs = [], [], []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for term, tf in Counter(_TOKEN_RE.findall(t or "")).items():
-                ids.append(int(d))
-                terms.append(term)
-                tfs.append(tf)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "term": pa.array(terms, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
-            }
+        # _TOKEN_RE.findall == \S+ tokens, case preserved: the
+        # unlowered vectorized token stream.
+        toks, par = _arrow_token_stream(batch, lower=False)
+        if len(toks) == 0:
+            return _tf_schema.empty_table()
+        ids = _flat(batch.column("doc_id").cast(pa.int64())).take(par)
+        agg = (
+            pa.table({"doc_id": ids, "term": toks})
+            .group_by(["doc_id", "term"])
+            .aggregate([([], "count_all")])
         )
+        return agg.rename_columns(["doc_id", "term", "tf"]).cast(_tf_schema)
 
     tf = docs.map_batches(_tf, batch_format="pyarrow")
 
@@ -1089,11 +1143,8 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     is corpus-scale), then a per-doc integer-sum groupby. The single
     driver scalar is A.
     """
-    from collections import Counter
-
     import numpy as np
 
-    from ..functions.textstats import _TOKEN_RE
     from ..tuning import join_partitions as _jp
     from .grouped import map_key_groups
 
@@ -1105,22 +1156,18 @@ def unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     )
 
     def _tf(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs = [], [], []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for term, tf in Counter(_TOKEN_RE.findall(t or "")).items():
-                ids.append(int(d))
-                terms.append(term)
-                tfs.append(tf)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "term": pa.array(terms, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
-            },
-            schema=tf_schema,
+        # _TOKEN_RE.findall == \S+ tokens, case preserved — the
+        # unlowered vectorized token stream + Arrow group_by.
+        toks, par = _arrow_token_stream(batch, lower=False)
+        if len(toks) == 0:
+            return tf_schema.empty_table()
+        ids = _flat(batch.column("doc_id").cast(pa.int64())).take(par)
+        agg = (
+            pa.table({"doc_id": ids, "term": toks})
+            .group_by(["doc_id", "term"])
+            .aggregate([([], "count_all")])
         )
+        return agg.rename_columns(["doc_id", "term", "tf"]).cast(tf_schema)
 
     tf = docs.map_batches(_tf, batch_format="pyarrow")
 
@@ -2099,13 +2146,18 @@ def bpe_pair_counts(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     def _partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
-        words: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            words.update((t or "").lower().split())
+        # Vectorized word counting (value_counts over the token
+        # stream); the residual Python loop runs over DISTINCT words
+        # only — vocabulary-bounded per block, not token-bounded.
+        toks, _ = _arrow_token_stream(batch)
+        vc = pc.value_counts(toks) if len(toks) else None
         pairs: Counter = Counter()
-        for w, c in words.items():
-            for a, b in zip(w, w[1:]):
-                pairs[a + b] += c
+        if vc is not None:
+            for w, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            ):
+                for a, b in zip(w, w[1:]):
+                    pairs[a + b] += c
         return pa.Table.from_pydict(
             {
                 "pair": pa.array(list(pairs.keys()), pa.string()),
@@ -2154,8 +2206,6 @@ def pmi_pairs(
     corpus-scale). Output: top-k by (pmi_bits desc, pair_cnt desc,
     pair asc): (w1, w2, pair_cnt, c1, c2, pmi_bits).
     """
-    from collections import Counter
-
     from ..tuning import join_partitions as _jp
     from .grouped import rename_agg
 
@@ -2168,32 +2218,43 @@ def pmi_pairs(
     uni_schema = pa.schema([("term", pa.string()), ("cnt", pa.int64())])
 
     def _pair_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            toks = (t or "").lower().split()
-            for d in range(1, window + 1):
-                for a, b in zip(toks, toks[d:]):
-                    c[(a, b) if a <= b else (b, a)] += 1
-        keys = list(c.keys())
-        return pa.Table.from_pydict(
-            {
-                "w1": pa.array([p[0] for p in keys], pa.string()),
-                "w2": pa.array([p[1] for p in keys], pa.string()),
-                "cnt": pa.array([c[p] for p in keys], pa.int64()),
-            },
-            schema=pair_schema,
+        # Vectorized skip-gram sweep: for each offset d, one pair of
+        # array slices + same-parent mask; canonical (w1 <= w2) order
+        # via min/max_element_wise (UTF-8 byte order == Python string
+        # order); counting via Arrow's C++ group_by.
+        toks, par = _arrow_token_stream(batch)
+        m = len(toks)
+        parts = []
+        for d in range(1, window + 1):
+            if m <= d:
+                break
+            a, b = toks.slice(0, m - d), toks.slice(d)
+            same = pc.equal(par.slice(0, m - d), par.slice(d))
+            a, b = a.filter(same), b.filter(same)
+            parts.append(
+                pa.table(
+                    {
+                        "w1": pc.min_element_wise(a, b),
+                        "w2": pc.max_element_wise(a, b),
+                    }
+                )
+            )
+        if not parts:
+            return pair_schema.empty_table()
+        agg = (
+            pa.concat_tables(parts)
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
         )
+        return agg.rename_columns(["w1", "w2", "cnt"]).cast(pair_schema)
 
     def _uni_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update((t or "").lower().split())
-        return pa.Table.from_pydict(
-            {
-                "term": pa.array(list(c.keys()), pa.string()),
-                "cnt": pa.array(list(c.values()), pa.int64()),
-            },
-            schema=uni_schema,
+        toks, _ = _arrow_token_stream(batch)
+        if len(toks) == 0:
+            return uni_schema.empty_table()
+        vc = pc.value_counts(toks)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts")], schema=uni_schema
         )
 
     pairs = rename_agg(
@@ -2301,25 +2362,27 @@ def bpe_merges(sf_dir: str, rounds: int = 6) -> ray.data.Dataset:
     Output: (round, left_sym, right_sym, cnt) for each performed
     merge; training stops early when no non-self pair remains.
     """
-    import re as _re
     from collections import Counter
 
     from ..tuning import join_partitions as _jp
     from .grouped import rename_agg
 
-    word_re = _re.compile(r"[a-z]+$")
     docs = read_documents(sf_dir)
 
     wc_schema = pa.schema([("word", pa.string()), ("c", pa.int64())])
 
     def _wcount(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(w for w in (t or "").lower().split() if word_re.match(w))
-        return pa.Table.from_pydict(
-            {"word": pa.array(list(c.keys()), pa.string()),
-             "c": pa.array(list(c.values()), pa.int64())},
-            schema=wc_schema,
+        # Vectorized: token stream → RE2 [a-z]+ fullmatch filter →
+        # value_counts (replaces the per-token Counter loop).
+        toks, _ = _arrow_token_stream(batch)
+        if len(toks) == 0:
+            return wc_schema.empty_table()
+        toks = _flat(toks.filter(pc.match_substring_regex(toks, r"^[a-z]+$")))
+        if len(toks) == 0:
+            return wc_schema.empty_table()
+        vc = pc.value_counts(toks)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts")], schema=wc_schema
         )
 
     words = rename_agg(
@@ -3137,22 +3200,36 @@ def trending_terms(sf_dir: str, k: int = 20, min_new: int = 5) -> ray.data.Datas
     """
     from ray.data.aggregate import Sum
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+    _part_schema = pa.schema(
+        [("term", pa.string()), ("c_old", pa.int64()), ("c_new", pa.int64())]
+    )
 
-        old: Counter = Counter()
-        new: Counter = Counter()
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            (old if int(d) % 2 == 0 else new).update((t or "").lower().split())
-        terms = sorted(set(old) | set(new))
-        return pa.Table.from_pydict(
-            {
-                "term": pa.array(terms, pa.string()),
-                "c_old": pa.array([old.get(t, 0) for t in terms], pa.int64()),
-                "c_new": pa.array([new.get(t, 0) for t in terms], pa.int64()),
-            }
+    def _partial(batch: pa.Table) -> pa.Table:
+        # Vectorized: token stream + doc-parity split in one Arrow
+        # group_by over (term, parity); a term active in both halves
+        # emits two partial rows — the downstream Sum merges them
+        # identically to the old single-row Counter partial.
+        toks, par = _arrow_token_stream(batch)
+        if len(toks) == 0:
+            return _part_schema.empty_table()
+        parity = pc.bit_wise_and(
+            _flat(batch.column("doc_id").cast(pa.int64())).take(par), 1
+        )
+        agg = (
+            pa.table({"term": toks, "p": parity})
+            .group_by(["term", "p"])
+            .aggregate([([], "count_all")])
+        )
+        cnt = agg.column("count_all")
+        is_old = pc.equal(agg.column("p"), 0)
+        zero = pa.scalar(0, pa.int64())
+        return pa.Table.from_arrays(
+            [
+                _flat(agg.column("term")),
+                _flat(pc.if_else(is_old, cnt, zero)),
+                _flat(pc.if_else(is_old, zero, cnt)),
+            ],
+            schema=_part_schema,
         )
 
     counts = (
@@ -3991,8 +4068,6 @@ def bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     bounded, corpus-scale on real webtext, so never broadcast; final
     per-doc integer-sum groupby. Text never shuffles.
     """
-    from collections import Counter
-
     import numpy as np
 
     from ..tuning import join_partitions as _jp
@@ -4011,25 +4086,29 @@ def bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     )
 
     def _doc_tf(batch: pa.Table) -> pa.Table:
-        ids, w1s, w2s, tfs = [], [], [], []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = (t or "").strip().lower().split()
-            for (a, b), tf in Counter(zip(toks, toks[1:])).items():
-                ids.append(int(d))
-                w1s.append(a)
-                w2s.append(b)
-                tfs.append(tf)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "w1": pa.array(w1s, pa.string()),
-                "w2": pa.array(w2s, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
-            },
-            schema=dtf_schema,
+        # Vectorized per-doc bigram tf: adjacent-slice pair formation
+        # with a same-parent mask, then Arrow's C++ group_by collapses
+        # repeats in-block (replaces the per-row Counter loop).
+        toks, par = _arrow_token_stream(batch)
+        m = len(toks)
+        if m < 2:
+            return dtf_schema.empty_table()
+        same = pc.equal(par.slice(0, m - 1), par.slice(1))
+        ids = _flat(batch.column("doc_id").cast(pa.int64())).take(
+            _flat(par.slice(0, m - 1).filter(same))
         )
+        agg = (
+            pa.table(
+                {
+                    "doc_id": ids,
+                    "w1": _flat(toks.slice(0, m - 1).filter(same)),
+                    "w2": _flat(toks.slice(1).filter(same)),
+                }
+            )
+            .group_by(["doc_id", "w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["doc_id", "w1", "w2", "tf"]).cast(dtf_schema)
 
     # The repartitions launder schema-less empty blocks ahead of the
     # (w1, w2) join (the cluster_pairs lesson: Acero's key resolution
@@ -4214,8 +4293,6 @@ def vocab_coverage(
     only that histogram reaches the driver for the cumulative walk
     (the ``doc_length_quantiles`` contract).
     """
-    from collections import Counter
-
     from .grouped import reduce_by_keys
 
     docs = read_documents(sf_dir)
@@ -4223,16 +4300,14 @@ def vocab_coverage(
     tok_schema = pa.schema([("tok", pa.string()), ("c", pa.int64())])
 
     def _tok_partial(batch: pa.Table) -> pa.Table:
-        cnt: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            cnt.update((t or "").strip().lower().split())
-        keys = list(cnt.keys())
-        return pa.Table.from_pydict(
-            {
-                "tok": pa.array(keys, pa.string()),
-                "c": pa.array([cnt[k] for k in keys], pa.int64()),
-            },
-            schema=tok_schema,
+        # Vectorized token-count partial (value_counts over the
+        # flattened token stream, replacing the Counter loop).
+        toks, _ = _arrow_token_stream(batch)
+        if len(toks) == 0:
+            return tok_schema.empty_table()
+        vc = pc.value_counts(toks)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts")], schema=tok_schema
         )
 
     cf = reduce_by_keys(
@@ -4306,8 +4381,6 @@ def bigram_lm(
     sort-gather; ranking is a per-prefix ``map_key_groups`` top-k.
     Text never shuffles; the pair table is vocab²-bounded per block.
     """
-    from collections import Counter
-
     import numpy as np
 
     from .grouped import gather_by_key, map_key_groups, reduce_by_keys
@@ -4319,19 +4392,24 @@ def bigram_lm(
     )
 
     def _pair_partial(batch: pa.Table) -> pa.Table:
-        cnt: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            toks = (t or "").strip().lower().split()
-            cnt.update(zip(toks, toks[1:]))
-        keys = list(cnt.keys())
-        return pa.Table.from_pydict(
-            {
-                "w1": pa.array([p[0] for p in keys], pa.string()),
-                "w2": pa.array([p[1] for p in keys], pa.string()),
-                "c": pa.array([cnt[p] for p in keys], pa.int64()),
-            },
-            schema=pair_schema,
+        # Vectorized ordered-bigram partial (adjacent slices + same-
+        # parent mask + Arrow group_by), replacing the Counter loop.
+        toks, par = _arrow_token_stream(batch)
+        m = len(toks)
+        if m < 2:
+            return pair_schema.empty_table()
+        same = pc.equal(par.slice(0, m - 1), par.slice(1))
+        agg = (
+            pa.table(
+                {
+                    "w1": _flat(toks.slice(0, m - 1).filter(same)),
+                    "w2": _flat(toks.slice(1).filter(same)),
+                }
+            )
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
         )
+        return agg.rename_columns(["w1", "w2", "c"]).cast(pair_schema)
 
     pairs = reduce_by_keys(
         docs.map_batches(_pair_partial, batch_format="pyarrow"),
