@@ -296,13 +296,13 @@ def _q_multimodal(sf_dir: str):
 
 
 def _q_decode_real(sf_dir: str):
-    """REAL raster decode over deterministic 24-bit BMP + 8-bit PNG
-    payloads derived from the documents table (incl. truncated-file
-    and CRC-corruption failures): pixel-parsing codecs (stdlib+numpy;
-    PNG via stdlib zlib with CRC-verified chunks and full filter
-    reconstruction), not the FakeDecoder stand-in. Features dropped
-    from the hash (list column); dims/flags/errors are the checked
-    surface."""
+    """REAL raster decode over deterministic BMP + PNG + baseline
+    JPEG payloads derived from the documents table (incl.
+    truncated-file and CRC-corruption failures): pixel-parsing codecs
+    (stdlib+numpy; PNG via stdlib zlib with CRC-verified chunks and
+    full filter reconstruction; JPEG via ops/jpeg.py Huffman + IDCT),
+    not the FakeDecoder stand-in. Features dropped from the hash
+    (list column); dims/flags/errors are the checked surface."""
     from smart_ocr_ray.ops.multimodal import decode_rasters, raster_from_documents
 
     return decode_rasters(raster_from_documents(sf_dir)).drop_columns(["features"])
@@ -4980,21 +4980,23 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_real": """
             -- Writer/parser duality check: the raster corpus generator
             -- (ops/multimodal.raster_from_documents) derives each
-            -- image's format (doc_id%3: 0 bmp, else png) and geometry
-            -- from doc_id; the REAL decoder (PixmapDecoder, incl. the
-            -- stdlib-zlib PNG path with full filter reconstruction)
-            -- must parse back exactly those dims, flag exactly the
-            -- every-7th truncated payloads and the %11==5 CRC-corrupt
-            -- PNGs, and report the deterministic error strings. All
-            -- integer math — SQL reproduces the expected output
-            -- without decoding anything.
+            -- image's format (doc_id%4: 0 bmp, 1/2 png, 3 jpeg) and
+            -- geometry from doc_id; the REAL decoder (PixmapDecoder,
+            -- incl. the stdlib-zlib PNG path with full filter
+            -- reconstruction and the ops/jpeg.py baseline
+            -- DCT/Huffman decoder) must parse back exactly those
+            -- dims, flag exactly the every-7th truncated payloads and
+            -- the %11==5 CRC-corrupt PNGs, and report the
+            -- deterministic error strings. All integer math — SQL
+            -- reproduces the expected output without decoding
+            -- anything.
             WITH g AS (
               SELECT doc_id,
                      8 + (doc_id % 48) AS w,
                      8 + ((doc_id * 7) % 48) AS h,
-                     CAST(doc_id % 3 AS INTEGER) AS kind,
+                     CAST(doc_id % 4 AS INTEGER) AS kind,
                      (doc_id % 7) = 3 AS trunc,
-                     (doc_id % 7) <> 3 AND (doc_id % 3) <> 0
+                     (doc_id % 7) <> 3 AND (doc_id % 4) IN (1, 2)
                        AND (doc_id % 11) = 5 AS crcbad
               FROM documents
             ),
@@ -5004,7 +5006,9 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )
             SELECT 'raster://doc/' || doc_id AS url,
-                   CASE WHEN kind = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+                   CASE WHEN kind = 0 THEN 'bmp'
+                        WHEN kind = 3 THEN 'jpg'
+                        ELSE 'png' END AS fmt,
                    CAST(CASE WHEN trunc OR crcbad THEN 0 ELSE w END
                         AS INTEGER) AS width,
                    CAST(CASE WHEN trunc OR crcbad THEN 0 ELSE h END
@@ -5014,6 +5018,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind = 0 THEN
                           printf('truncated BMP pixel data (%d/%d)',
                                  54 + need // 2, 54 + need)
+                        WHEN kind = 3 THEN 'truncated JPEG'
                         WHEN trunc THEN 'truncated PNG chunk'
                         ELSE 'bad PNG chunk CRC (IDAT)' END AS error
             FROM geom

@@ -1,23 +1,25 @@
 """Multimodal column plumbing: opaque binary payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-Compressed image/audio decode libraries are not present in this
-container, so the general decode kernel is a clearly-marked
-deterministic stand-in (``FakeDecoder``) with a ``NotImplementedError``
-seam (``RealDecoder``) where PIL/ffmpeg drops in. For formats
-parseable without codec libraries no stand-in is needed:
-``PixmapDecoder`` is a REAL pixel-parsing codec for 24-bit BMP and
-binary PPM/PGM (stdlib+numpy) AND for 8-bit grayscale/truecolor PNG —
-a full stdlib-``zlib`` implementation: chunk walk with CRC-32
-verification, IDAT inflate, and per-scanline filter reconstruction
-(all five filter types: None/Sub/Up/Average/Paeth). Malformed,
-truncated, and CRC-corrupt payloads produce typed decode-failure
-rows; the ``multimodal_decode_real`` query exercises the BMP and PNG
-paths (including both failure modes) end-to-end against its
-writer/parser-duality SQL oracle. The Ray-side contract is identical
-across all decoders: binary column in, small payload-size-aware
-batches, actor pool with per-actor setup, fixed output schema with
-feature vectors.
+Codec libraries (PIL/ffmpeg) are not present in this container, so
+the general decode kernel is a clearly-marked deterministic stand-in
+(``FakeDecoder``) with a ``NotImplementedError`` seam
+(``RealDecoder``) where they would drop in. For formats parseable
+without codec libraries no stand-in is needed: ``PixmapDecoder`` is a
+REAL pixel-parsing codec for 24-bit BMP and binary PPM/PGM
+(stdlib+numpy), for 8-bit grayscale/truecolor PNG — a full
+stdlib-``zlib`` implementation: chunk walk with CRC-32 verification,
+IDAT inflate, and per-scanline filter reconstruction (all five
+filter types: None/Sub/Up/Average/Paeth) — AND for baseline JPEG
+(``ops/jpeg.py``: full marker parse, Huffman entropy decode,
+dequantize + vectorized IDCT, YCbCr→RGB, restart intervals).
+Malformed, truncated, and CRC-corrupt payloads produce typed
+decode-failure rows; the ``multimodal_decode_real`` query exercises
+the BMP, PNG and JPEG paths (including the failure modes) end-to-end
+against its writer/parser-duality SQL oracle. The Ray-side contract
+is identical across all decoders: binary column in, small
+payload-size-aware batches, actor pool with per-actor setup, fixed
+output schema with feature vectors.
 """
 
 from __future__ import annotations
@@ -81,18 +83,19 @@ class FakeDecoder:
 
 class RealDecoder:
     """The seam for a full codec stack (PIL/ffmpeg/torchvision —
-    JPEG/WebP/video). Keeping the class here pins the constructor/batch
-    contract; for the formats parseable WITHOUT codec libraries a
-    genuinely real decode path exists below — ``PixmapDecoder`` handles
-    uncompressed BMP/PPM/PGM and compressed 8-bit PNG (stdlib zlib)."""
+    WebP/AVIF/video). Keeping the class here pins the constructor/
+    batch contract; for the formats implementable WITHOUT codec
+    libraries a genuinely real decode path exists below —
+    ``PixmapDecoder`` handles uncompressed BMP/PPM/PGM, compressed
+    8-bit PNG (stdlib zlib), and baseline JPEG (ops/jpeg.py)."""
 
     def __init__(self, *_args, **_kwargs):
         raise NotImplementedError(
-            "JPEG/WebP/video decode libraries are not available in "
+            "WebP/AVIF/video decode libraries are not available in "
             "this environment; swap FakeDecoder for a real codec "
             "with the same (batch: pa.Table['url','payload']) -> "
             "features contract, or use PixmapDecoder for BMP/PPM/PGM/"
-            "PNG payloads (real pixel-parsing decode, no libraries)"
+            "PNG/JPEG payloads (real pixel-parsing decode, no libraries)"
         )
 
 
@@ -351,6 +354,11 @@ class PixmapDecoder:
                 elif data.startswith(_PNG_SIG):
                     fmt = "png"
                     w, h, ch, px = _parse_png(data)
+                elif data[:2] == b"\xff\xd8":
+                    fmt = "jpg"
+                    from .jpeg import parse_jpeg
+
+                    w, h, ch, px = parse_jpeg(data)
                 else:
                     raise ValueError("unrecognized raster format")
                 px = px.astype(np.float64)
@@ -407,16 +415,20 @@ def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
     """Deterministic raster corpus derived from the documents table:
     each doc's text bytes tile a w×h image (sizes vary per doc) — REAL
     format bytes for the real decoder, generated without any image
-    library. Format rotates by ``doc_id % 3``: 0 → 24-bit BMP, 1 → RGB
+    library. Format rotates by ``doc_id % 4``: 0 → 24-bit BMP, 1 → RGB
     PNG, 2 → grayscale PNG (PNG scanlines cycle all five filter
-    types). Failure injection, so the corpus exercises every typed
-    decode-failure path end-to-end: every 7th doc is truncated
-    (BMP mid-pixel-data; PNG mid-chunk-header at byte 39), and PNG
-    docs with ``doc_id % 11 == 5`` get their IDAT CRC's last byte
-    flipped (CRC-corruption path — BMP has no checksum to corrupt)."""
+    types), 3 → baseline JPEG (full DCT/Huffman encode, ops/jpeg.py).
+    Failure injection, so the corpus exercises every typed
+    decode-failure path end-to-end: every 7th doc is truncated (BMP
+    mid-pixel-data; PNG mid-chunk-header at byte 39; JPEG mid-DQT at
+    byte 40), and PNG docs with ``doc_id % 11 == 5`` get their IDAT
+    CRC's last byte flipped (CRC-corruption path — BMP and JPEG carry
+    no checksum to corrupt)."""
     import struct
 
     def _make(batch: pa.Table) -> pa.Table:
+        from .jpeg import encode_jpeg
+
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         urls, payloads = [], []
@@ -424,7 +436,7 @@ def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
             seed = (text or "").encode("utf-8") or b"\x00"
             w = 8 + (doc_id % max_dim)
             h = 8 + ((doc_id * 7) % max_dim)
-            kind = doc_id % 3
+            kind = doc_id % 4
             if kind == 0:
                 stride = (w * 3 + 3) & ~3
                 need = stride * h
@@ -437,6 +449,15 @@ def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
                 data = header + dib + pixels
                 if doc_id % 7 == 3:
                     data = data[: 54 + need // 2]  # truncated mid-pixels
+            elif kind == 3:
+                need = w * h * 3
+                reps = -(-need // len(seed))
+                px = np.frombuffer((seed * reps)[:need], np.uint8).reshape(
+                    h, w, 3
+                )
+                data = encode_jpeg(px)
+                if doc_id % 7 == 3:
+                    data = data[:40]  # mid-DQT segment
             else:
                 ch = 3 if kind == 1 else 1
                 need = w * h * ch

@@ -218,27 +218,72 @@ def test_pixmap_decoder_real_formats_and_corruption():
 def test_raster_corpus_roundtrip(ray_session):
     """Writer/parser duality on the deterministic raster corpus: the
     real decoder recovers the generator's dims for every intact
-    BMP/PNG, flags exactly the every-7th truncated payloads, and flags
-    exactly the %11==5 CRC-corrupt PNGs."""
+    BMP/PNG/JPEG, flags exactly the every-7th truncated payloads, and
+    flags exactly the %11==5 CRC-corrupt PNGs."""
     from smart_ocr_ray.ops.multimodal import decode_rasters, raster_from_documents
 
     out = decode_rasters(raster_from_documents("/root/testdata/sf0.001")).take_all()
     assert out
     seen_fmts = set()
+    fmt_of = {0: "bmp", 1: "png", 2: "png", 3: "jpg"}
     for r in out:
         doc_id = int(r["url"].rsplit("/", 1)[1])
         seen_fmts.add(r["fmt"])
-        assert r["fmt"] == ("bmp" if doc_id % 3 == 0 else "png")
+        assert r["fmt"] == fmt_of[doc_id % 4]
         if doc_id % 7 == 3:
             assert not r["decode_ok"] and "truncated" in r["error"], r["url"]
-        elif doc_id % 3 != 0 and doc_id % 11 == 5:
+        elif doc_id % 4 in (1, 2) and doc_id % 11 == 5:
             assert not r["decode_ok"], r["url"]
             assert r["error"] == "bad PNG chunk CRC (IDAT)"
         else:
             assert r["decode_ok"], (r["url"], r["error"])
             assert r["width"] == 8 + doc_id % 48
             assert r["height"] == 8 + (doc_id * 7) % 48
-    assert seen_fmts == {"bmp", "png"}
+    assert seen_fmts == {"bmp", "png", "jpg"}
+
+
+def test_jpeg_codec_roundtrip_and_failures():
+    """Baseline JPEG codec (ops/jpeg.py): uniform images round-trip
+    EXACTLY (DC-only blocks land on the quantization grid), smooth
+    gradients round-trip within tight error at q90, restart intervals
+    decode identically to a single entropy segment, and the typed
+    failure surface (truncation / not-a-JPEG / progressive) raises the
+    oracle-predicted messages."""
+    import numpy as np
+    import pytest
+
+    from smart_ocr_ray.ops.jpeg import encode_jpeg, parse_jpeg
+
+    flat = np.full((16, 24, 1), 128, np.uint8)
+    w, h, ch, rec = parse_jpeg(encode_jpeg(flat))
+    assert (w, h, ch) == (24, 16, 1)
+    assert np.array_equal(rec, flat)  # exact: uniform -> DC-only
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[...] = (200, 50, 100)
+    _, _, _, rec = parse_jpeg(encode_jpeg(rgb))
+    assert np.abs(rec.astype(int) - rgb.astype(int)).max() <= 1
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack([yy * 4, xx * 3, (yy + xx) * 2], -1).clip(0, 255).astype(np.uint8)
+    data = encode_jpeg(grad, quality=90)
+    w, h, ch, rec = parse_jpeg(data)
+    assert (w, h, ch) == (56, 40, 3)
+    assert np.abs(rec.astype(int) - grad.astype(int)).max() <= 4
+
+    _, _, _, rec_rst = parse_jpeg(encode_jpeg(grad, quality=90, restart=3))
+    assert np.array_equal(rec, rec_rst)
+
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        parse_jpeg(data[:40])
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse_jpeg(b"\x89PNG")
+    # progressive (SOF2) is detected, not mis-decoded
+    prog = bytearray(data)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="not baseline"):
+        parse_jpeg(bytes(prog))
 
 
 def test_png_codec_roundtrip_exact_pixels():
