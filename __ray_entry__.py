@@ -308,6 +308,29 @@ def _q_decode_real(sf_dir: str):
     return decode_rasters(raster_from_documents(sf_dir)).drop_columns(["features"])
 
 
+def _q_gif_frames(sf_dir: str):
+    """REAL animated-GIF frame decode (ops/gif.py LZW + de-interlace
+    + palette + graphic-control delays) over the deterministic GIF
+    corpus; the oracle reproduces every decoded frame's md5 with
+    string arithmetic (frame indices tile md5(text) hex through a
+    gray identity palette), so the value-hash gate verifies the LZW
+    round-trip byte-for-byte."""
+    from smart_ocr_ray.ops.multimodal import gif_frame_features
+
+    return gif_frame_features(sf_dir)
+
+
+def _q_wav_features(sf_dir: str):
+    """REAL WAV decode + exact-integer audio features (ops/audio.py:
+    RIFF/PCM parse, sum-of-squares energy, frozen zero-crossing rule)
+    over the deterministic audio corpus; the oracle reproduces the
+    decoded samples with string+window arithmetic, so the gate
+    verifies the PCM round-trip value-for-value."""
+    from smart_ocr_ray.ops.audio import wav_features
+
+    return wav_features(sf_dir)
+
+
 def _q_frames(sf_dir: str):
     """Frame-sampling media stage (row-expanding, bounded): one row per
     sampled frame with its byte slice dropped (metadata only, so the
@@ -995,6 +1018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_frames,
         "frame_dedup": _q_frame_dedup,
         "multimodal_decode_real": _q_decode_real,
+        "multimodal_gif_frames": _q_gif_frames,
+        "multimodal_wav_features": _q_wav_features,
     }
 
 
@@ -4976,6 +5001,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(value), 4) AS total_value
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id ASC LIMIT 20
+        """,
+        "multimodal_wav_features": """
+            -- PCM round-trip witness: the WAV generator derives each
+            -- 16-bit sample from the hex of md5(text)
+            -- (s_i = c_2i + 256*c_2i+1 - 26000), so string+window
+            -- arithmetic reproduces the DECODED samples' exact
+            -- sum-of-squares and zero-crossing count. Truncated
+            -- (%8==6) and 8-bit-rewritten (%10==7) docs yield the
+            -- typed failure rows.
+            WITH g AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS seed,
+                     64 + doc_id % 128 AS n,
+                     8000 + 4000 * (doc_id % 4) AS rate,
+                     (doc_id % 8) = 6 AS trunc,
+                     (doc_id % 8) <> 6 AND (doc_id % 10) = 7 AS unsup
+              FROM documents
+            ),
+            ok AS (SELECT * FROM g WHERE NOT trunc AND NOT unsup),
+            samp AS (
+              SELECT ok.doc_id, ok.n, ok.rate, t.i,
+                     ascii(substr(repeat(ok.seed, 24), 2 * t.i + 1, 1))
+                     + 256 * ascii(substr(repeat(ok.seed, 24), 2 * t.i + 2, 1))
+                     - 26000 AS s
+              FROM ok CROSS JOIN range(0, 192) t(i)
+              WHERE t.i < ok.n
+            ),
+            w AS (
+              SELECT doc_id, n, rate, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM samp
+            ),
+            feat AS (
+              SELECT doc_id, n, rate,
+                     CAST(sum(s * s) AS BIGINT) AS ssq,
+                     CAST(sum(CASE WHEN prev IS NOT NULL
+                                    AND sign(s) * sign(prev) < 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS zc
+              FROM w GROUP BY doc_id, n, rate
+            )
+            SELECT 'wav://doc/' || doc_id AS url,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   ssq AS sum_sq, zc AS zero_crossings,
+                   TRUE AS decode_ok, '' AS error
+            FROM feat
+            UNION ALL
+            SELECT 'wav://doc/' || doc_id, 0, 0, 0, 0, 0, 0, FALSE,
+                   CASE WHEN trunc THEN 'truncated WAV'
+                        ELSE 'unsupported WAV (8-bit)' END
+            FROM g WHERE trunc OR unsup
+        """,
+        "multimodal_gif_frames": """
+            -- LZW round-trip witness: the GIF generator tiles each
+            -- frame's pixel indices from the hex of md5(text) (offset
+            -- f*7) through a gray identity palette, so the DECODED
+            -- frame's gray bytes equal that hex substring and plain
+            -- string arithmetic reproduces the md5 the decoder
+            -- computes from actual decoded pixels (incl. frame-0
+            -- interlacing on doc_id%3==1 docs, which must be undone
+            -- exactly for the hash to land). Truncated docs (%9==4)
+            -- yield the typed failure row.
+            WITH g AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS seed,
+                     8 + (doc_id % 24) AS w,
+                     8 + ((doc_id * 5) % 24) AS h,
+                     2 + doc_id % 3 AS nf,
+                     (doc_id % 9) = 4 AS trunc
+              FROM documents
+            ),
+            frames AS (
+              SELECT g.*, t.f
+              FROM g CROSS JOIN (VALUES (0), (1), (2), (3)) t(f)
+              WHERE NOT g.trunc AND t.f < g.nf
+            )
+            SELECT 'gif://doc/' || doc_id AS url,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(4 + f AS BIGINT) AS delay_cs,
+                   md5(substr(repeat(seed, 40), f * 7 + 1, w * h)) AS gray_md5,
+                   TRUE AS decode_ok, '' AS error
+            FROM frames
+            UNION ALL
+            SELECT 'gif://doc/' || doc_id, -1, 0, 0, 0, '', FALSE,
+                   'truncated GIF'
+            FROM g WHERE trunc
         """,
         "multimodal_decode_real": """
             -- Writer/parser duality check: the raster corpus generator

@@ -331,6 +331,14 @@ def run_bench() -> dict:
             ),
         )
 
+        from smart_ocr_ray.ops.multimodal import gif_frame_features
+
+        timed("gif_frames", gif_frame_features)
+
+        from smart_ocr_ray.ops.audio import wav_features
+
+        timed("wav_features", wav_features)
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

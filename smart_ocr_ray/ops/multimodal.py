@@ -486,6 +486,127 @@ def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
     ).map_batches(_make, batch_format="pyarrow")
 
 
+def gif_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic ANIMATED GIF corpus derived from the documents
+    table — real multi-frame containers for the real decoder
+    (``ops/gif.py``). Frame pixel indices tile the ASCII hex of
+    ``md5(doc text)`` (32 chars, SQL-reproducible) through a 256-gray
+    identity palette, each frame offset by 7 bytes into the stream;
+    ``doc_id % 3 == 1`` docs interlace frame 0 (the decoder must
+    de-interlace to recover the same bytes); every 9th doc
+    (``doc_id % 9 == 4``) truncates mid-header. Geometry:
+    w = 8 + doc_id%24, h = 8 + (doc_id*5)%24, frames = 2 + doc_id%3,
+    delays 4+f cs."""
+    import hashlib
+
+    from .gif import encode_gif
+
+    pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+
+    def _make(batch: pa.Table) -> pa.Table:
+        urls, payloads = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            seed = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+            stream = (seed * 40).encode("ascii")
+            w = 8 + (doc_id % 24)
+            h = 8 + ((doc_id * 5) % 24)
+            nf = 2 + doc_id % 3
+            frames = [
+                np.frombuffer(
+                    stream[f * 7 : f * 7 + w * h], np.uint8
+                ).reshape(h, w)
+                for f in range(nf)
+            ]
+            data = encode_gif(
+                frames,
+                pal,
+                delays_cs=[4 + f for f in range(nf)],
+                interlace_frame0=(doc_id % 3 == 1),
+            )
+            if doc_id % 9 == 4:
+                data = data[:20]  # mid-global-palette
+            urls.append(f"gif://doc/{doc_id}")
+            payloads.append(data)
+        return pa.Table.from_pydict(
+            {"url": pa.array(urls, pa.string()), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_make, batch_format="pyarrow")
+
+
+_GIF_FRAME_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("frame_idx", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("delay_cs", pa.int64()),
+        ("gray_md5", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class GifFrameDecoder:
+    """REAL frame-level decode stage for animated GIF payloads: one
+    output row per decoded frame with its graphic-control delay and
+    the md5 of the frame's gray bytes (the LZW+de-interlace
+    round-trip witness the SQL oracle reproduces); failed payloads
+    produce one typed ``decode_ok=False`` row. The row-EXPANDING
+    media-stage shape of ``FrameSampler``, on genuinely decoded
+    pixels."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        from .gif import parse_gif
+
+        cols: dict[str, list] = {f.name: [] for f in _GIF_FRAME_SCHEMA}
+        for url, data in zip(
+            batch.column("url").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            try:
+                w, h, frames, delays = parse_gif(data or b"")
+                for f, (frame, delay) in enumerate(zip(frames, delays)):
+                    cols["url"].append(url)
+                    cols["frame_idx"].append(f)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["delay_cs"].append(delay)
+                    cols["gray_md5"].append(
+                        hashlib.md5(frame[..., 0].tobytes()).hexdigest()
+                    )
+                    cols["decode_ok"].append(True)
+                    cols["error"].append("")
+            except ValueError as exc:
+                cols["url"].append(url)
+                cols["frame_idx"].append(-1)
+                cols["width"].append(0)
+                cols["height"].append(0)
+                cols["delay_cs"].append(0)
+                cols["gray_md5"].append("")
+                cols["decode_ok"].append(False)
+                cols["error"].append(str(exc))
+        return pa.Table.from_pydict(cols, schema=_GIF_FRAME_SCHEMA)
+
+
+def gif_frame_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 16) -> ray.data.Dataset:
+    """Actor-pool real-GIF frame decode over the deterministic
+    animated-GIF corpus — same sizing rules as ``decode_features``."""
+    return gif_from_documents(sf_dir).map_batches(
+        GifFrameDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def decode_features(
     media: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 16
 ) -> ray.data.Dataset:

@@ -669,14 +669,15 @@ def graph_ann_search(
     emb = read_embeddings(sf_dir).materialize()
 
     def _edges_for(ids: frozenset) -> dict[int, list[int]]:
-        """nbr lists for a bounded id set — broadcast-filter the graph."""
-        ids_ref = ray.put(ids)
+        """nbr lists for a bounded id set — broadcast-filter the graph
+        (vectorized ``pc.is_in`` membership, no per-row Python)."""
+        import pyarrow.compute as pc
+
+        ids_ref = ray.put(pa.array(sorted(ids), pa.int64()))
 
         def _filt(batch: pa.Table) -> pa.Table:
             want = ray.get(ids_ref)
-            mask = pa.array(
-                [v in want for v in batch.column("vec_id").to_pylist()]
-            )
+            mask = pc.is_in(batch.column("vec_id").cast(pa.int64()), want)
             return batch.filter(mask).select(["vec_id", "nbr"])
 
         out: dict[int, list[int]] = {}
@@ -686,25 +687,24 @@ def graph_ann_search(
 
     def _scores_for(ids: frozenset) -> dict[int, np.ndarray]:
         """per-candidate e6 cosine scores vs every query vector."""
-        ids_ref = ray.put(ids)
+        import pyarrow.compute as pc
+
+        ids_ref = ray.put(pa.array(sorted(ids), pa.int64()))
         q_ref = ray.put(queries)
 
         def _filt(batch: pa.Table) -> pa.Table:
             want = ray.get(ids_ref)
             q_mat = ray.get(q_ref)
-            keep = [
-                i
-                for i, v in enumerate(batch.column("vec_id").to_pylist())
-                if v in want
-            ]
-            if not keep:
+            sub = batch.filter(
+                pc.is_in(batch.column("vec_id").cast(pa.int64()), want)
+            )
+            if sub.num_rows == 0:
                 return pa.Table.from_pydict(
                     {
                         "vec_id": pa.array([], pa.int64()),
                         "e6": pa.array([], pa.list_(pa.int64())),
                     }
                 )
-            sub = batch.take(pa.array(keep))
             m = np.asarray(
                 [np.asarray(e, np.float64) for e in sub.column("embedding").to_pylist()]
             )

@@ -437,3 +437,84 @@ def test_new_link_ops_survive_malformed_markup(ray_session, tmp_path):
     # (https://h.test//cdn.test/x does not exist) and forms no edge.
     sg = section_graph(p).take_all()
     assert all(r["dst_section"].startswith("https://h.test") for r in sg)
+
+
+def test_gif_codec_lzw_roundtrip_and_failures():
+    """GIF codec (ops/gif.py): LZW encode/decode round-trips random
+    index streams across palette sizes (dictionary growth + 4096
+    reset), a 3-frame animated GIF with frame-0 interlacing decodes
+    to the exact source indices with the right delays, and truncated
+    payloads raise the typed errors."""
+    import numpy as np
+    import pytest
+
+    from smart_ocr_ray.ops.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        encode_gif,
+        parse_gif,
+    )
+
+    rng = np.random.default_rng(1)
+    for alpha in (4, 16, 256):
+        n = int(rng.integers(1, 6000))
+        data = bytes(rng.integers(0, alpha, n, dtype=np.uint8))
+        mcs = max(2, (alpha - 1).bit_length())
+        assert _lzw_decode(mcs, _lzw_encode(mcs, data), n) == data
+
+    pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+    frames = [rng.integers(0, 256, (13, 17), dtype=np.uint8) for _ in range(3)]
+    data = encode_gif(frames, pal, delays_cs=[4, 5, 6], interlace_frame0=True)
+    w, h, decoded, delays = parse_gif(data)
+    assert (w, h, delays) == (17, 13, [4, 5, 6])
+    for src, out in zip(frames, decoded):
+        assert np.array_equal(out[..., 0], src)  # exact pixel recovery
+        assert np.array_equal(out[..., 0], out[..., 1])  # gray palette
+
+    with pytest.raises(ValueError, match="truncated GIF"):
+        parse_gif(data[:20])
+    with pytest.raises(ValueError, match="not a GIF"):
+        parse_gif(b"NOPE")
+    with pytest.raises(ValueError, match="truncated GIF"):
+        parse_gif(data[:-1])  # missing trailer
+
+
+def test_wav_codec_and_spectral_peak():
+    """WAV codec (ops/audio.py): encode/parse round-trips exact int16
+    samples; a pure 440 Hz sinusoid's spectral peak lands on the right
+    FFT bin; failures are typed (truncation, 8-bit, float format,
+    not-a-WAV)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from smart_ocr_ray.ops.audio import (
+        encode_wav,
+        parse_wav,
+        spectral_peak_bin,
+    )
+
+    rate = 8000
+    t = np.arange(2048) / rate
+    sine = (10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)[:, None]
+    data = encode_wav(sine, rate)
+    r2, ch, rec = parse_wav(data)
+    assert (r2, ch) == (rate, 1)
+    assert np.array_equal(rec, sine)  # exact PCM round-trip
+    k, hz = spectral_peak_bin(rec, rate)
+    assert k == round(440 * 2048 / rate)  # bin 113
+    assert abs(hz - 440) < rate / 2048  # within one bin width
+
+    with pytest.raises(ValueError, match="truncated WAV"):
+        parse_wav(data[:30])
+    with pytest.raises(ValueError, match="not a WAV"):
+        parse_wav(b"RIFFxxxxAIFF")
+    bad = bytearray(data)
+    struct.pack_into("<H", bad, 12 + 8 + 14, 8)
+    with pytest.raises(ValueError, match=r"unsupported WAV \(8-bit\)"):
+        parse_wav(bytes(bad))
+    fl = bytearray(data)
+    struct.pack_into("<H", fl, 12 + 8 + 0, 3)  # IEEE float format tag
+    with pytest.raises(ValueError, match=r"unsupported WAV \(format 3\)"):
+        parse_wav(bytes(fl))
