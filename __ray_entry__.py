@@ -320,6 +320,24 @@ def _q_gif_frames(sf_dir: str):
     return gif_frame_features(sf_dir)
 
 
+def _q_mojibake(sf_dir: str):
+    """ftfy-style cp1252 double-encoding repair with deterministic
+    doc_id-seeded artifacts; counts + repaired-text md5 are the
+    checked surface (ops/mojibake.mojibake_repair)."""
+    from smart_ocr_ray.ops.mojibake import mojibake_repair
+
+    return mojibake_repair(sf_dir)
+
+
+def _q_robots_filter(sf_dir: str):
+    """RFC 9309 crawl-policy gate over the pages corpus: per-host
+    synthesized robots rules, longest-match with allow-wins-ties,
+    host-vocabulary-bounded hashing (ops/urls.robots_filter)."""
+    from smart_ocr_ray.ops.urls import robots_filter
+
+    return robots_filter(_pages_path(sf_dir))
+
+
 def _q_wav_features(sf_dir: str):
     """REAL WAV decode + exact-integer audio features (ops/audio.py:
     RIFF/PCM parse, sum-of-squares energy, frozen zero-crossing rule)
@@ -1020,6 +1038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_real": _q_decode_real,
         "multimodal_gif_frames": _q_gif_frames,
         "multimodal_wav_features": _q_wav_features,
+        "robots_filter": _q_robots_filter,
+        "mojibake_repair": _q_mojibake,
     }
 
 
@@ -2570,6 +2590,72 @@ def _graph_ann_sql(
     return "".join(parts)
 
 
+def _mojibake_sql() -> str:
+    """Oracle for ``mojibake_repair`` — generated FROM the op's own
+    frozen bank so the two can never drift: per-pattern
+    replace-length occurrence counts on the seeded text, md5 of the
+    ordered replace chain."""
+    from smart_ocr_ray.ops.mojibake import MOJIBAKE_BANK
+
+    counts = " + ".join(
+        f"(len(t) - len(replace(t, '{b}', ''))) // {len(b)}"
+        for b, _ in MOJIBAKE_BANK
+    )
+    chain = "t"
+    for b, f in MOJIBAKE_BANK:
+        chain = f"replace({chain}, '{b}', '{f}')"
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+            coalesce(text, '')
+            || CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN ' cafÃ© menu'
+                 WHEN 1 THEN ' itâ€™s hot'
+                 ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' â€œquoteâ€“'
+                    ELSE '' END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST({counts} AS BIGINT) AS n_fixes,
+               md5({chain}) AS fixed_md5
+        FROM seeded
+    """
+
+
+def _robots_filter_sql() -> str:
+    """Oracle for ``robots_filter``: per-host rules from md5(host),
+    fixed-width prefix matching with the frozen longest-match/
+    allow-wins rule — all string arithmetic."""
+    return f"""
+        WITH p AS (
+          SELECT url,
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 CASE WHEN coalesce(regexp_extract(url,
+                        '^[a-z]+://[^/]+(/.*)$', 1), '') = ''
+                      THEN '/' ELSE regexp_extract(url,
+                        '^[a-z]+://[^/]+(/.*)$', 1) END AS path
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+        ),
+        m AS (
+          SELECT url, host, path,
+                 '/' || substr(md5(host), 1, 1) AS d1,
+                 '/' || substr(md5(host), 1, 2) AS al,
+                 '/' || substr(md5(host), 3, 1) AS d2
+          FROM p
+        )
+        SELECT url, host,
+               starts_with(path, al)
+                 OR NOT (starts_with(path, d1) OR starts_with(path, d2))
+                 AS allowed,
+               CASE WHEN starts_with(path, al) THEN 'allow:' || al
+                    WHEN starts_with(path, d1) THEN 'disallow:' || d1
+                    WHEN starts_with(path, d2) THEN 'disallow:' || d2
+                    ELSE '' END AS matched_rule
+        FROM m
+    """
+
+
 def _crawl_budget_sql(budget: int = 10_000) -> str:
     """Oracle for ``crawl_budget``: largest-remainder (Hamilton)
     apportionment over section page counts — base floor-div quota plus
@@ -2968,6 +3054,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["url_templates"] = _url_templates_sql()
         corpus_dependent["shard_plan"] = _shard_plan_sql()
         corpus_dependent["shard_compact"] = _shard_compact_sql()
+        corpus_dependent["robots_filter"] = _robots_filter_sql()
         # Degree histogram composes the link_graph oracle as a CTE.
         corpus_dependent["link_degree_hist"] = f"""
             WITH lg AS ({_link_graph_oracle_sql()})
@@ -5696,6 +5783,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
         ORDER BY d.doc_id
     """
+    out["mojibake_repair"] = _mojibake_sql()
     out["graph_ann_search"] = "WITH " + _hyperplane_lsh_sql() + "," + _graph_ann_sql()
     out["graph_ann_recall"] = f"""
         WITH a AS (SELECT query_id, vec_id FROM ({out["ann_cosine_topk"]})),

@@ -339,6 +339,12 @@ def run_bench() -> dict:
 
         timed("wav_features", wav_features)
 
+        from smart_ocr_ray.ops.mojibake import mojibake_repair
+        from smart_ocr_ray.ops.urls import robots_filter
+
+        timed("robots_filter", lambda _sf: robots_filter(pages_path))
+        timed("mojibake_repair", mojibake_repair)
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

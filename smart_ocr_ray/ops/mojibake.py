@@ -1,0 +1,118 @@
+"""Mojibake repair — the ftfy-style encoding fix every web-text
+curation pipeline runs before tokenization.
+
+The dominant real-world artifact is UTF-8 bytes decoded as
+cp1252/latin-1 ("double encoding"): ``é`` becomes ``Ã©``, ``’``
+becomes ``â€™``, and so on. This op repairs a FROZEN, ordered bank of
+the most common such sequences (each mapping is the exact cp1252
+mis-decoding of the target's UTF-8 bytes) and reports per-document
+fix counts — the signal used both to clean and to QUARANTINE (a
+document that is mostly mojibake is usually a binary/charset
+misparse, not prose).
+
+Frozen semantics (mirrored exactly by the SQL oracle):
+
+* ``n_fixes`` = Σ over bank patterns of the non-overlapping
+  occurrence count in the ORIGINAL text (no bank pattern is a
+  substring of another, so counts are order-independent);
+* repaired text = the bank applied as an ordered ``replace`` chain;
+  shipped as ``fixed_md5`` so corpus-scale text never lands in the
+  gate's compare (the ``majority_lang_strip`` convention).
+
+Mojibake is seeded into the corpus deterministically from doc_id
+(the ``pii_scrub`` pattern — the oracle inlines the same seeding), so
+the repair paths are exercised on every gate run with no external
+data.
+
+Scale shape: one stateless column-pruned ``map_batches`` pass; the
+count/repair kernels are vectorized pyarrow ``count_substring`` /
+``replace_substring`` chains; the only per-row Python is the md5
+witness (hashing is inherent, and the digest is what keeps text out
+of the gate). No shuffle at any corpus size.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# Ordered (broken, fixed) bank: each left side is exactly
+# bytes(fixed, "utf-8").decode("cp1252"). Frozen — part of the oracle
+# contract.
+MOJIBAKE_BANK: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),
+    ("â€œ", "“"),
+    ("â€“", "–"),
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¤", "ä"),
+    ("Ã¶", "ö"),
+    ("Ã¼", "ü"),
+    ("Ã±", "ñ"),
+    ("Ã§", "ç"),
+)
+
+_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_fixes", pa.int64()),
+        ("fixed_md5", pa.string()),
+    ]
+)
+
+
+def _seeded(batch: pa.Table) -> pa.ChunkedArray | pa.Array:
+    """Deterministic doc_id-derived mojibake seeding (inlined verbatim
+    in the SQL oracle): %3==0 docs get a 1-fix suffix, %3==1 a 1-fix
+    smart-quote suffix, %3==2 stay clean; %5==0 docs additionally get
+    a 2-fix quote fragment."""
+    import numpy as np
+
+    text = pc.fill_null(batch.column("text").cast(pa.string()), "")
+    ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    m3 = pa.array(ids % 3, pa.int64())
+    m5_is0 = pa.array(ids % 5 == 0)
+    suffix = pc.if_else(
+        pc.equal(m3, 0),
+        " cafÃ© menu",
+        pc.if_else(pc.equal(m3, 1), " itâ€™s hot", ""),
+    )
+    extra = pc.if_else(m5_is0, " â€œquoteâ€“", "")
+    return pc.binary_join_element_wise(text, suffix, extra, "")
+
+
+def mojibake_repair(sf_dir: str) -> ray.data.Dataset:
+    """Per-document mojibake repair over the (seeded) documents table:
+    (doc_id, n_fixes, fixed_md5) — see module docstring."""
+    import hashlib
+
+    def _repair(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        text = _seeded(batch)
+        n = pa.array([0] * batch.num_rows, pa.int64())
+        for broken, _fixed in MOJIBAKE_BANK:
+            n = pc.add(
+                n, pc.count_substring(text, broken).cast(pa.int64())
+            )
+        fixed = text
+        for broken, fixed_to in MOJIBAKE_BANK:
+            fixed = pc.replace_substring(fixed, broken, fixed_to)
+        md5s = pa.array(
+            [
+                hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in fixed.to_pylist()
+            ],
+            pa.string(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id").cast(pa.int64()), n, md5s],
+            schema=_SCHEMA,
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_repair, batch_format="pyarrow")

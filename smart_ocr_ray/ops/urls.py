@@ -255,3 +255,104 @@ def url_templates(pages_path: str) -> ray.data.Dataset:
         .sort(["template"])
         .map_batches(_rollup, batch_format="pyarrow", batch_size=None)
     )
+
+
+_ROBOTS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("allowed", pa.bool_()),
+        ("matched_rule", pa.string()),
+    ]
+)
+
+
+def robots_filter(pages_path: str) -> ray.data.Dataset:
+    """Crawl-policy gate: apply per-host robots.txt rules to every
+    page url with RFC 9309 longest-match semantics — the admission
+    filter every real crawl pipeline runs before fetch/extract (and
+    re-runs over stored corpora when policies change retroactively).
+
+    The per-host rule set is synthesized deterministically from the
+    host (no external data, the raster-corpus pattern): with
+    ``seed = md5(host)`` hex, the host's robots.txt is
+
+        Disallow: /<seed[0]>
+        Allow:    /<seed[0:2]>
+        Disallow: /<seed[2]>
+
+    Frozen matching (mirrored exactly by the SQL oracle): a rule
+    matches iff its path is a byte-prefix of the url path (path = the
+    part from the first ``/`` after the host; ``/`` when absent); the
+    LONGEST matching rule wins, allow beating disallow on ties — the
+    RFC 9309 rule. With this rule shape the allow (3 chars) dominates
+    its parent disallow (2 chars) exactly when it matches, giving the
+    classic "deny the /a subtree except /ab" nesting. No match →
+    allowed (matched_rule '').
+
+    Scale shape: one stateless column-pruned ``map_batches`` pass; the
+    per-row md5 runs once per DISTINCT host per block (dictionary
+    encode → hash dictionary values → take), so the Python hashing
+    loop is host-vocabulary-bounded, not row-bounded; all matching is
+    fixed-width slice equality (pyarrow kernels). No shuffle at any
+    corpus size.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return _ROBOTS_SCHEMA.empty_table()
+        url = batch.column("url").cast(pa.string()).combine_chunks()
+        ext = pc.extract_regex(url, r"^(?P<h>[a-z]+://[^/]+)(?P<p>/.*)?$")
+        full = pc.struct_field(ext, "h")
+        host = pc.replace_substring_regex(
+            pc.fill_null(full, ""), r"^[a-z]+://", ""
+        )
+        path = pc.fill_null(pc.struct_field(ext, "p"), "/")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+
+        # host-vocabulary-bounded hashing: md5 only dictionary values
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        denc = host.dictionary_encode()
+        seeds = [
+            hashlib.md5(h.encode("utf-8")).hexdigest()
+            for h in denc.dictionary.to_pylist()
+        ]
+        d1_dict = pa.array(["/" + s[0] for s in seeds], pa.string())
+        al_dict = pa.array(["/" + s[0:2] for s in seeds], pa.string())
+        d2_dict = pa.array(["/" + s[2] for s in seeds], pa.string())
+        idx = denc.indices
+        d1 = d1_dict.take(idx)
+        al = al_dict.take(idx)
+        d2 = d2_dict.take(idx)
+
+        p2 = pc.utf8_slice_codeunits(path, 0, 2)
+        p3 = pc.utf8_slice_codeunits(path, 0, 3)
+        m_d1 = pc.equal(p2, d1)
+        m_al = pc.equal(p3, al)
+        m_d2 = pc.equal(p2, d2)
+        allowed = pc.or_(m_al, pc.invert(pc.or_(m_d1, m_d2)))
+        empty = pa.scalar("", pa.string())
+        matched = pc.if_else(
+            m_al,
+            pc.binary_join_element_wise("allow:", al, ""),
+            pc.if_else(
+                m_d1,
+                pc.binary_join_element_wise("disallow:", d1, ""),
+                pc.if_else(
+                    m_d2,
+                    pc.binary_join_element_wise("disallow:", d2, ""),
+                    empty,
+                ),
+            ),
+        )
+        return pa.Table.from_arrays(
+            [url, host, allowed, matched], schema=_ROBOTS_SCHEMA
+        )
+
+    return ray.data.read_parquet(pages_path, columns=["url"]).map_batches(
+        _gate, batch_format="pyarrow"
+    )

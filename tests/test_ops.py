@@ -6364,3 +6364,87 @@ def test_graph_ann_search_recall_and_bounds(ray_session):
         frontier = [n for v in frontier for n in edges.get(v, []) if n not in seen]
         seen.update(frontier)
     assert {int(r["vec_id"]) for r in out1} <= seen
+
+
+def test_robots_filter_longest_match(ray_session, tmp_path):
+    """robots_filter: RFC 9309 longest-match with allow-beating-
+    disallow on the synthesized per-host rules — verified against a
+    per-row Python reference on a crafted url set covering allow-
+    overrides-disallow, plain disallow, second disallow, no-match,
+    and bare-host (path '/') cases."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.urls import robots_filter
+
+    host = "h.test"
+    seed = hashlib.md5(host.encode()).hexdigest()
+    a, b, c = seed[0], seed[1], seed[2]
+    urls = [
+        f"https://{host}/{a}{b}/deep",   # allow (longest) overrides d1
+        f"https://{host}/{a}zz",          # d1 only -> disallowed
+        f"https://{host}/{c}x",           # d2 (if c != a) or d1
+        f"https://{host}/zzz",            # no rule (unless z collides)
+        f"https://{host}",                # bare host -> path '/'
+    ]
+    d = tmp_path / "robots"; d.mkdir()
+    pq.write_table(pa.Table.from_pydict({"url": pa.array(urls, pa.string())}), d / "p.parquet")
+    out = {r["url"]: r for r in robots_filter(str(d)).take_all()}
+
+    def ref(path):
+        rules = [("disallow", "/" + a), ("allow", "/" + a + b), ("disallow", "/" + c)]
+        best = None
+        for kind, rp in rules:
+            if path.startswith(rp):
+                key = (len(rp), kind == "allow")
+                if best is None or key > best[0]:
+                    best = (key, kind, rp)
+        if best is None:
+            return True, ""
+        return best[1] == "allow", f"{best[1]}:{best[2]}"
+
+    for u in urls:
+        path = u.split(host, 1)[1] or "/"
+        want_ok, want_rule = ref(path)
+        assert out[u]["allowed"] == want_ok, (u, out[u], want_rule)
+        assert out[u]["matched_rule"] == want_rule, (u, out[u])
+    assert out[f"https://{host}/{a}{b}/deep"]["allowed"]
+    assert not out[f"https://{host}/{a}zz"]["allowed"]
+
+
+def test_mojibake_repair_known_values(ray_session, tmp_path):
+    """mojibake_repair: a crafted cp1252 double-encoding corpus
+    repairs to the exact expected strings (verified via md5) with
+    exact fix counts; clean text is untouched; the bank round-trips
+    (each broken form IS the cp1252 mis-decoding of its target)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.mojibake import MOJIBAKE_BANK, mojibake_repair
+
+    for broken, fixed in MOJIBAKE_BANK:
+        assert fixed.encode("utf-8").decode("cp1252") == broken
+
+    # doc_ids chosen so the deterministic seeding adds nothing:
+    # id % 3 == 2 and id % 5 != 0  ->  2, 8, 14
+    rows = {
+        2: ("cafÃ© crÃ¨me â€“ itâ€™s fine", "café crème – it’s fine", 4),
+        8: ("plain ascii stays put", "plain ascii stays put", 0),
+        14: ("naÃ¯ve stays broken (not in bank) Ã©", "naÃ¯ve stays broken (not in bank) é", 1),
+    }
+    sf = tmp_path / "moji"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": pa.array([v[0] for v in rows.values()], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in mojibake_repair(str(sf)).take_all()}
+    for doc_id, (_src, want, n) in rows.items():
+        assert out[doc_id]["n_fixes"] == n, (doc_id, out[doc_id])
+        assert out[doc_id]["fixed_md5"] == hashlib.md5(want.encode()).hexdigest(), doc_id
