@@ -338,6 +338,15 @@ def _q_robots_filter(sf_dir: str):
     return robots_filter(_pages_path(sf_dir))
 
 
+def _q_sitemap_discovery(sf_dir: str):
+    """Sitemap build→parse→diff per host (ops/urls.sitemap_discovery):
+    advertised-url counts from the PARSED XML vs the md5-coin crawled
+    set; the oracle reproduces the counts with pure md5 arithmetic."""
+    from smart_ocr_ray.ops.urls import sitemap_discovery
+
+    return sitemap_discovery(_pages_path(sf_dir))
+
+
 def _q_wav_features(sf_dir: str):
     """REAL WAV decode + exact-integer audio features (ops/audio.py:
     RIFF/PCM parse, sum-of-squares energy, frozen zero-crossing rule)
@@ -1040,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_wav_features": _q_wav_features,
         "robots_filter": _q_robots_filter,
         "mojibake_repair": _q_mojibake,
+        "sitemap_discovery": _q_sitemap_discovery,
     }
 
 
@@ -2590,6 +2600,31 @@ def _graph_ann_sql(
     return "".join(parts)
 
 
+def _sitemap_discovery_sql() -> str:
+    """Oracle for ``sitemap_discovery``: the listed/crawled coins are
+    md5(url) hex digits, so per-host counts are one grouped aggregate;
+    +2 covers the two synthetic always-new urls every host advertises."""
+    return f"""
+        WITH p AS (
+          SELECT url,
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 substr(md5(url), 1, 1) IN
+                   ('0','2','4','6','8','a','c','e') AS listed,
+                 substr(md5(url), 2, 1) IN
+                   ('0','2','4','6','8','a','c','e') AS crawled
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+        )
+        SELECT host,
+               CAST(sum(CASE WHEN listed THEN 1 ELSE 0 END) + 2
+                    AS BIGINT) AS n_listed,
+               CAST(sum(CASE WHEN listed AND crawled THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_known,
+               CAST(sum(CASE WHEN listed AND NOT crawled THEN 1 ELSE 0 END)
+                    + 2 AS BIGINT) AS n_discovered
+        FROM p GROUP BY host
+    """
+
+
 def _mojibake_sql() -> str:
     """Oracle for ``mojibake_repair`` — generated FROM the op's own
     frozen bank so the two can never drift: per-pattern
@@ -3055,6 +3090,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["shard_plan"] = _shard_plan_sql()
         corpus_dependent["shard_compact"] = _shard_compact_sql()
         corpus_dependent["robots_filter"] = _robots_filter_sql()
+        corpus_dependent["sitemap_discovery"] = _sitemap_discovery_sql()
         # Degree histogram composes the link_graph oracle as a CTE.
         corpus_dependent["link_degree_hist"] = f"""
             WITH lg AS ({_link_graph_oracle_sql()})

@@ -345,6 +345,10 @@ def run_bench() -> dict:
         timed("robots_filter", lambda _sf: robots_filter(pages_path))
         timed("mojibake_repair", mojibake_repair)
 
+        from smart_ocr_ray.ops.urls import sitemap_discovery
+
+        timed("sitemap_discovery", lambda _sf: sitemap_discovery(pages_path))
+
     ray.shutdown()
 
     docs_per_sec = n_docs / headline_sec if headline_sec > 0 else 0.0

@@ -2081,14 +2081,24 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20) -> "pa.Table":
     )
 
     def _cells(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
+        # Vectorized token counting (value_counts over the stream);
+        # the residual _hash64 loop runs once per DISTINCT term per
+        # block (vocabulary-bounded), and the D-row sketch update is
+        # one np.add.at per row over all terms at once.
         grid = np.zeros((D, W), np.int64)
-        for t in batch.column("text").to_pylist():
-            for term, c in Counter((t or "").lower().split()).items():
-                h = int(_hash64(term))
-                for j in range(D):
-                    grid[j, (h >> (16 * j)) % W] += c
+        toks, _ = _arrow_token_stream(batch)
+        if len(toks):
+            vc = pc.value_counts(toks)
+            counts = vc.field("counts").to_numpy(zero_copy_only=False)
+            hashes = np.array(
+                [int(_hash64(t)) for t in vc.field("values").to_pylist()],
+                dtype=np.uint64,
+            )
+            for j in range(D):
+                cols_j = ((hashes >> np.uint64(16 * j)) % np.uint64(W)).astype(
+                    np.int64
+                )
+                np.add.at(grid[j], cols_j, counts)
         rows, cols = np.nonzero(grid)
         return pa.Table.from_pydict(
             {
@@ -2999,32 +3009,43 @@ def quality_classifier(sf_dir: str) -> ray.data.Dataset:
     )
 
     def _score(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        from ..functions.textstats import _TOKEN_RE
-
-        ids, n_grams, scores = [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = _TOKEN_RE.findall(text or "")
-            if not toks:
-                continue
-            grams = Counter(toks)
-            grams.update(map(" ".join, zip(toks, toks[1:])))
-            s = 0
-            n = 0
-            for g, c in grams.items():
-                s += c * int(w[_ft_bucket(g)])
-                n += c
-            ids.append(int(doc_id))
-            n_grams.append(n)
-            scores.append(s)
-        sc = np.asarray(scores, np.int64) if scores else np.empty(0, np.int64)
+        # Vectorized gram stream (uni + bigram slices), with _ft_bucket
+        # hashed once per DISTINCT gram per block (dictionary encode);
+        # per-doc sums via np.add.at over the parent indices — no
+        # Python loop over gram OCCURRENCES.
+        toks, par = _arrow_token_stream(batch, lower=False)
+        m = len(toks)
+        if m == 0:
+            return out_schema.empty_table()
+        same = pc.equal(par.slice(0, m - 1), par.slice(1))
+        bi = pc.binary_join_element_wise(
+            toks.slice(0, m - 1), toks.slice(1), " "
+        ).filter(same)
+        grams = pa.concat_arrays([toks, _flat(bi)])
+        gpar = pa.concat_arrays(
+            [par, _flat(par.slice(0, m - 1).filter(same))]
+        )
+        denc = grams.dictionary_encode()
+        wts = np.array(
+            [int(w[_ft_bucket(g)]) for g in denc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        per_gram = wts[denc.indices.to_numpy(zero_copy_only=False)]
+        gp = gpar.to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        sums = np.zeros(n_rows, np.int64)
+        counts = np.zeros(n_rows, np.int64)
+        np.add.at(sums, gp, per_gram)
+        np.add.at(counts, gp, 1)
+        ids_all = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        has = counts > 0  # docs with zero tokens emit no row
+        sc = sums[has]
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_grams": pa.array(n_grams, pa.int64()),
+                "doc_id": pa.array(ids_all[has], pa.int64()),
+                "n_grams": pa.array(counts[has], pa.int64()),
                 "score": pa.array(sc, pa.int64()),
                 "keep": pa.array((sc > 0).astype(np.int64), pa.int64()),
             },

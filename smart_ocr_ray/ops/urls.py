@@ -356,3 +356,121 @@ def robots_filter(pages_path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(pages_path, columns=["url"]).map_batches(
         _gate, batch_format="pyarrow"
     )
+
+
+_SITEMAP_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("n_listed", pa.int64()),
+        ("n_known", pa.int64()),
+        ("n_discovered", pa.int64()),
+    ]
+)
+
+
+def sitemap_discovery(pages_path: str) -> ray.data.Dataset:
+    """Sitemap-driven URL discovery — the crawl-frontier feed that
+    complements the ``robots_filter`` admission gate (RFC 9309's
+    companion: publishers ADVERTISE urls via sitemap.xml; the crawler
+    diffs them against what it already has). Per host: build the
+    host's sitemap.xml, parse it back (REAL XML parse — the
+    writer/parser duality discipline of the raster corpora), and diff
+    the advertised urls against the host's crawled set.
+
+    Frozen synthesis rules (mirrored exactly by the SQL oracle; both
+    sides pure md5 arithmetic):
+
+    * a page url is LISTED in its host's sitemap iff
+      ``md5(url)[0]`` is an even hex digit;
+    * a page url is already CRAWLED iff ``md5(url)[1]`` is even
+      (an independent coin — so listed∩crawled is a non-trivial
+      overlap the counts must get right);
+    * every sitemap additionally advertises two synthetic urls
+      ``https://<host>/new/<md5(host)[0:4]>/{0,1}`` — never crawled,
+      always discovered.
+
+    Output per host: ``n_listed`` (loc entries in the parsed XML),
+    ``n_known`` (parsed urls already crawled), ``n_discovered``
+    (parsed urls new to the crawler). Hosts with no listed page urls
+    still emit a sitemap (the two synthetic urls).
+
+    Scale shape: ONE host-keyed sort (the ``map_key_groups``
+    shuffle); the XML build+parse runs per host group with rows
+    (host, url, flags) — page payloads never enter; per-url md5 is
+    the inherent hashing cost (the fingerprint-op precedent). Output
+    is O(hosts).
+    """
+    import hashlib
+    import re as _re
+
+    from .grouped import map_key_groups
+
+    tag_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("url", pa.string()),
+            ("listed", pa.bool_()),
+            ("crawled", pa.bool_()),
+        ]
+    )
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return tag_schema.empty_table()
+        urls = batch.column("url").cast(pa.string()).combine_chunks()
+        host = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(urls, r"^[a-z]+://(?P<h>[^/]+)"), "h"
+            ),
+            "",
+        )
+        digs = [hashlib.md5(u.encode()).hexdigest() for u in urls.to_pylist()]
+        listed = pa.array([d[0] in "02468ace" for d in digs])
+        crawled = pa.array([d[1] in "02468ace" for d in digs])
+        return pa.Table.from_arrays(
+            [host, urls, listed, crawled], schema=tag_schema
+        )
+
+    loc_re = _re.compile(r"<loc>([^<]*)</loc>")
+
+    def _per_host(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SITEMAP_SCHEMA.empty_table()
+        host = group.column("host")[0].as_py()
+        urls = group.column("url").to_pylist()
+        listed = group.column("listed").to_pylist()
+        crawled_set = {
+            u for u, c in zip(urls, group.column("crawled").to_pylist()) if c
+        }
+        seed = hashlib.md5(host.encode()).hexdigest()[:4]
+        advertised = sorted(u for u, l in zip(urls, listed) if l) + [
+            f"https://{host}/new/{seed}/0",
+            f"https://{host}/new/{seed}/1",
+        ]
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "".join(f"  <url><loc>{u}</loc></url>\n" for u in advertised)
+            + "</urlset>\n"
+        )
+        # REAL parse of the XML we just serialized — the counts come
+        # from the PARSED side, so a serializer/parser mismatch fails
+        # the gate.
+        parsed = loc_re.findall(xml)
+        n_known = sum(1 for u in parsed if u in crawled_set)
+        return pa.Table.from_pydict(
+            {
+                "host": pa.array([host], pa.string()),
+                "n_listed": pa.array([len(parsed)], pa.int64()),
+                "n_known": pa.array([n_known], pa.int64()),
+                "n_discovered": pa.array([len(parsed) - n_known], pa.int64()),
+            },
+            schema=_SITEMAP_SCHEMA,
+        )
+
+    tagged = ray.data.read_parquet(pages_path, columns=["url"]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+    return map_key_groups(tagged, "host", _per_host)

@@ -6448,3 +6448,34 @@ def test_mojibake_repair_known_values(ray_session, tmp_path):
     for doc_id, (_src, want, n) in rows.items():
         assert out[doc_id]["n_fixes"] == n, (doc_id, out[doc_id])
         assert out[doc_id]["fixed_md5"] == hashlib.md5(want.encode()).hexdigest(), doc_id
+
+
+def test_sitemap_discovery_multi_host(ray_session, tmp_path):
+    """sitemap_discovery: per-host build→parse→diff matches a Python
+    reference on a multi-host corpus — listed/crawled md5 coins, two
+    synthetic always-discovered urls per host, and the parsed-XML
+    counts (a serializer/parser mismatch would break them)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.urls import sitemap_discovery
+
+    urls = [
+        f"https://h{k}.test/p/{i}" for k in range(3) for i in range(40)
+    ]
+    d = tmp_path / "pages"; d.mkdir()
+    pq.write_table(pa.Table.from_pydict({"url": pa.array(urls, pa.string())}), d / "p.parquet")
+    out = {r["host"]: r for r in sitemap_discovery(str(d)).take_all()}
+    assert set(out) == {"h0.test", "h1.test", "h2.test"}
+    for k in range(3):
+        host = f"h{k}.test"
+        hu = [u for u in urls if f"//{host}/" in u]
+        listed = [u for u in hu if hashlib.md5(u.encode()).hexdigest()[0] in "02468ace"]
+        known = [u for u in listed if hashlib.md5(u.encode()).hexdigest()[1] in "02468ace"]
+        r = out[host]
+        assert r["n_listed"] == len(listed) + 2
+        assert r["n_known"] == len(known)
+        assert r["n_discovered"] == len(listed) - len(known) + 2
+        assert r["n_listed"] == r["n_known"] + r["n_discovered"]

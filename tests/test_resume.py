@@ -286,3 +286,35 @@ def test_run_partitioned_auto(ray_session, fixture_parquet, tmp_path_factory):
     assert summary["num_partitions"] >= 1
     assert summary["rows"] == 110
     assert len(summary["completed"]) == summary["num_partitions"]
+
+
+def test_compaction_transparent_to_extraction(ray_session, fixture_parquet, tmp_path):
+    """Integration: compacting the input shards (merge small files into
+    ~target-row outputs) must be invisible to the extraction pipeline —
+    identical (url, content_hash) multisets from the original and the
+    compacted corpus."""
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.storage import compact_shards
+    from smart_ocr_ray.pipelines.extract_pipeline import extract_from_parquet
+
+    # small-file layout: the fixture split into 22 tiny shards
+    src = tmp_path / "shards"; src.mkdir()
+    table = pq.read_table(fixture_parquet)
+    for i, start in enumerate(range(0, table.num_rows, 5)):
+        pq.write_table(table.slice(start, 5), src / f"s{i:03d}.parquet")
+
+    def keyset(path):
+        rows = (
+            extract_from_parquet(path, max_html_bytes=16 * 1024)
+            .select_columns(["url", "content_hash"])
+            .take_all()
+        )
+        return sorted((r["url"], r["content_hash"]) for r in rows)
+
+    compacted = tmp_path / "compacted"
+    summary = compact_shards(
+        str(src), str(compacted), target_rows=40, input_sig="it"
+    )
+    assert summary["n_shards"] >= 2  # genuinely merged layout
+    assert keyset(str(src)) == keyset(str(compacted))
