@@ -350,6 +350,12 @@ def parse_jpeg(data: bytes):
             restart = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             n_scan = seg[0]
+            if n_scan != len(comps):
+                # T.81 allows non-interleaved per-component scans; this
+                # decoder supports the single interleaved baseline scan
+                # (what encode_jpeg emits) and refuses rather than
+                # mis-decoding a partial-scan file.
+                raise ValueError("unsupported JPEG (multi-scan)")
             scan: list[tuple[int, int, int]] = []  # (comp idx, dc, ac)
             for s in range(n_scan):
                 cid, tables = seg[1 + 2 * s], seg[2 + 2 * s]
