@@ -1034,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         "events_retention": relational.events_retention,
         "events_asof_join": relational.events_asof_join,
+        "events_debounce": relational.events_debounce,
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
         "events_topk_per_hour": relational.events_topk_per_hour,
@@ -5064,6 +5065,36 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
               UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
             ) ORDER BY step
+        """,
+        "events_debounce": """
+            -- Sequential-chain debounce (ops/relational.events_debounce):
+            -- the kept set is a data-dependent recurrence (windows
+            -- restart at each kept event), so the oracle walks each
+            -- (user, type) stream with a recursive CTE — one step per
+            -- rank, carrying the last-kept timestamp.
+            WITH RECURSIVE ev AS (
+              SELECT user_id, event_type, event_id, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            chain AS (
+              SELECT user_id, event_type, event_id, ts, rn,
+                     ts AS last_kept, TRUE AS kept
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.event_type, e.event_id, e.ts, e.rn,
+                     CASE WHEN e.ts >= c.last_kept + INTERVAL 60 SECOND
+                          THEN e.ts ELSE c.last_kept END,
+                     e.ts >= c.last_kept + INTERVAL 60 SECOND
+              FROM ev e JOIN chain c
+                ON e.user_id = c.user_id
+               AND e.event_type = c.event_type
+               AND e.rn = c.rn + 1
+            )
+            SELECT user_id, event_type, event_id, ts
+            FROM chain WHERE kept
         """,
         "events_asof_join": """
             -- Native DuckDB ASOF JOIN over the same deduped-rights

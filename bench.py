@@ -348,6 +348,7 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.urls import sitemap_discovery
 
         timed("sitemap_discovery", lambda _sf: sitemap_discovery(pages_path))
+        timed("events_debounce", relational.events_debounce)
 
     ray.shutdown()
 

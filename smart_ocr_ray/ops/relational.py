@@ -1573,3 +1573,70 @@ def events_decayed(sf_dir: str, half_life_hours: int = 1, scale_bits: int = 40) 
         )
         .sort("user_id")
     )
+
+
+_DEBOUNCE_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def events_debounce(sf_dir: str, window_s: int = 60) -> ray.data.Dataset:
+    """Streaming debounce dedup — the sequential-chain window operator
+    from the brief's custom-op list (alongside as-of and range joins):
+    per (user_id, event_type) stream ordered by (ts, event_id), an
+    event is KEPT iff its ts is at least ``window_s`` past the
+    previously KEPT event's ts (the first event is always kept). This
+    is the at-most-once-per-window admission rule of alerting /
+    notification / rate-limit pipelines, and it is deliberately the
+    CHAIN variant: suppression windows restart at each kept event, so
+    the rule depends on the kept-history, not on the previous raw
+    event — NOT expressible with lag()/bucket arithmetic (the oracle
+    needs a recursive CTE; the simpler lag()-debounce admits bursts
+    that straddle bucket edges).
+
+    Scale shape: ONE ``map_key_groups`` shuffle on (user_id,
+    event_type); the in-group chain walk is inherently sequential (the
+    kept set is a data-dependent recurrence), so it is a per-group
+    loop — bounded by events-per-(user,type), the same partitioning
+    assumption the as-of join documents; rows carry no payloads.
+    Output: the kept events.
+    """
+    from .grouped import map_key_groups
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    window_us = int(window_s) * 1_000_000
+
+    def _chain(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _DEBOUNCE_SCHEMA.empty_table()
+        group = group.sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]
+        ).combine_chunks()
+        ts = group.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = np.zeros(len(ts), bool)
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t >= last + window_us:
+                keep[i] = True
+                last = t
+        kept = group.filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [
+                kept.column("user_id").cast(pa.int64()),
+                kept.column("event_type").cast(pa.string()),
+                kept.column("event_id").cast(pa.int64()),
+                kept.column("ts").cast(pa.timestamp("us")),
+            ],
+            schema=_DEBOUNCE_SCHEMA,
+        )
+
+    return map_key_groups(events, ["user_id", "event_type"], _chain)

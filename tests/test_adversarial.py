@@ -518,3 +518,44 @@ def test_wav_codec_and_spectral_peak():
     struct.pack_into("<H", fl, 12 + 8 + 0, 3)  # IEEE float format tag
     with pytest.raises(ValueError, match=r"unsupported WAV \(format 3\)"):
         parse_wav(bytes(fl))
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_codec_fuzz_typed_failures_only(data):
+    """Crawl-decoder robustness property: ANY single-byte mutation,
+    truncation, or extension of a valid PNG/JPEG/GIF/WAV payload
+    either decodes or raises ValueError — never any other exception,
+    never a hang. (The PixmapDecoder/actor stages rely on exactly
+    this contract to emit typed failure rows.)"""
+    import numpy as np
+
+    from smart_ocr_ray.ops.audio import encode_wav, parse_wav
+    from smart_ocr_ray.ops.gif import encode_gif, parse_gif
+    from smart_ocr_ray.ops.jpeg import encode_jpeg, parse_jpeg
+    from smart_ocr_ray.ops.multimodal import _parse_png, _write_png
+
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+    samples = rng.integers(-3000, 3000, (64, 1)).astype(np.int16)
+    corpus = [
+        (_write_png(px), _parse_png),
+        (encode_jpeg(px), parse_jpeg),
+        (encode_gif([px[..., 0]], pal), parse_gif),
+        (encode_wav(samples, 8000), parse_wav),
+    ]
+    payload, parser = corpus[data.draw(st.integers(0, 3))]
+    mode = data.draw(st.integers(0, 2))
+    buf = bytearray(payload)
+    if mode == 0:  # single-byte mutation
+        i = data.draw(st.integers(0, len(buf) - 1))
+        buf[i] ^= data.draw(st.integers(1, 255))
+    elif mode == 1:  # truncation
+        buf = buf[: data.draw(st.integers(0, len(buf) - 1))]
+    else:  # garbage extension
+        buf += bytes(data.draw(st.binary(min_size=1, max_size=64)))
+    try:
+        parser(bytes(buf))
+    except ValueError:
+        pass  # the one allowed failure type

@@ -6479,3 +6479,43 @@ def test_sitemap_discovery_multi_host(ray_session, tmp_path):
         assert r["n_known"] == len(known)
         assert r["n_discovered"] == len(listed) - len(known) + 2
         assert r["n_listed"] == r["n_known"] + r["n_discovered"]
+
+
+def test_events_debounce_chain_semantics(ray_session, tmp_path):
+    """events_debounce: the kept-chain recurrence (windows restart at
+    each KEPT event) on a crafted burst — distinguishes the chain rule
+    from lag()-debounce: events at t=0,40,80,120 with a 60s window
+    keep {0, 80} (lag-debounce would keep only t=0... and bucket
+    rules would differ again); separate (user, type) streams are
+    independent; equal-ts ties order by event_id."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # burst: 0, 40, 80, 120 s -> chain keeps 0 and 80 and NOT 120
+        (1, 0, 7, "click"), (2, 40, 7, "click"),
+        (3, 80, 7, "click"), (4, 120, 7, "click"),
+        (5, 140, 7, "click"),                       # 140 >= 80+60 -> kept
+        (6, 10, 7, "purchase"),                     # other type independent
+        (7, 0, 8, "click"),                         # other user independent
+        (8, 0, 9, "click"), (9, 0, 9, "click"),     # equal ts: id 8 kept
+    ]
+    sf = tmp_path / "deb"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }),
+        sf / "events.parquet",
+    )
+    kept = sorted(r["event_id"] for r in events_debounce(str(sf)).take_all())
+    assert kept == [1, 3, 5, 6, 7, 8]
