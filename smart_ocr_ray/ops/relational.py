@@ -1601,8 +1601,10 @@ def events_debounce(sf_dir: str, window_s: int = 60) -> ray.data.Dataset:
 
     Scale shape: ONE ``map_key_groups`` shuffle on (user_id,
     event_type); the in-group chain walk is inherently sequential (the
-    kept set is a data-dependent recurrence), so it is a per-group
-    loop — bounded by events-per-(user,type), the same partitioning
+    kept set is a data-dependent recurrence), executed as a
+    searchsorted JUMP walk — O(kept · log n) per group, so a dense
+    burst costs one jump regardless of its size; group size is
+    bounded by events-per-(user,type), the same partitioning
     assumption the as-of join documents; rows carry no payloads.
     Output: the kept events.
     """
@@ -1622,12 +1624,14 @@ def events_debounce(sf_dir: str, window_s: int = 60) -> ray.data.Dataset:
         ts = group.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
+        # Jump walk: from each kept event, binary-search the first
+        # event past its window — O(kept · log n) instead of O(n), so
+        # a dense burst costs one jump regardless of its size.
         keep = np.zeros(len(ts), bool)
-        last = None
-        for i, t in enumerate(ts):
-            if last is None or t >= last + window_us:
-                keep[i] = True
-                last = t
+        i, n = 0, len(ts)
+        while i < n:
+            keep[i] = True
+            i = int(np.searchsorted(ts, ts[i] + window_us, side="left"))
         kept = group.filter(pa.array(keep))
         return pa.Table.from_arrays(
             [
