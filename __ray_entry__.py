@@ -347,6 +347,15 @@ def _q_sitemap_discovery(sf_dir: str):
     return sitemap_discovery(_pages_path(sf_dir))
 
 
+def _q_gif_frame_dedup(sf_dir: str):
+    """Exact dedup over REALLY decoded GIF frames (first-wins
+    survivor by (url, frame_idx); ops/multimodal.gif_frame_dedup) —
+    the real-decode × dedup composition."""
+    from smart_ocr_ray.ops.multimodal import gif_frame_dedup
+
+    return gif_frame_dedup(sf_dir)
+
+
 def _q_wav_features(sf_dir: str):
     """REAL WAV decode + exact-integer audio features (ops/audio.py:
     RIFF/PCM parse, sum-of-squares energy, frozen zero-crossing rule)
@@ -1047,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_dedup": _q_frame_dedup,
         "multimodal_decode_real": _q_decode_real,
         "multimodal_gif_frames": _q_gif_frames,
+        "gif_frame_dedup": _q_gif_frame_dedup,
         "multimodal_wav_features": _q_wav_features,
         "robots_filter": _q_robots_filter,
         "mojibake_repair": _q_mojibake,
@@ -5851,6 +5861,19 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
     out["mojibake_repair"] = _mojibake_sql()
+    out["gif_frame_dedup"] = f"""
+        -- real-decode × dedup composition: the gif-frames oracle as a
+        -- CTE, first-wins survivor per decoded-frame hash.
+        WITH gf AS ({out["multimodal_gif_frames"]})
+        SELECT gray_md5, n_copies, url, frame_idx FROM (
+          SELECT gray_md5, url, frame_idx,
+                 CAST(count(*) OVER (PARTITION BY gray_md5) AS BIGINT)
+                   AS n_copies,
+                 row_number() OVER (
+                   PARTITION BY gray_md5 ORDER BY url, frame_idx) AS rk
+          FROM gf WHERE decode_ok
+        ) WHERE rk = 1
+    """
     out["graph_ann_search"] = "WITH " + _hyperplane_lsh_sql() + "," + _graph_ann_sql()
     out["graph_ann_recall"] = f"""
         WITH a AS (SELECT query_id, vec_id FROM ({out["ann_cosine_topk"]})),

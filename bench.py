@@ -335,6 +335,10 @@ def run_bench() -> dict:
 
         timed("gif_frames", gif_frame_features)
 
+        from smart_ocr_ray.ops.multimodal import gif_frame_dedup
+
+        timed("gif_frame_dedup", gif_frame_dedup)
+
         from smart_ocr_ray.ops.audio import wav_features
 
         timed("wav_features", wav_features)

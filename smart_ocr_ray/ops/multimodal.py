@@ -607,6 +607,98 @@ def gif_frame_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 16) ->
     )
 
 
+_GIF_DEDUP_SCHEMA = pa.schema(
+    [
+        ("gray_md5", pa.string()),
+        ("n_copies", pa.int64()),
+        ("url", pa.string()),
+        ("frame_idx", pa.int64()),
+    ]
+)
+
+
+def gif_frame_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup over REALLY DECODED GIF frames — the composition
+    ``frame_dedup`` performs on the byte-slicing stand-in, now on
+    genuine LZW-decoded pixels: identical frames across the corpus
+    (exact-duplicate documents produce identical frame streams)
+    collapse to one survivor per content hash.
+
+    Frozen semantics (the D1 first-wins rule, as in ``frame_dedup``):
+    identity is the decoded frame's ``gray_md5``; the survivor is the
+    (url, frame_idx)-lexicographic minimum; ``n_copies`` counts every
+    decoded occurrence. Failed decodes are excluded (typed rows, not
+    frames).
+
+    Scale shape: frame pixels die inside ``GifFrameDecoder`` (only
+    their md5 leaves the actor); blocks pre-collapse duplicate hashes
+    before the single hash-keyed sort; the global pass is the
+    sort+reduceat idiom — one shuffle of (hash, url, idx, n) rows.
+    """
+    from .grouped import group_bounds
+
+    frames = gif_frame_features(sf_dir).filter(expr="decode_ok")
+
+    sort_keys = [
+        ("gray_md5", "ascending"),
+        ("url", "ascending"),
+        ("frame_idx", "ascending"),
+    ]
+
+    def _collapse(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("gray_md5", pa.string()),
+                    ("url", pa.string()),
+                    ("frame_idx", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        t = (
+            batch.select(["gray_md5", "url", "frame_idx"])
+            .sort_by(sort_keys)
+            .combine_chunks()
+        )
+        bounds = group_bounds(t, ["gray_md5"])
+        starts = pa.array(bounds[:-1])
+        return pa.Table.from_pydict(
+            {
+                "gray_md5": t.column("gray_md5").take(starts),
+                "url": t.column("url").take(starts),
+                "frame_idx": t.column("frame_idx").cast(pa.int64()).take(starts),
+                "n": pa.array(np.diff(bounds), pa.int64()),
+            }
+        )
+
+    def _final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "gray_md5" not in block.column_names:
+            return _GIF_DEDUP_SCHEMA.empty_table()
+        block = block.sort_by(sort_keys).combine_chunks()
+        bounds = group_bounds(block, ["gray_md5"])
+        starts = bounds[:-1]
+        n = block.column("n").to_numpy(zero_copy_only=False)
+        idx = pa.array(starts)
+        return pa.Table.from_pydict(
+            {
+                "gray_md5": block.column("gray_md5").take(idx),
+                "n_copies": pa.array(
+                    np.add.reduceat(n, starts) if len(starts) else n[:0],
+                    pa.int64(),
+                ),
+                "url": block.column("url").take(idx),
+                "frame_idx": block.column("frame_idx").take(idx),
+            },
+            schema=_GIF_DEDUP_SCHEMA,
+        )
+
+    return (
+        frames.map_batches(_collapse, batch_format="pyarrow")
+        .sort(["gray_md5"])
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def decode_features(
     media: ray.data.Dataset, concurrency=(1, 8), batch_size: int = 16
 ) -> ray.data.Dataset:
