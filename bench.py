@@ -172,6 +172,11 @@ def run_bench() -> dict:
         timed("dedup_incremental_minhash", dedup.dedup_incremental_minhash)
         timed("ann_cosine_topk", similarity.ann_cosine_topk)
         timed("graph_ann_search", similarity.graph_ann_search)
+        # Warm serving path: the index built above is session-cached
+        # (_ann_index), so this times the beam walk alone — the
+        # build-once / search-many amortization a serving deployment
+        # gets.
+        timed("graph_ann_warm", similarity.graph_ann_search)
         timed("embedding_kmeans", similarity.embedding_kmeans)
         timed("doc_quality", text_analysis.quality)
         timed("gopher_rules", text_analysis.gopher_rules)

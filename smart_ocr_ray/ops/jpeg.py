@@ -156,7 +156,14 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _build_decode_table(bits: list[int], values: list[int]) -> dict:
-    """(length, code) -> symbol map per T.81 C.2 canonical assignment."""
+    """(length, code) -> symbol map per T.81 C.2 canonical assignment.
+
+    A DHT whose 16 count bytes promise more symbols than the segment
+    carries (truncated/mutated stream) is a typed decode failure, not
+    an IndexError — the codec-fuzz property relies on this.
+    """
+    if len(bits) < 16 or sum(bits) > len(values):
+        raise ValueError("corrupt JPEG Huffman table")
     table = {}
     code = 0
     idx = 0
@@ -391,6 +398,11 @@ def parse_jpeg(data: bytes):
             except KeyError:
                 raise ValueError("JPEG references undefined Huffman table")
             cat = _decode_huffman(reader, dc_tab)
+            if cat > 15:
+                # T.81 F.1.2.1: DC categories stop at 15 (11 for 8-bit
+                # data); a larger symbol is a corrupt table/stream and
+                # would overflow the int64 coefficient grid below.
+                raise ValueError("corrupt JPEG entropy stream")
             diff = _extend(reader.receive(cat), cat)
             pred[ci] += diff
             block = coeffs[ci, mcu]

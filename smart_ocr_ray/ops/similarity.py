@@ -631,6 +631,49 @@ def _centroid_medoid(sf_dir: str) -> int:
     return int(min(best, key=lambda r: (-r["e6"], r["vec_id"]))["vec_id"])
 
 
+# ---------------------------------------------------------------------------
+# Serving-index session cache (BASELINE.md r4 headroom #1): a serving
+# deployment builds the kNN graph ONCE and amortizes it across queries.
+# The cache key is content-signed (path, size, mtime of the embeddings
+# file) so a different corpus at the same path can never serve a stale
+# index, and session-tokened so a fresh ray.init in the same process
+# rebuilds rather than dereferencing dead object-store refs. Stale
+# entries from earlier sessions are bounded by session count and leak
+# nothing beyond the dict slot (their object refs die with the session).
+# ---------------------------------------------------------------------------
+
+_SERVING_CACHE: dict[tuple, tuple] = {}
+
+
+def _session_token() -> str:
+    try:
+        return str(ray.get_runtime_context().get_node_id())
+    except Exception:
+        return ""
+
+
+def _ann_index(sf_dir: str, knn_k: int) -> tuple:
+    """(graph, embeddings, entry_vec_id) for ``sf_dir`` — materialized
+    once per (corpus content, knn_k, ray session) and reused by every
+    subsequent graph-ANN search in the process. The warm path turns
+    ``graph_ann_search``'s dominant cost (the LSH candidate chain that
+    builds the graph, ~70% of its wall time) into a one-time build."""
+    import os
+
+    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(p)
+    key = (p, st.st_size, st.st_mtime_ns, int(knn_k), _session_token())
+    hit = _SERVING_CACHE.get(key)
+    if hit is None:
+        hit = (
+            embedding_knn_graph(sf_dir, k=knn_k).materialize(),
+            read_embeddings(sf_dir).materialize(),
+            _centroid_medoid(sf_dir),
+        )
+        _SERVING_CACHE[key] = hit
+    return hit
+
+
 def graph_ann_search(
     sf_dir: str,
     k: int = 10,
@@ -661,12 +704,14 @@ def graph_ann_search(
     edges; candidate ids → embeddings) with only the frontier/visited
     sets (≤ ``n_queries × (1 + beam·hops)`` ids) ever on the driver —
     the documented bounded exception, same discipline as the k-means
-    driver fold. Hop latency is one filtered scan, not a shuffle.
+    driver fold. Hop latency is one filtered scan, not a shuffle. The
+    index (graph + embeddings + entry point) comes from the
+    content-signed ``_ann_index`` session cache, so repeated searches
+    in one process pay only the walk — the serving amortization
+    (bench rows ``graph_ann_search`` cold vs ``graph_ann_warm``).
     """
     queries, q_ids = _load_queries(sf_dir, n_queries)
-    entry = _centroid_medoid(sf_dir)
-    graph = embedding_knn_graph(sf_dir, k=knn_k).materialize()
-    emb = read_embeddings(sf_dir).materialize()
+    graph, emb, entry = _ann_index(sf_dir, knn_k)
 
     def _edges_for(ids: frozenset) -> dict[int, list[int]]:
         """nbr lists for a bounded id set — broadcast-filter the graph

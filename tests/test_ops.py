@@ -6366,6 +6366,27 @@ def test_graph_ann_search_recall_and_bounds(ray_session):
     assert {int(r["vec_id"]) for r in out1} <= seen
 
 
+def test_graph_ann_serving_cache(ray_session, monkeypatch):
+    """The serving index is session-cached: after one search has built
+    the (graph, embeddings, entry) triple for a corpus, a second search
+    must NOT rebuild the kNN graph (the ~70% cost center) and must
+    return byte-identical results off the cached index."""
+    from smart_ocr_ray.ops import similarity
+
+    sf = "/root/testdata/sf0.001"
+    cold = similarity.graph_ann_search(sf).take_all()
+    assert similarity._SERVING_CACHE  # populated by the cold call
+
+    def _boom(*a, **kw):  # a rebuild on the warm path is a cache miss
+        raise AssertionError("kNN graph rebuilt despite warm cache")
+
+    monkeypatch.setattr(similarity, "embedding_knn_graph", _boom)
+    monkeypatch.setattr(similarity, "_centroid_medoid", _boom)
+    warm = similarity.graph_ann_search(sf).take_all()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(cold, key=key) == sorted(warm, key=key)
+
+
 def test_robots_filter_longest_match(ray_session, tmp_path):
     """robots_filter: RFC 9309 longest-match with allow-beating-
     disallow on the synthesized per-host rules — verified against a
