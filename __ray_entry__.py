@@ -347,6 +347,16 @@ def _q_sitemap_discovery(sf_dir: str):
     return sitemap_discovery(_pages_path(sf_dir))
 
 
+def _q_sitemap_index(sf_dir: str):
+    """Hash-sharded child sitemaps behind a REAL-parsed
+    ``<sitemapindex>`` (ops/urls.sitemap_index) — the protocol's
+    >50k-url shape and the (host, chunk)-parallel fix for
+    single-host corpora; totals must match sitemap_discovery."""
+    from smart_ocr_ray.ops.urls import sitemap_index
+
+    return sitemap_index(_pages_path(sf_dir))
+
+
 def _q_gif_frame_dedup(sf_dir: str):
     """Exact dedup over REALLY decoded GIF frames (first-wins
     survivor by (url, frame_idx); ops/multimodal.gif_frame_dedup) —
@@ -1066,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": _q_robots_filter,
         "mojibake_repair": _q_mojibake,
         "sitemap_discovery": _q_sitemap_discovery,
+        "sitemap_index": _q_sitemap_index,
     }
 
 
@@ -2641,6 +2652,47 @@ def _sitemap_discovery_sql() -> str:
     """
 
 
+def _sitemap_index_sql(n_chunks: int = 16) -> str:
+    """Oracle for ``sitemap_index``: same md5 coins as
+    sitemap_discovery plus the chunk digit (``md5(url)[2] %
+    n_chunks``); n_sitemaps = distinct chunks over advertised urls
+    (page-listed ∪ the two synthetic per-host urls). PINNED to the
+    default n_chunks=16 registration — a variant needs the modulus
+    changed in lockstep."""
+    ev = "('0','2','4','6','8','a','c','e')"
+    chunk = (
+        f"(strpos('0123456789abcdef', substr(md5(u), 3, 1)) - 1) % {n_chunks}"
+    )
+    return f"""
+        WITH p AS (
+          SELECT url AS u,
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 substr(md5(url), 1, 1) IN {ev} AS listed,
+                 substr(md5(url), 2, 1) IN {ev} AS crawled
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+        ),
+        syn AS (
+          SELECT host,
+                 'https://' || host || '/new/' || substr(md5(host), 1, 4)
+                   || '/' || i AS u
+          FROM (SELECT DISTINCT host FROM p), (VALUES ('0'), ('1')) v(i)
+        ),
+        allu AS (
+          SELECT host, u, crawled, {chunk} AS chunk FROM p WHERE listed
+          UNION ALL
+          SELECT host, u, FALSE AS crawled, {chunk} AS chunk FROM syn
+        )
+        SELECT host,
+               CAST(count(DISTINCT chunk) AS BIGINT) AS n_sitemaps,
+               CAST(count(*) AS BIGINT) AS n_listed,
+               CAST(sum(CASE WHEN crawled THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_known,
+               CAST(sum(CASE WHEN NOT crawled THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_discovered
+        FROM allu GROUP BY host
+    """
+
+
 def _mojibake_sql() -> str:
     """Oracle for ``mojibake_repair`` — generated FROM the op's own
     frozen bank so the two can never drift: per-pattern
@@ -3107,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["shard_compact"] = _shard_compact_sql()
         corpus_dependent["robots_filter"] = _robots_filter_sql()
         corpus_dependent["sitemap_discovery"] = _sitemap_discovery_sql()
+        corpus_dependent["sitemap_index"] = _sitemap_index_sql()
         # Degree histogram composes the link_graph oracle as a CTE.
         corpus_dependent["link_degree_hist"] = f"""
             WITH lg AS ({_link_graph_oracle_sql()})

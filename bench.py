@@ -354,9 +354,13 @@ def run_bench() -> dict:
         timed("robots_filter", lambda _sf: robots_filter(pages_path))
         timed("mojibake_repair", mojibake_repair)
 
-        from smart_ocr_ray.ops.urls import sitemap_discovery
+        from smart_ocr_ray.ops.urls import sitemap_discovery, sitemap_index
 
         timed("sitemap_discovery", lambda _sf: sitemap_discovery(pages_path))
+        # Chunked variant: (host, chunk)-parallel child sitemaps — on
+        # this single-host bench corpus the speedup vs the row above
+        # IS the headroom-#2 fix being measured.
+        timed("sitemap_index", lambda _sf: sitemap_index(pages_path))
         timed("events_debounce", relational.events_debounce)
 
     ray.shutdown()

@@ -474,3 +474,194 @@ def sitemap_discovery(pages_path: str) -> ray.data.Dataset:
         _tag, batch_format="pyarrow"
     )
     return map_key_groups(tagged, "host", _per_host)
+
+
+_SITEMAP_INDEX_SCHEMA = pa.schema(
+    [
+        ("host", pa.string()),
+        ("n_sitemaps", pa.int64()),
+        ("n_listed", pa.int64()),
+        ("n_known", pa.int64()),
+        ("n_discovered", pa.int64()),
+    ]
+)
+
+
+def sitemap_index(pages_path: str, n_chunks: int = 16) -> ray.data.Dataset:
+    """Chunked sitemap build behind a sitemap INDEX file — the
+    protocol's own answer to big hosts (sitemaps.org caps one file at
+    50,000 urls; beyond that a ``<sitemapindex>`` references child
+    sitemaps), and the parallel answer to ``sitemap_discovery``'s
+    per-host serialization (BASELINE.md r4 headroom #2: a single-host
+    corpus builds ONE giant XML in one group). Children are
+    hash-sharded: advertised url → chunk ``int(md5(url)[2], 16) %
+    n_chunks`` (a production deployment sizes ``n_chunks ≈
+    ceil(expected_urls / 50_000)``).
+
+    Frozen coins (same as ``sitemap_discovery``, plus the chunk
+    digit, all mirrored by the SQL oracle): listed iff ``md5(url)[0]``
+    even hex, crawled iff ``md5(url)[1]`` even, chunk from
+    ``md5(url)[2]``; every host additionally advertises the two
+    synthetic ``/new/<md5(host)[0:4]>/{0,1}`` urls (never crawled),
+    hash-sharded by the same rule. A chunk emits a child sitemap iff
+    it has >= 1 advertised url.
+
+    Writer/parser duality: per-url counts come from REAL-parsing each
+    child sitemap we serialize; ``n_sitemaps`` comes from
+    REAL-parsing the ``<sitemapindex>`` built over the children — a
+    serializer/parser mismatch on either layer fails the gate.
+
+    Output per host: (n_sitemaps, n_listed, n_known, n_discovered);
+    the last three match ``sitemap_discovery`` exactly.
+
+    Scale shape: the per-url md5 + XML build/parse runs in (host,
+    chunk) groups — ``n_chunks``-way parallel within a host, the fix
+    for the single-host serialization — off ONE (host, chunk) sort;
+    the host rollup is a second sort over O(hosts × n_chunks) chunk
+    rows that never sees urls (only synthetic-only chunks, <= 2 urls,
+    build XML there).
+    """
+    import hashlib
+    import re as _re
+
+    from .grouped import map_key_groups
+
+    tag_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("chunk", pa.int64()),
+            ("url", pa.string()),
+            ("listed", pa.bool_()),
+            ("crawled", pa.bool_()),
+        ]
+    )
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return tag_schema.empty_table()
+        urls = batch.column("url").cast(pa.string()).combine_chunks()
+        host = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(urls, r"^[a-z]+://(?P<h>[^/]+)"), "h"
+            ),
+            "",
+        )
+        digs = [hashlib.md5(u.encode()).hexdigest() for u in urls.to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                host,
+                pa.array([int(d[2], 16) % n_chunks for d in digs], pa.int64()),
+                urls,
+                pa.array([d[0] in "02468ace" for d in digs]),
+                pa.array([d[1] in "02468ace" for d in digs]),
+            ],
+            schema=tag_schema,
+        )
+
+    loc_re = _re.compile(r"<loc>([^<]*)</loc>")
+
+    def _synthetics(host: str) -> list[tuple[str, int]]:
+        seed = hashlib.md5(host.encode()).hexdigest()[:4]
+        out = []
+        for i in (0, 1):
+            u = f"https://{host}/new/{seed}/{i}"
+            out.append((u, int(hashlib.md5(u.encode()).hexdigest()[2], 16) % n_chunks))
+        return out
+
+    def _child_counts(advertised: list[str], crawled_set: set) -> tuple[int, int]:
+        """Serialize one child sitemap over ``advertised``, REAL-parse
+        it back, and diff the PARSED urls against the crawled set."""
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "".join(f"  <url><loc>{u}</loc></url>\n" for u in advertised)
+            + "</urlset>\n"
+        )
+        parsed = loc_re.findall(xml)
+        n_known = sum(1 for u in parsed if u in crawled_set)
+        return len(parsed), n_known
+
+    chunk_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("chunk", pa.int64()),
+            ("n_listed", pa.int64()),
+            ("n_known", pa.int64()),
+            ("n_discovered", pa.int64()),
+        ]
+    )
+
+    def _per_chunk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return chunk_schema.empty_table()
+        host = group.column("host")[0].as_py()
+        chunk = int(group.column("chunk")[0].as_py())
+        urls = group.column("url").to_pylist()
+        listed = group.column("listed").to_pylist()
+        crawled_set = {
+            u for u, c in zip(urls, group.column("crawled").to_pylist()) if c
+        }
+        advertised = sorted(u for u, l in zip(urls, listed) if l) + [
+            u for u, c in _synthetics(host) if c == chunk
+        ]
+        if not advertised:  # no child sitemap for this shard
+            return chunk_schema.empty_table()
+        n_listed, n_known = _child_counts(advertised, crawled_set)
+        return pa.Table.from_pydict(
+            {
+                "host": [host],
+                "chunk": [chunk],
+                "n_listed": [n_listed],
+                "n_known": [n_known],
+                "n_discovered": [n_listed - n_known],
+            },
+            schema=chunk_schema,
+        )
+
+    def _per_host(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SITEMAP_INDEX_SCHEMA.empty_table()
+        host = group.column("host")[0].as_py()
+        rows = {
+            int(c): (int(nl), int(nk), int(nd))
+            for c, nl, nk, nd in zip(
+                group.column("chunk").to_pylist(),
+                group.column("n_listed").to_pylist(),
+                group.column("n_known").to_pylist(),
+                group.column("n_discovered").to_pylist(),
+            )
+        }
+        # A synthetic url whose shard holds NO page url never formed a
+        # stage-1 group; its (<= 2-url) child sitemap is built here.
+        for chunk in sorted({c for _, c in _synthetics(host)} - rows.keys()):
+            adv = [u for u, c in _synthetics(host) if c == chunk]
+            n_listed, n_known = _child_counts(adv, set())
+            rows[chunk] = (n_listed, n_known, n_listed - n_known)
+        index_xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "".join(
+                f"  <sitemap><loc>https://{host}/sitemap-{c}.xml</loc></sitemap>\n"
+                for c in sorted(rows)
+            )
+            + "</sitemapindex>\n"
+        )
+        n_sitemaps = len(loc_re.findall(index_xml))
+        return pa.Table.from_pydict(
+            {
+                "host": [host],
+                "n_sitemaps": [n_sitemaps],
+                "n_listed": [sum(r[0] for r in rows.values())],
+                "n_known": [sum(r[1] for r in rows.values())],
+                "n_discovered": [sum(r[2] for r in rows.values())],
+            },
+            schema=_SITEMAP_INDEX_SCHEMA,
+        )
+
+    tagged = ray.data.read_parquet(pages_path, columns=["url"]).map_batches(
+        _tag, batch_format="pyarrow"
+    )
+    chunks = map_key_groups(tagged, ["host", "chunk"], _per_chunk)
+    return map_key_groups(chunks, "host", _per_host)

@@ -6502,6 +6502,53 @@ def test_sitemap_discovery_multi_host(ray_session, tmp_path):
         assert r["n_listed"] == r["n_known"] + r["n_discovered"]
 
 
+def test_sitemap_index_chunked(ray_session, tmp_path):
+    """sitemap_index: hash-sharded child sitemaps + parsed index match
+    a Python reference per host — n_sitemaps = distinct chunks over
+    advertised urls (including a tiny host whose synthetic urls land
+    in chunks with no page urls, the stage-2 inline-build path), and
+    the url totals agree with sitemap_discovery exactly."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.urls import sitemap_discovery, sitemap_index
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # h0/h1: 40 urls each; tiny.test: ONE url — its two synthetic urls
+    # almost surely hash to chunks with no page url (16 chunks).
+    urls = [f"https://h{k}.test/p/{i}" for k in range(2) for i in range(40)]
+    urls.append("https://tiny.test/only")
+    d = tmp_path / "pages"; d.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({"url": pa.array(urls, pa.string())}),
+        d / "p.parquet",
+    )
+    out = {r["host"]: r for r in sitemap_index(str(d)).take_all()}
+    disc = {r["host"]: r for r in sitemap_discovery(str(d)).take_all()}
+    assert set(out) == {"h0.test", "h1.test", "tiny.test"}
+    for host in out:
+        hu = [u for u in urls if f"//{host}/" in u]
+        listed = [u for u in hu if md5(u)[0] in "02468ace"]
+        known = [u for u in listed if md5(u)[1] in "02468ace"]
+        seed = md5(host)[:4]
+        adv = listed + [f"https://{host}/new/{seed}/{i}" for i in (0, 1)]
+        chunks = {int(md5(u)[2], 16) % 16 for u in adv}
+        r = out[host]
+        assert r["n_sitemaps"] == len(chunks)
+        assert r["n_listed"] == len(adv)
+        assert r["n_known"] == len(known)
+        assert r["n_discovered"] == len(adv) - len(known)
+        # totals identical to the unsharded op
+        for col in ("n_listed", "n_known", "n_discovered"):
+            assert r[col] == disc[host][col]
+    # the tiny host: 1 page url -> at most 1 page chunk, so at least
+    # one synthetic chunk was built inline by the host rollup
+    tiny_listed = [u for u in ["https://tiny.test/only"] if md5(u)[0] in "02468ace"]
+    assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
+
+
 def test_events_debounce_chain_semantics(ray_session, tmp_path):
     """events_debounce: the kept-chain recurrence (windows restart at
     each KEPT event) on a crafted burst — distinguishes the chain rule
