@@ -1014,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_clusters": dedup.dedup_simhash_clusters,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "substring_dedup": dedup.substring_dedup,
+        "cdc_dedup": dedup.cdc_dedup,
         "winnow_pairs": dedup.winnow_pairs,
         "winnow_clusters": dedup.winnow_clusters,
         "winnow_containment": dedup.winnow_containment,
@@ -5788,6 +5789,57 @@ def oracle_sql() -> dict[str, str]:
                                             ELSE least(pos - prev, 13) END)
                                    AS BIGINT)) // max(dl) AS coverage_e6
             FROM hw GROUP BY doc_id
+        """,
+        "cdc_dedup": """
+            -- Content-defined-chunking dedup (ops/dedup.cdc_dedup):
+            -- Manber-anchor breakpoints — token ends a chunk iff
+            -- md5(token)[0] = '0' or it is the last token; chunk key
+            -- = md5 of the ' '-joined chunk (16 hex); hot = key in
+            -- >= 2 distinct docs; chunks are disjoint so coverage is
+            -- a plain sum on the exact integer grid.
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(coalesce(text, '')),
+                                 '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS tok,
+                     len(toks) AS n_tok
+              FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+            ), b AS (
+              SELECT doc_id, pos, tok, n_tok,
+                     CASE WHEN substr(md5(tok), 1, 1) = '0'
+                            OR pos = n_tok THEN 1 ELSE 0 END AS bnd
+              FROM tok
+            ), c AS (
+              SELECT doc_id, pos, tok, n_tok,
+                     coalesce(sum(bnd) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cidx
+              FROM b
+            ), ch AS (
+              SELECT doc_id, cidx,
+                     substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16)
+                       AS ck,
+                     count(*) AS ctok, any_value(n_tok) AS n_tok
+              FROM c GROUP BY doc_id, cidx
+            ), hot AS (
+              SELECT ck FROM ch GROUP BY ck
+              HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT ch.doc_id,
+                   CAST(any_value(ch.n_tok) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN h.ck IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hot_chunks,
+                   CAST(sum(CASE WHEN h.ck IS NOT NULL THEN ch.ctok
+                                 ELSE 0 END) AS BIGINT) AS covered_tokens,
+                   CAST(1000000 * sum(CASE WHEN h.ck IS NOT NULL
+                                           THEN ch.ctok ELSE 0 END)
+                        // any_value(ch.n_tok) AS BIGINT) AS coverage_e6
+            FROM ch LEFT JOIN hot h ON ch.ck = h.ck
+            GROUP BY ch.doc_id
         """,
         "unigram_surprisal": """
             -- Integer unigram-LM surprisal (ops/text_analysis.unigram_surprisal):

@@ -183,6 +183,7 @@ def run_bench() -> dict:
         timed("domain_stats", text_analysis.domain_stats)
         timed("line_dedup", dedup.line_dedup)
         timed("substring_dedup", dedup.substring_dedup)
+        timed("cdc_dedup", dedup.cdc_dedup)
         timed("winnow_pairs", dedup.winnow_pairs)
         timed("tfidf_top_terms", text_analysis.tfidf_top_terms)
         timed("bm25_topk", text_analysis.bm25_topk)

@@ -2012,3 +2012,177 @@ def dedup_incremental_minhash(
         )
 
     return map_key_groups(deduped, "doc_id", _best)
+
+
+_CDC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_chunks", pa.int64()),
+        ("n_hot_chunks", pa.int64()),
+        ("covered_tokens", pa.int64()),
+        ("coverage_e6", pa.int64()),
+    ]
+)
+
+
+def cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
+    """Content-defined-chunking dedup — the storage-dedup classic
+    (Manber 1994's anchors, "Finding Similar Files in a Large File
+    System": breakpoints where a local hash ≡ 0 mod K; LBFS,
+    Muthitacharoen 2001, applied the same rule to block storage)
+    brought to the token stream. Unlike ``line_dedup``'s fixed
+    windows or ``substring_dedup``'s stride-1 windows, chunk
+    boundaries depend only on LOCAL content, so inserting one token
+    shifts every later position but re-synchronizes the chunking at
+    the next anchor — the self-healing property that makes CDC the
+    right unit for cross-crawl-snapshot storage dedup.
+
+    Frozen rule (mirrored exactly by the SQL oracle): tokens =
+    lowercase whitespace split; token at 1-based position ``i`` ENDS a
+    chunk iff ``md5(token)[0] == '0'`` (a 1/16 coin on the token's own
+    hash → ~16-token mean chunks) or ``i == n_tokens``; a chunk's key
+    is ``md5(' '-join of its tokens)[:16]`` (dedup on the KEY, the
+    ``ngram_novelty`` collision discipline); a chunk is HOT when its
+    key occurs in >= ``min_docs`` DISTINCT documents. Output one row
+    per document with >= 1 token, ordered by doc_id: (doc_id,
+    n_tokens, n_chunks, n_hot_chunks, covered_tokens, coverage_e6)
+    — chunks never overlap, so covered_tokens is a plain sum and
+    ``coverage_e6 = (1e6·covered) // n_tokens`` is exact.
+
+    Scale shape (the ``line_dedup`` discipline — ONE corpus shuffle,
+    nothing corpus-sized on the driver):
+
+      1. map_batches docs → (ck, doc_id, ctok) chunk-instance rows;
+         per-token md5 is the inherent hashing cost (same class as
+         MinHash shingles), boundaries/chunk spans are numpy.
+      2. ONE global ``sort("ck")`` co-locates each key's rows (the
+         equal-key-per-block invariant ``line_dedup`` pins); a
+         vectorized block pass tags hotness via (ck, doc_id) group
+         bounds and immediately collapses the block to per-doc
+         PARTIALS — at most one row per doc per block.
+      3. one small ``groupby(doc_id).sum`` + doc-sized sort; the hot
+         set itself never materializes anywhere.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .grouped import group_bounds
+
+    docs = read_documents(sf_dir)
+
+    inst_schema = pa.schema(
+        [("ck", pa.string()), ("doc_id", pa.int64()), ("ctok", pa.int64())]
+    )
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        cks: list[str] = []
+        ids: list[int] = []
+        ctoks: list[int] = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            ends = [
+                i
+                for i, tok in enumerate(toks)
+                if hashlib.md5(tok.encode()).hexdigest()[0] == "0"
+            ]
+            if not ends or ends[-1] != len(toks) - 1:
+                ends.append(len(toks) - 1)
+            start = 0
+            for e in ends:
+                cks.append(
+                    hashlib.md5(
+                        " ".join(toks[start : e + 1]).encode()
+                    ).hexdigest()[:16]
+                )
+                ids.append(int(d))
+                ctoks.append(e + 1 - start)
+                start = e + 1
+        return pa.Table.from_pydict(
+            {"ck": cks, "doc_id": ids, "ctok": ctoks}, schema=inst_schema
+        )
+
+    insts = docs.map_batches(_chunks, batch_format="pyarrow")
+
+    _PARTIAL = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("ntok", pa.int64()),
+            ("nc", pa.int64()),
+            ("nh", pa.int64()),
+            ("cov", pa.int64()),
+        ]
+    )
+
+    def _tag_collapse(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _PARTIAL.empty_table()
+        # Global sort is on ck alone (range sort only co-locates full
+        # key tuples); re-establish the doc_id sub-order locally.
+        block = block.sort_by(
+            [("ck", "ascending"), ("doc_id", "ascending")]
+        ).combine_chunks()
+        n = block.num_rows
+        ck_bounds = group_bounds(block, ["ck"])
+        pair_bounds = group_bounds(block, ["ck", "doc_id"])
+        new_pair = np.zeros(n, dtype=np.int64)
+        new_pair[pair_bounds[:-1]] = 1
+        docs_per_key = np.add.reduceat(new_pair, ck_bounds[:-1])
+        hot = np.repeat(docs_per_key >= min_docs, np.diff(ck_bounds))
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        ctok = block.column("ctok").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids_s, ctok_s, hot_s = ids[order], ctok[order], hot[order]
+        uids, starts = np.unique(ids_s, return_index=True)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(uids.astype(np.int64)),
+                "ntok": pa.array(np.add.reduceat(ctok_s, starts)),
+                "nc": pa.array(
+                    np.diff(np.append(starts, len(ids_s))).astype(np.int64)
+                ),
+                "nh": pa.array(
+                    np.add.reduceat(hot_s.astype(np.int64), starts)
+                ),
+                "cov": pa.array(
+                    np.add.reduceat(np.where(hot_s, ctok_s, 0), starts)
+                ),
+            },
+            schema=_PARTIAL,
+        )
+
+    partials = insts.sort("ck").map_batches(
+        _tag_collapse, batch_format="pyarrow", batch_size=None
+    )
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("ntok", alias_name="n_tokens"),
+        Sum("nc", alias_name="n_chunks"),
+        Sum("nh", alias_name="n_hot_chunks"),
+        Sum("cov", alias_name="covered_tokens"),
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CDC_SCHEMA.empty_table()
+        ntok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        cov = batch.column("covered_tokens").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+                "n_chunks": batch.column("n_chunks").cast(pa.int64()),
+                "n_hot_chunks": batch.column("n_hot_chunks").cast(pa.int64()),
+                "covered_tokens": batch.column("covered_tokens").cast(pa.int64()),
+                "coverage_e6": pa.array(
+                    1_000_000 * cov // ntok, pa.int64()
+                ),
+            },
+            schema=_CDC_SCHEMA,
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow").sort("doc_id")

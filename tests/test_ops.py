@@ -6502,6 +6502,79 @@ def test_sitemap_discovery_multi_host(ray_session, tmp_path):
         assert r["n_listed"] == r["n_known"] + r["n_discovered"]
 
 
+def test_cdc_dedup_self_healing(ray_session, tmp_path):
+    """cdc_dedup: matches a pure-Python reference of the frozen
+    Manber-anchor rule, and exhibits the CDC property the fixed-window
+    passes lack — inserting ONE token near the front of a copied
+    document shifts every later position, yet chunking re-syncs at the
+    next anchor, so most of the copy's chunks still dedup against the
+    original."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import cdc_dedup
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(200)]
+    base = [rng.choice(vocab) for _ in range(400)]
+    mutated = base[:5] + ["zzz_inserted"] + base[5:]
+    texts = {
+        0: " ".join(base),
+        1: " ".join(mutated),
+        2: " ".join(rng.choice(vocab) for _ in range(100)),  # unrelated
+        3: "",  # no tokens -> no output row
+    }
+    sf = tmp_path / "cdc"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+
+    def chunks_of(text):
+        toks = text.lower().split()
+        out, start = [], 0
+        for i, tok in enumerate(toks):
+            if md5(tok)[0] == "0" or i == len(toks) - 1:
+                out.append(toks[start : i + 1])
+                start = i + 1
+        return out
+
+    from collections import Counter
+
+    owners = Counter()
+    per_doc = {}
+    for d, t in texts.items():
+        cs = chunks_of(t)
+        per_doc[d] = cs
+        for key in {md5(" ".join(c))[:16] for c in cs}:
+            owners[key] += 1
+    rows = {r["doc_id"]: r for r in cdc_dedup(str(sf)).take_all()}
+    assert set(rows) == {0, 1, 2}
+    for d in rows:
+        cs = per_doc[d]
+        hot = [c for c in cs if owners[md5(" ".join(c))[:16]] >= 2]
+        ntok = len(texts[d].split())
+        r = rows[d]
+        assert r["n_tokens"] == ntok
+        assert r["n_chunks"] == len(cs)
+        assert r["n_hot_chunks"] == len(hot)
+        assert r["covered_tokens"] == sum(len(c) for c in hot)
+        assert r["coverage_e6"] == 1_000_000 * sum(len(c) for c in hot) // ntok
+    # self-healing: the single insertion perturbs only the chunk it
+    # lands in; everything after the next anchor re-syncs, so the
+    # mutated copy still dedups most of its tokens against the base.
+    assert rows[1]["coverage_e6"] > 600_000
+    # and the unrelated doc shares nothing
+    assert rows[2]["n_hot_chunks"] == 0
+
+
 def test_sitemap_index_chunked(ray_session, tmp_path):
     """sitemap_index: hash-sharded child sitemaps + parsed index match
     a Python reference per host — n_sitemaps = distinct chunks over
