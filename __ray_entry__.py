@@ -900,7 +900,14 @@ def _q_url_canonical(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from smart_ocr_ray.ops import dedup, graph, relational, similarity, text_analysis
+    from smart_ocr_ray.ops import (
+        dedup,
+        graph,
+        relational,
+        similarity,
+        storage,
+        text_analysis,
+    )
 
     return {
         # --- extraction pipeline family (byte-identity enforced in pytest) ---
@@ -970,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_walks": _q_link_walks,
         "url_templates": _q_url_templates,
         "shard_plan": _q_shard_plan,
+        "zorder_cells": storage.zorder_cells,
         "shard_compact": _q_shard_compact,
         "link_degree_hist": _q_link_degree_hist,
         "crawl_budget": _q_crawl_budget,
@@ -5789,6 +5797,54 @@ def oracle_sql() -> dict[str, str]:
                                             ELSE least(pos - prev, 13) END)
                                    AS BIGINT)) // max(dl) AS coverage_e6
             FROM hw GROUP BY doc_id
+        """,
+        "zorder_cells": """
+            -- Z-order clustering cells + 2-D pruning stats
+            -- (ops/storage.zorder_cells): user_id and epoch-hour are
+            -- min-max normalized to the 16-bit grid, Morton
+            -- interleaved, 4^4 = 256 quadtree tiles via z >> 24;
+            -- reference query = the fixed mid-range octave of the
+            -- normalized grid on both dims; pruned = the cell's
+            -- min/max box misses it.
+            WITH raw AS (
+              SELECT user_id AS u0, epoch_us(ts) // 3600000000 AS h0
+              FROM events
+            ), bounds AS (
+              SELECT min(u0) AS umin,
+                     greatest(1, max(u0) - min(u0)) AS uspan,
+                     min(h0) AS hmin,
+                     greatest(1, max(h0) - min(h0)) AS hspan
+              FROM raw
+            ), e AS (
+              SELECT (u0 - umin) * 65535 // uspan AS u,
+                     (h0 - hmin) * 65535 // hspan AS h
+              FROM raw, bounds
+            ), zt AS (
+              SELECT u, h,
+                     list_sum(list_transform(range(0, 16),
+                       i -> ((u >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+                          + ((h >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+                     )) AS z
+              FROM e
+            ), cells AS (
+              SELECT z >> 24 AS cell, count(*) AS n_rows,
+                     min(u) AS u_min, max(u) AS u_max,
+                     min(h) AS h_min, max(h) AS h_max
+              FROM zt GROUP BY 1
+            ), q AS (
+              SELECT 65535 * 3 // 8 AS u1, 65535 * 4 // 8 AS u2,
+                     65535 * 3 // 8 AS h1, 65535 * 4 // 8 AS h2
+            )
+            SELECT CAST(cell AS BIGINT) AS cell,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(u_min AS BIGINT) AS u_min,
+                   CAST(u_max AS BIGINT) AS u_max,
+                   CAST(h_min AS BIGINT) AS h_min,
+                   CAST(h_max AS BIGINT) AS h_max,
+                   CAST(CASE WHEN u_min <= u2 AND u_max >= u1
+                              AND h_min <= h2 AND h_max >= h1
+                        THEN 0 ELSE 1 END AS BIGINT) AS pruned
+            FROM cells, q
         """,
         "cdc_dedup": """
             -- Content-defined-chunking dedup (ops/dedup.cdc_dedup):

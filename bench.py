@@ -314,6 +314,10 @@ def run_bench() -> dict:
         from smart_ocr_ray.ops.storage import shard_plan
 
         timed("shard_plan", lambda _sf: shard_plan(pages_path))
+
+        from smart_ocr_ray.ops.storage import zorder_cells
+
+        timed("zorder_cells", zorder_cells)
         timed("code_switch_spans", text_analysis.code_switch_spans)
         timed("majority_lang_strip", text_analysis.majority_lang_strip)
         timed("tokenizer_fertility", text_analysis.tokenizer_fertility)

@@ -234,3 +234,164 @@ def compact_shards(
         summary["rows"] += int(s["n_rows"])
     summary["completed"].sort()
     return summary
+
+
+_ZORDER_SCHEMA = pa.schema(
+    [
+        ("cell", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("u_min", pa.int64()),
+        ("u_max", pa.int64()),
+        ("h_min", pa.int64()),
+        ("h_max", pa.int64()),
+        ("pruned", pa.int64()),
+    ]
+)
+
+
+def zorder_cells(sf_dir: str, level: int = 4) -> ray.data.Dataset:
+    """Z-order (Morton-curve) clustering cells over the events table
+    with two-dimensional pruning stats — the layout optimization
+    behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: interleaving the bits
+    of two filter columns makes ONE physical order serve range
+    predicates on BOTH, where a single-key sort prunes only its own
+    key. Each z-prefix cell is the quadtree tile a clustered file
+    would cover; ``pruned`` says whether a file holding exactly that
+    cell could be skipped for the reference range query via its
+    min/max footer stats — the row-group-pruning mechanic
+    ``shard_plan`` footers feed.
+
+    Frozen rule (mirrored exactly by the SQL oracle, pure integer
+    arithmetic): raw dims are ``user_id`` and the epoch hour
+    ``epoch_us(ts) // 3.6e9``; each is min-max normalized to the
+    16-bit grid — ``un = (u - umin)·65535 // max(1, umax - umin)`` —
+    the scaled mapping real z-order clustering applies so the
+    interleave spreads over the full key space whatever the raw
+    ranges are; ``z = Σ_i ((un>>i)&1) << 2i | ((hn>>i)&1) << (2i+1)``
+    over 16 bits; ``cell = z >> (32 - 2·level)`` (4^level tiles). The
+    reference query is the fixed mid-range octave of the normalized
+    grid, ``[65535·3//8, 65535·4//8]`` on both dimensions. A cell is
+    pruned (1) iff its normalized [u_min,u_max]×[h_min,h_max] box
+    misses the query box. Output one row per non-empty cell (stats in
+    normalized units) ordered by cell.
+
+    Scale shape: one tiny global min/max aggregate (4 scalars to the
+    driver), then a stateless vectorized z/cell map and per-block
+    per-cell partials (numpy reduceat) collapsed by ONE
+    ``groupby(cell)`` over <= 4^level · blocks partial rows — row
+    count never shuffles, no sort of the corpus.
+    """
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+
+    def _uh(batch: pa.Table) -> tuple:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = ts // 3_600_000_000
+        return u.astype(np.int64), h.astype(np.int64)
+
+    def _bounds_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("umin", "umax", "hmin", "hmax")}
+            )
+        u, h = _uh(batch)
+        return pa.table(
+            {
+                "umin": pa.array([int(u.min())], pa.int64()),
+                "umax": pa.array([int(u.max())], pa.int64()),
+                "hmin": pa.array([int(h.min())], pa.int64()),
+                "hmax": pa.array([int(h.max())], pa.int64()),
+            }
+        )
+
+    b = (
+        ds.map_batches(_bounds_partial, batch_format="pyarrow")
+        .aggregate(Min("umin"), Max("umax"), Min("hmin"), Max("hmax"))
+    )
+    umin, umax = int(b["min(umin)"]), int(b["max(umax)"])
+    hmin, hmax = int(b["min(hmin)"]), int(b["max(hmax)"])
+    uspan = max(1, umax - umin)
+    hspan = max(1, hmax - hmin)
+    u1, u2 = 65535 * 3 // 8, 65535 * 4 // 8
+    h1, h2 = 65535 * 3 // 8, 65535 * 4 // 8
+    shift = 32 - 2 * level
+
+    partial_schema = pa.schema(
+        [
+            ("cell", pa.int64()),
+            ("n", pa.int64()),
+            ("u_min", pa.int64()),
+            ("u_max", pa.int64()),
+            ("h_min", pa.int64()),
+            ("h_max", pa.int64()),
+        ]
+    )
+
+    def _cell_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return partial_schema.empty_table()
+        u, h = _uh(batch)
+        u = (u - umin) * 65535 // uspan
+        h = (h - hmin) * 65535 // hspan
+        z = np.zeros(len(u), np.int64)
+        for i in range(16):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((h >> i) & 1) << (2 * i + 1)
+        cell = z >> shift
+        order = np.argsort(cell, kind="stable")
+        cs, us, hs = cell[order], u[order], h[order]
+        ucells, starts = np.unique(cs, return_index=True)
+        return pa.Table.from_pydict(
+            {
+                "cell": pa.array(ucells),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(cs))).astype(np.int64)
+                ),
+                "u_min": pa.array(np.minimum.reduceat(us, starts)),
+                "u_max": pa.array(np.maximum.reduceat(us, starts)),
+                "h_min": pa.array(np.minimum.reduceat(hs, starts)),
+                "h_max": pa.array(np.maximum.reduceat(hs, starts)),
+            },
+            schema=partial_schema,
+        )
+
+    agg = (
+        ds.map_batches(_cell_partials, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Min("u_min", alias_name="u_min"),
+            Max("u_max", alias_name="u_max"),
+            Min("h_min", alias_name="h_min"),
+            Max("h_max", alias_name="h_max"),
+        )
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _ZORDER_SCHEMA.empty_table()
+        um = batch.column("u_min").to_numpy(zero_copy_only=False)
+        ux = batch.column("u_max").to_numpy(zero_copy_only=False)
+        hm = batch.column("h_min").to_numpy(zero_copy_only=False)
+        hx = batch.column("h_max").to_numpy(zero_copy_only=False)
+        overlap = (um <= u2) & (ux >= u1) & (hm <= h2) & (hx >= h1)
+        return pa.Table.from_pydict(
+            {
+                "cell": batch.column("cell").cast(pa.int64()),
+                "n_rows": batch.column("n_rows").cast(pa.int64()),
+                "u_min": batch.column("u_min").cast(pa.int64()),
+                "u_max": batch.column("u_max").cast(pa.int64()),
+                "h_min": batch.column("h_min").cast(pa.int64()),
+                "h_max": batch.column("h_max").cast(pa.int64()),
+                "pruned": pa.array((~overlap).astype(np.int64)),
+            },
+            schema=_ZORDER_SCHEMA,
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow").sort("cell")

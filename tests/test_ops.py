@@ -6502,6 +6502,73 @@ def test_sitemap_discovery_multi_host(ray_session, tmp_path):
         assert r["n_listed"] == r["n_known"] + r["n_discovered"]
 
 
+def test_zorder_cells_pruning(ray_session, tmp_path):
+    """zorder_cells: matches a pure-Python Morton reference on a
+    crafted events table, and shows the property the layout exists
+    for — the mid-range octave query on BOTH dims prunes most cells
+    (a single-key sort could only bound one dimension)."""
+    import datetime as dt
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.storage import zorder_cells
+
+    rng = random.Random(3)
+    t0 = dt.datetime(2024, 1, 1)
+    n = 4000
+    users = [rng.randrange(1000) for _ in range(n)]
+    hours = [rng.randrange(500) for _ in range(n)]
+    sf = tmp_path / "zo"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(hours=h) for h in hours],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([0.0] * n),
+            "props": pa.array([""] * n),
+        }),
+        sf / "events.parquet",
+    )
+
+    umin, uspan = min(users), max(1, max(users) - min(users))
+    h0 = [int((t0 + dt.timedelta(hours=h) - dt.datetime(1970, 1, 1))
+              .total_seconds()) // 3600 for h in hours]
+    hmin, hspan = min(h0), max(1, max(h0) - min(h0))
+    ref = {}
+    for u0, hh in zip(users, h0):
+        un = (u0 - umin) * 65535 // uspan
+        hn = (hh - hmin) * 65535 // hspan
+        z = 0
+        for i in range(16):
+            z |= ((un >> i) & 1) << (2 * i)
+            z |= ((hn >> i) & 1) << (2 * i + 1)
+        c = z >> 24
+        r = ref.setdefault(c, [0, un, un, hn, hn])
+        r[0] += 1
+        r[1], r[2] = min(r[1], un), max(r[2], un)
+        r[3], r[4] = min(r[3], hn), max(r[4], hn)
+    q1, q2 = 65535 * 3 // 8, 65535 * 4 // 8
+    rows = zorder_cells(str(sf)).take_all()
+    assert {r["cell"] for r in rows} == set(ref)
+    for r in rows:
+        n_, umn, umx, hmn, hmx = ref[r["cell"]]
+        assert (r["n_rows"], r["u_min"], r["u_max"], r["h_min"], r["h_max"]) \
+            == (n_, umn, umx, hmn, hmx)
+        overlap = umn <= q2 and umx >= q1 and hmn <= q2 and hmx >= q1
+        assert r["pruned"] == (0 if overlap else 1)
+    pruned = sum(r["pruned"] for r in rows)
+    # the 2-D point: the octave query touches ~1/8 of each axis, so
+    # the vast majority of quadtree cells are skippable
+    assert pruned > len(rows) * 3 // 4
+    assert pruned < len(rows)  # and the query does hit something
+
+
 def test_cdc_dedup_self_healing(ray_session, tmp_path):
     """cdc_dedup: matches a pure-Python reference of the frozen
     Manber-anchor rule, and exhibits the CDC property the fixed-window
