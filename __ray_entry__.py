@@ -1023,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "substring_dedup": dedup.substring_dedup,
         "cdc_dedup": dedup.cdc_dedup,
+        "cdc_delta": dedup.cdc_delta,
         "winnow_pairs": dedup.winnow_pairs,
         "winnow_clusters": dedup.winnow_clusters,
         "winnow_containment": dedup.winnow_containment,
@@ -2699,6 +2700,79 @@ def _sitemap_index_sql(n_chunks: int = 16) -> str:
                CAST(sum(CASE WHEN NOT crawled THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_discovered
         FROM allu GROUP BY host
+    """
+
+
+def _cdc_chunk_chain(src: str, tag: str) -> str:
+    """CTE chain chunking ``src(doc_id, toks)`` with the frozen
+    Manber-anchor rule of ``ops/dedup._cdc_spans`` — ends in
+    ``ch_<tag>(doc_id, cidx, ck, ctok, n_tok)``. Shared by the
+    cdc_delta oracle (the cdc_dedup oracle predates it and inlines
+    the same chain verbatim)."""
+    return f"""
+        tok_{tag} AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS tok,
+                 len(toks) AS n_tok
+          FROM {src}, unnest(range(1, len(toks) + 1)) AS u(i)
+        ), b_{tag} AS (
+          SELECT doc_id, pos, tok, n_tok,
+                 CASE WHEN substr(md5(tok), 1, 1) = '0'
+                        OR pos = n_tok THEN 1 ELSE 0 END AS bnd
+          FROM tok_{tag}
+        ), c_{tag} AS (
+          SELECT doc_id, pos, tok, n_tok,
+                 coalesce(sum(bnd) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cidx
+          FROM b_{tag}
+        ), ch_{tag} AS (
+          SELECT doc_id, cidx,
+                 substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS ck,
+                 count(*) AS ctok, any_value(n_tok) AS n_tok
+          FROM c_{tag} GROUP BY doc_id, cidx
+        )"""
+
+
+def _cdc_delta_sql() -> str:
+    """Oracle for ``cdc_delta``: synthesize the prev snapshot's token
+    streams (prepend / first-token-delete / identical by doc_id % 3),
+    chunk both sides with the shared Manber-anchor chain, and count
+    current chunks whose key is absent from the GLOBAL prev store."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(str_split_regex(lower(coalesce(text, '')),
+                             '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), cur AS (
+          SELECT doc_id, toks FROM t WHERE len(toks) > 0
+        ), prev0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                        THEN list_concat(['drift0'], toks)
+                      WHEN doc_id % 3 = 1
+                        THEN list_slice(toks, 2, len(toks))
+                      ELSE toks END AS toks
+          FROM t
+        ), prev AS (
+          SELECT doc_id, toks FROM prev0 WHERE len(toks) > 0
+        ), {_cdc_chunk_chain("cur", "cur")},
+        {_cdc_chunk_chain("prev", "prev")},
+        pk AS (SELECT DISTINCT ck FROM ch_prev)
+        SELECT c.doc_id,
+               CAST(any_value(c.n_tok) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN pk.ck IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_chunks,
+               CAST(sum(CASE WHEN pk.ck IS NULL THEN c.ctok ELSE 0 END)
+                    AS BIGINT) AS new_tokens,
+               CAST(1000000 * (any_value(c.n_tok)
+                               - sum(CASE WHEN pk.ck IS NULL THEN c.ctok
+                                          ELSE 0 END))
+                    // any_value(c.n_tok) AS BIGINT) AS reuse_e6
+        FROM ch_cur c LEFT JOIN pk ON c.ck = pk.ck
+        GROUP BY c.doc_id
     """
 
 
@@ -6044,6 +6118,7 @@ def oracle_sql() -> dict[str, str]:
     # graph_ann_warm is the identical walk over the session-cached
     # index; the oracle is therefore the same query verbatim.
     out["graph_ann_warm"] = out["graph_ann_search"]
+    out["cdc_delta"] = _cdc_delta_sql()
     out["graph_ann_recall"] = f"""
         WITH a AS (SELECT query_id, vec_id FROM ({out["ann_cosine_topk"]})),
              b AS (SELECT query_id, vec_id FROM ({out["graph_ann_search"]}))

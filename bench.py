@@ -184,6 +184,7 @@ def run_bench() -> dict:
         timed("line_dedup", dedup.line_dedup)
         timed("substring_dedup", dedup.substring_dedup)
         timed("cdc_dedup", dedup.cdc_dedup)
+        timed("cdc_delta", dedup.cdc_delta)
         timed("winnow_pairs", dedup.winnow_pairs)
         timed("tfidf_top_terms", text_analysis.tfidf_top_terms)
         timed("bm25_topk", text_analysis.bm25_topk)

@@ -2014,6 +2014,22 @@ def dedup_incremental_minhash(
     return map_key_groups(deduped, "doc_id", _best)
 
 
+def _cdc_spans(toks: list[str]) -> list[tuple[int, int]]:
+    """[start, end) chunk spans of the frozen Manber-anchor rule: a
+    token ENDS a chunk iff ``md5(token)[0] == '0'`` or it is last.
+    Shared by ``cdc_dedup`` and ``cdc_delta`` so the two ops can never
+    chunk differently."""
+    import hashlib
+
+    spans = []
+    start = 0
+    for i, tok in enumerate(toks):
+        if hashlib.md5(tok.encode()).hexdigest()[0] == "0" or i == len(toks) - 1:
+            spans.append((start, i + 1))
+            start = i + 1
+    return spans
+
+
 _CDC_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -2086,23 +2102,12 @@ def cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
             toks = (t or "").lower().split()
             if not toks:
                 continue
-            ends = [
-                i
-                for i, tok in enumerate(toks)
-                if hashlib.md5(tok.encode()).hexdigest()[0] == "0"
-            ]
-            if not ends or ends[-1] != len(toks) - 1:
-                ends.append(len(toks) - 1)
-            start = 0
-            for e in ends:
+            for s, e in _cdc_spans(toks):
                 cks.append(
-                    hashlib.md5(
-                        " ".join(toks[start : e + 1]).encode()
-                    ).hexdigest()[:16]
+                    hashlib.md5(" ".join(toks[s:e]).encode()).hexdigest()[:16]
                 )
                 ids.append(int(d))
-                ctoks.append(e + 1 - start)
-                start = e + 1
+                ctoks.append(e - s)
         return pa.Table.from_pydict(
             {"ck": cks, "doc_id": ids, "ctok": ctoks}, schema=inst_schema
         )
@@ -2183,6 +2188,178 @@ def cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
                 ),
             },
             schema=_CDC_SCHEMA,
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow").sort("doc_id")
+
+
+_CDC_DELTA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_chunks", pa.int64()),
+        ("n_new_chunks", pa.int64()),
+        ("new_tokens", pa.int64()),
+        ("reuse_e6", pa.int64()),
+    ]
+)
+
+
+def cdc_delta(sf_dir: str) -> ray.data.Dataset:
+    """Chunk-level snapshot delta — what CDC chunking is FOR: storing
+    a recrawl against the previous snapshot's chunk store costs only
+    the chunks whose content-defined key is NEW (LBFS's write path;
+    rsync's receiver). ``crawl_diff`` answers this at document
+    granularity; this op shows the sub-document saving — a changed
+    page whose edit perturbs one chunk re-uses everything after the
+    next anchor.
+
+    The previous snapshot is synthesized deterministically from the
+    current table (the ``crawl_diff`` discipline; no external data):
+    per document, PREV tokens are — doc_id % 3 == 0: a ``drift0``
+    token prepended (pure insertion: every raw position shifts);
+    doc_id % 3 == 1: the first token deleted; else: identical. The
+    chunk store is GLOBAL over all prev documents. Chunking is
+    ``_cdc_spans`` (shared with ``cdc_dedup``); keys are
+    ``md5(chunk)[:16]``; both sides of the oracle dedup on the key.
+
+    Output, one row per current document with >= 1 token, ordered by
+    doc_id: (doc_id, n_tokens, n_chunks, n_new_chunks, new_tokens,
+    reuse_e6) with ``reuse_e6 = 1e6·(n_tokens - new_tokens) //
+    n_tokens`` — the storage saving on the exact integer grid.
+
+    Scale shape: one map emits prev-side (ck) and cur-side (ck,
+    doc_id, ctok) rows tagged by side; ONE global ``sort(ck)``
+    co-locates each key (the ``line_dedup`` invariant); a vectorized
+    block pass marks cur rows whose key group contains a prev row and
+    collapses to per-doc partials; a doc-sized groupby finishes. The
+    prev chunk-key set never materializes anywhere.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .grouped import group_bounds
+
+    docs = read_documents(sf_dir)
+
+    row_schema = pa.schema(
+        [
+            ("ck", pa.string()),
+            ("side", pa.int8()),  # 0 = prev store, 1 = current
+            ("doc_id", pa.int64()),
+            ("ctok", pa.int64()),
+        ]
+    )
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        cks: list[str] = []
+        sides: list[int] = []
+        ids: list[int] = []
+        ctoks: list[int] = []
+
+        def _emit(toks: list[str], side: int, d: int) -> None:
+            for s, e in _cdc_spans(toks):
+                cks.append(
+                    hashlib.md5(" ".join(toks[s:e]).encode()).hexdigest()[:16]
+                )
+                sides.append(side)
+                ids.append(d)
+                ctoks.append(e - s)
+
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            if toks:
+                _emit(toks, 1, int(d))
+            if d % 3 == 0:
+                prev = ["drift0"] + toks
+            elif d % 3 == 1:
+                prev = toks[1:]
+            else:
+                prev = toks
+            if prev:
+                _emit(prev, 0, int(d))
+        return pa.Table.from_pydict(
+            {"ck": cks, "side": sides, "doc_id": ids, "ctok": ctoks},
+            schema=row_schema,
+        )
+
+    rows = docs.map_batches(_rows, batch_format="pyarrow")
+
+    _PARTIAL = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("ntok", pa.int64()),
+            ("nc", pa.int64()),
+            ("nnew", pa.int64()),
+            ("newtok", pa.int64()),
+        ]
+    )
+
+    def _tag_collapse(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _PARTIAL.empty_table()
+        block = block.sort_by([("ck", "ascending")]).combine_chunks()
+        ck_bounds = group_bounds(block, ["ck"])
+        side = block.column("side").to_numpy(zero_copy_only=False)
+        # a key exists in the prev store iff its group's min side == 0
+        has_prev = np.minimum.reduceat(side, ck_bounds[:-1]) == 0
+        is_new = np.repeat(~has_prev, np.diff(ck_bounds))
+        cur = side == 1
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)[cur]
+        ctok = block.column("ctok").to_numpy(zero_copy_only=False)[cur]
+        new = is_new[cur]
+        if len(ids) == 0:
+            return _PARTIAL.empty_table()
+        order = np.argsort(ids, kind="stable")
+        ids_s, ctok_s, new_s = ids[order], ctok[order], new[order]
+        uids, starts = np.unique(ids_s, return_index=True)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(uids.astype(np.int64)),
+                "ntok": pa.array(np.add.reduceat(ctok_s, starts)),
+                "nc": pa.array(
+                    np.diff(np.append(starts, len(ids_s))).astype(np.int64)
+                ),
+                "nnew": pa.array(
+                    np.add.reduceat(new_s.astype(np.int64), starts)
+                ),
+                "newtok": pa.array(
+                    np.add.reduceat(np.where(new_s, ctok_s, 0), starts)
+                ),
+            },
+            schema=_PARTIAL,
+        )
+
+    partials = rows.sort("ck").map_batches(
+        _tag_collapse, batch_format="pyarrow", batch_size=None
+    )
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("ntok", alias_name="n_tokens"),
+        Sum("nc", alias_name="n_chunks"),
+        Sum("nnew", alias_name="n_new_chunks"),
+        Sum("newtok", alias_name="new_tokens"),
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CDC_DELTA_SCHEMA.empty_table()
+        ntok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        newtok = batch.column("new_tokens").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+                "n_chunks": batch.column("n_chunks").cast(pa.int64()),
+                "n_new_chunks": batch.column("n_new_chunks").cast(pa.int64()),
+                "new_tokens": batch.column("new_tokens").cast(pa.int64()),
+                "reuse_e6": pa.array(
+                    1_000_000 * (ntok - newtok) // ntok, pa.int64()
+                ),
+            },
+            schema=_CDC_DELTA_SCHEMA,
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow").sort("doc_id")

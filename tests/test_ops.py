@@ -6642,6 +6642,65 @@ def test_cdc_dedup_self_healing(ray_session, tmp_path):
     assert rows[2]["n_hot_chunks"] == 0
 
 
+def test_cdc_delta_reuse(ray_session, tmp_path):
+    """cdc_delta: per-doc chunk reuse vs the synthesized prev snapshot
+    matches a Python reference of the frozen rules, unchanged docs
+    (doc_id % 3 == 2) reuse 100%, and the pure-insertion mutation
+    (doc_id % 3 == 0) still reuses most tokens — the anchor re-sync
+    that motivates CDC over positional chunking."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import _cdc_spans, cdc_delta
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(50, 400)))
+        for d in range(30)
+    }
+    sf = tmp_path / "cdl"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+
+    def chunk_keys(toks):
+        return [
+            (md5(" ".join(toks[s:e]))[:16], e - s) for s, e in _cdc_spans(toks)
+        ]
+
+    store = set()
+    for d, t in texts.items():
+        toks = t.lower().split()
+        prev = (["drift0"] + toks if d % 3 == 0
+                else toks[1:] if d % 3 == 1 else toks)
+        store.update(k for k, _ in chunk_keys(prev))
+    rows = {r["doc_id"]: r for r in cdc_delta(str(sf)).take_all()}
+    assert set(rows) == set(texts)
+    for d, t in texts.items():
+        cks = chunk_keys(t.lower().split())
+        new = [(k, n) for k, n in cks if k not in store]
+        ntok = len(t.split())
+        r = rows[d]
+        assert r["n_tokens"] == ntok
+        assert r["n_chunks"] == len(cks)
+        assert r["n_new_chunks"] == len(new)
+        assert r["new_tokens"] == sum(n for _, n in new)
+        assert r["reuse_e6"] == 1_000_000 * (ntok - r["new_tokens"]) // ntok
+    unchanged = [rows[d]["reuse_e6"] for d in texts if d % 3 == 2]
+    assert unchanged and all(v == 1_000_000 for v in unchanged)
+    inserted = [rows[d]["reuse_e6"] for d in texts if d % 3 == 0]
+    assert sum(inserted) / len(inserted) > 600_000
+
+
 def test_sitemap_index_chunked(ray_session, tmp_path):
     """sitemap_index: hash-sharded child sitemaps + parsed index match
     a Python reference per host — n_sitemaps = distinct chunks over
