@@ -1069,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": relational.events_retention,
         "events_asof_join": relational.events_asof_join,
         "events_debounce": relational.events_debounce,
+        "events_late": relational.events_late,
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
         "events_topk_per_hour": relational.events_topk_per_hour,
@@ -5216,6 +5217,31 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
               UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
             ) ORDER BY step
+        """,
+        "events_late": """
+            -- Watermark / late-data accounting (ops/relational.events_late):
+            -- arrival order = event_id asc; watermark at an arrival =
+            -- max ts of STRICTLY earlier arrivals - 1800 s; late iff
+            -- ts < watermark, dropped iff ts < watermark - 3600 s
+            -- (first arrival never late); rollup per (event_type,
+            -- hour window). Exact integer microseconds.
+            WITH a AS (
+              SELECT event_type, ts, epoch_us(ts) AS tus,
+                     max(epoch_us(ts)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS hi
+              FROM events
+            )
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN hi IS NOT NULL
+                                  AND tus < hi - 1800000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(sum(CASE WHEN hi IS NOT NULL
+                                  AND tus < hi - 5400000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM a GROUP BY event_type, date_trunc('hour', ts)
         """,
         "events_debounce": """
             -- Sequential-chain debounce (ops/relational.events_debounce):

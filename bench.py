@@ -368,6 +368,7 @@ def run_bench() -> dict:
         # IS the headroom-#2 fix being measured.
         timed("sitemap_index", lambda _sf: sitemap_index(pages_path))
         timed("events_debounce", relational.events_debounce)
+        timed("events_late", relational.events_late)
 
     ray.shutdown()
 

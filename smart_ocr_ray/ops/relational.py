@@ -1644,3 +1644,160 @@ def events_debounce(sf_dir: str, window_s: int = 60) -> ray.data.Dataset:
         )
 
     return map_key_groups(events, ["user_id", "event_type"], _chain)
+
+
+_LATE_SCHEMA = pa.schema(
+    [
+        ("event_type", pa.string()),
+        ("window_start", pa.timestamp("us")),
+        ("n_events", pa.int64()),
+        ("n_late", pa.int64()),
+        ("n_dropped", pa.int64()),
+    ]
+)
+
+
+def events_late(
+    sf_dir: str,
+    delay_s: int = 1800,
+    allowed_s: int = 3600,
+    seg_size: int | None = None,
+) -> ray.data.Dataset:
+    """Watermark / late-data accounting — the Dataflow-model semantic
+    (Akidau et al., VLDB 2015) the window family above doesn't touch:
+    a stream processor tracks a WATERMARK (its belief that all events
+    with ts below it have arrived) and classifies each arrival against
+    it; late events trigger window retractions, and events later than
+    the allowed lateness are dropped. This op replays the bounded log
+    in arrival order and reports, per tumbling window, how much of its
+    content a streaming engine would have seen on time.
+
+    Frozen rules (mirrored exactly by the SQL oracle): ``event_id``
+    ascending IS the arrival order; the watermark at an arrival is
+    ``max(ts of strictly earlier arrivals) - delay_s`` (heuristic
+    bounded-disorder watermark; the first arrival is never late); an
+    event is LATE iff ``ts < watermark`` and DROPPED iff ``ts <
+    watermark - allowed_s`` (dropped ⊆ late). Rollup per (event_type,
+    hour(ts)) ordered by both: (n_events, n_late, n_dropped) —
+    exact integer microsecond comparisons throughout.
+
+    Scale shape — a distributed prefix max (the ``token_packing``
+    prefix-sum discipline, VALUE-keyed because physical block
+    boundaries are not stable across executions): events fall into
+    ``event_id // S`` segments (S sized so the segment table is
+    <= 65536 entries whatever the corpus; each segment is one
+    ``map_key_groups`` group, whose co-location the groupby machinery
+    guarantees). Pass 1 folds per-block (segment, max_ts) partials —
+    bounded by segments + blocks, never rows — into an exclusive
+    per-segment watermark seed table, broadcast once; pass 2 is ONE
+    segment-keyed shuffle with a vectorized in-group running max +
+    flag + per-window partial; a small grouped aggregate finishes.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .grouped import map_key_groups
+
+    delay_us = int(delay_s) * 1_000_000
+    allowed_us = int(allowed_s) * 1_000_000
+    SENTINEL = -(1 << 62)
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    if seg_size is None:
+        n_events = ev.count()  # parquet metadata, no scan
+        seg_size = max(4096, -(-n_events // 65536))
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [
+                ids,
+                pa.array(
+                    ids.to_numpy(zero_copy_only=False) // seg_size, pa.int64()
+                ),
+                batch.column("ts").cast(pa.timestamp("us")),
+                batch.column("event_type").cast(pa.string()),
+            ],
+            names=["event_id", "seg", "ts", "event_type"],
+        )
+
+    slim = ev.map_batches(_slim, batch_format="pyarrow")
+
+    def _seg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"seg": pa.array([], pa.int64()),
+                 "max_tus": pa.array([], pa.int64())}
+            )
+        seg = batch.column("seg").to_numpy(zero_copy_only=False)
+        tus = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(seg, kind="stable")
+        seg_s, tus_s = seg[order], tus[order]
+        usegs, starts = np.unique(seg_s, return_index=True)
+        return pa.table(
+            {
+                "seg": pa.array(usegs.astype(np.int64)),
+                "max_tus": pa.array(np.maximum.reduceat(tus_s, starts)),
+            }
+        )
+
+    seg_max: dict[int, int] = {}
+    for r in slim.map_batches(_seg_partial, batch_format="pyarrow").take_all():
+        s = int(r["seg"])
+        seg_max[s] = max(seg_max.get(s, SENTINEL), int(r["max_tus"]))
+    seeds: dict[int, int] = {}
+    run = SENTINEL
+    for s in sorted(seg_max):
+        seeds[s] = run
+        run = max(run, seg_max[s])
+    seeds_ref = ray.put(seeds)
+
+    flag_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("window_start", pa.timestamp("us")),
+            ("late", pa.int64()),
+            ("dropped", pa.int64()),
+        ]
+    )
+
+    def _seg_flags(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return flag_schema.empty_table()
+        g = group.sort_by([("event_id", "ascending")]).combine_chunks()
+        tus = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        seed = ray.get(seeds_ref)[int(g.column("seg")[0].as_py())]
+        # exclusive running max SEEDED by the prior segments' max —
+        # accumulating through the seed, not just placing it at row 0
+        hi_excl = np.maximum.accumulate(np.concatenate(([seed], tus)))[:-1]
+        late = tus < hi_excl - delay_us
+        dropped = tus < hi_excl - delay_us - allowed_us
+        return pa.Table.from_arrays(
+            [
+                g.column("event_type"),
+                pc.floor_temporal(g.column("ts"), unit="hour"),
+                pa.array(late.astype(np.int64)),
+                pa.array(dropped.astype(np.int64)),
+            ],
+            schema=flag_schema,
+        )
+
+    flagged = map_key_groups(slim, "seg", _seg_flags)
+    agg = _partial_then_final(
+        flagged,
+        keys=["event_type", "window_start"],
+        sums={"n_late": "late", "n_dropped": "dropped"},
+        counts="n_events",
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _LATE_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [batch.column(f.name).cast(f.type) for f in _LATE_SCHEMA],
+            schema=_LATE_SCHEMA,
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow").sort(
+        ["event_type", "window_start"]
+    )

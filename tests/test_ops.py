@@ -6748,6 +6748,97 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_events_late_watermark(ray_session, tmp_path):
+    """events_late: hand-computed watermark classification on a
+    crafted out-of-order arrival log (on-time / late / dropped, global
+    watermark across event types, first arrival never late), plus a
+    2000-event randomized corpus over many row groups checked against
+    a Python reference — the multi-block prefix-scan path."""
+    import datetime as dt
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_late
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(rows, path, rg):
+        pq.write_table(
+            pa.Table.from_pydict({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array([""] * len(rows)),
+            }),
+            path, row_group_size=rg,
+        )
+
+    # minutes from t0; arrival order = event_id
+    crafted = [
+        (1, 600, "click"),   # 10:00  first -> on time
+        (2, 585, "click"),   # 09:45  wm 09:30 -> on time
+        (3, 560, "click"),   # 09:20  wm 09:30 -> late
+        (4, 480, "click"),   # 08:00  wm 09:30 -> late + dropped
+        (5, 630, "click"),   # 10:30  on time, watermark advances
+        (6, 599, "click"),   # 09:59  wm 10:00 -> late
+        (7, 540, "view"),    # 09:00  wm 10:00 -> late (global watermark)
+    ]
+    d1 = tmp_path / "late1"; d1.mkdir()
+    write(crafted, d1 / "events.parquet", 2)
+    got = {
+        (r["event_type"], r["window_start"].hour): (
+            r["n_events"], r["n_late"], r["n_dropped"])
+        for r in events_late(str(d1)).take_all()
+    }
+    assert got == {
+        ("click", 10): (2, 0, 0),
+        ("click", 9): (3, 2, 0),
+        ("click", 8): (1, 1, 1),
+        ("view", 9): (1, 1, 0),
+    }
+
+    rng = random.Random(5)
+    big = [
+        (i, rng.randrange(0, 48 * 60), rng.choice(["click", "view"]))
+        for i in range(2000)
+    ]
+    d2 = tmp_path / "late2"; d2.mkdir()
+    write(big, d2 / "events.parquet", 50)
+    ref: dict = {}
+    hi = None
+    for _, m, typ in big:  # already in event_id order
+        tus = m * 60
+        late = hi is not None and tus < hi - 1800
+        dropped = hi is not None and tus < hi - 5400
+        key = (typ, m // 60)
+        n, l, dr = ref.get(key, (0, 0, 0))
+        ref[key] = (n + 1, l + late, dr + dropped)
+        hi = tus if hi is None else max(hi, tus)
+    got2 = {
+        (r["event_type"],
+         int((r["window_start"] - t0).total_seconds()) // 3600): (
+            r["n_events"], r["n_late"], r["n_dropped"])
+        for r in events_late(str(d2)).take_all()
+    }
+    assert got2 == ref
+    # small segments force the cross-segment seed path (the 2000
+    # events span ~16 watermark segments instead of one)
+    got3 = {
+        (r["event_type"],
+         int((r["window_start"] - t0).total_seconds()) // 3600): (
+            r["n_events"], r["n_late"], r["n_dropped"])
+        for r in events_late(str(d2), seg_size=128).take_all()
+    }
+    assert got3 == ref
+
+
 def test_events_debounce_chain_semantics(ray_session, tmp_path):
     """events_debounce: the kept-chain recurrence (windows restart at
     each KEPT event) on a crafted burst — distinguishes the chain rule
