@@ -664,4 +664,10 @@ def sitemap_index(pages_path: str, n_chunks: int = 16) -> ray.data.Dataset:
         _tag, batch_format="pyarrow"
     )
     chunks = map_key_groups(tagged, ["host", "chunk"], _per_chunk)
-    return map_key_groups(chunks, "host", _per_host)
+    # The chunk table is O(hosts × n_chunks) rows spread over one
+    # near-empty block per upstream task; coalescing it first saves
+    # the host-rollup sort ~2.3 s of fixed per-block overhead on this
+    # box (320 tiny blocks → a handful), measured in BASELINE.md.
+    from ..tuning import join_partitions as _jp
+
+    return map_key_groups(chunks.repartition(_jp()), "host", _per_host)
