@@ -924,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routing_chains": _q_chains,
         # --- text analysis over documents ---
         "doc_token_counts": text_analysis.token_counts,
+        "readability": text_analysis.readability,
         "doc_quality": text_analysis.quality,
         "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
@@ -3811,6 +3812,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CAST(1000000 AS HUGEINT) * sum(n_bp))
                         // greatest(sum(n_tok), 1) AS BIGINT) AS fertility_e6
             FROM t GROUP BY lang
+        """,
+        "readability": """
+            -- Flesch / Flesch-Kincaid on the e3 integer grid
+            -- (ops/text_analysis.readability): words = lowercase
+            -- whitespace tokens; syllables(word) = max(1, [aeiouy]+
+            -- runs); sentences = max(1, [.!?]+ runs in RAW text);
+            -- floor-division formulas frozen on both sides.
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     list_filter(str_split_regex(lower(coalesce(text, '')),
+                                 '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                        AS BIGINT) AS n_sentences,
+                   CAST(list_sum(list_transform(toks,
+                          x -> greatest(1, len(regexp_extract_all(x,
+                                 '[aeiouy]+'))))) AS BIGINT) AS n_syllables,
+                   CAST((390 * len(toks))
+                          // greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                        + (11800 * list_sum(list_transform(toks,
+                             x -> greatest(1, len(regexp_extract_all(x,
+                                    '[aeiouy]+'))))))
+                          // len(toks)
+                        - 15590 AS BIGINT) AS fk_grade_e3,
+                   CAST(206835
+                        - (1015 * len(toks))
+                          // greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                        - (84600 * list_sum(list_transform(toks,
+                             x -> greatest(1, len(regexp_extract_all(x,
+                                    '[aeiouy]+'))))))
+                          // len(toks) AS BIGINT) AS ease_e3
+            FROM t WHERE len(toks) >= 1
         """,
         "doc_token_counts": f"""
             SELECT doc_id,

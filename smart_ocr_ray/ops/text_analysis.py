@@ -4587,3 +4587,85 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
         Sum("nd", alias_name="n_distinct"), Sum("nn", alias_name="n_novel")
     )
     return agg.sort("doc_id")
+
+
+_READABILITY_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_words", pa.int64()),
+        ("n_sentences", pa.int64()),
+        ("n_syllables", pa.int64()),
+        ("fk_grade_e3", pa.int64()),
+        ("ease_e3", pa.int64()),
+    ]
+)
+
+
+def readability(sf_dir: str) -> ray.data.Dataset:
+    """Flesch reading ease + Flesch-Kincaid grade (Flesch 1948;
+    Kincaid et al. 1975) — the classic readability axis the quality
+    family (length/punct/stopword shapes, Gopher rules, surprisal)
+    doesn't measure: sentence length x syllable density. Web-corpus
+    curation uses it both as a filter (strip word-salad and legal
+    boilerplate) and as a curriculum key (easy-first ordering).
+
+    Frozen integer rules (mirrored exactly by the SQL oracle — floor
+    divisions on the e3 grid, same discipline as the surprisal ops):
+    words = lowercase whitespace tokens; syllables(word) = max(1,
+    count of [aeiouy]+ runs in it); sentences = max(1, count of
+    [.!?]+ runs in the RAW text); with W, S, Syl per document:
+
+      fk_grade_e3 = (390·W) // S + (11800·Syl) // W - 15590
+      ease_e3     = 206835 - (1015·W) // S - (84600·Syl) // W
+
+    Output one row per document with >= 1 word, ordered by doc_id.
+
+    Scale shape: pure per-batch map — the token stream, per-token
+    vowel-run counts (one RE2 kernel), and per-doc sums (bincount)
+    are all vectorized; no shuffle at all beyond the final doc-sized
+    sort.
+    """
+    import numpy as np
+
+    docs = read_documents(sf_dir)
+
+    def _per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _READABILITY_SCHEMA.empty_table()
+        n = batch.num_rows
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        raw = pc.fill_null(batch.column("text").cast(pa.string()), "")
+        sent = pc.count_substring_regex(raw, r"[.!?]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        toks, par = _arrow_token_stream(batch)
+        par_np = par.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = np.bincount(par_np, minlength=n).astype(np.int64)
+        runs = pc.count_substring_regex(toks, r"[aeiouy]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        syl = np.bincount(
+            par_np, weights=np.maximum(runs, 1), minlength=n
+        ).astype(np.int64)
+        keep = words >= 1
+        if not keep.any():
+            return _READABILITY_SCHEMA.empty_table()
+        W, Syl = words[keep], syl[keep]
+        S = np.maximum(sent[keep], 1)
+        fk = (390 * W) // S + (11800 * Syl) // W - 15590
+        ease = 206_835 - (1015 * W) // S - (84_600 * Syl) // W
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_words": pa.array(W),
+                "n_sentences": pa.array(S),
+                "n_syllables": pa.array(Syl),
+                "fk_grade_e3": pa.array(fk),
+                "ease_e3": pa.array(ease),
+            },
+            schema=_READABILITY_SCHEMA,
+        )
+
+    return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")

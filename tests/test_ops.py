@@ -6748,6 +6748,44 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_readability_counts(ray_session, tmp_path):
+    """readability: hand-computed words/sentences/syllables on crafted
+    docs — vowel-run syllables with the zero-vowel floor, [.!?]+
+    sentence runs with the no-punctuation floor, empty docs excluded —
+    and the frozen e3 floor-division formulas."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import readability
+
+    texts = {
+        0: "The cat sat on the mat. It was happy!",
+        1: "xyz qrst",        # zero-vowel words -> 1 syllable each, S floor
+        2: "",                 # no words -> excluded
+        3: "Wait... what?! Ok", # runs: "..." "?!" -> 2 sentences
+    }
+    sf = tmp_path / "read"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in readability(str(sf)).take_all()}
+    assert set(rows) == {0, 1, 3}
+    expect = {
+        0: (9, 2, 10),  # "happy!" has runs 'a' + 'y' = 2; the rest 1 each
+        1: (2, 1, 2),   # floors: no vowels -> 1 each; no punct -> S=1
+        3: (3, 2, 3),   # runs: wait('ai') what('a') ok('o'); "..." "?!"
+    }
+    for d, (W, S, Syl) in expect.items():
+        r = rows[d]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (W, S, Syl)
+        assert r["fk_grade_e3"] == (390 * W) // S + (11800 * Syl) // W - 15590
+        assert r["ease_e3"] == 206_835 - (1015 * W) // S - (84_600 * Syl) // W
+
+
 def test_events_late_watermark(ray_session, tmp_path):
     """events_late: hand-computed watermark classification on a
     crafted out-of-order arrival log (on-time / late / dropped, global
