@@ -320,6 +320,17 @@ def _q_gif_frames(sf_dir: str):
     return gif_frame_features(sf_dir)
 
 
+def _q_gif_frame_phash(sf_dir: str):
+    """Perceptual aHash buckets over REALLY-decoded GIF frames
+    (ops/multimodal.gif_frame_phash): 8×8 integer box-mean bits of
+    the decoded gray pixels; the oracle reproduces every bit by
+    exploding the md5-hex pixel stream — decoder + kernel verified
+    end-to-end by the value hash."""
+    from smart_ocr_ray.ops.multimodal import gif_frame_phash
+
+    return gif_frame_phash(sf_dir)
+
+
 def _q_mojibake(sf_dir: str):
     """ftfy-style cp1252 double-encoding repair with deterministic
     doc_id-seeded artifacts; counts + repaired-text md5 are the
@@ -1084,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_real": _q_decode_real,
         "multimodal_gif_frames": _q_gif_frames,
         "gif_frame_dedup": _q_gif_frame_dedup,
+        "gif_frame_phash": _q_gif_frame_phash,
         "multimodal_wav_features": _q_wav_features,
         "robots_filter": _q_robots_filter,
         "mojibake_repair": _q_mojibake,
@@ -5456,6 +5468,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'gif://doc/' || doc_id, -1, 0, 0, 0, '', FALSE,
                    'truncated GIF'
             FROM g WHERE trunc
+        """,
+        "gif_frame_phash": """
+            -- Perceptual aHash over decoded GIF frames
+            -- (ops/multimodal.gif_frame_phash): frame bytes are the
+            -- md5(text)-hex stream (offset f*7), so SQL explodes the
+            -- pixels, box-means them onto the 8x8 grid (cell (ci,cj)
+            -- spans rows [ci*h//8,(ci+1)*h//8) x analogous cols,
+            -- floor means), thresholds against floor(sum(cells)/64),
+            -- and string_aggs the 64 bits in row-major cell order —
+            -- reproducing the kernel bit-for-bit. Rollup per hash
+            -- with the (url, frame)-lexicographic representative.
+            WITH g AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS seed,
+                     8 + (doc_id % 24) AS w,
+                     8 + ((doc_id * 5) % 24) AS h,
+                     2 + doc_id % 3 AS nf,
+                     (doc_id % 9) = 4 AS trunc
+              FROM documents
+            ),
+            frames AS (
+              SELECT doc_id, w, h, t.f,
+                     substr(repeat(seed, 40), t.f * 7 + 1, w * h) AS bytes
+              FROM g CROSS JOIN (VALUES (0), (1), (2), (3)) t(f)
+              WHERE NOT trunc AND t.f < nf
+            ),
+            px AS (
+              SELECT doc_id, f, w, h,
+                     ((u.p // w) * 8 // h) * 8 + ((u.p % w) * 8 // w)
+                       AS cell,
+                     unicode(substr(bytes, u.p + 1, 1)) AS v
+              FROM frames, unnest(range(0, w * h)) u(p)
+            ),
+            cm AS (
+              SELECT doc_id, f, cell, sum(v) // count(*) AS cv
+              FROM px GROUP BY doc_id, f, cell
+            ),
+            mn AS (
+              SELECT doc_id, f, sum(cv) // 64 AS mean
+              FROM cm GROUP BY doc_id, f
+            ),
+            bits AS (
+              SELECT cm.doc_id, cm.f,
+                     string_agg(CASE WHEN cv > mean THEN '1' ELSE '0' END,
+                                '' ORDER BY cell) AS ahash
+              FROM cm JOIN mn USING (doc_id, f)
+              GROUP BY cm.doc_id, cm.f
+            ),
+            rows_ AS (
+              SELECT ahash, 'gif://doc/' || doc_id AS url,
+                     CAST(f AS BIGINT) AS frame_idx
+              FROM bits
+            ),
+            rep AS (
+              SELECT ahash, url, frame_idx,
+                     row_number() OVER (
+                       PARTITION BY ahash ORDER BY url, frame_idx) AS rk
+              FROM rows_
+            )
+            SELECT r.ahash,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(count(DISTINCT r.url) AS BIGINT) AS n_urls,
+                   any_value(p.url) AS rep_url,
+                   any_value(p.frame_idx) AS rep_frame
+            FROM rows_ r
+            JOIN (SELECT ahash, url, frame_idx FROM rep WHERE rk = 1) p
+              USING (ahash)
+            GROUP BY r.ahash
         """,
         "multimodal_decode_real": """
             -- Writer/parser duality check: the raster corpus generator

@@ -347,6 +347,10 @@ def run_bench() -> dict:
 
         timed("gif_frames", gif_frame_features)
 
+        from smart_ocr_ray.ops.multimodal import gif_frame_phash
+
+        timed("gif_frame_phash", gif_frame_phash)
+
         from smart_ocr_ray.ops.multimodal import gif_frame_dedup
 
         timed("gif_frame_dedup", gif_frame_dedup)

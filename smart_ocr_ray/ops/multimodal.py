@@ -942,3 +942,109 @@ def frame_dedup(
         .sort(["frame_hash"])
         .map_batches(_final, batch_format="pyarrow", batch_size=None)
     )
+
+
+_GIF_PHASH_SCHEMA = pa.schema(
+    [
+        ("ahash", pa.string()),
+        ("n_frames", pa.int64()),
+        ("n_urls", pa.int64()),
+        ("rep_url", pa.string()),
+        ("rep_frame", pa.int64()),
+    ]
+)
+
+
+def _ahash64(gray) -> str:
+    """Frozen integer aHash kernel over one gray frame: 8×8 box-mean
+    downsample (pixel row r maps to cell r·8//h, col likewise; cell
+    value = floor mean), global mean = floor(Σ cells / 64), bit =
+    cell > mean, emitted as a 64-char '0'/'1' string in row-major
+    cell order. All floor arithmetic so the SQL oracle reproduces
+    every bit."""
+    import numpy as np
+
+    h, w = gray.shape
+    # row r belongs to cell r*8//h, so cell k spans [ceil(k·h/8),
+    # ceil((k+1)·h/8)) — CEIL boundaries (floor boundaries disagree
+    # with the per-pixel mapping whenever h % 8 != 0)
+    rb = (np.arange(9) * h + 7) // 8
+    cb = (np.arange(9) * w + 7) // 8
+    colsum = np.add.reduceat(gray.astype(np.int64), cb[:-1], axis=1)
+    cells = np.add.reduceat(colsum, rb[:-1], axis=0)
+    cv = cells // np.outer(np.diff(rb), np.diff(cb))
+    mean = cv.sum() // 64
+    return "".join("1" if b else "0" for b in (cv > mean).ravel())
+
+
+def gif_frame_phash(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual near-dup buckets over REALLY-decoded GIF frames —
+    the aHash (average-hash) family every image-dedup pipeline starts
+    with, composed with the real LZW decoder: frames bucket by the
+    8×8 box-mean bit signature of their DECODED gray pixels, so two
+    frames land together iff they look alike at thumbnail scale, not
+    iff their bytes match (``gif_frame_dedup`` is the exact-byte
+    counterpart). Because the GIF codec is lossless and the corpus
+    generator tiles frame bytes from md5(text) hex, the SQL oracle
+    reproduces every aHash bit with pure integer arithmetic — the
+    value-hash gate therefore verifies decoder + kernel end-to-end.
+
+    Output, one row per distinct aHash over successfully decoded
+    frames, ordered by ahash: (ahash, n_frames, n_urls, rep_url,
+    rep_frame) with rep = the (url, frame_idx)-lexicographic first
+    member (the survivor a keep-one policy would retain).
+
+    Scale shape: decode + hash is a stateless vectorized map (the
+    frame's 8×8 reduction is two ``np.add.reduceat`` passes); the
+    rollup ships 72-byte (ahash, url, frame) rows — never pixels —
+    through ONE ahash-keyed ``map_key_groups``.
+    """
+    from .gif import parse_gif
+
+    frame_schema = pa.schema(
+        [("ahash", pa.string()), ("url", pa.string()), ("frame_idx", pa.int64())]
+    )
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        hashes, urls, idxs = [], [], []
+        for url, payload in zip(
+            batch.column("url").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            try:
+                _w, _h, frames, _delays = parse_gif(payload or b"")
+            except ValueError:
+                continue  # typed failures are gif_frames' surface
+            for f, frame in enumerate(frames):
+                hashes.append(_ahash64(frame[..., 0]))
+                urls.append(url)
+                idxs.append(f)
+        return pa.Table.from_pydict(
+            {"ahash": hashes, "url": urls, "frame_idx": idxs},
+            schema=frame_schema,
+        )
+
+    frames = gif_from_documents(sf_dir).map_batches(_hash, batch_format="pyarrow")
+
+    def _roll(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _GIF_PHASH_SCHEMA.empty_table()
+        rows = sorted(
+            zip(
+                group.column("url").to_pylist(),
+                group.column("frame_idx").to_pylist(),
+            )
+        )
+        return pa.Table.from_pydict(
+            {
+                "ahash": [group.column("ahash")[0].as_py()],
+                "n_frames": [len(rows)],
+                "n_urls": [len({u for u, _ in rows})],
+                "rep_url": [rows[0][0]],
+                "rep_frame": [int(rows[0][1])],
+            },
+            schema=_GIF_PHASH_SCHEMA,
+        )
+
+    from .grouped import map_key_groups
+
+    return map_key_groups(frames, "ahash", _roll).sort("ahash")

@@ -6748,6 +6748,65 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_gif_frame_phash(ray_session, tmp_path):
+    """gif_frame_phash: the aHash kernel is perceptual (small pixel
+    noise keeps the signature, inversion flips it), and the op's
+    buckets over really-decoded frames match an independent Python
+    reconstruction from the md5-hex stream (the oracle's arithmetic,
+    re-derived here without the decoder)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.multimodal import _ahash64, gif_frame_phash
+
+    rng = np.random.default_rng(17)
+    # high-contrast structure: cells sit far from the global mean, so
+    # small pixel noise cannot flip signature bits
+    img = np.where(
+        np.arange(20)[:, None] < 10, 40, 200
+    ).astype(np.uint8) * np.ones((1, 30), np.uint8)
+    noisy = np.clip(
+        img.astype(np.int16) + rng.integers(-2, 3, img.shape), 0, 255
+    ).astype(np.uint8)
+    assert _ahash64(img) == _ahash64(noisy)          # perceptual
+    assert _ahash64(img) != _ahash64(255 - img)      # and discriminative
+    assert len(_ahash64(img)) == 64
+
+    texts = {d: f"doc number {d} body" for d in range(12)}
+    texts[7] = texts[3]  # identical text -> identical frame streams
+    sf = tmp_path / "ph"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+
+    ref: dict = {}
+    for d, t in texts.items():
+        if d % 9 == 4:
+            continue  # truncated payload, no decoded frames
+        seed = hashlib.md5(t.encode()).hexdigest()
+        stream = (seed * 40).encode("ascii")
+        w, h, nf = 8 + d % 24, 8 + (d * 5) % 24, 2 + d % 3
+        for f in range(nf):
+            gray = np.frombuffer(stream[f * 7 : f * 7 + w * h], np.uint8)
+            key = _ahash64(gray.reshape(h, w))
+            ref.setdefault(key, []).append((f"gif://doc/{d}", f))
+    rows = {r["ahash"]: r for r in gif_frame_phash(str(sf)).take_all()}
+    assert set(rows) == set(ref)
+    for k, members in ref.items():
+        members.sort()
+        r = rows[k]
+        assert r["n_frames"] == len(members)
+        assert r["n_urls"] == len({u for u, _ in members})
+        assert (r["rep_url"], r["rep_frame"]) == members[0]
+
+
 def test_readability_counts(ray_session, tmp_path):
     """readability: hand-computed words/sentences/syllables on crafted
     docs — vowel-run syllables with the zero-vowel floor, [.!?]+
