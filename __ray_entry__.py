@@ -936,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis over documents ---
         "doc_token_counts": text_analysis.token_counts,
         "readability": text_analysis.readability,
+        "script_profile": text_analysis.script_profile,
         "doc_quality": text_analysis.quality,
         "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
@@ -2787,6 +2788,59 @@ def _cdc_delta_sql() -> str:
                     // any_value(c.n_tok) AS BIGINT) AS reuse_e6
         FROM ch_cur c LEFT JOIN pk ON c.ck = pk.ck
         GROUP BY c.doc_id
+    """
+
+
+def _script_profile_sql() -> str:
+    """Oracle for ``script_profile`` — the snippet seeding is
+    generated FROM the op's own frozen constants (the mojibake-bank
+    discipline), and both engines run RE2 so the ``\\p{Script}``
+    classes agree by construction; the majority CASE cascade mirrors
+    numpy argmax's first-max (name-ascending) tie rule."""
+    from smart_ocr_ray.ops.text_analysis import _SCRIPT_SNIPPETS
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SCRIPT_SNIPPETS[:4])
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '\\p{{{cls}}}')) AS n_{name}"
+        for name, cls in [
+            ("latin", "Latin"),
+            ("cyrillic", "Cyrillic"),
+            ("greek", "Greek"),
+            ("han", "Han"),
+            ("arabic", "Arabic"),
+        ]
+    )
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 coalesce(text, '') ||
+                 CASE CAST(doc_id % 5 AS INTEGER) {whens} ELSE '' END AS t
+          FROM documents
+        ), c AS (
+          SELECT doc_id, {counts} FROM seeded
+        )
+        SELECT doc_id,
+               CAST(n_latin AS BIGINT) AS n_latin,
+               CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+               CAST(n_greek AS BIGINT) AS n_greek,
+               CAST(n_han AS BIGINT) AS n_han,
+               CAST(n_arabic AS BIGINT) AS n_arabic,
+               CASE
+                 WHEN n_latin + n_cyrillic + n_greek + n_han + n_arabic = 0
+                   THEN 'latin'
+                 WHEN n_arabic >= n_cyrillic AND n_arabic >= n_greek
+                      AND n_arabic >= n_han AND n_arabic >= n_latin
+                   THEN 'arabic'
+                 WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han
+                      AND n_cyrillic >= n_latin
+                   THEN 'cyrillic'
+                 WHEN n_greek >= n_han AND n_greek >= n_latin THEN 'greek'
+                 WHEN n_han >= n_latin THEN 'han'
+                 ELSE 'latin'
+               END AS majority
+        FROM c
     """
 
 
@@ -6260,6 +6314,7 @@ def oracle_sql() -> dict[str, str]:
     # index; the oracle is therefore the same query verbatim.
     out["graph_ann_warm"] = out["graph_ann_search"]
     out["cdc_delta"] = _cdc_delta_sql()
+    out["script_profile"] = _script_profile_sql()
     out["graph_ann_recall"] = f"""
         WITH a AS (SELECT query_id, vec_id FROM ({out["ann_cosine_topk"]})),
              b AS (SELECT query_id, vec_id FROM ({out["graph_ann_search"]}))

@@ -4669,3 +4669,93 @@ def readability(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")
+
+
+_SCRIPT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_latin", pa.int64()),
+        ("n_cyrillic", pa.int64()),
+        ("n_greek", pa.int64()),
+        ("n_han", pa.int64()),
+        ("n_arabic", pa.int64()),
+        ("majority", pa.string()),
+    ]
+)
+
+_SCRIPT_SNIPPETS = [
+    " привет мир",        # doc_id % 5 == 0: Cyrillic
+    " γειά σου κόσμε",    # 1: Greek
+    " 你好世界",           # 2: Han
+    " مرحبا بالعالم",      # 3: Arabic
+    "",                    # 4: none
+]
+
+_SCRIPT_NAMES = ["arabic", "cyrillic", "greek", "han", "latin"]
+
+
+def script_profile(sf_dir: str) -> ray.data.Dataset:
+    """Unicode-script histogram + majority script per document — the
+    writing-system axis of language ID (a page can be ``lang=ru`` yet
+    Latin-transliterated, or mix CJK into English; script mixture is
+    the standard pre-filter before n-gram language models, cf. CLD's
+    script stage). Since the synthetic corpus is ASCII, deterministic
+    multilingual snippets are appended per ``doc_id % 5`` (the
+    mojibake/pii seeding discipline) so every script path is
+    exercised end-to-end.
+
+    Frozen rules (mirrored exactly by the SQL oracle — BOTH engines
+    run RE2, so ``\\p{Script}`` classes agree by construction):
+    per-script counts are ``\\p{Latin|Cyrillic|Greek|Han|Arabic}``
+    char matches over text + snippet; ``majority`` = the script with
+    the highest count, ties broken by name ascending ('arabic' <
+    'cyrillic' < 'greek' < 'han' < 'latin'); all-zero docs report
+    'latin' (the tie rule would say 'arabic'; an explicit empty
+    fallback is more honest than a coin). Output one row per doc
+    ordered by doc_id.
+
+    Scale shape: pure vectorized per-batch map (five RE2 count
+    kernels + one argmax), no shuffle beyond the doc-sized sort.
+    """
+    import numpy as np
+
+    docs = read_documents(sf_dir)
+
+    def _per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCRIPT_SCHEMA.empty_table()
+        ids = batch.column("doc_id").cast(pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        base = pc.fill_null(batch.column("text").cast(pa.string()), "")
+        snip = pa.array([_SCRIPT_SNIPPETS[int(d) % 5] for d in ids_np])
+        text = pc.binary_join_element_wise(base, snip, "")
+        counts = {
+            name: pc.count_substring_regex(text, rf"\p{{{cls}}}")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            for name, cls in [
+                ("arabic", "Arabic"),
+                ("cyrillic", "Cyrillic"),
+                ("greek", "Greek"),
+                ("han", "Han"),
+                ("latin", "Latin"),
+            ]
+        }
+        mat = np.stack([counts[n] for n in _SCRIPT_NAMES])  # name-asc rows
+        best = mat.argmax(axis=0)  # argmax takes the FIRST max → name asc
+        majority = np.array(_SCRIPT_NAMES, dtype=object)[best]
+        majority[mat.sum(axis=0) == 0] = "latin"
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "n_latin": pa.array(counts["latin"]),
+                "n_cyrillic": pa.array(counts["cyrillic"]),
+                "n_greek": pa.array(counts["greek"]),
+                "n_han": pa.array(counts["han"]),
+                "n_arabic": pa.array(counts["arabic"]),
+                "majority": pa.array(list(majority), pa.string()),
+            },
+            schema=_SCRIPT_SCHEMA,
+        )
+
+    return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")

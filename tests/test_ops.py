@@ -6748,6 +6748,40 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_script_profile_majority(ray_session, tmp_path):
+    """script_profile: per-script counts and the name-ascending
+    first-max majority rule on crafted mixed-script docs, including
+    the all-zero fallback and a Han-majority page with Latin noise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import script_profile
+
+    texts = {
+        4: "",                     # %5==4: no snippet, no text -> fallback
+        9: "abc",                  # latin only
+        14: "你好世界你好 ok",     # han 6 > latin 2
+        19: "ab",                  # %5==4 again, latin
+        5: "xy",                   # %5==0: + Cyrillic snippet (9 chars > 2)
+    }
+    sf = tmp_path / "script"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in script_profile(str(sf)).take_all()}
+    assert rows[4]["majority"] == "latin" and rows[4]["n_latin"] == 0
+    assert rows[9]["majority"] == "latin" and rows[9]["n_latin"] == 3
+    assert rows[14]["majority"] == "han"
+    assert rows[14]["n_han"] == 6 and rows[14]["n_latin"] == 2
+    assert rows[19]["majority"] == "latin"
+    assert rows[5]["majority"] == "cyrillic"
+    assert rows[5]["n_cyrillic"] == 9 and rows[5]["n_latin"] == 2
+
+
 def test_gif_frame_phash(ray_session, tmp_path):
     """gif_frame_phash: the aHash kernel is perceptual (small pixel
     noise keeps the signature, inversion flips it), and the op's
