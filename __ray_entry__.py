@@ -937,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": text_analysis.token_counts,
         "readability": text_analysis.readability,
         "script_profile": text_analysis.script_profile,
+        "compression_quality": text_analysis.compression_quality,
         "doc_quality": text_analysis.quality,
         "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
@@ -2791,6 +2792,69 @@ def _cdc_delta_sql() -> str:
     """
 
 
+def _zlib_golden_path(sf_dir: str) -> str:
+    """Sequential-kernel table for the ``compression_quality``
+    pseudo-oracle: one driver-side single-process pass computes
+    (doc_id, raw_bytes, zlib_bytes) with stdlib zlib level 9 —
+    DuckDB has no zlib, so this is the extract_pipeline discipline:
+    SQL derives ratio/keep from the sequential table and the gate
+    verifies the DISTRIBUTED run against it. Cached under /tmp,
+    signed by corpus content + code signature."""
+    import zlib as _z
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc)
+    sig = _z.crc32(
+        f"{os.path.abspath(doc)}:{st.st_size}:{int(st.st_mtime)}:{_code_sig():08x}".encode()
+    )
+    path = f"/tmp/smart_ocr_ray_zlibq_{sig:08x}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import pyarrow as pa
+
+        t = pq.read_table(doc, columns=["doc_id", "text"])
+        ids, raws, comps = [], [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            raw = (txt or "").encode("utf-8")
+            ids.append(int(d))
+            raws.append(len(raw))
+            comps.append(len(_z.compress(raw, 9)))
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "raw_bytes": pa.array(raws, pa.int64()),
+                    "zlib_bytes": pa.array(comps, pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "zlibq.parquet"),
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+    return path
+
+
+def _compression_quality_sql() -> str:
+    """Oracle for ``compression_quality`` over the sequential zlib
+    table (min_ratio_e6 pinned to the default 250000 registration)."""
+    return f"""
+        SELECT doc_id,
+               CAST(raw_bytes AS BIGINT) AS raw_bytes,
+               CAST(zlib_bytes AS BIGINT) AS zlib_bytes,
+               CAST(CASE WHEN raw_bytes = 0 THEN 1000000
+                         ELSE 1000000 * zlib_bytes // raw_bytes END
+                    AS BIGINT) AS ratio_e6,
+               CAST(CASE WHEN raw_bytes > 0
+                          AND 1000000 * zlib_bytes // raw_bytes < 250000
+                    THEN 0 ELSE 1 END AS BIGINT) AS keep
+        FROM read_parquet('{_zlib_golden_path(_ORACLE_SF)}/zlibq.parquet')
+    """
+
+
 def _script_profile_sql() -> str:
     """Oracle for ``script_profile`` — the snippet seeding is
     generated FROM the op's own frozen constants (the mojibake-bank
@@ -3311,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["robots_filter"] = _robots_filter_sql()
         corpus_dependent["sitemap_discovery"] = _sitemap_discovery_sql()
         corpus_dependent["sitemap_index"] = _sitemap_index_sql()
+        corpus_dependent["compression_quality"] = _compression_quality_sql()
         # Degree histogram composes the link_graph oracle as a CTE.
         corpus_dependent["link_degree_hist"] = f"""
             WITH lg AS ({_link_graph_oracle_sql()})

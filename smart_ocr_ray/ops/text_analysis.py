@@ -4759,3 +4759,74 @@ def script_profile(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")
+
+
+_COMPRESS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("zlib_bytes", pa.int64()),
+        ("ratio_e6", pa.int64()),
+        ("keep", pa.int64()),
+    ]
+)
+
+
+def compression_quality(sf_dir: str, min_ratio_e6: int = 250_000) -> ray.data.Dataset:
+    """Compression-ratio quality filter — the "too compressible"
+    heuristic web-curation pipelines run alongside the Gopher rules:
+    highly repetitive pages (keyword stuffing, template spam, scraped
+    tag soup) deflate far below natural prose, so a zlib ratio under
+    ``min_ratio_e6`` flags the page for removal. (Deduplicating at
+    chunk level catches cross-document repetition; this catches
+    WITHIN-document repetition in one cheap pass.)
+
+    Frozen rule: raw = UTF-8 bytes of ``coalesce(text, '')``; comp =
+    ``len(zlib.compress(raw, 9))``; ``ratio_e6 = 1e6·comp // raw``
+    (empty docs report 1e6); ``keep = 0`` iff raw > 0 and ratio <
+    ``min_ratio_e6``. Output one row per doc ordered by doc_id.
+
+    Correctness surface: DuckDB has no zlib, so the oracle is the
+    SEQUENTIAL-kernel pseudo-oracle (the extract_pipeline
+    discipline) — a driver-side single-process pass over the corpus
+    materializes (doc_id, raw_bytes, zlib_bytes), code-signed and
+    cached, and plain SQL derives ratio/keep from it; the gate then
+    verifies the DISTRIBUTED run byte-for-byte against the sequential
+    kernel (row loss, shuffle and merge bugs are the detectable
+    class; the kernel itself is stdlib zlib on both sides).
+
+    Scale shape: stateless per-batch map (zlib per row is the
+    inherent cost, same class as payload hashing); no shuffle beyond
+    the doc-sized sort.
+    """
+    import zlib
+
+    docs = read_documents(sf_dir)
+
+    def _per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _COMPRESS_SCHEMA.empty_table()
+        ids, raws, comps, ratios, keeps = [], [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            raw = (t or "").encode("utf-8")
+            comp = len(zlib.compress(raw, 9))
+            ratio = 1_000_000 * comp // len(raw) if raw else 1_000_000
+            ids.append(int(d))
+            raws.append(len(raw))
+            comps.append(comp)
+            ratios.append(ratio)
+            keeps.append(0 if (raw and ratio < min_ratio_e6) else 1)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "raw_bytes": raws,
+                "zlib_bytes": comps,
+                "ratio_e6": ratios,
+                "keep": keeps,
+            },
+            schema=_COMPRESS_SCHEMA,
+        )
+
+    return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")

@@ -6748,6 +6748,46 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_compression_quality(ray_session, tmp_path):
+    """compression_quality: a highly repetitive doc deflates below
+    the keep threshold while natural-ish prose stays above; values
+    equal the stdlib zlib level-9 kernel exactly; empty docs report
+    ratio 1e6 and keep."""
+    import random
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import compression_quality
+
+    rng = random.Random(9)
+    vocab = [f"word{i}" for i in range(5000)]
+    texts = {
+        0: "spam " * 3000,                                     # repetitive
+        1: " ".join(rng.choice(vocab) for _ in range(3000)),   # diverse
+        2: "",                                                 # empty
+    }
+    sf = tmp_path / "cq"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in compression_quality(str(sf)).take_all()}
+    for d, t in texts.items():
+        raw = t.encode()
+        comp = len(zlib.compress(raw, 9))
+        r = rows[d]
+        assert (r["raw_bytes"], r["zlib_bytes"]) == (len(raw), comp)
+        assert r["ratio_e6"] == (1_000_000 * comp // len(raw) if raw else 1_000_000)
+    assert rows[0]["keep"] == 0 and rows[0]["ratio_e6"] < 250_000
+    assert rows[1]["keep"] == 1 and rows[1]["ratio_e6"] > 250_000
+    assert rows[2]["keep"] == 1 and rows[2]["ratio_e6"] == 1_000_000
+
+
 def test_script_profile_majority(ray_session, tmp_path):
     """script_profile: per-script counts and the name-ascending
     first-max majority rule on crafted mixed-script docs, including
