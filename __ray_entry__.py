@@ -938,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": text_analysis.readability,
         "script_profile": text_analysis.script_profile,
         "compression_quality": text_analysis.compression_quality,
+        "classifier_agreement": text_analysis.classifier_agreement,
         "doc_quality": text_analysis.quality,
         "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
@@ -6380,6 +6381,43 @@ def oracle_sql() -> dict[str, str]:
     out["graph_ann_warm"] = out["graph_ann_search"]
     out["cdc_delta"] = _cdc_delta_sql()
     out["script_profile"] = _script_profile_sql()
+    # Composed from the two quality oracles verbatim, so filter,
+    # classifier and agreement can never drift apart. kappa uses
+    # toward-zero division (DuckDB // truncates negatives).
+    out["classifier_agreement"] = f"""
+        WITH a AS (SELECT doc_id,
+                          CASE WHEN keep THEN 1 ELSE 0 END AS fk
+                   FROM ({out["quality_filter"]})),
+             b AS (SELECT doc_id, keep AS ck
+                   FROM ({out["quality_classifier"]})),
+             j AS (SELECT fk, ck FROM a JOIN b USING (doc_id)),
+             c AS (
+               SELECT count(*) AS n,
+                      sum(CASE WHEN fk = 1 AND ck = 1 THEN 1 ELSE 0 END) AS n11,
+                      sum(CASE WHEN fk = 1 AND ck = 0 THEN 1 ELSE 0 END) AS n10,
+                      sum(CASE WHEN fk = 0 AND ck = 1 THEN 1 ELSE 0 END) AS n01,
+                      sum(CASE WHEN fk = 0 AND ck = 0 THEN 1 ELSE 0 END) AS n00
+               FROM j
+             ),
+             p AS (
+               SELECT n, n11, n10, n01, n00,
+                      1000000 * (n11 + n00) // n AS p_o,
+                      1000000 * ((n11 + n10) * (n11 + n01)
+                                 + (n01 + n00) * (n10 + n00)) // (n * n) AS p_e
+               FROM c WHERE n > 0
+             )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(n11 AS BIGINT) AS n11,
+               CAST(n10 AS BIGINT) AS n10,
+               CAST(n01 AS BIGINT) AS n01,
+               CAST(n00 AS BIGINT) AS n00,
+               CAST(p_o AS BIGINT) AS p_o_e6,
+               CAST(p_e AS BIGINT) AS p_e_e6,
+               CAST(CASE WHEN p_e = 1000000 THEN 0
+                         ELSE (1000000 * (p_o - p_e)) // (1000000 - p_e)
+                    END AS BIGINT) AS kappa_e6
+        FROM p
+    """
     out["graph_ann_recall"] = f"""
         WITH a AS (SELECT query_id, vec_id FROM ({out["ann_cosine_topk"]})),
              b AS (SELECT query_id, vec_id FROM ({out["graph_ann_search"]}))

@@ -4830,3 +4830,131 @@ def compression_quality(sf_dir: str, min_ratio_e6: int = 250_000) -> ray.data.Da
         )
 
     return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")
+
+
+_KAPPA_SCHEMA = pa.schema(
+    [
+        ("n_docs", pa.int64()),
+        ("n11", pa.int64()),
+        ("n10", pa.int64()),
+        ("n01", pa.int64()),
+        ("n00", pa.int64()),
+        ("p_o_e6", pa.int64()),
+        ("p_e_e6", pa.int64()),
+        ("kappa_e6", pa.int64()),
+    ]
+)
+
+
+def classifier_agreement(sf_dir: str) -> ray.data.Dataset:
+    """Cohen's kappa between the two quality gates — the rule-based
+    ``quality_filter`` (Gopher shapes) and the model-based
+    ``quality_classifier`` (fastText-style inference). Curation
+    pipelines run exactly this audit before swapping one gate for the
+    other: raw percent agreement overstates consensus when both
+    classifiers mostly keep, and kappa corrects for that chance
+    agreement (Cohen 1960).
+
+    Frozen integer rules (mirrored by a SQL oracle COMPOSED from the
+    two ops' own oracles, so the three can never drift): docs scored
+    by BOTH gates (inner join on doc_id); with the 2×2 table (n11 =
+    both keep … n00 = both drop), ``p_o_e6 = 1e6·(n11+n00) // n``,
+    ``p_e_e6 = 1e6·((n11+n10)·(n11+n01) + (n01+n00)·(n10+n00)) //
+    n²``, and ``kappa_e6`` = toward-ZERO division of
+    ``1e6·(p_o_e6 - p_e_e6)`` by ``1e6 - p_e_e6`` (toward-zero
+    because DuckDB's ``//`` truncates negatives while Python floors;
+    degenerate ``p_e_e6 = 1e6`` reports 0). One output row.
+
+    Scale shape: both inputs are doc-sized keep tables; the join is
+    the ``gather_by_key`` sort-gather, the 2×2 table reduces via
+    per-block partials into one tiny aggregate — only five counters
+    ever reach the driver.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .grouped import gather_by_key
+
+    fk_schema = pa.schema([("doc_id", pa.int64()), ("fk", pa.int64())])
+
+    def _fk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return fk_schema.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "fk": batch.column("keep").cast(pa.int64()),
+            },
+            schema=fk_schema,
+        )
+
+    def _ck(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("ck", pa.int64())]
+            ).empty_table()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "ck": batch.column("keep").cast(pa.int64()),
+            }
+        )
+
+    a = quality_filter(sf_dir).map_batches(_fk, batch_format="pyarrow")
+    b = quality_classifier(sf_dir).map_batches(_ck, batch_format="pyarrow")
+    joined = gather_by_key(
+        a, "doc_id", b, "doc_id", "ck", "ck", fk_schema, pa.int64()
+    )
+
+    part_schema = pa.schema(
+        [(c, pa.int64()) for c in ("n", "n11", "n10", "n01", "n00")]
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        f = batch.column("fk").to_numpy(zero_copy_only=False)
+        c = batch.column("ck").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "n": [len(f)],
+                "n11": [int(((f == 1) & (c == 1)).sum())],
+                "n10": [int(((f == 1) & (c == 0)).sum())],
+                "n01": [int(((f == 0) & (c == 1)).sum())],
+                "n00": [int(((f == 0) & (c == 0)).sum())],
+            },
+            schema=part_schema,
+        )
+
+    agg = joined.map_batches(_partial, batch_format="pyarrow").aggregate(
+        *(Sum(c) for c in ("n", "n11", "n10", "n01", "n00"))
+    )
+    n = int(agg["sum(n)"] or 0)
+    n11, n10 = int(agg["sum(n11)"] or 0), int(agg["sum(n10)"] or 0)
+    n01, n00 = int(agg["sum(n01)"] or 0), int(agg["sum(n00)"] or 0)
+    if n == 0:
+        return ray.data.from_arrow(_KAPPA_SCHEMA.empty_table())
+    p_o = 1_000_000 * (n11 + n00) // n
+    p_e = 1_000_000 * ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) // (
+        n * n
+    )
+    if p_e == 1_000_000:
+        kappa = 0
+    else:
+        num, den = 1_000_000 * (p_o - p_e), 1_000_000 - p_e
+        kappa = -((-num) // den) if num < 0 else num // den  # toward zero
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_docs": [n],
+                "n11": [n11],
+                "n10": [n10],
+                "n01": [n01],
+                "n00": [n00],
+                "p_o_e6": [p_o],
+                "p_e_e6": [p_e],
+                "kappa_e6": [kappa],
+            },
+            schema=_KAPPA_SCHEMA,
+        )
+    )

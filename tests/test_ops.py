@@ -6748,6 +6748,37 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_classifier_agreement_kappa(ray_session):
+    """classifier_agreement: the 2x2 table and kappa equal a Python
+    recomputation from the two gates' own outputs on sf0.001 (join on
+    docs scored by both, frozen e6 floor formulas)."""
+    from smart_ocr_ray.ops.text_analysis import (
+        classifier_agreement,
+        quality_classifier,
+        quality_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fk = {r["doc_id"]: int(r["keep"]) for r in quality_filter(sf).take_all()}
+    ck = {r["doc_id"]: int(r["keep"]) for r in quality_classifier(sf).take_all()}
+    both = sorted(set(fk) & set(ck))
+    n = len(both)
+    n11 = sum(1 for d in both if fk[d] == 1 and ck[d] == 1)
+    n10 = sum(1 for d in both if fk[d] == 1 and ck[d] == 0)
+    n01 = sum(1 for d in both if fk[d] == 0 and ck[d] == 1)
+    n00 = n - n11 - n10 - n01
+    p_o = 1_000_000 * (n11 + n00) // n
+    p_e = 1_000_000 * ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) // (n * n)
+    num, den = 1_000_000 * (p_o - p_e), 1_000_000 - p_e
+    kappa = 0 if den == 0 else (-((-num) // den) if num < 0 else num // den)
+
+    (row,) = classifier_agreement(sf).take_all()
+    assert (row["n_docs"], row["n11"], row["n10"], row["n01"], row["n00"]) == (
+        n, n11, n10, n01, n00)
+    assert (row["p_o_e6"], row["p_e_e6"], row["kappa_e6"]) == (p_o, p_e, kappa)
+    assert n > 0 and 0 < row["p_o_e6"] <= 1_000_000
+
+
 def test_compression_quality(ray_session, tmp_path):
     """compression_quality: a highly repetitive doc deflates below
     the keep threshold while natural-ish prose stays above; values
