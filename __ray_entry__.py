@@ -1085,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relational.events_asof_join,
         "events_debounce": relational.events_debounce,
         "events_late": relational.events_late,
+        "local_supplier_volume": relational.local_supplier_volume,
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
         "events_topk_per_hour": relational.events_topk_per_hour,
@@ -5385,6 +5386,25 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
               UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
             ) ORDER BY step
+        """,
+        "local_supplier_volume": """
+            -- TPC-H Q5 shape (ops/relational.local_supplier_volume):
+            -- customer and line supplier in the SAME nation of one
+            -- region, one-year order window, revenue per nation.
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE s_nationkey = c_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1997-01-01'
+            GROUP BY n_name
         """,
         "events_late": """
             -- Watermark / late-data accounting (ops/relational.events_late):

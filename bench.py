@@ -377,6 +377,7 @@ def run_bench() -> dict:
         timed("sitemap_index", lambda _sf: sitemap_index(pages_path))
         timed("events_debounce", relational.events_debounce)
         timed("events_late", relational.events_late)
+        timed("local_supplier_volume", relational.local_supplier_volume)
 
     ray.shutdown()
 

@@ -1801,3 +1801,127 @@ def events_late(
     return agg.map_batches(_finish, batch_format="pyarrow").sort(
         ["event_type", "window_start"]
     )
+
+
+_LSV_SCHEMA = pa.schema([("n_name", pa.string()), ("revenue", pa.float64())])
+
+
+def local_supplier_volume(
+    sf_dir: str, region: str = "ASIA", date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> ray.data.Dataset:
+    """TPC-H Q5 shape — revenue per nation from orders where the
+    customer and the line's supplier sit in the SAME nation of one
+    region, within a one-year order window: the deepest join chain in
+    the relational family (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    nation ⋈ region) and the canonical broadcast-vs-shuffle exercise.
+
+    Physical plan: the two corpus-scale joins (lineitem ⋈ orders on
+    orderkey, ⋈ customer on custkey) are hash joins; supplier, nation
+    and region are SMALL sides shipped once via ``ray.put`` and
+    resolved per batch with ``pc.index_in`` (the broadcast-lookup
+    pattern) — at warehouse scale the 6-way chain therefore costs two
+    shuffles, not five. The date filter pushes into the orders read.
+
+    Output: (n_name, revenue = Σ l_extendedprice·(1-l_discount)
+    rounded to 2dp), one row per qualifying nation; the oracle is the
+    literal Q5 SQL.
+    """
+    import datetime as _dt
+
+    from ..tuning import join_partitions
+
+    lo = _dt.date.fromisoformat(date_lo)
+    hi = _dt.date.fromisoformat(date_hi)
+
+    lineitem = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def _ofilter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = batch.column("o_orderdate").cast(pa.date32())
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.date32())),
+            pc.less(d, pa.scalar(hi, pa.date32())),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    orders_f = orders.map_batches(_ofilter, batch_format="pyarrow")
+    k = join_partitions()
+    lo_join = lineitem.join(
+        orders_f, join_type="inner", num_partitions=k,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    loc = lo_join.join(
+        customer, join_type="inner", num_partitions=k,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    region_keys = set(
+        reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int)
+    )
+    nation_in = nation[nation["n_regionkey"].astype(int).isin(region_keys)]
+    small_ref = ray.put(
+        (
+            pa.array(supp["s_suppkey"].astype("int64")),
+            pa.array(supp["s_nationkey"].astype("int64")),
+            pa.array(nation_in["n_nationkey"].astype("int64")),
+            pa.array(nation_in["n_name"].astype(str), pa.string()),
+        )
+    )
+
+    def _resolve(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s_keys, s_nat, n_keys, n_names = ray.get(small_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()),
+                 "rev": pa.array([], pa.float64())}
+            )
+        sup_nat = s_nat.take(
+            pc.index_in(batch.column("l_suppkey").cast(pa.int64()), s_keys)
+        )
+        cust_nat = batch.column("c_nationkey").cast(pa.int64())
+        nidx = pc.index_in(cust_nat, n_keys)  # null → nation outside region
+        keep = pc.and_kleene(
+            pc.equal(sup_nat, cust_nat), pc.is_valid(nidx)
+        )
+        keep = pc.fill_null(keep, False)
+        sub = batch.filter(keep)
+        names = n_names.take(
+            pc.index_in(sub.column("c_nationkey").cast(pa.int64()), n_keys)
+        )
+        rev = pc.multiply(
+            sub.column("l_extendedprice").cast(pa.float64()),
+            pc.subtract(
+                pa.scalar(1.0), sub.column("l_discount").cast(pa.float64())
+            ),
+        )
+        return pa.table({"n_name": names, "rev": rev})
+
+    resolved = loc.map_batches(_resolve, batch_format="pyarrow")
+    agg = _partial_then_final(resolved, keys=["n_name"], sums={"revenue": "rev"})
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        return df
+
+    return agg.map_batches(_round, batch_format="pandas").sort("n_name")

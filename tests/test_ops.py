@@ -6748,6 +6748,39 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_local_supplier_volume_q5(ray_session):
+    """local_supplier_volume: the 6-way Q5 join chain (two hash joins
+    + three broadcast lookups) matches DuckDB running the literal Q5
+    SQL on the same tables, including the same-nation constraint and
+    the one-year window."""
+    import duckdb
+
+    from smart_ocr_ray.ops.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["n_name"]: r["revenue"]
+        for r in local_supplier_volume(sf).take_all()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(f"""
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+            FROM '{sf}/lineitem.parquet'
+            JOIN '{sf}/orders.parquet'   ON l_orderkey = o_orderkey
+            JOIN '{sf}/customer.parquet' ON o_custkey = c_custkey
+            JOIN '{sf}/supplier.parquet' ON l_suppkey = s_suppkey
+            JOIN '{sf}/nation.parquet'   ON c_nationkey = n_nationkey
+            JOIN '{sf}/region.parquet'   ON n_regionkey = r_regionkey
+            WHERE s_nationkey = c_nationkey AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1997-01-01'
+            GROUP BY n_name
+        """).fetchall()
+    )
+    assert got == want and got
+
+
 def test_classifier_agreement_kappa(ray_session):
     """classifier_agreement: the 2x2 table and kappa equal a Python
     recomputation from the two gates' own outputs on sf0.001 (join on
