@@ -343,3 +343,43 @@ def test_anti_by_key_drops_matched_keys(ray_session):
         for r in anti_by_key(rows, "k", empty, "sk", rows_schema).take_all()
     )
     assert got_all == [(1, 10), (2, 20), (2, 21), (3, 30), (7, 70)]
+
+
+def test_sorted_blocks_never_share_keys(ray_session):
+    """The equal-key-per-block invariant of Ray's range sort, pinned
+    DIRECTLY: line_dedup / substring_dedup / cdc_dedup / ngram_novelty
+    tag hotness in per-block passes over a key-sorted dataset, which
+    is only sound if no key value spans two blocks. 50k rows over 400
+    heavily-colliding keys and 16 input partitions; adjacent sorted
+    blocks must have strictly increasing key ranges. (ADVICE r3: a
+    silent split would inflate per-block first-owner counts with no
+    detectable failure — this is the detector, alongside the
+    ngram-novelty sum invariant.)"""
+    rng = np.random.default_rng(23)
+    n = 50_000
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(rng.integers(0, 400, n).astype("int64"))})
+    ).repartition(16)
+
+    def _edges(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.int64()),
+                             "last": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        k = block.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({"first": pa.array([int(k.min())]),
+                         "last": pa.array([int(k.max())]),
+                         "n": pa.array([len(k)])})
+
+    edges = sorted(
+        ds.sort("k").map_batches(
+            _edges, batch_format="pyarrow", batch_size=None
+        ).take_all(),
+        key=lambda r: r["first"],
+    )
+    assert sum(r["n"] for r in edges) == n
+    assert len(edges) > 1  # the multi-block case is the one under test
+    for prev, cur in zip(edges, edges[1:]):
+        assert cur["first"] > prev["last"], (
+            f"key {cur['first']} spans blocks: {prev} -> {cur}"
+        )
