@@ -1086,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": relational.events_debounce,
         "events_late": relational.events_late,
         "local_supplier_volume": relational.local_supplier_volume,
+        "incremental_hourly": relational.incremental_hourly,
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
         "events_topk_per_hour": relational.events_topk_per_hour,
@@ -5386,6 +5387,20 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
               UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
             ) ORDER BY step
+        """,
+        "incremental_hourly": """
+            -- IVM correctness statement (ops/relational.incremental_hourly):
+            -- the maintained view (base aggregate + update deltas of
+            -- +1.5 for event_id % 10 == 7, counts unchanged) must
+            -- equal the FULL recompute over the corrected log, which
+            -- is what this query runs.
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value + CASE WHEN event_id % 10 = 7
+                                          THEN 1.5 ELSE 0 END), 4)
+                     AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
         """,
         "local_supplier_volume": """
             -- TPC-H Q5 shape (ops/relational.local_supplier_volume):

@@ -378,6 +378,7 @@ def run_bench() -> dict:
         timed("events_debounce", relational.events_debounce)
         timed("events_late", relational.events_late)
         timed("local_supplier_volume", relational.local_supplier_volume)
+        timed("incremental_hourly", relational.incremental_hourly)
 
     ray.shutdown()
 

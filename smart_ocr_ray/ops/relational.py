@@ -1925,3 +1925,96 @@ def local_supplier_volume(
         return df
 
     return agg.map_batches(_round, batch_format="pandas").sort("n_name")
+
+
+_IVM_SCHEMA = pa.schema(
+    [
+        ("event_type", pa.string()),
+        ("window_start", pa.timestamp("us")),
+        ("n_events", pa.int64()),
+        ("sum_value", pa.float64()),
+    ]
+)
+
+
+def incremental_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Incremental view maintenance of the hourly aggregate — the
+    streaming-engine primitive behind materialized views: when a
+    correction batch arrives, the view absorbs per-key DELTAS instead
+    of recomputing history (the retract-and-apply arithmetic of
+    differential/incremental dataflow). Correctness statement: the
+    maintained view must equal a full recompute over the corrected
+    log — which is exactly what the SQL oracle runs.
+
+    Deterministic correction batch (the crawl_diff synthesis
+    discipline): events with ``event_id % 10 == 7`` are re-stated
+    late with ``value + 1.5`` (an UPDATE: the count is unchanged, the
+    delta contributes ``new - old = +1.5`` to its key's sum). The
+    view = hourly aggregate over the ORIGINAL log, merged with the
+    delta batch by key-sum; ``sum_value`` rounds ONCE after the merge
+    — rounding per part would fail the gate, which is the subtle rule
+    this op pins.
+
+    Scale shape: the base aggregate is the standard partial-combined
+    grouped sum; the delta batch reduces the same way and the merge
+    is a second tiny groupby over two already-aggregated tables —
+    history is never rescanned.
+    """
+    events = _read(sf_dir, "events", columns=["event_id", "event_type", "ts", "value"])
+
+    def _window(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ws = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.Table.from_arrays(
+            [
+                batch.column("event_id").cast(pa.int64()),
+                batch.column("event_type"),
+                ws,
+                batch.column("value").cast(pa.float64()),
+            ],
+            names=["event_id", "event_type", "window_start", "value"],
+        )
+
+    windowed = events.map_batches(_window, batch_format="pyarrow")
+    base = _partial_then_final(
+        windowed.map_batches(
+            lambda b: b.select(["event_type", "window_start", "value"]),
+            batch_format="pyarrow",
+        ),
+        keys=["event_type", "window_start"],
+        sums={"sum_value": "value"},
+        counts="n_events",
+    )
+
+    def _delta(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 10 == 7))
+        n = sub.num_rows
+        return pa.Table.from_pydict(
+            {
+                "event_type": sub.column("event_type"),
+                "window_start": sub.column("window_start"),
+                "sum_value": pa.array(np.full(n, 1.5)),       # new - old
+                "n_events": pa.array(np.zeros(n, np.int64)),  # update, not insert
+            }
+        )
+
+    delta = windowed.map_batches(_delta, batch_format="pyarrow")
+    merged = base.union(delta)
+    view = _partial_then_final(
+        merged,
+        keys=["event_type", "window_start"],
+        sums={"sum_value": "sum_value", "n_events_s": "n_events"},
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events_s"].astype("int64")
+        df["sum_value"] = df["sum_value"].round(4)
+        return df[["event_type", "window_start", "n_events", "sum_value"]]
+
+    return view.map_batches(_finish, batch_format="pandas").sort(
+        ["event_type", "window_start"]
+    )

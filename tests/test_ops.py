@@ -6748,6 +6748,48 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_incremental_hourly_ivm(ray_session, tmp_path):
+    """incremental_hourly: the maintained view (base + update deltas)
+    equals a full recompute over the corrected log on a crafted
+    multi-window table — counts unchanged by updates, +1.5 per
+    corrected row landing in the right window, single final round."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import incremental_hourly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, "click", 1.0), (7, 10, "click", 2.25),   # id 7 corrected
+        (17, 70, "click", 3.0),                         # id 17 corrected
+        (3, 65, "click", 4.0), (4, 130, "view", 5.5),
+        (27, 135, "view", 0.25),                        # corrected
+    ]
+    sf = tmp_path / "ivm"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0 + dt.timedelta(minutes=r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array([""] * len(rows)),
+        }),
+        sf / "events.parquet",
+    )
+    got = {
+        (r["event_type"], r["window_start"].hour): (r["n_events"], r["sum_value"])
+        for r in incremental_hourly(str(sf)).take_all()
+    }
+    assert got == {
+        ("click", 0): (2, round(1.0 + 2.25 + 1.5, 4)),
+        ("click", 1): (2, round(3.0 + 1.5 + 4.0, 4)),
+        ("view", 2): (2, round(5.5 + 0.25 + 1.5, 4)),
+    }
+
+
 def test_local_supplier_volume_q5(ray_session):
     """local_supplier_volume: the 6-way Q5 join chain (two hash joins
     + three broadcast lookups) matches DuckDB running the literal Q5
