@@ -331,6 +331,15 @@ def _q_gif_frame_phash(sf_dir: str):
     return gif_frame_phash(sf_dir)
 
 
+def _q_charset_sniff(sf_dir: str):
+    """BOM / strict-UTF-8 / Latin-1 charset sniffing over
+    constructed-truth byte payloads (ops/mojibake.charset_sniff);
+    verdicts and byte/char counts both hash-checked."""
+    from smart_ocr_ray.ops.mojibake import charset_sniff
+
+    return charset_sniff(sf_dir)
+
+
 def _q_mojibake(sf_dir: str):
     """ftfy-style cp1252 double-encoding repair with deterministic
     doc_id-seeded artifacts; counts + repaired-text md5 are the
@@ -1104,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_wav_features": _q_wav_features,
         "robots_filter": _q_robots_filter,
         "mojibake_repair": _q_mojibake,
+        "charset_sniff": _q_charset_sniff,
         "sitemap_discovery": _q_sitemap_discovery,
         "sitemap_index": _q_sitemap_index,
     }
@@ -5387,6 +5397,32 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
               UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
             ) ORDER BY step
+        """,
+        "charset_sniff": """
+            -- Charset sniffing vs constructed ground truth
+            -- (ops/mojibake.charset_sniff): the verdict follows the
+            -- doc_id % 4 encoding coin; byte/char counts are
+            -- reproduced arithmetically (utf8 via octet_length,
+            -- utf-16le = 2*chars + 2, latin-1 = chars), so a sniffer
+            -- that guesses the right charset but mis-measures fails.
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') || ' café' AS s,
+                     CAST(doc_id % 4 AS INTEGER) AS k
+              FROM documents
+            ), m AS (
+              SELECT doc_id, k, length(s) AS chars,
+                     octet_length(encode(s)) AS u8
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE k WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
+                          WHEN 2 THEN 'utf-16le'
+                          ELSE 'latin-1' END AS charset,
+                   CAST(CASE k WHEN 0 THEN u8 WHEN 1 THEN u8 + 3
+                               WHEN 2 THEN 2 * chars + 2
+                               ELSE chars END AS BIGINT) AS n_bytes,
+                   CAST(chars AS BIGINT) AS n_chars
+            FROM m
         """,
         "incremental_hourly": """
             -- IVM correctness statement (ops/relational.incremental_hourly):

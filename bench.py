@@ -362,11 +362,12 @@ def run_bench() -> dict:
 
         timed("wav_features", wav_features)
 
-        from smart_ocr_ray.ops.mojibake import mojibake_repair
+        from smart_ocr_ray.ops.mojibake import charset_sniff, mojibake_repair
         from smart_ocr_ray.ops.urls import robots_filter
 
         timed("robots_filter", lambda _sf: robots_filter(pages_path))
         timed("mojibake_repair", mojibake_repair)
+        timed("charset_sniff", charset_sniff)
 
         from smart_ocr_ray.ops.urls import sitemap_discovery, sitemap_index
 

@@ -116,3 +116,92 @@ def mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(_repair, batch_format="pyarrow")
+
+
+_CHARSET_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("charset", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def charset_sniff(sf_dir: str) -> ray.data.Dataset:
+    """Charset detection over raw page bytes — the step a crawler
+    runs BEFORE any text op (``mojibake_repair`` fixes pages that
+    were mis-decoded because this step was skipped): BOM checks, then
+    strict UTF-8 validation, then the Latin-1 fallback (ISO-8859-1
+    accepts any byte string, the standard last resort).
+
+    Deterministic payload synthesis (ground truth by construction,
+    the sitemap-coin discipline): per doc, the text plus ``' café'``
+    (the é guarantees a non-ASCII byte in every variant) is encoded
+    by ``doc_id % 4`` — 0: UTF-8; 1: UTF-8 with BOM; 2: UTF-16LE
+    with BOM; 3: Latin-1 (whose 0xE9 é is an invalid UTF-8 sequence,
+    so strict validation genuinely rejects it). The DETECTION kernel
+    sees only bytes; the oracle reproduces verdict AND byte/char
+    counts with pure arithmetic (utf8 bytes via octet_length,
+    utf-16le = 2·chars + 2, …), so a sniffing bug that still lands
+    on the right verdict but mis-measures is caught too.
+
+    Frozen sniff rules: FF FE prefix → 'utf-16le' (decode drops the
+    BOM); EF BB BF → 'utf-8-sig'; strict-UTF-8-decodable → 'utf-8';
+    else → 'latin-1'. Output (doc_id, charset, n_bytes, n_chars)
+    ordered by doc_id; n_chars counts the decoded code points
+    WITHOUT the BOM.
+
+    Scale shape: stateless per-batch map; nothing shuffles but the
+    doc-sized sort.
+    """
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _make_payload(doc_id: int, text: str) -> bytes:
+        s = (text or "") + " café"
+        k = doc_id % 4
+        if k == 0:
+            return s.encode("utf-8")
+        if k == 1:
+            return b"\xef\xbb\xbf" + s.encode("utf-8")
+        if k == 2:
+            return b"\xff\xfe" + s.encode("utf-16-le")
+        return s.encode("latin-1")
+
+    def _sniff(payload: bytes) -> tuple[str, int]:
+        """(charset, decoded chars) from bytes alone."""
+        if payload.startswith(b"\xff\xfe"):
+            return "utf-16le", len(payload[2:].decode("utf-16-le"))
+        if payload.startswith(b"\xef\xbb\xbf"):
+            return "utf-8-sig", len(payload[3:].decode("utf-8"))
+        try:
+            return "utf-8", len(payload.decode("utf-8"))
+        except UnicodeDecodeError:
+            return "latin-1", len(payload.decode("latin-1"))
+
+    def _per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CHARSET_SCHEMA.empty_table()
+        ids, charsets, nbytes, nchars = [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            payload = _make_payload(int(d), t)
+            cs, nc = _sniff(payload)
+            ids.append(int(d))
+            charsets.append(cs)
+            nbytes.append(len(payload))
+            nchars.append(nc)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "charset": charsets,
+                "n_bytes": nbytes,
+                "n_chars": nchars,
+            },
+            schema=_CHARSET_SCHEMA,
+        )
+
+    return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")

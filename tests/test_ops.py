@@ -6748,6 +6748,36 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_charset_sniff_kernel(ray_session, tmp_path):
+    """charset_sniff: the byte-level kernel distinguishes the four
+    encodings on a crafted corpus — BOMs win, bare UTF-8 validates,
+    and the Latin-1 é byte (0xE9) is correctly rejected by strict
+    UTF-8 — with exact byte/char accounting."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.mojibake import charset_sniff
+
+    texts = {0: "plain", 1: "bom", 2: "wide", 3: "legacy"}
+    sf = tmp_path / "cs"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in charset_sniff(str(sf)).take_all()}
+    # "plain café" = 10 chars; é is 2 utf-8 bytes -> 11 utf-8 bytes
+    assert (rows[0]["charset"], rows[0]["n_bytes"], rows[0]["n_chars"]) == ("utf-8", 11, 10)
+    # "bom café" = 8 chars, 9 utf-8 bytes + 3 BOM
+    assert (rows[1]["charset"], rows[1]["n_bytes"], rows[1]["n_chars"]) == ("utf-8-sig", 12, 8)
+    # "wide café" = 9 chars -> 18 + 2 BOM bytes
+    assert (rows[2]["charset"], rows[2]["n_bytes"], rows[2]["n_chars"]) == ("utf-16le", 20, 9)
+    # "legacy café" = 11 chars -> 11 latin-1 bytes (0xE9 not valid utf-8)
+    assert (rows[3]["charset"], rows[3]["n_bytes"], rows[3]["n_chars"]) == ("latin-1", 11, 11)
+
+
 def test_incremental_hourly_ivm(ray_session, tmp_path):
     """incremental_hourly: the maintained view (base + update deltas)
     equals a full recompute over the corrected log on a crafted
