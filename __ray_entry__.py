@@ -948,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_profile": text_analysis.script_profile,
         "compression_quality": text_analysis.compression_quality,
         "classifier_agreement": text_analysis.classifier_agreement,
+        "date_extract": text_analysis.date_extract,
         "doc_quality": text_analysis.quality,
         "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
@@ -2918,6 +2919,71 @@ def _script_profile_sql() -> str:
                  ELSE 'latin'
                END AS majority
         FROM c
+    """
+
+
+def _date_extract_sql() -> str:
+    """Oracle for ``date_extract`` — seeding and month table generated
+    FROM the op's frozen ``_MONTHS`` constant; same RE2 patterns, same
+    meta > ISO > textual priority, same zero-padding."""
+    from smart_ocr_ray.ops.text_analysis import _MONTHS
+
+    mon_alt = "|".join(_MONTHS)
+    name_case = " ".join(
+        f"WHEN {i + 1} THEN '{m}'" for i, m in enumerate(_MONTHS)
+    )
+    num_case = " ".join(
+        f"WHEN '{m}' THEN '{i + 1:02d}'" for i, m in enumerate(_MONTHS)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+            coalesce(text, '') ||
+            CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN ' <meta property="article:published_time" '
+                          || 'content="2023-'
+                          || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                          || '-'
+                          || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                          || '">'
+              WHEN 1 THEN ' Published '
+                          || CASE CAST(1 + doc_id % 12 AS INTEGER)
+                               {name_case} END
+                          || ' ' || CAST(1 + doc_id % 28 AS VARCHAR)
+                          || ', 2022'
+              WHEN 2 THEN ' changelog 2021-'
+                          || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                          || '-'
+                          || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                          || ' entry'
+              ELSE '' END AS s
+          FROM documents
+        ), x AS (
+          SELECT doc_id, s,
+            regexp_extract(s,
+              'article:published_time" content="(\\d{{4}}-\\d{{2}}-\\d{{2}})"',
+              1) AS meta,
+            regexp_extract(s, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) AS iso,
+            regexp_extract(s, '({mon_alt}) (\\d{{1,2}}), (\\d{{4}})', 1)
+              AS mon,
+            regexp_extract(s, '({mon_alt}) (\\d{{1,2}}), (\\d{{4}})', 2)
+              AS mday,
+            regexp_extract(s, '({mon_alt}) (\\d{{1,2}}), (\\d{{4}})', 3)
+              AS myear,
+            len(regexp_extract_all(s, '\\d{{4}}-\\d{{2}}-\\d{{2}}'))
+              + len(regexp_extract_all(s,
+                      '(?:{mon_alt}) \\d{{1,2}}, \\d{{4}}')) AS n_dates
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_dates AS BIGINT) AS n_dates,
+               CASE WHEN meta <> '' THEN meta
+                    WHEN iso <> '' THEN iso
+                    WHEN mon <> '' THEN myear || '-'
+                         || CASE mon {num_case} END || '-'
+                         || lpad(mday, 2, '0')
+                    ELSE '' END AS best_date
+        FROM x
     """
 
 
@@ -6452,6 +6518,7 @@ def oracle_sql() -> dict[str, str]:
     out["graph_ann_warm"] = out["graph_ann_search"]
     out["cdc_delta"] = _cdc_delta_sql()
     out["script_profile"] = _script_profile_sql()
+    out["date_extract"] = _date_extract_sql()
     # Composed from the two quality oracles verbatim, so filter,
     # classifier and agreement can never drift apart. kappa uses
     # toward-zero division (DuckDB // truncates negatives).

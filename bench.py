@@ -325,6 +325,7 @@ def run_bench() -> dict:
         timed("script_profile", text_analysis.script_profile)
         timed("compression_quality", text_analysis.compression_quality)
         timed("classifier_agreement", text_analysis.classifier_agreement)
+        timed("date_extract", text_analysis.date_extract)
         timed("tokenizer_fertility", text_analysis.tokenizer_fertility)
         timed("cluster_safe_split", text_analysis.cluster_safe_split)
         timed("bigram_surprisal", text_analysis.bigram_surprisal)

@@ -4958,3 +4958,117 @@ def classifier_agreement(sf_dir: str) -> ray.data.Dataset:
             schema=_KAPPA_SCHEMA,
         )
     )
+
+
+_DATE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_dates", pa.int64()),
+        ("best_date", pa.string()),
+    ]
+)
+
+_MONTHS = [
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+]
+
+
+def date_extract(sf_dir: str) -> ray.data.Dataset:
+    """Publication-date extraction — the metadata step a main-content
+    extractor runs per page (trafilatura's ``extract_date``): collect
+    date candidates and pick the most trustworthy by source priority.
+    Deterministic seeding per ``doc_id % 4`` (the script-profile
+    discipline) gives every path ground truth: 0 → an
+    ``article:published_time`` meta tag; 1 → a textual
+    "Month DD, YYYY"; 2 → a bare ISO date; 3 → none.
+
+    Frozen rules (identical RE2 on both engines): candidates are ISO
+    ``\\d{4}-\\d{2}-\\d{2}`` matches plus "MonthName D, YYYY"
+    matches; ``n_dates`` counts both; ``best_date`` prefers the meta
+    tag's content, then the first ISO match, then the (zero-padded)
+    converted textual date, else ''. Output one row per doc ordered
+    by doc_id.
+
+    Scale shape: stateless vectorized map — three RE2 kernels + one
+    ``index_in`` month lookup; no shuffle beyond the doc-sized sort.
+    """
+    import numpy as np
+
+    docs = read_documents(sf_dir)
+
+    month_arr = pa.array(_MONTHS, pa.string())
+
+    def _per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _DATE_SCHEMA.empty_table()
+        ids = batch.column("doc_id").cast(pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        base = pc.fill_null(batch.column("text").cast(pa.string()), "")
+        mm = 1 + ids_np % 12
+        dd = 1 + ids_np % 28
+        snips = []
+        for d, m, day in zip(ids_np, mm, dd):
+            k = int(d) % 4
+            if k == 0:
+                snips.append(
+                    f' <meta property="article:published_time" '
+                    f'content="2023-{m:02d}-{day:02d}">'
+                )
+            elif k == 1:
+                snips.append(f" Published {_MONTHS[int(m) - 1]} {day}, 2022")
+            elif k == 2:
+                snips.append(f" changelog 2021-{m:02d}-{day:02d} entry")
+            else:
+                snips.append("")
+        text = pc.binary_join_element_wise(base, pa.array(snips), "")
+
+        meta = pc.struct_field(
+            pc.extract_regex(
+                text,
+                r'article:published_time" content="(?P<d>\d{4}-\d{2}-\d{2})"',
+            ),
+            "d",
+        )
+        iso = pc.struct_field(
+            pc.extract_regex(text, r"(?P<d>\d{4}-\d{2}-\d{2})"), "d"
+        )
+        mon_pat = "|".join(_MONTHS)
+        named = pc.extract_regex(
+            text, rf"(?P<mon>{mon_pat}) (?P<day>\d{{1,2}}), (?P<y>\d{{4}})"
+        )
+        mon_num = pc.add(
+            pc.index_in(pc.struct_field(named, "mon"), month_arr),
+            pa.scalar(1, pa.int32()),
+        )
+        n_iso = pc.count_substring_regex(text, r"\d{4}-\d{2}-\d{2}")
+        n_named = pc.count_substring_regex(
+            text, rf"(?:{mon_pat}) \d{{1,2}}, \d{{4}}"
+        )
+        n_dates = pc.add(n_iso.cast(pa.int64()), n_named.cast(pa.int64()))
+
+        meta_np = meta.to_pylist()
+        iso_np = iso.to_pylist()
+        mon_np = mon_num.to_pylist()
+        day_np = pc.struct_field(named, "day").to_pylist()
+        y_np = pc.struct_field(named, "y").to_pylist()
+        best = []
+        for mt, io, mn, day, y in zip(meta_np, iso_np, mon_np, day_np, y_np):
+            if mt:
+                best.append(mt)
+            elif io:
+                best.append(io)
+            elif mn is not None:
+                best.append(f"{y}-{int(mn):02d}-{int(day):02d}")
+            else:
+                best.append("")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "n_dates": n_dates,
+                "best_date": pa.array(best, pa.string()),
+            },
+            schema=_DATE_SCHEMA,
+        )
+
+    return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")

@@ -6748,6 +6748,39 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_date_extract_priority(ray_session, tmp_path):
+    """date_extract: meta beats ISO beats textual; textual converts
+    with zero-padding; candidate counting sees all forms; dateless
+    docs report ''. doc_ids chosen so each % 4 class appears with
+    hand-computable month/day seeds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import date_extract
+
+    # text of doc 8 additionally carries its own ISO date: the meta
+    # tag must still win, and n_dates must count both
+    texts = {
+        8: "see 2019-12-31 notes",  # %4==0: meta seeded (m=9, d=9)
+        5: "plain words",           # %4==1: textual (June 6, 2022)
+        6: "changelog host",        # %4==2: ISO (2021-07-07)
+        7: "no dates here",         # %4==3: nothing
+    }
+    sf = tmp_path / "dates"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }),
+        sf / "documents.parquet",
+    )
+    rows = {r["doc_id"]: r for r in date_extract(str(sf)).take_all()}
+    assert rows[8]["best_date"] == "2023-09-09" and rows[8]["n_dates"] == 2
+    assert rows[5]["best_date"] == "2022-06-06" and rows[5]["n_dates"] == 1
+    assert rows[6]["best_date"] == "2021-07-07" and rows[6]["n_dates"] == 1
+    assert rows[7]["best_date"] == "" and rows[7]["n_dates"] == 0
+
+
 def test_charset_sniff_kernel(ray_session, tmp_path):
     """charset_sniff: the byte-level kernel distinguishes the four
     encodings on a crafted corpus — BOMs win, bare UTF-8 validates,
