@@ -1046,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "dedup_simhash_clusters": dedup.dedup_simhash_clusters,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_recall_eval": dedup.minhash_recall_eval,
         "substring_dedup": dedup.substring_dedup,
         "cdc_dedup": dedup.cdc_dedup,
         "cdc_delta": dedup.cdc_delta,
@@ -6517,6 +6518,33 @@ def oracle_sql() -> dict[str, str]:
     # index; the oracle is therefore the same query verbatim.
     out["graph_ann_warm"] = out["graph_ann_search"]
     out["cdc_delta"] = _cdc_delta_sql()
+    # Composed verbatim from the exact-Jaccard and MinHash oracles so
+    # the audit can never drift from the ops it audits.
+    out["minhash_recall_eval"] = f"""
+        WITH e AS (
+          SELECT left_id, right_id FROM ({out["ngram_jaccard_pairs"]})
+          WHERE jaccard_sim >= 0.7
+        ), m AS (
+          SELECT left_id, right_id FROM ({out["dedup_minhash_lsh"]})
+          WHERE left_id < 300 AND right_id < 300
+        ), c AS (
+          SELECT count(*) AS n FROM e JOIN m USING (left_id, right_id)
+        ), s AS (
+          SELECT (SELECT count(*) FROM e) AS n_exact,
+                 (SELECT count(*) FROM m) AS n_est,
+                 (SELECT n FROM c) AS n_common
+        )
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_est AS BIGINT) AS n_est,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(CASE WHEN n_exact = 0 THEN 1000000
+                         ELSE 1000000 * n_common // n_exact END AS BIGINT)
+                 AS recall_e6,
+               CAST(CASE WHEN n_est = 0 THEN 1000000
+                         ELSE 1000000 * n_common // n_est END AS BIGINT)
+                 AS precision_e6
+        FROM s
+    """
     out["script_profile"] = _script_profile_sql()
     out["date_extract"] = _date_extract_sql()
     # Composed from the two quality oracles verbatim, so filter,

@@ -2363,3 +2363,79 @@ def cdc_delta(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(_finish, batch_format="pyarrow").sort("doc_id")
+
+
+_MINHASH_EVAL_SCHEMA = pa.schema(
+    [
+        ("n_exact", pa.int64()),
+        ("n_est", pa.int64()),
+        ("n_common", pa.int64()),
+        ("recall_e6", pa.int64()),
+        ("precision_e6", pa.int64()),
+    ]
+)
+
+
+def minhash_recall_eval(sf_dir: str, max_doc_id: int = 300) -> ray.data.Dataset:
+    """Approximation audit of the MinHash near-dup path — the text-side
+    counterpart of ``lsh_recall_eval``: on the bounded ``doc_id <
+    max_doc_id`` subset where exact shingle Jaccard is computable
+    (``ngram_jaccard_pairs``), compare ``dedup_minhash_lsh``'s pairs
+    at the same 0.7 threshold. Unlike the LSH path (which
+    exact-verifies candidates, so precision is 1 by construction),
+    MinHash ACCEPTS by its signature estimate — both recall (true
+    pairs the bands+estimate missed) and precision (estimate-accepted
+    pairs below the true threshold) can degrade, so this op reports
+    both.
+
+    Frozen rules: exact-qualified pairs are the ``ngram_jaccard_pairs``
+    output (3-gram word shingles) filtered to ``jaccard_sim >= 0.7``;
+    estimated pairs are the default ``dedup_minhash_lsh`` output
+    (threshold 0.7) restricted to the subset; ``recall_e6 =
+    (1e6·n_common) // n_exact`` and ``precision_e6 = (1e6·n_common)
+    // n_est`` (1e6 when the denominator is 0). One output row.
+
+    Scale shape: both inputs are existing distributed operators; the
+    intersection is the ``lsh_recall_eval`` union + pair-keyed count
+    (no join actors); only five counters reach the driver.
+    """
+    from .grouped import reduce_by_keys
+
+    exact = ngram_jaccard_pairs(sf_dir, max_doc_id=max_doc_id).filter(
+        expr="jaccard_sim >= 0.7"
+    )
+    est = (
+        dedup_minhash_lsh(sf_dir)
+        .filter(expr=f"left_id < {max_doc_id}")
+        .filter(expr=f"right_id < {max_doc_id}")
+    )
+    keys = lambda ds: ds.map_batches(  # noqa: E731
+        lambda b: b.select(["left_id", "right_id"]), batch_format="pyarrow"
+    )
+    n_exact = exact.count()
+    n_est = est.count()
+    if n_exact and n_est:
+        both = reduce_by_keys(
+            keys(exact).union(keys(est)),
+            ["left_id", "right_id"],
+            None,
+            "count",
+            out="n_sides",
+        )
+        n_common = both.filter(expr="n_sides >= 2").count()
+    else:
+        n_common = 0
+    recall = (1_000_000 * n_common) // n_exact if n_exact else 1_000_000
+    precision = (1_000_000 * n_common) // n_est if n_est else 1_000_000
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_exact": [n_exact],
+                "n_est": [n_est],
+                "n_common": [n_common],
+                "recall_e6": [recall],
+                "precision_e6": [precision],
+            },
+            schema=_MINHASH_EVAL_SCHEMA,
+        )
+    )

@@ -6748,6 +6748,39 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_minhash_recall_eval(ray_session):
+    """minhash_recall_eval: counts and e6 ratios equal a direct
+    recomputation from the two constituent ops' own outputs on
+    sf0.001, and the audit's whole point holds — MinHash at 64 perms
+    finds the (near-)duplicate mass (high recall) on this corpus."""
+    from smart_ocr_ray.ops.dedup import (
+        dedup_minhash_lsh,
+        minhash_recall_eval,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in ngram_jaccard_pairs(sf).take_all()
+        if r["jaccard_sim"] >= 0.7
+    }
+    est = {
+        (r["left_id"], r["right_id"])
+        for r in dedup_minhash_lsh(sf).take_all()
+        if r["left_id"] < 300 and r["right_id"] < 300
+    }
+    common = len(exact & est)
+    (row,) = minhash_recall_eval(sf).take_all()
+    assert (row["n_exact"], row["n_est"], row["n_common"]) == (
+        len(exact), len(est), common)
+    assert row["recall_e6"] == (
+        1_000_000 * common // len(exact) if exact else 1_000_000)
+    assert row["precision_e6"] == (
+        1_000_000 * common // len(est) if est else 1_000_000)
+    assert row["n_exact"] > 0 and row["recall_e6"] >= 800_000
+
+
 def test_date_extract_priority(ray_session, tmp_path):
     """date_extract: meta beats ISO beats textual; textual converts
     with zero-padding; candidate counting sees all forms; dateless
