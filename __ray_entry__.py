@@ -1077,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse": similarity.rrf_fuse,
         "bitext_mine": similarity.bitext_mine,
         "lsh_recall_eval": similarity.lsh_recall_eval,
+        "coreset_greedy": similarity.coreset_greedy,
         "cluster_quality": similarity.cluster_quality,
         "graph_pagerank": graph.graph_pagerank,
         # --- relational / windowed ---
@@ -2868,6 +2869,63 @@ def _compression_quality_sql() -> str:
                     THEN 0 ELSE 1 END AS BIGINT) AS keep
         FROM read_parquet('{_zlib_golden_path(_ORACLE_SF)}/zlibq.parquet')
     """
+
+
+def _coreset_greedy_sql(k: int = 5, max_vec_id: int = 400) -> str:
+    """Oracle for ``coreset_greedy``: the submodular greedy unrolled
+    round by round (the graph_ann_search unrolling technique) — each
+    round scores every unselected candidate's NEW objective over the
+    e3 similarity grid, picks by (obj desc, vec_id asc), and updates
+    the per-point coverage table."""
+    parts = [
+        f"""
+        sub AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {max_vec_id}
+        ), sims AS (
+          SELECT a.vec_id AS p, b.vec_id AS c,
+                 CAST(round(1000 * list_cosine_similarity(
+                        a.embedding, b.embedding)) AS BIGINT) AS e3
+          FROM sub a CROSS JOIN sub b
+        ), cur_0 AS (
+          SELECT vec_id AS p, CAST(-1000 AS BIGINT) AS cur FROM sub
+        ), base AS (SELECT sum(cur) AS obj FROM cur_0)"""
+    ]
+    for t in range(1, k + 1):
+        exclude = (
+            "AND s.c NOT IN ("
+            + " UNION ALL ".join(f"SELECT c FROM pick_{i}" for i in range(1, t))
+            + ")"
+            if t > 1
+            else ""
+        )
+        parts.append(
+            f"""
+        g_{t} AS (
+          SELECT s.c, sum(greatest(kk.cur, s.e3)) AS obj
+          FROM sims s JOIN cur_{t - 1} kk ON s.p = kk.p
+          WHERE TRUE {exclude}
+          GROUP BY s.c
+        ), pick_{t} AS (
+          SELECT c, obj FROM g_{t} ORDER BY obj DESC, c ASC LIMIT 1
+        ), cur_{t} AS (
+          SELECT kk.p, greatest(kk.cur, s.e3) AS cur
+          FROM cur_{t - 1} kk
+          JOIN sims s ON s.p = kk.p
+          JOIN pick_{t} ON s.c = pick_{t}.c
+        )"""
+        )
+    selects = []
+    for t in range(1, k + 1):
+        prev = "base" if t == 1 else f"pick_{t - 1}"
+        selects.append(
+            f"""
+        SELECT {t} AS step, c AS vec_id,
+               CAST(obj - (SELECT obj FROM {prev}) AS BIGINT) AS gain,
+               CAST(obj AS BIGINT) AS objective
+        FROM pick_{t}"""
+        )
+    return "WITH " + ",".join(parts) + " UNION ALL ".join(selects)
 
 
 def _script_profile_sql() -> str:
@@ -6547,6 +6605,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["script_profile"] = _script_profile_sql()
     out["date_extract"] = _date_extract_sql()
+    out["coreset_greedy"] = _coreset_greedy_sql()
     # Composed from the two quality oracles verbatim, so filter,
     # classifier and agreement can never drift apart. kappa uses
     # toward-zero division (DuckDB // truncates negatives).

@@ -1989,3 +1989,83 @@ def semantic_decontam(
         .map_batches(_flag, batch_format="pyarrow"),
         out_schema,
     )
+
+
+_CORESET_SCHEMA = pa.schema(
+    [
+        ("step", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("gain", pa.int64()),
+        ("objective", pa.int64()),
+    ]
+)
+
+
+def coreset_greedy(
+    sf_dir: str, k: int = 5, max_vec_id: int = 400
+) -> ray.data.Dataset:
+    """Greedy facility-location coreset selection — the submodular
+    data-selection classic (Nemhauser et al. 1978 greedy, the
+    "craig"/"facility location" shape modern subset-selection papers
+    build on): pick ``k`` representatives maximizing ``F(S) = Σ_p
+    max_{s∈S} cos(p, s)``, the objective whose maximizers cover the
+    embedding space. ``embedding_kmeans`` + ``semdedup_sample`` are
+    the corpus-scale selection paths; this is the AUDIT-scale exact
+    op on the bounded ``vec_id < max_vec_id`` subset (the
+    ``ngram_jaccard_pairs`` discipline — bounded by construction,
+    driver compute documented), whose oracle runs the SAME greedy
+    unrolled round by round in SQL.
+
+    Frozen rules: similarities on the e3 integer grid
+    (``round(1000·cos)``, the ``ann_cosine_topk`` float-safety
+    precedent — summed objectives are then exact ints); the empty-set
+    coverage of a point is -1000 (the grid minimum); each round picks
+    the unselected candidate maximizing the NEW objective, ties by
+    vec_id ascending. Output one row per round: (step 1..k, vec_id,
+    gain = objective_t - objective_{t-1}, objective).
+    """
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = np.asarray(table.column("vec_id").to_pylist()) < max_vec_id
+    ids = np.asarray(table.column("vec_id").to_pylist())[mask]
+    order = np.argsort(ids)
+    ids = ids[order].astype(np.int64)
+    emb = np.asarray(
+        [np.asarray(e, np.float64) for e in table.column("embedding").to_pylist()]
+    )[mask][order]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    emb = emb / norms
+    sims = np.round(1000.0 * (emb @ emb.T)).astype(np.int64)  # (n, n) e3
+
+    n = len(ids)
+    cur = np.full(n, -1000, np.int64)
+    selected: list[int] = []
+    rows = []
+    prev_obj = int(cur.sum())
+    sel_mask = np.zeros(n, bool)
+    for step in range(1, min(k, n) + 1):
+        # objective if candidate c joins: sum(max(cur, sims[:, c]))
+        objs = np.maximum(cur[:, None], sims).sum(axis=0)
+        objs[sel_mask] = np.iinfo(np.int64).min
+        best = int(np.flatnonzero(objs == objs.max())[0])  # ids sorted → min id
+        sel_mask[best] = True
+        new_obj = int(objs[best])
+        rows.append((step, int(ids[best]), new_obj - prev_obj, new_obj))
+        cur = np.maximum(cur, sims[:, best])
+        prev_obj = new_obj
+        selected.append(best)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "step": [r[0] for r in rows],
+                "vec_id": [r[1] for r in rows],
+                "gain": [r[2] for r in rows],
+                "objective": [r[3] for r in rows],
+            },
+            schema=_CORESET_SCHEMA,
+        )
+    )

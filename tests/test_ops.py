@@ -6748,6 +6748,41 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_coreset_greedy_submodular(ray_session):
+    """coreset_greedy: the greedy trace is valid — k distinct picks,
+    strictly increasing objective, non-increasing marginal gains (the
+    submodularity certificate for facility location), and step 1
+    picks the argmax of total similarity mass."""
+    import numpy as np
+
+    from smart_ocr_ray.ops.similarity import coreset_greedy
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(coreset_greedy(sf).take_all(), key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in rows}) == 5
+    gains = [r["gain"] for r in rows]
+    assert all(g > 0 for g in gains)
+    assert all(a >= b for a, b in zip(gains, gains[1:]))  # submodular
+    objs = [r["objective"] for r in rows]
+    assert all(o2 == o1 + g for o1, o2, g in zip(objs, objs[1:], gains[1:]))
+
+    # step-1 ground truth: argmax_c sum_p round(1000 cos(p, c))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = ids < 400
+    ids = ids[m]
+    emb = np.asarray([np.asarray(e, float) for e in t.column("embedding").to_pylist()])[m]
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    sims = np.round(1000 * emb @ emb.T).astype(np.int64)
+    best = int(ids[np.argmax(sims.sum(axis=0))])
+    assert rows[0]["vec_id"] == best
+
+
 def test_minhash_recall_eval(ray_session):
     """minhash_recall_eval: counts and e6 ratios equal a direct
     recomputation from the two constituent ops' own outputs on
