@@ -367,6 +367,15 @@ def _q_sitemap_discovery(sf_dir: str):
     return sitemap_discovery(_pages_path(sf_dir))
 
 
+def _q_redirect_resolve(sf_dir: str):
+    """3xx redirect-chain resolution over the md5-coin redirect map
+    (ops/urls.redirect_resolve): geometric chains, bounded follow
+    depth, loop-budget flag; oracle unrolls the same hops."""
+    from smart_ocr_ray.ops.urls import redirect_resolve
+
+    return redirect_resolve(_pages_path(sf_dir))
+
+
 def _q_sitemap_index(sf_dir: str):
     """Hash-sharded child sitemaps behind a REAL-parsed
     ``<sitemapindex>`` (ops/urls.sitemap_index) — the protocol's
@@ -1119,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_sniff": _q_charset_sniff,
         "sitemap_discovery": _q_sitemap_discovery,
         "sitemap_index": _q_sitemap_index,
+        "redirect_resolve": _q_redirect_resolve,
     }
 
 
@@ -2694,6 +2704,44 @@ def _sitemap_discovery_sql() -> str:
     """
 
 
+def _redirect_resolve_sql(max_hops: int = 8) -> str:
+    """Oracle for ``redirect_resolve``: the md5 redirect coin unrolled
+    ``max_hops`` rounds (a stopped chain re-tests the same url and
+    stays stopped, so no round guard is needed)."""
+    coin = "substr(md5(cur), 4, 1) IN ('0','1','2','3')"
+    chain = [
+        f"""
+        h_0 AS (
+          SELECT url,
+                 regexp_extract(url, '^([a-z]+://[^/]+)', 1) AS host,
+                 url AS cur, 0 AS hops
+          FROM read_parquet('{_pages_path(_ORACLE_SF)}/*.parquet')
+        )"""
+    ]
+    for i in range(1, max_hops + 1):
+        chain.append(
+            f"""
+        h_{i} AS (
+          SELECT url, host,
+                 CASE WHEN {coin}
+                      THEN host || '/r/' || substr(md5(cur), 5, 8)
+                      ELSE cur END AS cur,
+                 CASE WHEN {coin} THEN hops + 1 ELSE hops END AS hops
+          FROM h_{i - 1}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(chain)
+        + f"""
+        SELECT url, cur AS final_url, CAST(hops AS BIGINT) AS n_hops,
+               CAST(CASE WHEN hops = {max_hops} AND {coin}
+                    THEN 0 ELSE 1 END AS BIGINT) AS terminated
+        FROM h_{max_hops}
+    """
+    )
+
+
 def _sitemap_index_sql(n_chunks: int = 16) -> str:
     """Oracle for ``sitemap_index``: same md5 coins as
     sitemap_discovery plus the chunk digit (``md5(url)[2] %
@@ -3514,6 +3562,7 @@ def oracle_sql() -> dict[str, str]:
         corpus_dependent["sitemap_discovery"] = _sitemap_discovery_sql()
         corpus_dependent["sitemap_index"] = _sitemap_index_sql()
         corpus_dependent["compression_quality"] = _compression_quality_sql()
+        corpus_dependent["redirect_resolve"] = _redirect_resolve_sql()
         # Degree histogram composes the link_graph oracle as a CTE.
         corpus_dependent["link_degree_hist"] = f"""
             WITH lg AS ({_link_graph_oracle_sql()})

@@ -379,6 +379,10 @@ def run_bench() -> dict:
         # this single-host bench corpus the speedup vs the row above
         # IS the headroom-#2 fix being measured.
         timed("sitemap_index", lambda _sf: sitemap_index(pages_path))
+
+        from smart_ocr_ray.ops.urls import redirect_resolve
+
+        timed("redirect_resolve", lambda _sf: redirect_resolve(pages_path))
         timed("events_debounce", relational.events_debounce)
         timed("events_late", relational.events_late)
         timed("local_supplier_volume", relational.local_supplier_volume)

@@ -671,3 +671,82 @@ def sitemap_index(pages_path: str, n_chunks: int = 16) -> ray.data.Dataset:
     from ..tuning import join_partitions as _jp
 
     return map_key_groups(chunks.repartition(_jp()), "host", _per_host)
+
+
+_REDIRECT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("final_url", pa.string()),
+        ("n_hops", pa.int64()),
+        ("terminated", pa.int64()),
+    ]
+)
+
+
+def redirect_resolve(pages_path: str, max_hops: int = 8) -> ray.data.Dataset:
+    """Redirect-chain resolution — the 3xx-following step between URL
+    discovery and fetch dedup (a crawler must canonicalize through
+    redirect chains or it refetches and recounts the same page under
+    every alias; RFC 9110 §15.4 caps the follow depth exactly like
+    ``max_hops`` here).
+
+    Deterministic redirect map (the sitemap-coin discipline): a url
+    ``u`` redirects iff ``md5(u)[3]`` ∈ '0123' (a 1/4 coin, so chain
+    lengths are geometric and the corpus exercises 0..max_hops), and
+    its target is ``https://<host>/r/<md5(u)[4:12]>`` — a fresh url
+    whose own coin decides whether the chain continues. Resolution
+    follows at most ``max_hops`` redirects; ``terminated = 0`` marks
+    chains still redirecting at the cap (the crawler's redirect-loop
+    budget firing).
+
+    Output per input url, ordered by url: (url, final_url, n_hops,
+    terminated). The SQL oracle unrolls the same ``max_hops`` md5
+    rounds.
+
+    Scale shape: stateless per-batch map — per-hop md5 over the
+    still-active subset only (geometric decay: expected total hashes
+    ≈ 4/3 per url); no shuffle beyond the url-sized sort.
+    """
+    import hashlib
+    import re as _re
+
+    host_re = _re.compile(r"^([a-z]+://[^/]+)")
+
+    def _per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.column_names:
+            return _REDIRECT_SCHEMA.empty_table()
+        urls = batch.column("url").cast(pa.string()).to_pylist()
+        finals, hops, terms = [], [], []
+        for u in urls:
+            m = host_re.match(u)
+            host = m.group(1) if m else ""
+            cur = u
+            h = 0
+            while h < max_hops:
+                d = hashlib.md5(cur.encode()).hexdigest()
+                if d[3] not in "0123":
+                    break
+                cur = f"{host}/r/{d[4:12]}"
+                h += 1
+            still = (
+                h == max_hops
+                and hashlib.md5(cur.encode()).hexdigest()[3] in "0123"
+            )
+            finals.append(cur)
+            hops.append(h)
+            terms.append(0 if still else 1)
+        return pa.Table.from_pydict(
+            {
+                "url": urls,
+                "final_url": finals,
+                "n_hops": hops,
+                "terminated": terms,
+            },
+            schema=_REDIRECT_SCHEMA,
+        )
+
+    return (
+        ray.data.read_parquet(pages_path, columns=["url"])
+        .map_batches(_per_batch, batch_format="pyarrow")
+        .sort("url")
+    )

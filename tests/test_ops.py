@@ -6748,6 +6748,46 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_redirect_resolve_chains(ray_session, tmp_path):
+    """redirect_resolve: matches a Python reference chain-follow on a
+    crafted url set, chain lengths are data-dependent (the corpus
+    exercises hops 0 and >=1), and the follow-depth budget flags
+    still-redirecting chains."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.urls import redirect_resolve
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    urls = [f"https://h.test/p/{i}" for i in range(300)]
+    d = tmp_path / "rr"; d.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({"url": pa.array(urls, pa.string())}),
+        d / "p.parquet",
+    )
+
+    def ref(u, max_hops=8):
+        host = u[: u.index("/", 8)]
+        cur, h = u, 0
+        while h < max_hops and md5(cur)[3] in "0123":
+            cur = f"{host}/r/{md5(cur)[4:12]}"
+            h += 1
+        still = h == max_hops and md5(cur)[3] in "0123"
+        return cur, h, 0 if still else 1
+
+    rows = {r["url"]: r for r in redirect_resolve(str(d)).take_all()}
+    assert set(rows) == set(urls)
+    hop_counts = set()
+    for u in urls:
+        fin, h, term = ref(u)
+        r = rows[u]
+        assert (r["final_url"], r["n_hops"], r["terminated"]) == (fin, h, term)
+        hop_counts.add(h)
+    assert 0 in hop_counts and max(hop_counts) >= 2  # geometric chains
+
+
 def test_coreset_greedy_submodular(ray_session):
     """coreset_greedy: the greedy trace is valid — k distinct picks,
     strictly increasing objective, non-increasing marginal gains (the
