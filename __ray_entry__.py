@@ -1108,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late": relational.events_late,
         "local_supplier_volume": relational.local_supplier_volume,
         "incremental_hourly": relational.incremental_hourly,
+        "events_disorder": relational.events_disorder,
         "events_range_join": relational.events_range_join,
         "events_hll_hourly": relational.events_hll_hourly,
         "events_topk_per_hour": relational.events_topk_per_hour,
@@ -5571,6 +5572,27 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
               UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
             ) ORDER BY step
+        """,
+        "events_disorder": """
+            -- Out-of-orderness histogram (ops/relational.events_disorder):
+            -- lateness = max(0, running arrival-order max ts - ts),
+            -- exact integer microseconds, five severity buckets whose
+            -- rank-prefixed names sort in severity order.
+            WITH a AS (
+              SELECT greatest(
+                       coalesce(max(epoch_us(ts)) OVER (
+                         ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), epoch_us(ts)) - epoch_us(ts), 0) AS lat
+              FROM events
+            )
+            SELECT CASE WHEN lat = 0 THEN '0_on_time'
+                        WHEN lat < 60000000 THEN '1_lt_1m'
+                        WHEN lat < 3600000000 THEN '2_lt_1h'
+                        WHEN lat < 86400000000 THEN '3_lt_1d'
+                        ELSE '4_ge_1d' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM a GROUP BY 1
         """,
         "charset_sniff": """
             -- Charset sniffing vs constructed ground truth

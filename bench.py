@@ -387,6 +387,7 @@ def run_bench() -> dict:
         timed("events_late", relational.events_late)
         timed("local_supplier_volume", relational.local_supplier_volume)
         timed("incremental_hourly", relational.incremental_hourly)
+        timed("events_disorder", relational.events_disorder)
 
     ray.shutdown()
 

@@ -1657,49 +1657,29 @@ _LATE_SCHEMA = pa.schema(
 )
 
 
-def events_late(
-    sf_dir: str,
-    delay_s: int = 1800,
-    allowed_s: int = 3600,
-    seg_size: int | None = None,
+def _arrival_lateness(
+    sf_dir: str, seg_size: int | None = None
 ) -> ray.data.Dataset:
-    """Watermark / late-data accounting — the Dataflow-model semantic
-    (Akidau et al., VLDB 2015) the window family above doesn't touch:
-    a stream processor tracks a WATERMARK (its belief that all events
-    with ts below it have arrived) and classifies each arrival against
-    it; late events trigger window retractions, and events later than
-    the allowed lateness are dropped. This op replays the bounded log
-    in arrival order and reports, per tumbling window, how much of its
-    content a streaming engine would have seen on time.
+    """Shared watermark machinery: per event, its LATENESS in exact
+    integer microseconds — ``max(0, max(ts of strictly earlier
+    arrivals) - ts)`` with ``event_id`` ascending as the arrival
+    order (the first arrival has lateness 0). Consumed by
+    ``events_late`` (threshold classification) and
+    ``events_disorder`` (the lateness histogram).
 
-    Frozen rules (mirrored exactly by the SQL oracle): ``event_id``
-    ascending IS the arrival order; the watermark at an arrival is
-    ``max(ts of strictly earlier arrivals) - delay_s`` (heuristic
-    bounded-disorder watermark; the first arrival is never late); an
-    event is LATE iff ``ts < watermark`` and DROPPED iff ``ts <
-    watermark - allowed_s`` (dropped ⊆ late). Rollup per (event_type,
-    hour(ts)) ordered by both: (n_events, n_late, n_dropped) —
-    exact integer microsecond comparisons throughout.
-
-    Scale shape — a distributed prefix max (the ``token_packing``
-    prefix-sum discipline, VALUE-keyed because physical block
-    boundaries are not stable across executions): events fall into
-    ``event_id // S`` segments (S sized so the segment table is
-    <= 65536 entries whatever the corpus; each segment is one
-    ``map_key_groups`` group, whose co-location the groupby machinery
-    guarantees). Pass 1 folds per-block (segment, max_ts) partials —
-    bounded by segments + blocks, never rows — into an exclusive
-    per-segment watermark seed table, broadcast once; pass 2 is ONE
-    segment-keyed shuffle with a vectorized in-group running max +
-    flag + per-window partial; a small grouped aggregate finishes.
+    Distributed prefix max, VALUE-keyed (the token_packing prefix-sum
+    discipline; physical block boundaries are not stable across
+    executions, see BASELINE.md): ``event_id // seg_size`` segments —
+    each one ``map_key_groups`` group whose co-location the range
+    sort guarantees — with per-block (segment, max_ts) partials
+    folded on the driver (bounded by segments + blocks, never rows)
+    into broadcast exclusive seeds; the in-group exclusive running
+    max accumulates THROUGH the seed.
     """
     import numpy as np
-    import pyarrow.compute as pc
 
     from .grouped import map_key_groups
 
-    delay_us = int(delay_s) * 1_000_000
-    allowed_us = int(allowed_s) * 1_000_000
     SENTINEL = -(1 << 62)
 
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
@@ -1752,37 +1732,89 @@ def events_late(
         run = max(run, seg_max[s])
     seeds_ref = ray.put(seeds)
 
-    flag_schema = pa.schema(
+    out_schema = pa.schema(
         [
             ("event_type", pa.string()),
-            ("window_start", pa.timestamp("us")),
-            ("late", pa.int64()),
-            ("dropped", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("lateness_us", pa.int64()),
         ]
     )
 
-    def _seg_flags(group: pa.Table) -> pa.Table:
+    def _seg_lateness(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return flag_schema.empty_table()
+            return out_schema.empty_table()
         g = group.sort_by([("event_id", "ascending")]).combine_chunks()
         tus = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         seed = ray.get(seeds_ref)[int(g.column("seg")[0].as_py())]
         # exclusive running max SEEDED by the prior segments' max —
         # accumulating through the seed, not just placing it at row 0
         hi_excl = np.maximum.accumulate(np.concatenate(([seed], tus)))[:-1]
-        late = tus < hi_excl - delay_us
-        dropped = tus < hi_excl - delay_us - allowed_us
+        lateness = np.maximum(hi_excl - tus, 0)
         return pa.Table.from_arrays(
-            [
-                g.column("event_type"),
-                pc.floor_temporal(g.column("ts"), unit="hour"),
-                pa.array(late.astype(np.int64)),
-                pa.array(dropped.astype(np.int64)),
-            ],
-            schema=flag_schema,
+            [g.column("event_type"), g.column("ts"), pa.array(lateness)],
+            schema=out_schema,
         )
 
-    flagged = map_key_groups(slim, "seg", _seg_flags)
+    return map_key_groups(slim, "seg", _seg_lateness)
+
+
+def events_late(
+    sf_dir: str,
+    delay_s: int = 1800,
+    allowed_s: int = 3600,
+    seg_size: int | None = None,
+) -> ray.data.Dataset:
+    """Watermark / late-data accounting — the Dataflow-model semantic
+    (Akidau et al., VLDB 2015) the window family above doesn't touch:
+    a stream processor tracks a WATERMARK (its belief that all events
+    with ts below it have arrived) and classifies each arrival against
+    it; late events trigger window retractions, and events later than
+    the allowed lateness are dropped. This op replays the bounded log
+    in arrival order and reports, per tumbling window, how much of its
+    content a streaming engine would have seen on time.
+
+    Frozen rules (mirrored exactly by the SQL oracle): ``event_id``
+    ascending IS the arrival order; the watermark at an arrival is
+    ``max(ts of strictly earlier arrivals) - delay_s`` (heuristic
+    bounded-disorder watermark; the first arrival is never late); an
+    event is LATE iff ``ts < watermark`` — equivalently lateness >
+    delay — and DROPPED iff ``ts < watermark - allowed_s`` (dropped ⊆
+    late). Rollup per (event_type, hour(ts)) ordered by both:
+    (n_events, n_late, n_dropped) — exact integer microseconds.
+
+    Scale shape: the ``_arrival_lateness`` value-keyed distributed
+    prefix max (see its docstring), then a stateless threshold map
+    and the standard partial-combined grouped aggregate.
+    """
+    import pyarrow.compute as pc
+
+    delay_us = int(delay_s) * 1_000_000
+    allowed_us = int(allowed_s) * 1_000_000
+
+    lateness = _arrival_lateness(sf_dir, seg_size)
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("window_start", pa.timestamp("us")),
+                    ("late", pa.int64()),
+                    ("dropped", pa.int64()),
+                ]
+            ).empty_table()
+        lat = batch.column("lateness_us")
+        return pa.Table.from_arrays(
+            [
+                batch.column("event_type"),
+                pc.floor_temporal(batch.column("ts"), unit="hour"),
+                pc.cast(pc.greater(lat, delay_us), pa.int64()),
+                pc.cast(pc.greater(lat, delay_us + allowed_us), pa.int64()),
+            ],
+            names=["event_type", "window_start", "late", "dropped"],
+        )
+
+    flagged = lateness.map_batches(_flags, batch_format="pyarrow")
     agg = _partial_then_final(
         flagged,
         keys=["event_type", "window_start"],
@@ -1803,9 +1835,61 @@ def events_late(
     )
 
 
-_LSV_SCHEMA = pa.schema([("n_name", pa.string()), ("revenue", pa.float64())])
+_DISORDER_SCHEMA = pa.schema(
+    [("bucket", pa.string()), ("n_events", pa.int64())]
+)
+
+_DISORDER_BUCKETS = ("0_on_time", "1_lt_1m", "2_lt_1h", "3_lt_1d", "4_ge_1d")
 
 
+def events_disorder(sf_dir: str) -> ray.data.Dataset:
+    """Out-of-orderness profile of the event log — the measurement a
+    stream-pipeline owner runs BEFORE choosing the watermark delay
+    ``events_late`` then applies (pick the delay covering, say, the
+    99.9th lateness percentile; Dataflow-model practice): a histogram
+    of per-event lateness vs the running arrival-order maximum.
+
+    Frozen buckets over exact integer microseconds (mirrored by the
+    SQL oracle): lateness 0 → '0_on_time'; < 1 min → '1_lt_1m';
+    < 1 h → '2_lt_1h'; < 1 d → '3_lt_1d'; else '4_ge_1d'. Output one
+    row per non-empty bucket ordered by bucket (names carry a rank
+    prefix so the sort IS the severity order).
+
+    Scale shape: ``_arrival_lateness`` (ONE segment-keyed shuffle) +
+    a five-bin per-block bincount into a tiny grouped sum.
+    """
+    import numpy as np
+
+    lateness = _arrival_lateness(sf_dir)
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _DISORDER_SCHEMA.empty_table()
+        lat = batch.column("lateness_us").to_numpy(zero_copy_only=False)
+        idx = np.select(
+            [lat == 0, lat < 60_000_000, lat < 3_600_000_000,
+             lat < 86_400_000_000],
+            [0, 1, 2, 3],
+            default=4,
+        )
+        counts = np.bincount(idx, minlength=5)
+        keep = counts > 0
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(
+                    [b for b, k in zip(_DISORDER_BUCKETS, keep) if k]
+                ),
+                "n_events": pa.array(counts[keep].astype(np.int64)),
+            },
+            schema=_DISORDER_SCHEMA,
+        )
+
+    from .grouped import reduce_by_keys
+
+    partials = lateness.map_batches(_bucketize, batch_format="pyarrow")
+    return reduce_by_keys(
+        partials, ["bucket"], "n_events", how="sum", out="n_events"
+    ).sort("bucket")
 def local_supplier_volume(
     sf_dir: str, region: str = "ASIA", date_lo: str = "1996-01-01",
     date_hi: str = "1997-01-01",

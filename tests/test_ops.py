@@ -7287,6 +7287,48 @@ def test_events_late_watermark(ray_session, tmp_path):
     assert got3 == ref
 
 
+def test_events_disorder_buckets(ray_session, tmp_path):
+    """events_disorder: every severity bucket fires on a crafted
+    arrival log (on-time, sub-minute, sub-hour, sub-day, >= 1 day)
+    with hand-computed counts; bucket names sort in severity order."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.relational import events_disorder
+
+    t0 = dt.datetime(2024, 1, 2)
+    rows = [  # (event_id, minutes-from-t0)
+        (1, 600.0),    # first -> on_time
+        (2, 585.0),    # 15 min late -> 2_lt_1h
+        (3, 480.0),    # 2 h late -> 3_lt_1d
+        (4, 630.0),    # new max -> on_time
+        (5, 629.5),    # 30 s late -> 1_lt_1m
+        (6, -870.0),   # 25 h late -> 4_ge_1d
+    ]
+    sf = tmp_path / "dis"; sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pydict({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        }),
+        sf / "events.parquet",
+    )
+    got = [(r["bucket"], r["n_events"]) for r in events_disorder(str(sf)).take_all()]
+    assert got == [
+        ("0_on_time", 2), ("1_lt_1m", 1), ("2_lt_1h", 1),
+        ("3_lt_1d", 1), ("4_ge_1d", 1),
+    ]
+
+
 def test_events_debounce_chain_semantics(ray_session, tmp_path):
     """events_debounce: the kept-chain recurrence (windows restart at
     each KEPT event) on a crafted burst — distinguishes the chain rule
