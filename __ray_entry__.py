@@ -1087,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_mine": similarity.bitext_mine,
         "lsh_recall_eval": similarity.lsh_recall_eval,
         "coreset_greedy": similarity.coreset_greedy,
+        "kcenter_greedy": similarity.kcenter_greedy,
         "cluster_quality": similarity.cluster_quality,
         "graph_pagerank": graph.graph_pagerank,
         # --- relational / windowed ---
@@ -2972,6 +2973,60 @@ def _coreset_greedy_sql(k: int = 5, max_vec_id: int = 400) -> str:
         SELECT {t} AS step, c AS vec_id,
                CAST(obj - (SELECT obj FROM {prev}) AS BIGINT) AS gain,
                CAST(obj AS BIGINT) AS objective
+        FROM pick_{t}"""
+        )
+    return "WITH " + ",".join(parts) + " UNION ALL ".join(selects)
+
+
+def _kcenter_greedy_sql(k: int = 5, max_vec_id: int = 400) -> str:
+    """Oracle for ``kcenter_greedy``: Gonzalez unrolled — seed = min
+    vec_id, then each round the unselected point with the LOWEST max
+    similarity to the centers (ties id asc), coverage table updated
+    per round."""
+    parts = [
+        f"""
+        sub AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {max_vec_id}
+        ), sims AS (
+          SELECT a.vec_id AS p, b.vec_id AS c,
+                 CAST(round(1000 * list_cosine_similarity(
+                        a.embedding, b.embedding)) AS BIGINT) AS e3
+          FROM sub a CROSS JOIN sub b
+        ), pick_1 AS (SELECT min(vec_id) AS c FROM sub),
+        cur_1 AS (
+          SELECT s.p, s.e3 AS cur
+          FROM sims s JOIN pick_1 ON s.c = pick_1.c
+        )"""
+    ]
+    for t in range(2, k + 1):
+        exclude = " UNION ALL ".join(
+            f"SELECT c FROM pick_{i}" for i in range(1, t)
+        )
+        parts.append(
+            f"""
+        pick_{t} AS (
+          SELECT p AS c, cur AS nearest FROM cur_{t - 1}
+          WHERE p NOT IN ({exclude})
+          ORDER BY cur ASC, p ASC LIMIT 1
+        ), cur_{t} AS (
+          SELECT kk.p, greatest(kk.cur, s.e3) AS cur
+          FROM cur_{t - 1} kk
+          JOIN sims s ON s.p = kk.p
+          JOIN pick_{t} ON s.c = pick_{t}.c
+        )"""
+        )
+    selects = [
+        """
+        SELECT 1 AS step, c AS vec_id,
+               CAST(-1000 AS BIGINT) AS nearest_sim_e3
+        FROM pick_1"""
+    ]
+    for t in range(2, k + 1):
+        selects.append(
+            f"""
+        SELECT {t} AS step, c AS vec_id,
+               CAST(nearest AS BIGINT) AS nearest_sim_e3
         FROM pick_{t}"""
         )
     return "WITH " + ",".join(parts) + " UNION ALL ".join(selects)
@@ -6677,6 +6732,7 @@ def oracle_sql() -> dict[str, str]:
     out["script_profile"] = _script_profile_sql()
     out["date_extract"] = _date_extract_sql()
     out["coreset_greedy"] = _coreset_greedy_sql()
+    out["kcenter_greedy"] = _kcenter_greedy_sql()
     # Composed from the two quality oracles verbatim, so filter,
     # classifier and agreement can never drift apart. kappa uses
     # toward-zero division (DuckDB // truncates negatives).

@@ -180,6 +180,7 @@ def run_bench() -> dict:
         timed("graph_ann_warm", similarity.graph_ann_search)
         timed("embedding_kmeans", similarity.embedding_kmeans)
         timed("coreset_greedy", similarity.coreset_greedy)
+        timed("kcenter_greedy", similarity.kcenter_greedy)
         timed("doc_quality", text_analysis.quality)
         timed("readability", text_analysis.readability)
         timed("gopher_rules", text_analysis.gopher_rules)

@@ -2069,3 +2069,74 @@ def coreset_greedy(
             schema=_CORESET_SCHEMA,
         )
     )
+
+
+_KCENTER_SCHEMA = pa.schema(
+    [
+        ("step", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("nearest_sim_e3", pa.int64()),
+    ]
+)
+
+
+def kcenter_greedy(
+    sf_dir: str, k: int = 5, max_vec_id: int = 400
+) -> ray.data.Dataset:
+    """Gonzalez k-center greedy — the DIVERSITY-objective sibling of
+    ``coreset_greedy`` (which maximizes coverage mass): each round
+    picks the point FARTHEST from the selected set, the 2-approximate
+    minimizer of the k-center radius (Gonzalez 1985) and the standard
+    recipe for diverse eval/probe sets. Audit-scale exact on the
+    bounded ``vec_id < max_vec_id`` subset, same e3 grid and
+    unrolled-SQL oracle technique as ``coreset_greedy``.
+
+    Frozen rules: center 1 is the LOWEST vec_id in the subset (the
+    deterministic "arbitrary" seed); thereafter pick the unselected
+    point MINIMIZING its max similarity to the selected centers
+    (cosine is a similarity, so farthest = least similar), ties by
+    vec_id ascending. Output per round: (step, vec_id,
+    nearest_sim_e3 = the pick's max similarity to the EXISTING
+    centers; -1000 sentinel for the seed round). ``nearest_sim_e3``
+    is non-decreasing over rounds — the radius-shrinking certificate
+    the pytest pins.
+    """
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_ids = np.asarray(table.column("vec_id").to_pylist())
+    mask = all_ids < max_vec_id
+    ids = all_ids[mask]
+    order = np.argsort(ids)
+    ids = ids[order].astype(np.int64)
+    emb = np.asarray(
+        [np.asarray(e, np.float64) for e in table.column("embedding").to_pylist()]
+    )[mask][order]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    emb = emb / norms
+    sims = np.round(1000.0 * (emb @ emb.T)).astype(np.int64)
+
+    n = len(ids)
+    rows = [(1, int(ids[0]), -1000)]
+    cur = sims[:, 0].copy()  # max sim to selected, per point
+    sel = np.zeros(n, bool)
+    sel[0] = True
+    for step in range(2, min(k, n) + 1):
+        masked = np.where(sel, np.iinfo(np.int64).max, cur)
+        best = int(np.flatnonzero(masked == masked.min())[0])  # ids asc
+        rows.append((step, int(ids[best]), int(cur[best])))
+        sel[best] = True
+        cur = np.maximum(cur, sims[:, best])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "step": [r[0] for r in rows],
+                "vec_id": [r[1] for r in rows],
+                "nearest_sim_e3": [r[2] for r in rows],
+            },
+            schema=_KCENTER_SCHEMA,
+        )
+    )

@@ -6748,6 +6748,38 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_kcenter_greedy_diversity(ray_session):
+    """kcenter_greedy: valid Gonzalez trace — seed is the lowest
+    vec_id, picks are distinct, nearest_sim is non-decreasing (each
+    new center is the farthest remaining point, so gaps only close),
+    and step 2 is the true argmin of similarity to the seed."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.similarity import kcenter_greedy
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(kcenter_greedy(sf).take_all(), key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in rows}) == 5
+    sims_seq = [r["nearest_sim_e3"] for r in rows[1:]]
+    assert all(a <= b for a, b in zip(sims_seq, sims_seq[1:]))
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    m = ids < 400
+    ids = ids[m]
+    emb = np.asarray([np.asarray(e, float) for e in t.column("embedding").to_pylist()])[m]
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    assert rows[0]["vec_id"] == int(ids[0])
+    s0 = np.round(1000 * emb @ emb[0]).astype(np.int64)
+    s0[0] = np.iinfo(np.int64).max
+    assert rows[1]["vec_id"] == int(ids[np.argmin(s0)])
+    assert rows[1]["nearest_sim_e3"] == int(s0.min())
+
+
 def test_redirect_resolve_chains(ray_session, tmp_path):
     """redirect_resolve: matches a Python reference chain-follow on a
     crafted url set, chain lengths are data-dependent (the corpus
