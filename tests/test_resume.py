@@ -318,3 +318,45 @@ def test_compaction_transparent_to_extraction(ray_session, fixture_parquet, tmp_
     )
     assert summary["n_shards"] >= 2  # genuinely merged layout
     assert keyset(str(src)) == keyset(str(compacted))
+
+
+def test_transient_udf_failure_retries_exactly_once_semantics(ray_session, tmp_path):
+    """Infra-retry correctness: a map_batches UDF that fails ONCE per
+    input block (simulated transient fault via an on-disk marker per
+    block) completes under Ray's task retry with every row present
+    exactly once — retried tasks re-run the deterministic UDF without
+    duplicating or dropping output. This is the engine property the
+    resume/lineage design assumes when it lets Ray retry tasks under a
+    partition's atomic commit."""
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    mdir = str(marker_dir)
+
+    def _flaky(batch: pa.Table) -> pa.Table:
+        import hashlib
+        import os as _os
+
+        ids = batch.column("x").to_pylist()
+        key = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
+        marker = _os.path.join(mdir, key)
+        if not _os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("injected transient fault")
+        return pa.table({"x": batch.column("x"),
+                         "y": pa.table({"x": batch.column("x")}).column("x")})
+
+    ds = (
+        ray.data.from_arrow(pa.table({"x": pa.array(range(1000), pa.int64())}))
+        .repartition(8)
+        .map_batches(_flaky, batch_format="pyarrow", batch_size=None,
+                     max_retries=3, retry_exceptions=True)
+    )
+    rows = sorted(r["x"] for r in ds.take_all())
+    assert rows == list(range(1000))
+    # every block hit the fault exactly once before succeeding
+    assert len(os.listdir(mdir)) == 8
