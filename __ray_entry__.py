@@ -958,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_quality": text_analysis.compression_quality,
         "classifier_agreement": text_analysis.classifier_agreement,
         "date_extract": text_analysis.date_extract,
+        "corpus_drift": text_analysis.corpus_drift,
         "doc_quality": text_analysis.quality,
         "gopher_rules": text_analysis.gopher_rules,
         "lang_id": text_analysis.lang_id,
@@ -5627,6 +5628,45 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
               UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
             ) ORDER BY step
+        """,
+        "corpus_drift": """
+            -- Token-distribution drift between even/odd doc_id halves
+            -- (ops/text_analysis.corpus_drift): exact total variation
+            -- via cross-multiplied counts, HUGEINT until the single
+            -- final floor division onto the e6 grid.
+            WITH t AS (
+              SELECT doc_id % 2 AS side,
+                     unnest(list_filter(str_split_regex(
+                       lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ), p AS (
+              SELECT tok,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2
+              FROM t GROUP BY tok
+            ), n AS (
+              SELECT sum(c1) AS n1, sum(c2) AS n2,
+                     sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS v1,
+                     sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS v2,
+                     count(*) AS vu
+              FROM p
+            ), s AS (
+              SELECT sum(abs(CAST(c1 AS HUGEINT) * (SELECT n2 FROM n)
+                             - CAST(c2 AS HUGEINT) * (SELECT n1 FROM n)))
+                AS sv
+              FROM p
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_tokens_a,
+                   CAST(n2 AS BIGINT) AS n_tokens_b,
+                   CAST(v1 AS BIGINT) AS vocab_a,
+                   CAST(v2 AS BIGINT) AS vocab_b,
+                   CAST(vu AS BIGINT) AS vocab_union,
+                   CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1000000
+                        ELSE (1000000 * (SELECT sv FROM s))
+                             // (2 * CAST(n1 AS HUGEINT) * n2)
+                        END AS BIGINT) AS tv_e6
+            FROM n
         """,
         "events_disorder": """
             -- Out-of-orderness histogram (ops/relational.events_disorder):

@@ -329,6 +329,7 @@ def run_bench() -> dict:
         timed("compression_quality", text_analysis.compression_quality)
         timed("classifier_agreement", text_analysis.classifier_agreement)
         timed("date_extract", text_analysis.date_extract)
+        timed("corpus_drift", text_analysis.corpus_drift)
         timed("tokenizer_fertility", text_analysis.tokenizer_fertility)
         timed("cluster_safe_split", text_analysis.cluster_safe_split)
         timed("bigram_surprisal", text_analysis.bigram_surprisal)

@@ -5072,3 +5072,127 @@ def date_extract(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(_per_batch, batch_format="pyarrow").sort("doc_id")
+
+
+_DRIFT_SCHEMA = pa.schema(
+    [
+        ("n_tokens_a", pa.int64()),
+        ("n_tokens_b", pa.int64()),
+        ("vocab_a", pa.int64()),
+        ("vocab_b", pa.int64()),
+        ("vocab_union", pa.int64()),
+        ("tv_e6", pa.int64()),
+    ]
+)
+
+
+def corpus_drift(sf_dir: str) -> ray.data.Dataset:
+    """Distribution drift between two crawl snapshots — the monitor a
+    production pipeline runs on every ingest (data-drift detection):
+    total-variation distance between the token distributions of the
+    two halves, ``TV = ½ Σ_t |p_t - q_t|`` — 0 for identical mixes, 1
+    for disjoint vocabularies. Snapshot split is the ``bloom_dedup``
+    coin: side A = even doc_id, side B = odd.
+
+    Frozen exact arithmetic (mirrored by the SQL oracle): with
+    per-token occurrence counts c1/c2 and totals N1/N2,
+    ``tv_e6 = (1e6 · Σ_t |c1_t·N2 - c2_t·N1|) // (2·N1·N2)`` — the
+    cross-multiplied form avoids any division until the single final
+    floor. Products reach ~N² and overflow int64 at true corpus
+    scale, so the per-token accumulation uses Python big ints (the
+    SQL side uses HUGEINT); the shuffled rows themselves stay int64.
+    Output one row: (n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    vocab_union, tv_e6).
+
+    Scale shape: per-block Arrow group_by partials collapse repeats
+    before ONE (token, side) ``reduce_by_keys`` sum (text never
+    shuffles, tokens do — the ``line_dedup`` cost class); the reduced
+    table materializes once and is consumed twice (totals fold, then
+    a token-sorted block pass emitting one partial row per block);
+    only six counters reach the driver.
+    """
+    from .grouped import group_bounds, reduce_by_keys
+
+    docs = read_documents(sf_dir)
+
+    pair_schema = pa.schema(
+        [("tok", pa.string()), ("side", pa.int64()), ("c", pa.int64())]
+    )
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        toks, par = _arrow_token_stream(batch)
+        if len(toks) == 0:
+            return pair_schema.empty_table()
+        ids = batch.column("doc_id").cast(pa.int64())
+        side = pc.bit_wise_and(ids, pa.scalar(1, pa.int64()))
+        agg = (
+            pa.table({"tok": toks, "side": side.take(par)})
+            .group_by(["tok", "side"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["tok", "side", "c"]).cast(pair_schema)
+
+    counts = reduce_by_keys(
+        docs.map_batches(_pairs, batch_format="pyarrow"),
+        ["tok", "side"], "c", how="sum",
+    ).materialize()
+
+    totals = {0: 0, 1: 0}
+    for r in counts.map_batches(
+        lambda b: pa.TableGroupBy(b, "side").aggregate([("c", "sum")]),
+        batch_format="pyarrow",
+    ).take_all():
+        totals[int(r["side"])] += int(r["c_sum"])
+    n1, n2 = totals[0], totals[1]
+
+    part_schema = pa.schema(
+        [(c, pa.int64()) for c in ("s", "v1", "v2", "vu")]
+    )
+
+    def _block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return part_schema.empty_table()
+        block = block.sort_by(
+            [("tok", "ascending"), ("side", "ascending")]
+        ).combine_chunks()
+        bounds = group_bounds(block, ["tok"])
+        sides = block.column("side").to_pylist()
+        cs = block.column("c").to_pylist()
+        s = 0  # Python int: |c1*N2 - c2*N1| sums past int64 at scale
+        v1 = v2 = 0
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            c1 = c2 = 0
+            for i in range(lo, hi):
+                if sides[i] == 0:
+                    c1 += cs[i]
+                else:
+                    c2 += cs[i]
+            s += abs(c1 * n2 - c2 * n1)
+            v1 += 1 if c1 > 0 else 0
+            v2 += 1 if c2 > 0 else 0
+        return pa.Table.from_pydict(
+            {"s": [s], "v1": [v1], "v2": [v2], "vu": [len(bounds) - 1]},
+            schema=part_schema,
+        )
+
+    s = v1 = v2 = vu = 0
+    for r in counts.sort("tok").map_batches(
+        _block, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        s += int(r["s"]); v1 += int(r["v1"]); v2 += int(r["v2"]); vu += int(r["vu"])
+    tv = 1_000_000 * s // (2 * n1 * n2) if n1 and n2 else 1_000_000
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_tokens_a": [n1],
+                "n_tokens_b": [n2],
+                "vocab_a": [v1],
+                "vocab_b": [v2],
+                "vocab_union": [vu],
+                "tv_e6": [tv],
+            },
+            schema=_DRIFT_SCHEMA,
+        )
+    )

@@ -6748,6 +6748,45 @@ def test_sitemap_index_chunked(ray_session, tmp_path):
     assert out["tiny.test"]["n_sitemaps"] >= 2 - len(tiny_listed)
 
 
+def test_corpus_drift_tv(ray_session, tmp_path):
+    """corpus_drift: exact TV distance on crafted corpora — identical
+    halves give 0, disjoint vocabularies give 1e6, and a hand-built
+    mixed case matches the cross-multiplied integer formula."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import corpus_drift
+
+    def write(texts, name):
+        sf = tmp_path / name; sf.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict({
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }),
+            sf / "documents.parquet",
+        )
+        return str(sf)
+
+    # identical mixes on both sides -> TV 0
+    (r,) = corpus_drift(
+        write({0: "a b c", 1: "a b c", 2: "a b c", 3: "a b c"}, "same")
+    ).take_all()
+    assert r["tv_e6"] == 0 and r["vocab_union"] == 3
+
+    # disjoint vocabularies -> TV 1
+    (r,) = corpus_drift(write({0: "x y", 1: "p q"}, "disj")).take_all()
+    assert r["tv_e6"] == 1_000_000
+    assert (r["vocab_a"], r["vocab_b"], r["vocab_union"]) == (2, 2, 4)
+
+    # mixed: side A = 'a a b' (N1=3), side B = 'a c' (N2=2)
+    # S = |2*2-1*3| + |1*2-0| + |0-1*3| = 1 + 2 + 3 = 6
+    # TV = 6 / (2*3*2) = 0.5
+    (r,) = corpus_drift(write({0: "a a b", 1: "a c"}, "mix")).take_all()
+    assert (r["n_tokens_a"], r["n_tokens_b"]) == (3, 2)
+    assert r["tv_e6"] == 500_000
+
+
 def test_kcenter_greedy_diversity(ray_session):
     """kcenter_greedy: valid Gonzalez trace — seed is the lowest
     vec_id, picks are distinct, nearest_sim is non-decreasing (each
