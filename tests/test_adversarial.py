@@ -559,3 +559,16 @@ def test_codec_fuzz_typed_failures_only(data):
         parser(bytes(buf))
     except ValueError:
         pass  # the one allowed failure type
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_canonicalize_url_idempotent(u):
+    """Canonicalization is a projection: applying it twice equals
+    applying it once on ANY string — the property every url-keyed
+    stage (dedup, resume, link joins, redirect resolution) relies on
+    when it canonicalizes its own output and re-keys."""
+    from smart_ocr_ray.ops.urls import canonicalize_url
+
+    once = canonicalize_url(u)
+    assert canonicalize_url(once) == once
