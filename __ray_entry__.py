@@ -928,7 +928,76 @@ def _q_url_canonical(sf_dir: str):
     return url_canonical(sf_dir)
 
 
+# The external correctness gate samples the FIRST 50 entries of
+# ``queries()``.  Rounds 1-4 always sampled the catalog head, so 108 of
+# the 183 registered queries never received an external row.  Round 5
+# leads with 50 of those never-externally-checked ops (dedup block
+# passes, similarity/ANN, relational/events, multimodal decode) so the
+# gate finally covers them; every op remains registered and the repo's
+# own order-insensitive gate (scripts/check_oracles.py) still sweeps
+# all 183.
+_GATE_FIRST = [
+    "line_dedup",
+    "substring_dedup",
+    "cdc_dedup",
+    "cdc_delta",
+    "dedup_normalized",
+    "dedup_incremental_minhash",
+    "dedup_survivors",
+    "domain_dedup_stats",
+    "bloom_dedup",
+    "crawl_diff",
+    "dedup_weights",
+    "dedup_simhash_pairs",
+    "dedup_simhash_clusters",
+    "minhash_recall_eval",
+    "winnow_pairs",
+    "winnow_clusters",
+    "winnow_containment",
+    "setjoin_pairs",
+    "semantic_decontam",
+    "embedding_neardup_clusters",
+    "embedding_knn_graph",
+    "graph_ann_search",
+    "graph_ann_warm",
+    "graph_ann_recall",
+    "embedding_kmeans",
+    "semdedup_sample",
+    "embedding_outliers",
+    "pq_encode",
+    "pq_search",
+    "rrf_fuse",
+    "bitext_mine",
+    "lsh_recall_eval",
+    "coreset_greedy",
+    "kcenter_greedy",
+    "cluster_quality",
+    "graph_pagerank",
+    "local_supplier_volume",
+    "incremental_hourly",
+    "weighted_sample_join",
+    "events_running_total",
+    "events_anomaly",
+    "events_funnel",
+    "events_asof_join",
+    "events_late",
+    "events_disorder",
+    "multimodal_decode_real",
+    "mojibake_repair",
+    "gif_frame_phash",
+    "shard_compact",
+    "url_canonical",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    full = _all_queries()
+    ordered = {k: full[k] for k in _GATE_FIRST}
+    ordered.update((k, v) for k, v in full.items() if k not in ordered)
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     from smart_ocr_ray.ops import (
         dedup,
         graph,
