@@ -729,7 +729,12 @@ def line_dedup(
     """
     from ..functions.textstats import _TOKEN_RE, content_md5
     from ..tuning import join_partitions as _jp
-    from .grouped import group_bounds, map_key_groups
+    from .grouped import (
+        RANGE_GUARD_KEY,
+        check_block_key_ranges,
+        group_bounds,
+        map_key_groups,
+    )
 
     docs = read_documents(sf_dir)
     k = _jp()
@@ -763,7 +768,15 @@ def line_dedup(
         sort only co-locates full sort-key tuples, so sorting by
         (line, doc_id) could split one line's rows across blocks at a
         doc_id boundary (observed: same line in 3 blocks). The
-        doc_id sub-order is re-established block-locally."""
+        doc_id sub-order is re-established block-locally.
+
+        Correctness of the hotness count relies on the equal-key-per-
+        block invariant (no "line" value spans two sorted blocks), so
+        each block also emits two in-band guard sentinel rows
+        (doc_id=RANGE_GUARD_KEY, line=block min/max, is_hot=0/1 flag);
+        the per-doc shuffle below co-locates them into one group where
+        check_block_key_ranges raises loudly on a split key instead of
+        letting the count silently inflate."""
         if block.num_rows == 0:
             return block.append_column("is_hot", pa.array([], pa.int8()))
         block = block.sort_by(
@@ -777,9 +790,24 @@ def line_dedup(
         docs_per_line = np.add.reduceat(new_pair, line_bounds[:-1])
         sizes = np.diff(line_bounds)
         is_hot = np.repeat(docs_per_line >= min_docs, sizes)
-        return block.append_column(
+        tagged_block = block.append_column(
             "is_hot", pa.array(is_hot.astype(np.int8), pa.int8())
         )
+        guard = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([RANGE_GUARD_KEY] * 2, pa.int64()),
+                "line_idx": pa.array([n, n], pa.int64()),
+                "line": pa.array(
+                    [
+                        block.column("line")[0].as_py(),
+                        block.column("line")[n - 1].as_py(),
+                    ],
+                    pa.string(),
+                ),
+                "is_hot": pa.array([0, 1], pa.int8()),
+            }
+        )
+        return pa.concat_tables([tagged_block, guard])
 
     tagged = lines.sort("line").map_batches(
         _tag_block, batch_format="pyarrow", batch_size=None
@@ -796,6 +824,15 @@ def line_dedup(
 
     def _rebuild(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            return _REBUILD_SCHEMA.empty_table()
+        if group.column("doc_id")[0].as_py() == RANGE_GUARD_KEY:
+            lines = group.column("line").to_pylist()
+            flags = group.column("is_hot").to_pylist()
+            check_block_key_ranges(
+                [ln for ln, f in zip(lines, flags) if f == 0],
+                [ln for ln, f in zip(lines, flags) if f == 1],
+                "line_dedup",
+            )
             return _REBUILD_SCHEMA.empty_table()
         rows = sorted(group.to_pylist(), key=lambda r: r["line_idx"])
         kept = [r["line"] for r in rows if not r["is_hot"]]
@@ -1000,7 +1037,12 @@ def substring_dedup(
     per-doc coverage pass.
     """
     from ..functions.textstats import _TOKEN_RE, _kgram_hash64
-    from .grouped import group_bounds, map_key_groups
+    from .grouped import (
+        RANGE_GUARD_KEY,
+        check_block_key_ranges,
+        group_bounds,
+        map_key_groups,
+    )
     from .text_analysis import read_documents as _read_docs
 
     w = window_tokens
@@ -1043,7 +1085,13 @@ def substring_dedup(
         """Hot-tag one wkey-sorted block, then drop the cold rows.
         Global sort is on wkey ALONE (range-partitioned sort only
         co-locates full key tuples); doc_id sub-order is restored
-        block-locally for the distinct-doc count."""
+        block-locally for the distinct-doc count.
+
+        The hotness count relies on the equal-key-per-block invariant
+        (no wkey spans two sorted blocks), so each block also emits two
+        in-band guard sentinel rows (doc_id=RANGE_GUARD_KEY, wkey=block
+        min/max, pos=0/1 flag) checked in the per-doc group pass —
+        a split key raises instead of silently dropping duplicates."""
         if block.num_rows == 0:
             return win_schema.empty_table()
         block = block.sort_by(
@@ -1057,7 +1105,22 @@ def substring_dedup(
         docs_per_key = np.add.reduceat(new_pair, key_bounds[:-1])
         sizes = np.diff(key_bounds)
         is_hot = np.repeat(docs_per_key >= min_docs, sizes)
-        return block.filter(pa.array(is_hot))
+        guard = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([RANGE_GUARD_KEY] * 2, pa.int64()),
+                "dl": pa.array([n, n], pa.int64()),
+                "pos": pa.array([0, 1], pa.int64()),
+                "wkey": pa.array(
+                    [
+                        block.column("wkey")[0].as_py(),
+                        block.column("wkey")[n - 1].as_py(),
+                    ],
+                    pa.uint64(),
+                ),
+            },
+            schema=win_schema,
+        )
+        return pa.concat_tables([block.filter(pa.array(is_hot)), guard])
 
     hot = wins.sort("wkey").map_batches(
         _tag_block, batch_format="pyarrow", batch_size=None
@@ -1076,6 +1139,15 @@ def substring_dedup(
 
     def _coverage(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            return out_schema.empty_table()
+        if group.column("doc_id")[0].as_py() == RANGE_GUARD_KEY:
+            wkeys = group.column("wkey").to_pylist()
+            flags = group.column("pos").to_pylist()
+            check_block_key_ranges(
+                [k for k, f in zip(wkeys, flags) if f == 0],
+                [k for k, f in zip(wkeys, flags) if f == 1],
+                "substring_dedup",
+            )
             return out_schema.empty_table()
         pos = np.sort(group.column("pos").to_numpy(zero_copy_only=False))
         dl = int(group.column("dl")[0].as_py())
@@ -2073,18 +2145,20 @@ def cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
          per-token md5 is the inherent hashing cost (same class as
          MinHash shingles), boundaries/chunk spans are numpy.
       2. ONE global ``sort("ck")`` co-locates each key's rows (the
-         equal-key-per-block invariant ``line_dedup`` pins); a
-         vectorized block pass tags hotness via (ck, doc_id) group
+         equal-key-per-block invariant ``line_dedup`` pins — and each
+         block ships in-band RANGE_GUARD_KEY sentinel rows so a split
+         key RAISES in step 3 instead of silently deflating hotness);
+         a vectorized block pass tags hotness via (ck, doc_id) group
          bounds and immediately collapses the block to per-doc
          PARTIALS — at most one row per doc per block.
-      3. one small ``groupby(doc_id).sum`` + doc-sized sort; the hot
-         set itself never materializes anywhere.
+      3. one guarded sorted-block ``reduceat`` sum over the partials
+         (``grouped.guarded_sum_by_key`` — same shuffle a groupby
+         issues, no hash-Aggregate operator) + doc-sized sort; the
+         hot set itself never materializes anywhere.
     """
     import hashlib
 
-    from ray.data.aggregate import Sum
-
-    from .grouped import group_bounds
+    from .grouped import RANGE_GUARD_KEY, group_bounds, guarded_sum_by_key
 
     docs = read_documents(sf_dir)
 
@@ -2114,6 +2188,8 @@ def cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
 
     insts = docs.map_batches(_chunks, batch_format="pyarrow")
 
+    # ckey carries the guard sentinels' block min/max chunk key (null on
+    # real partial rows); nh doubles as the sentinels' 0=min/1=max flag.
     _PARTIAL = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -2121,6 +2197,7 @@ def cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
             ("nc", pa.int64()),
             ("nh", pa.int64()),
             ("cov", pa.int64()),
+            ("ckey", pa.string()),
         ]
     )
 
@@ -2144,7 +2221,7 @@ def cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
         order = np.argsort(ids, kind="stable")
         ids_s, ctok_s, hot_s = ids[order], ctok[order], hot[order]
         uids, starts = np.unique(ids_s, return_index=True)
-        return pa.Table.from_pydict(
+        data = pa.Table.from_pydict(
             {
                 "doc_id": pa.array(uids.astype(np.int64)),
                 "ntok": pa.array(np.add.reduceat(ctok_s, starts)),
@@ -2157,18 +2234,56 @@ def cdc_dedup(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
                 "cov": pa.array(
                     np.add.reduceat(np.where(hot_s, ctok_s, 0), starts)
                 ),
+                "ckey": pa.nulls(len(uids), pa.string()),
             },
             schema=_PARTIAL,
         )
+        # In-band guard rows: the hotness count above relies on no ck
+        # spanning two sorted blocks; ship this block's [min, max] ck
+        # range for the co-located disjointness check downstream.
+        guard = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([RANGE_GUARD_KEY] * 2, pa.int64()),
+                "ntok": pa.array([n, n], pa.int64()),
+                "nc": pa.array([0, 0], pa.int64()),
+                "nh": pa.array([0, 1], pa.int64()),
+                "cov": pa.array([0, 0], pa.int64()),
+                "ckey": pa.array(
+                    [
+                        block.column("ck")[0].as_py(),
+                        block.column("ck")[n - 1].as_py(),
+                    ],
+                    pa.string(),
+                ),
+            },
+            schema=_PARTIAL,
+        )
+        return pa.concat_tables([data, guard])
 
     partials = insts.sort("ck").map_batches(
         _tag_collapse, batch_format="pyarrow", batch_size=None
     )
-    agg = partials.groupby("doc_id").aggregate(
-        Sum("ntok", alias_name="n_tokens"),
-        Sum("nc", alias_name="n_chunks"),
-        Sum("nh", alias_name="n_hot_chunks"),
-        Sum("cov", alias_name="covered_tokens"),
+    agg = guarded_sum_by_key(
+        partials,
+        "doc_id",
+        {
+            "ntok": "n_tokens",
+            "nc": "n_chunks",
+            "nh": "n_hot_chunks",
+            "cov": "covered_tokens",
+        },
+        guard_val_col="ckey",
+        guard_flag_col="nh",
+        op="cdc_dedup",
+        out_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("n_chunks", pa.int64()),
+                ("n_hot_chunks", pa.int64()),
+                ("covered_tokens", pa.int64()),
+            ]
+        ),
     )
 
     def _finish(batch: pa.Table) -> pa.Table:

@@ -128,6 +128,60 @@ def map_key_groups(
     )
 
 
+# Sentinel group key for in-band block-range guard rows (far below any
+# real id; every guarded op's id space is non-negative).
+RANGE_GUARD_KEY = -(1 << 62)
+
+
+def check_block_key_ranges(mins: list, maxes: list, op: str) -> None:
+    """Production guard for the equal-key-per-block range-sort invariant.
+
+    The dedup-family block passes (line_dedup, substring_dedup,
+    cdc_dedup, ngram_novelty) tag/collapse per key inside ONE
+    key-sorted block and are correct only if Ray's range sort never
+    splits one key's rows across two blocks. That invariant held on
+    every observed execution and is pinned by
+    ``tests/test_grouped.py::test_sorted_blocks_never_share_keys`` —
+    but a future Ray version re-bundling sorted blocks would fail
+    SILENTLY (inflated survivor/novelty counts). This check makes the
+    production path raise instead: each block pass emits, in-band, one
+    (min_key) and one (max_key) sentinel row under
+    ``RANGE_GUARD_KEY``; the op's existing per-id shuffle co-locates
+    every sentinel into one group, where this function asserts the
+    per-block [min, max] key ranges are pairwise disjoint.
+
+    Block identity is not required: range-sorted blocks must have
+    totally ordered key ranges, so pairing the SORTED multiset of mins
+    with the SORTED multiset of maxes and requiring
+    ``max_i < min_{i+1}`` is exactly pairwise disjointness (any
+    overlap — shared boundary key, contained range, or crossed range —
+    violates some adjacent pair after sorting).
+
+    Known blind spots, documented rather than defended: (a) a task
+    retry re-reports nothing here (sentinels ride the retried block's
+    own output, so the group sees each logical block exactly once);
+    (b) if the SECOND shuffle also split the sentinel group itself,
+    each fragment checks a subset of ranges — a pervasive regression
+    still raises on the first overlapping pair within any fragment.
+    """
+    if len(mins) != len(maxes):
+        raise RuntimeError(
+            f"{op}: block-range guard saw {len(mins)} min / {len(maxes)} "
+            "max sentinel rows (must pair 1:1 per sorted block)"
+        )
+    mins = sorted(mins)
+    maxes = sorted(maxes)
+    for i, (hi, lo) in enumerate(zip(maxes[:-1], mins[1:])):
+        if not hi < lo:
+            raise RuntimeError(
+                f"{op}: range-sorted blocks share a key — block range "
+                f"#{i} ends at {hi!r} but block range #{i + 1} starts at "
+                f"{lo!r}; Ray's range sort split one key across blocks, "
+                "which silently corrupts the per-block tag/collapse pass. "
+                "Do not trust this run's output."
+            )
+
+
 _REDUCE_UFUNC = {"max": np.maximum, "min": np.minimum, "sum": np.add}
 
 
@@ -186,6 +240,66 @@ def reduce_by_keys(
         return pa.Table.from_pydict(cols)
 
     return ds.sort(key_list).map_batches(
+        _block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def guarded_sum_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    sums: dict[str, str],
+    guard_val_col: str,
+    guard_flag_col: str,
+    op: str,
+    out_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """``groupby(key).sum(*)`` as one sort + per-block
+    ``np.add.reduceat`` (the ``reduce_by_keys`` idiom — no hash
+    Aggregate), extended to consume in-band block-range guard rows.
+
+    Sentinel rows carry ``key == RANGE_GUARD_KEY`` with the guarded
+    sort key's per-block min/max in ``guard_val_col`` and a 0=min /
+    1=max flag in ``guard_flag_col``. The sort co-locates every
+    sentinel (RANGE_GUARD_KEY is the global key minimum), the block
+    holding them runs ``check_block_key_ranges`` — raising loudly if
+    the upstream range sort split a key across blocks — and the
+    sentinels are dropped from the summed output. Sums must be exact
+    (integer) per ``reduce_by_keys``'s contract; ``out_schema`` is
+    ``(key, *sums.values())`` in order.
+    """
+
+    def _block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        keys_np = block.column(key).to_numpy(zero_copy_only=False)
+        guard_mask = keys_np == RANGE_GUARD_KEY
+        if guard_mask.any():
+            g = block.filter(pa.array(guard_mask))
+            flags = g.column(guard_flag_col).to_numpy(zero_copy_only=False)
+            vals = g.column(guard_val_col).to_pylist()
+            mins = [v for v, f in zip(vals, flags) if f == 0]
+            maxes = [v for v, f in zip(vals, flags) if f == 1]
+            check_block_key_ranges(mins, maxes, op)
+            block = block.filter(pa.array(~guard_mask))
+            if block.num_rows == 0:
+                return out_schema.empty_table()
+        bounds = group_bounds(block, [key])
+        starts = bounds[:-1]
+        cols = {
+            key: block.column(key)
+            .take(pa.array(starts))
+            .cast(out_schema.field(key).type)
+        }
+        for src, dst in sums.items():
+            v = block.column(src).to_numpy(zero_copy_only=False)
+            cols[dst] = pa.array(
+                np.add.reduceat(v, starts) if len(starts) else v[:0],
+                out_schema.field(dst).type,
+            )
+        return pa.Table.from_pydict(cols, schema=out_schema)
+
+    return ds.sort([key]).map_batches(
         _block, batch_format="pyarrow", batch_size=None
     )
 

@@ -4495,9 +4495,12 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     groupby-count over the pair rows) — each gram is novel in exactly
     one document. Correctness of the block pass depends on Ray's
     range sort keeping all rows of an equal gk in one block (the
-    ``line_dedup`` invariant); a silent split would inflate n_novel,
-    and this equality is the detector
-    (``tests/test_ops.py::test_ngram_novelty_invariant``).
+    ``line_dedup`` invariant); a silent split would inflate n_novel.
+    Two detectors: this equality at the gate
+    (``tests/test_ops.py::test_ngram_novelty_invariant``) and, in the
+    production path itself, in-band RANGE_GUARD_KEY sentinel rows
+    carrying each block's [min, max] gk range, checked for pairwise
+    disjointness in the summing pass (raises loudly on a split key).
 
     Scale shape (the ``line_dedup`` discipline — nothing corpus-scale
     ever lands on the driver, ONE corpus shuffle):
@@ -4520,9 +4523,8 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     import hashlib
 
     import numpy as np
-    from ray.data.aggregate import Sum
 
-    from .grouped import group_bounds
+    from .grouped import RANGE_GUARD_KEY, group_bounds, guarded_sum_by_key
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -4554,14 +4556,22 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
 
     pairs = docs.map_batches(_pairs, batch_format="pyarrow")
 
+    # gkey carries the guard sentinels' block min/max gram key (null on
+    # real partial rows); nn doubles as the sentinels' 0=min/1=max flag.
     _PARTIAL_SCHEMA = pa.schema(
-        [("doc_id", pa.int64()), ("nd", pa.int64()), ("nn", pa.int64())]
+        [
+            ("doc_id", pa.int64()),
+            ("nd", pa.int64()),
+            ("nn", pa.int64()),
+            ("gkey", pa.string()),
+        ]
     )
 
     def _partials(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return _PARTIAL_SCHEMA.empty_table()
         block = block.sort_by([("gk", "ascending")]).combine_chunks()
+        n = block.num_rows
         ids = block.column("doc_id").to_numpy(zero_copy_only=False)
         bounds = group_bounds(block, ["gk"])
         min_doc = np.minimum.reduceat(ids, bounds[:-1])
@@ -4571,20 +4581,52 @@ def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
         # every group min is one of the block's doc_ids, so searchsorted
         # into tot_ids is exact
         nn[np.searchsorted(tot_ids, nov_ids)] = nov_c
-        return pa.Table.from_pydict(
+        data = pa.Table.from_pydict(
             {
                 "doc_id": pa.array(tot_ids.astype(np.int64)),
                 "nd": pa.array(tot_c.astype(np.int64)),
                 "nn": pa.array(nn),
+                "gkey": pa.nulls(len(tot_ids), pa.string()),
             },
             schema=_PARTIAL_SCHEMA,
         )
+        # In-band guard rows: min-doc attribution above relies on no gk
+        # spanning two sorted blocks; ship this block's [min, max] gk
+        # range for the co-located disjointness check downstream.
+        guard = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([RANGE_GUARD_KEY] * 2, pa.int64()),
+                "nd": pa.array([n, n], pa.int64()),
+                "nn": pa.array([0, 1], pa.int64()),
+                "gkey": pa.array(
+                    [
+                        block.column("gk")[0].as_py(),
+                        block.column("gk")[n - 1].as_py(),
+                    ],
+                    pa.string(),
+                ),
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+        return pa.concat_tables([data, guard])
 
     partials = pairs.sort("gk").map_batches(
         _partials, batch_format="pyarrow", batch_size=None
     )
-    agg = partials.groupby("doc_id").aggregate(
-        Sum("nd", alias_name="n_distinct"), Sum("nn", alias_name="n_novel")
+    agg = guarded_sum_by_key(
+        partials,
+        "doc_id",
+        {"nd": "n_distinct", "nn": "n_novel"},
+        guard_val_col="gkey",
+        guard_flag_col="nn",
+        op="ngram_novelty",
+        out_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_distinct", pa.int64()),
+                ("n_novel", pa.int64()),
+            ]
+        ),
     )
     return agg.sort("doc_id")
 

@@ -383,3 +383,91 @@ def test_sorted_blocks_never_share_keys(ray_session):
         assert cur["first"] > prev["last"], (
             f"key {cur['first']} spans blocks: {prev} -> {cur}"
         )
+
+
+def test_check_block_key_ranges_unit():
+    """The production guard's disjointness check: sorted-multiset
+    pairing of per-block [min, max] key ranges. Disjoint ordered
+    ranges pass; a shared boundary key (the silent-split signature),
+    a contained range, and an unpaired sentinel all raise."""
+    from smart_ocr_ray.ops.grouped import check_block_key_ranges
+
+    # disjoint, unordered input order must not matter
+    check_block_key_ranges(["m", "a"], ["z", "f"], "op")
+    check_block_key_ranges([1, 100], [50, 200], "op")
+    check_block_key_ranges(["solo"], ["solo"], "op")  # single block
+    check_block_key_ranges([], [], "op")
+
+    # key "f" ends block 1 AND starts block 2 — the split signature
+    with pytest.raises(RuntimeError, match="share a key"):
+        check_block_key_ranges(["a", "f"], ["f", "z"], "op")
+    # contained range
+    with pytest.raises(RuntimeError, match="share a key"):
+        check_block_key_ranges(["a", "b"], ["y", "c"], "op")
+    # unpaired sentinels
+    with pytest.raises(RuntimeError, match="must pair 1:1"):
+        check_block_key_ranges(["a"], [], "op")
+
+
+def test_guarded_sum_by_key_sums_and_raises_on_split(ray_session):
+    """End-to-end fake-split injection through the production summing
+    pass (VERDICT r4 task #2): guarded_sum_by_key must (a) reproduce a
+    plain per-key integer sum while consuming disjoint in-band guard
+    sentinels, and (b) RAISE when injected sentinel ranges overlap —
+    the failure mode of a future Ray version re-bundling sorted
+    blocks, which previously would have silently corrupted
+    line_dedup / substring_dedup / cdc_dedup / ngram_novelty."""
+    from smart_ocr_ray.ops.grouped import RANGE_GUARD_KEY, guarded_sum_by_key
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("total", pa.int64())]
+    )
+
+    def _mk(guard_rows):
+        data = [
+            {"doc_id": 2, "v": 10, "flag": 0, "gkey": None},
+            {"doc_id": 1, "v": 1, "flag": 0, "gkey": None},
+            {"doc_id": 2, "v": 5, "flag": 0, "gkey": None},
+            {"doc_id": 3, "v": 7, "flag": 0, "gkey": None},
+        ] + [
+            {"doc_id": RANGE_GUARD_KEY, "v": 0, "flag": f, "gkey": k}
+            for f, k in guard_rows
+        ]
+        tbl = pa.Table.from_pylist(
+            data,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("v", pa.int64()),
+                    ("flag", pa.int64()),
+                    ("gkey", pa.string()),
+                ]
+            ),
+        )
+        return ray.data.from_arrow(tbl).repartition(3)
+
+    # disjoint block ranges: sums come through untouched
+    ok = guarded_sum_by_key(
+        _mk([(0, "aa"), (1, "mm"), (0, "nn"), (1, "zz")]),
+        "doc_id",
+        {"v": "total"},
+        guard_val_col="gkey",
+        guard_flag_col="flag",
+        op="test_op",
+        out_schema=out_schema,
+    )
+    got = {r["doc_id"]: r["total"] for r in ok.take_all()}
+    assert got == {1: 1, 2: 15, 3: 7}
+
+    # injected split: key "mm" ends one block and starts the next
+    bad = guarded_sum_by_key(
+        _mk([(0, "aa"), (1, "mm"), (0, "mm"), (1, "zz")]),
+        "doc_id",
+        {"v": "total"},
+        guard_val_col="gkey",
+        guard_flag_col="flag",
+        op="test_op",
+        out_schema=out_schema,
+    )
+    with pytest.raises(Exception, match="share a key"):
+        bad.take_all()
