@@ -5456,27 +5456,45 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "pricing_summary": """
-            -- rounding grids match the true-value grids (qty integral,
-            -- prices exact cents, disc_price exact 1e-4) so results are
-            -- invariant to summation order; averages divide the rounded
-            -- sums, mirroring the Ray side exactly.
+            -- integer grids end-to-end (ops/relational._e_grid: qty
+            -- integral, prices exact cents, disc_price exact 1e-4 as
+            -- price_e2*(100-disc_e2)); int64 sums and floor-division
+            -- averages are exactly summation-order independent.
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
-                   round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                     AS sum_base_price_e2,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
+                     AS sum_disc_price_e4,
+                   CAST(10000 * sum(CAST(floor(l_quantity + 0.5)
+                                         AS BIGINT)) AS BIGINT)
+                     // count(*) AS avg_qty_e4,
+                   CAST(100 * sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT)
+                     // count(*) AS avg_price_e4,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "top_revenue_orders": """
+            -- revenue on the exact 1e-4 int64 grid
+            -- (ops/relational._disc_price_e4): identical ordering,
+            -- summation-order-independent values.
             SELECT o_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_e4
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, o_orderkey ASC
+            ORDER BY revenue_e4 DESC, o_orderkey ASC
             LIMIT 10
         """,
         "weighted_sample_join": """
@@ -5507,8 +5525,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p.o_orderkey
         """,
         "customer_nation_rollup": """
+            -- totals on the exact e2 int64 grid (ops/relational._e_grid)
             SELECT n_name,
-                   round(sum(o_totalprice), 2) AS total_price,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS total_price_e2,
                    count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -5787,24 +5807,31 @@ def oracle_sql() -> dict[str, str]:
         "incremental_hourly": """
             -- IVM correctness statement (ops/relational.incremental_hourly):
             -- the maintained view (base aggregate + update deltas of
-            -- +1.5 for event_id % 10 == 7, counts unchanged) must
-            -- equal the FULL recompute over the corrected log, which
-            -- is what this query runs.
+            -- +1.5 = 150 e2 for event_id % 10 == 7, counts unchanged)
+            -- must equal the FULL recompute over the corrected log,
+            -- which is what this query runs — on the exact e2 int64
+            -- grid (value is 2dp), so the identity is bit-for-bit.
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(sum(value + CASE WHEN event_id % 10 = 7
-                                          THEN 1.5 ELSE 0 END), 4)
-                     AS sum_value
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            + CASE WHEN event_id % 10 = 7
+                                   THEN 150 ELSE 0 END) AS BIGINT)
+                     AS sum_value_e2
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
         """,
         "local_supplier_volume": """
             -- TPC-H Q5 shape (ops/relational.local_supplier_volume):
             -- customer and line supplier in the SAME nation of one
-            -- region, one-year order window, revenue per nation.
+            -- region, one-year order window, revenue per nation on the
+            -- exact 1e-4 int64 grid (price_e2 * (100 - disc_e2)) —
+            -- summation-order independent on both sides.
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                     AS revenue
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_e4
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey

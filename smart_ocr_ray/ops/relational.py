@@ -6,9 +6,14 @@ semantics. Aggregation always pre-combines inside ``map_batches``
 (partial sums per key per batch) before the shuffle, so the all-to-all
 moves one row per key per block instead of one per input row.
 
-Float aggregates are rounded (2dp money, 4dp ratios) in BOTH the Ray
-output and the oracle SQL so value-hash comparison is robust to
-summation order.
+Money/value aggregates follow the repo's integer-grid discipline:
+per-row values land on an exact integer grid (``_e_grid`` —
+``floor(x*scale + 0.5)`` as int64, mirrored literally in the oracle
+SQL) and are summed as int64, so results are exactly summation-order
+independent at ANY scale — no round()-of-a-float-sum that could flip
+its last digit under a different distributed partial order. Remaining
+float aggregates (ratios over already-exact sums) divide on integer
+grids too.
 """
 
 from __future__ import annotations
@@ -32,6 +37,42 @@ def _disc_price(batch: pa.Table) -> pa.Array:
     return pc.multiply(
         batch.column("l_extendedprice"),
         pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+    )
+
+
+def _e_grid(col, scale: int) -> pa.Array:
+    """``floor(x*scale + 0.5)`` as int64 — the half-up integer grid
+    used on BOTH sides of the money oracles (SQL mirror:
+    ``CAST(floor(x*scale + 0.5) AS BIGINT)``). Exact for the 2dp
+    decimal inputs of the TPC-H-ish tables; summing the resulting
+    int64s is exactly order-independent, unlike round()-ing a float
+    sum whose last digit depends on the distributed partial order
+    (VERDICT r4 "what's wrong" #2). floor(x+0.5) rather than round()
+    because numpy/pyarrow round half-to-even while DuckDB rounds
+    half-away — the floor form is identical on both sides."""
+    import pyarrow.compute as pc
+
+    return pc.cast(
+        pc.floor(
+            pc.add(pc.multiply(pc.cast(col, pa.float64()), float(scale)), 0.5)
+        ),
+        pa.int64(),
+    )
+
+
+def _disc_price_e4(batch: pa.Table) -> pa.Array:
+    """Per-row revenue on the exact 1e-4 grid as int64:
+    ``price_e2 * (100 - disc_e2)`` — 2dp price x 2dp discount is
+    exactly 4dp, so this integer product IS the true value. int64
+    envelope: price < ~1e5 -> price_e2*100 < 1e9 per row, leaving
+    ~9e9 rows of headroom per summed group."""
+    import pyarrow.compute as pc
+
+    return pc.multiply(
+        _e_grid(batch.column("l_extendedprice"), 100),
+        pc.subtract(
+            pa.scalar(100, pa.int64()), _e_grid(batch.column("l_discount"), 100)
+        ),
     )
 
 
@@ -105,32 +146,41 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
         return batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
 
     filtered = ds.map_batches(_filter, batch_format="pyarrow")
+    # Integer grids end-to-end (quantities are integral, prices exact
+    # cents, disc_price exact 1e-4): per-row int64 grid values, int64
+    # sums, and floor-division averages — exactly summation-order
+    # independent at any scale, mirrored literally in the oracle SQL.
     agg = _partial_then_final(
         filtered,
         keys=["l_returnflag", "l_linestatus"],
         sums={
-            "sum_qty": "l_quantity",
-            "sum_base_price": "l_extendedprice",
-            "sum_disc_price": "disc_price",
+            "sum_qty": "qty_i",
+            "sum_base_price_e2": "price_e2",
+            "sum_disc_price_e4": "dp_e4",
         },
         counts="count_order",
-        derive={"disc_price": _disc_price},
+        derive={
+            "qty_i": lambda b: _e_grid(b.column("l_quantity"), 1),
+            "price_e2": lambda b: _e_grid(b.column("l_extendedprice"), 100),
+            "dp_e4": _disc_price_e4,
+        },
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
-        # Rounding grids are chosen so the true value is never on a
-        # rounding boundary (quantities are integral; prices are exact
-        # cents; disc_price is exact on the 1e-4 grid), making the
-        # result invariant to float summation order — a requirement for
-        # value-hash comparison against the DuckDB oracle. Averages
-        # divide the *rounded* sums so both engines divide identical
-        # doubles.
-        df["sum_qty"] = df["sum_qty"].round(2)
-        df["sum_base_price"] = df["sum_base_price"].round(2)
-        df["sum_disc_price"] = df["sum_disc_price"].round(4)
-        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
-        df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
-        return df
+        for c in ("sum_qty", "sum_base_price_e2", "sum_disc_price_e4",
+                  "count_order"):
+            df[c] = df[c].astype("int64")
+        df["avg_qty_e4"] = (10_000 * df["sum_qty"]) // df["count_order"]
+        df["avg_price_e4"] = (
+            100 * df["sum_base_price_e2"]
+        ) // df["count_order"]
+        return df[
+            [
+                "l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price_e2", "sum_disc_price_e4", "avg_qty_e4",
+                "avg_price_e4", "count_order",
+            ]
+        ]
 
     return agg.map_batches(_finish, batch_format="pandas").sort(
         ["l_returnflag", "l_linestatus"]
@@ -144,8 +194,8 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
     revenue = _partial_then_final(
-        lineitem, keys=["l_orderkey"], sums={"revenue": "disc_price"},
-        derive={"disc_price": _disc_price},
+        lineitem, keys=["l_orderkey"], sums={"revenue_e4": "dp_e4"},
+        derive={"dp_e4": _disc_price_e4},
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
     from ..tuning import join_partitions
@@ -155,16 +205,21 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
         # Ray's hash join folds the right key into the left key column.
         df = df.rename(columns={"l_orderkey": "o_orderkey"})
-        df["revenue"] = df["revenue"].round(2)
-        return df[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+        df["revenue_e4"] = df["revenue_e4"].astype("int64")
+        return df[
+            ["o_orderkey", "o_orderdate", "o_orderpriority", "revenue_e4"]
+        ]
 
-    rounded = joined.map_batches(_round, batch_format="pandas")
+    rounded = joined.map_batches(_finish, batch_format="pandas")
     # Top-k: sort is fine here (the revenue table has one row per order,
-    # already far smaller than lineitem). Deterministic tie-break.
-    top = rounded.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+    # already far smaller than lineitem). Deterministic tie-break; the
+    # int64 e4 grid orders identically to the true revenue.
+    top = rounded.sort(
+        ["revenue_e4", "o_orderkey"], descending=[True, False]
+    ).limit(k)
     return top
 
 
@@ -203,14 +258,19 @@ def customer_nation_rollup(sf_dir: str) -> ray.data.Dataset:
 
     tagged = joined.map_batches(_tag, batch_format="pyarrow")
     agg = _partial_then_final(
-        tagged, keys=["n_name"], sums={"total_price": "o_totalprice"}, counts="n_orders"
+        tagged,
+        keys=["n_name"],
+        sums={"total_price_e2": "price_e2"},
+        counts="n_orders",
+        derive={"price_e2": lambda b: _e_grid(b.column("o_totalprice"), 100)},
     )
 
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["total_price"] = df["total_price"].round(2)
-        return df
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_price_e2"] = df["total_price_e2"].astype("int64")
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df[["n_name", "total_price_e2", "n_orders"]]
 
-    return agg.map_batches(_round, batch_format="pandas").sort("n_name")
+    return agg.map_batches(_finish, batch_format="pandas").sort("n_name")
 
 
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
@@ -1907,9 +1967,13 @@ def local_supplier_volume(
     pattern) — at warehouse scale the 6-way chain therefore costs two
     shuffles, not five. The date filter pushes into the orders read.
 
-    Output: (n_name, revenue = Σ l_extendedprice·(1-l_discount)
-    rounded to 2dp), one row per qualifying nation; the oracle is the
-    literal Q5 SQL.
+    Output: (n_name, revenue_e4 = Σ l_extendedprice·(1-l_discount) on
+    the exact 1e-4 int64 grid), one row per qualifying nation; the
+    oracle is the literal Q5 SQL up to the fixed-point representation
+    (both sides sum ``price_e2 * (100 - disc_e2)`` as int64, so the
+    result is exactly independent of distributed summation order —
+    int64 envelope ~9e9 qualifying rows per nation, documented in
+    ``_disc_price_e4``).
     """
     import datetime as _dt
 
@@ -1978,7 +2042,7 @@ def local_supplier_volume(
         if batch.num_rows == 0:
             return pa.table(
                 {"n_name": pa.array([], pa.string()),
-                 "rev": pa.array([], pa.float64())}
+                 "rev_e4": pa.array([], pa.int64())}
             )
         sup_nat = s_nat.take(
             pc.index_in(batch.column("l_suppkey").cast(pa.int64()), s_keys)
@@ -1993,22 +2057,18 @@ def local_supplier_volume(
         names = n_names.take(
             pc.index_in(sub.column("c_nationkey").cast(pa.int64()), n_keys)
         )
-        rev = pc.multiply(
-            sub.column("l_extendedprice").cast(pa.float64()),
-            pc.subtract(
-                pa.scalar(1.0), sub.column("l_discount").cast(pa.float64())
-            ),
-        )
-        return pa.table({"n_name": names, "rev": rev})
+        return pa.table({"n_name": names, "rev_e4": _disc_price_e4(sub)})
 
     resolved = loc.map_batches(_resolve, batch_format="pyarrow")
-    agg = _partial_then_final(resolved, keys=["n_name"], sums={"revenue": "rev"})
+    agg = _partial_then_final(
+        resolved, keys=["n_name"], sums={"revenue_e4": "rev_e4"}
+    )
 
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["revenue"] = df["revenue"].round(2)
-        return df
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue_e4"] = df["revenue_e4"].astype("int64")
+        return df[["n_name", "revenue_e4"]]
 
-    return agg.map_batches(_round, batch_format="pandas").sort("n_name")
+    return agg.map_batches(_finish, batch_format="pandas").sort("n_name")
 
 
 _IVM_SCHEMA = pa.schema(
@@ -2016,7 +2076,7 @@ _IVM_SCHEMA = pa.schema(
         ("event_type", pa.string()),
         ("window_start", pa.timestamp("us")),
         ("n_events", pa.int64()),
-        ("sum_value", pa.float64()),
+        ("sum_value_e2", pa.int64()),
     ]
 )
 
@@ -2033,11 +2093,13 @@ def incremental_hourly(sf_dir: str) -> ray.data.Dataset:
     Deterministic correction batch (the crawl_diff synthesis
     discipline): events with ``event_id % 10 == 7`` are re-stated
     late with ``value + 1.5`` (an UPDATE: the count is unchanged, the
-    delta contributes ``new - old = +1.5`` to its key's sum). The
-    view = hourly aggregate over the ORIGINAL log, merged with the
-    delta batch by key-sum; ``sum_value`` rounds ONCE after the merge
-    — rounding per part would fail the gate, which is the subtle rule
-    this op pins.
+    delta contributes ``new - old = +1.5`` = 150 on the e2 grid to its
+    key's sum). The view = hourly aggregate over the ORIGINAL log,
+    merged with the delta batch by key-sum; values live on the exact
+    e2 int64 grid (``value`` is 2dp) so base, delta and merge sums are
+    all exact integers — the IVM identity holds bit-for-bit regardless
+    of how many correction batches merge in or in what partial order,
+    which is the rule this op pins.
 
     Scale shape: the base aggregate is the standard partial-combined
     grouped sum; the delta batch reduces the same way and the merge
@@ -2055,19 +2117,19 @@ def incremental_hourly(sf_dir: str) -> ray.data.Dataset:
                 batch.column("event_id").cast(pa.int64()),
                 batch.column("event_type"),
                 ws,
-                batch.column("value").cast(pa.float64()),
+                _e_grid(batch.column("value"), 100),
             ],
-            names=["event_id", "event_type", "window_start", "value"],
+            names=["event_id", "event_type", "window_start", "value_e2"],
         )
 
     windowed = events.map_batches(_window, batch_format="pyarrow")
     base = _partial_then_final(
         windowed.map_batches(
-            lambda b: b.select(["event_type", "window_start", "value"]),
+            lambda b: b.select(["event_type", "window_start", "value_e2"]),
             batch_format="pyarrow",
         ),
         keys=["event_type", "window_start"],
-        sums={"sum_value": "value"},
+        sums={"sum_value_e2": "value_e2"},
         counts="n_events",
     )
 
@@ -2081,7 +2143,8 @@ def incremental_hourly(sf_dir: str) -> ray.data.Dataset:
             {
                 "event_type": sub.column("event_type"),
                 "window_start": sub.column("window_start"),
-                "sum_value": pa.array(np.full(n, 1.5)),       # new - old
+                # new - old = +1.5 = 150 on the e2 grid
+                "sum_value_e2": pa.array(np.full(n, 150, np.int64)),
                 "n_events": pa.array(np.zeros(n, np.int64)),  # update, not insert
             }
         )
@@ -2091,13 +2154,13 @@ def incremental_hourly(sf_dir: str) -> ray.data.Dataset:
     view = _partial_then_final(
         merged,
         keys=["event_type", "window_start"],
-        sums={"sum_value": "sum_value", "n_events_s": "n_events"},
+        sums={"sum_value_e2": "sum_value_e2", "n_events_s": "n_events"},
     )
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         df["n_events"] = df["n_events_s"].astype("int64")
-        df["sum_value"] = df["sum_value"].round(4)
-        return df[["event_type", "window_start", "n_events", "sum_value"]]
+        df["sum_value_e2"] = df["sum_value_e2"].astype("int64")
+        return df[["event_type", "window_start", "n_events", "sum_value_e2"]]
 
     return view.map_batches(_finish, batch_format="pandas").sort(
         ["event_type", "window_start"]

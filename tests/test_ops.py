@@ -6993,8 +6993,9 @@ def test_charset_sniff_kernel(ray_session, tmp_path):
 def test_incremental_hourly_ivm(ray_session, tmp_path):
     """incremental_hourly: the maintained view (base + update deltas)
     equals a full recompute over the corrected log on a crafted
-    multi-window table — counts unchanged by updates, +1.5 per
-    corrected row landing in the right window, single final round."""
+    multi-window table — counts unchanged by updates, +1.5 (150 on the
+    exact e2 int64 grid) per corrected row landing in the right
+    window; integer sums make the identity bit-for-bit."""
     import datetime as dt
 
     import pyarrow as pa
@@ -7022,13 +7023,15 @@ def test_incremental_hourly_ivm(ray_session, tmp_path):
         sf / "events.parquet",
     )
     got = {
-        (r["event_type"], r["window_start"].hour): (r["n_events"], r["sum_value"])
+        (r["event_type"], r["window_start"].hour): (
+            r["n_events"], r["sum_value_e2"],
+        )
         for r in incremental_hourly(str(sf)).take_all()
     }
     assert got == {
-        ("click", 0): (2, round(1.0 + 2.25 + 1.5, 4)),
-        ("click", 1): (2, round(3.0 + 1.5 + 4.0, 4)),
-        ("view", 2): (2, round(5.5 + 0.25 + 1.5, 4)),
+        ("click", 0): (2, 100 + 225 + 150),
+        ("click", 1): (2, 300 + 150 + 400),
+        ("view", 2): (2, 550 + 25 + 150),
     }
 
 
@@ -7043,13 +7046,16 @@ def test_local_supplier_volume_q5(ray_session):
 
     sf = "/root/testdata/sf0.001"
     got = {
-        r["n_name"]: r["revenue"]
+        r["n_name"]: r["revenue_e4"]
         for r in local_supplier_volume(sf).take_all()
     }
     con = duckdb.connect()
     want = dict(
         con.execute(f"""
-            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT)
             FROM '{sf}/lineitem.parquet'
             JOIN '{sf}/orders.parquet'   ON l_orderkey = o_orderkey
             JOIN '{sf}/customer.parquet' ON o_custkey = c_custkey
