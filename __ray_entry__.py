@@ -1212,6 +1212,15 @@ _STOP_DE = "['der','die','das','und','ist','nicht','ein','mit','zu','von']"
 _STOP_ES = "['el','la','de','que','y','en','un','por','con','para']"
 _STOP_FR = "['le','la','de','et','est','un','une','dans','pour','que']"
 
+# ngram_novelty's gram width, imported from the op's frozen constant so
+# the n-dependent SQL below (length floor, range bound, gram concat)
+# regenerates in lockstep with any future re-registration.
+from smart_ocr_ray.ops.text_analysis import NGRAM_NOVELTY_N as _NOVELTY_N  # noqa: E402
+
+_NOVELTY_GRAM_SQL = " || ' ' || ".join(
+    "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(_NOVELTY_N)
+)
+
 
 def _dsir_ctes() -> str:
     """CTE chain reproducing ``ops/text_analysis.dsir_weights`` in
@@ -3004,8 +3013,8 @@ def _coreset_greedy_sql(k: int = 5, max_vec_id: int = 400) -> str:
           WHERE vec_id < {max_vec_id}
         ), sims AS (
           SELECT a.vec_id AS p, b.vec_id AS c,
-                 CAST(round(1000 * list_cosine_similarity(
-                        a.embedding, b.embedding)) AS BIGINT) AS e3
+                 CAST(floor(1000 * list_cosine_similarity(
+                        a.embedding, b.embedding) + 0.5) AS BIGINT) AS e3
           FROM sub a CROSS JOIN sub b
         ), cur_0 AS (
           SELECT vec_id AS p, CAST(-1000 AS BIGINT) AS cur FROM sub
@@ -3060,8 +3069,8 @@ def _kcenter_greedy_sql(k: int = 5, max_vec_id: int = 400) -> str:
           WHERE vec_id < {max_vec_id}
         ), sims AS (
           SELECT a.vec_id AS p, b.vec_id AS c,
-                 CAST(round(1000 * list_cosine_similarity(
-                        a.embedding, b.embedding)) AS BIGINT) AS e3
+                 CAST(floor(1000 * list_cosine_similarity(
+                        a.embedding, b.embedding) + 0.5) AS BIGINT) AS e3
           FROM sub a CROSS JOIN sub b
         ), pick_1 AS (SELECT min(vec_id) AS c FROM sub),
         cur_1 AS (
@@ -5001,15 +5010,14 @@ def oracle_sql() -> dict[str, str]:
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
         """,
-        "ngram_novelty": r"""
-            -- Per-doc trigram novelty in doc_id ingest order
+        "ngram_novelty": rf"""
+            -- Per-doc {_NOVELTY_N}-gram novelty in doc_id ingest order
             -- (ops/text_analysis.ngram_novelty): a gram is novel in
             -- exactly the min-doc_id document containing it; dedup is
             -- on the 16-hex md5 key, matching the Ray side.
-            -- PINNED to n=3: this oracle hardcodes trigrams because
-            -- the queries() registration calls ngram_novelty(sf_dir)
-            -- with the default n=3; a variant with another n needs
-            -- its own oracle with the gram width changed in lockstep.
+            -- The gram width is GENERATED from the op's own frozen
+            -- constant (text_analysis.NGRAM_NOVELTY_N), so this
+            -- oracle cannot drift from the registered n.
             WITH t AS (
               SELECT doc_id,
                      list_filter(str_split_regex(lower(coalesce(text,'')), '\s+'),
@@ -5018,9 +5026,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             grams AS (
               SELECT DISTINCT doc_id, substr(md5(u.g), 1, 16) AS gk FROM (
-                SELECT doc_id, CASE WHEN len(toks) >= 3
-                  THEN list_transform(range(1, len(toks) - 1),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                SELECT doc_id, CASE WHEN len(toks) >= {_NOVELTY_N}
+                  THEN list_transform(range(1, len(toks) - {_NOVELTY_N - 2}),
+                       i -> {_NOVELTY_GRAM_SQL})
                   ELSE [] END AS gl
                 FROM t
               ), unnest(gl) AS u(g)

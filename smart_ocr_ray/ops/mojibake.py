@@ -168,7 +168,15 @@ def charset_sniff(sf_dir: str) -> ray.data.Dataset:
             return b"\xef\xbb\xbf" + s.encode("utf-8")
         if k == 2:
             return b"\xff\xfe" + s.encode("utf-16-le")
-        return s.encode("latin-1")
+        # errors="replace": a non-Latin-1 char becomes exactly one '?'
+        # byte, so the oracle's latin-1 arithmetic (n_bytes = n_chars =
+        # 1 byte per char) stays exact for ANY input text instead of
+        # raising UnicodeEncodeError and killing the batch task on a
+        # multilingual corpus (ADVICE r4). The k==2 utf-16-le branch
+        # still assumes BMP-only text (2 bytes/char; an astral char
+        # would take a 4-byte surrogate pair) — true of the synthetic
+        # corpus and asserted by the oracle's 2*chars+2 formula.
+        return s.encode("latin-1", errors="replace")
 
     def _sniff(payload: bytes) -> tuple[str, int]:
         """(charset, decoded chars) from bytes alone."""

@@ -646,8 +646,14 @@ _SERVING_CACHE: dict[tuple, tuple] = {}
 
 
 def _session_token() -> str:
+    """Cache-scope token that must change whenever object refs created
+    under a previous ``ray.init`` could be dead. The node id alone is
+    NOT sufficient: reconnecting the same process to a persistent
+    external cluster keeps the node id while invalidating the prior
+    driver's refs — so the per-driver job id is included (ADVICE r4)."""
     try:
-        return str(ray.get_runtime_context().get_node_id())
+        ctx = ray.get_runtime_context()
+        return f"{ctx.get_node_id()}:{ctx.get_job_id()}"
     except Exception:
         return ""
 
@@ -2017,8 +2023,11 @@ def coreset_greedy(
     unrolled round by round in SQL.
 
     Frozen rules: similarities on the e3 integer grid
-    (``round(1000·cos)``, the ``ann_cosine_topk`` float-safety
-    precedent — summed objectives are then exact ints); the empty-set
+    (``floor(1000·cos + 0.5)`` — the half-up form is identical in
+    numpy and DuckDB, unlike round(), whose half-even-vs-half-away
+    split could flip an exact-half cell and derail the whole greedy
+    pick trace (ADVICE r4); summed objectives are exact ints); the
+    empty-set
     coverage of a point is -1000 (the grid minimum); each round picks
     the unselected candidate maximizing the NEW objective, ties by
     vec_id ascending. Output one row per round: (step 1..k, vec_id,
@@ -2039,9 +2048,13 @@ def coreset_greedy(
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     emb = emb / norms
-    sims = np.round(1000.0 * (emb @ emb.T)).astype(np.int64)  # (n, n) e3
-
     n = len(ids)
+    if n == 0:
+        # empty bounded subset (small/filtered corpus): typed empty
+        # result instead of an IndexError (ADVICE r4)
+        return ray.data.from_arrow(_CORESET_SCHEMA.empty_table())
+    sims = np.floor(1000.0 * (emb @ emb.T) + 0.5).astype(np.int64)  # (n, n) e3
+
     cur = np.full(n, -1000, np.int64)
     selected: list[int] = []
     rows = []
@@ -2117,9 +2130,13 @@ def kcenter_greedy(
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     emb = emb / norms
-    sims = np.round(1000.0 * (emb @ emb.T)).astype(np.int64)
-
     n = len(ids)
+    if n == 0:
+        # empty bounded subset: typed empty result, not ids[0]
+        # IndexError (ADVICE r4)
+        return ray.data.from_arrow(_KCENTER_SCHEMA.empty_table())
+    sims = np.floor(1000.0 * (emb @ emb.T) + 0.5).astype(np.int64)
+
     rows = [(1, int(ids[0]), -1000)]
     cur = sims[:, 0].copy()  # max sim to selected, per point
     sel = np.zeros(n, bool)

@@ -4472,7 +4472,14 @@ def bigram_lm(
     )
 
 
-def ngram_novelty(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+# The registered gram width for ngram_novelty — the oracle SQL in
+# __ray_entry__.py is GENERATED from this constant (gram concat, length
+# floor and range bounds all derive from it), so op and oracle cannot
+# drift if a future registration changes n (ADVICE r4 #2).
+NGRAM_NOVELTY_N = 3
+
+
+def ngram_novelty(sf_dir: str, n: int = NGRAM_NOVELTY_N) -> ray.data.Dataset:
     """Per-document n-gram novelty in ingest order — the
     marginal-contribution diagnostic an incremental crawl uses to
     decide when further fetching stops adding new content (novelty

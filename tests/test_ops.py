@@ -7444,3 +7444,19 @@ def test_events_debounce_chain_semantics(ray_session, tmp_path):
     )
     kept = sorted(r["event_id"] for r in events_debounce(str(sf)).take_all())
     assert kept == [1, 3, 5, 6, 7, 8]
+
+
+def test_coreset_kcenter_empty_subset(ray_session):
+    """coreset_greedy / kcenter_greedy on an empty bounded subset
+    (max_vec_id=0 selects nothing) return typed empty tables instead
+    of raising IndexError (ADVICE r4)."""
+    from smart_ocr_ray.ops.similarity import coreset_greedy, kcenter_greedy
+
+    sf = "/root/testdata/sf0.001"
+    for fn, cols in (
+        (coreset_greedy, ["step", "vec_id", "gain", "objective"]),
+        (kcenter_greedy, ["step", "vec_id", "nearest_sim_e3"]),
+    ):
+        ds = fn(sf, max_vec_id=0)
+        assert ds.count() == 0
+        assert [f.name for f in ds.schema().base_schema] == cols
