@@ -6125,13 +6125,15 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_real": """
             -- Writer/parser duality check: the raster corpus generator
             -- (ops/multimodal.raster_from_documents) derives each
-            -- image's format (doc_id%4: 0 bmp, 1/2 png, 3 jpeg) and
-            -- geometry from doc_id; the REAL decoder (PixmapDecoder,
-            -- incl. the stdlib-zlib PNG path with full filter
-            -- reconstruction and the ops/jpeg.py baseline
-            -- DCT/Huffman decoder) must parse back exactly those
-            -- dims, flag exactly the every-7th truncated payloads and
-            -- the %11==5 CRC-corrupt PNGs, and report the
+            -- image's format (doc_id%4: 0 bmp, 1/2 png, 3 jpeg —
+            -- jpeg further split doc_id%8==7 progressive SOF2 vs
+            -- baseline SOF0) and geometry from doc_id; the REAL
+            -- decoder (PixmapDecoder, incl. the stdlib-zlib PNG path
+            -- with full filter reconstruction and the ops/jpeg.py
+            -- baseline + progressive DCT/Huffman decoder) must parse
+            -- back exactly those dims, flag exactly the every-7th
+            -- truncated payloads, the %11==5 CRC-corrupt PNGs and the
+            -- %13==11 mid-entropy-cut JPEGs, and report the
             -- deterministic error strings. All integer math — SQL
             -- reproduces the expected output without decoding
             -- anything.
@@ -6142,11 +6144,13 @@ def oracle_sql() -> dict[str, str]:
                      CAST(doc_id % 4 AS INTEGER) AS kind,
                      (doc_id % 7) = 3 AS trunc,
                      (doc_id % 7) <> 3 AND (doc_id % 4) IN (1, 2)
-                       AND (doc_id % 11) = 5 AS crcbad
+                       AND (doc_id % 11) = 5 AS crcbad,
+                     (doc_id % 7) <> 3 AND (doc_id % 4) = 3
+                       AND (doc_id % 13) = 11 AS etrunc
               FROM documents
             ),
             geom AS (
-              SELECT doc_id, w, h, kind, trunc, crcbad,
+              SELECT doc_id, w, h, kind, trunc, crcbad, etrunc,
                      ((w * 3 + 3) // 4) * 4 * h AS need
               FROM g
             )
@@ -6154,15 +6158,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN kind = 0 THEN 'bmp'
                         WHEN kind = 3 THEN 'jpg'
                         ELSE 'png' END AS fmt,
-                   CAST(CASE WHEN trunc OR crcbad THEN 0 ELSE w END
-                        AS INTEGER) AS width,
-                   CAST(CASE WHEN trunc OR crcbad THEN 0 ELSE h END
-                        AS INTEGER) AS height,
-                   NOT (trunc OR crcbad) AS decode_ok,
-                   CASE WHEN NOT (trunc OR crcbad) THEN ''
+                   CAST(CASE WHEN trunc OR crcbad OR etrunc THEN 0
+                             ELSE w END AS INTEGER) AS width,
+                   CAST(CASE WHEN trunc OR crcbad OR etrunc THEN 0
+                             ELSE h END AS INTEGER) AS height,
+                   NOT (trunc OR crcbad OR etrunc) AS decode_ok,
+                   CASE WHEN NOT (trunc OR crcbad OR etrunc) THEN ''
                         WHEN kind = 0 THEN
                           printf('truncated BMP pixel data (%d/%d)',
                                  54 + need // 2, 54 + need)
+                        WHEN etrunc THEN 'truncated JPEG entropy stream'
                         WHEN kind = 3 THEN 'truncated JPEG'
                         WHEN trunc THEN 'truncated PNG chunk'
                         ELSE 'bad PNG chunk CRC (IDAT)' END AS error

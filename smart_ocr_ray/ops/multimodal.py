@@ -417,17 +417,23 @@ def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
     format bytes for the real decoder, generated without any image
     library. Format rotates by ``doc_id % 4``: 0 → 24-bit BMP, 1 → RGB
     PNG, 2 → grayscale PNG (PNG scanlines cycle all five filter
-    types), 3 → baseline JPEG (full DCT/Huffman encode, ops/jpeg.py).
+    types), 3 → JPEG (full DCT/Huffman encode, ops/jpeg.py) — split
+    ``doc_id % 8 == 7`` → PROGRESSIVE (SOF2 multi-scan, DC/AC
+    first+refinement scans, EOBn runs), else baseline SOF0.
     Failure injection, so the corpus exercises every typed
     decode-failure path end-to-end: every 7th doc is truncated (BMP
     mid-pixel-data; PNG mid-chunk-header at byte 39; JPEG mid-DQT at
-    byte 40), and PNG docs with ``doc_id % 11 == 5`` get their IDAT
+    byte 40), PNG docs with ``doc_id % 11 == 5`` get their IDAT
     CRC's last byte flipped (CRC-corruption path — BMP and JPEG carry
-    no checksum to corrupt)."""
+    no checksum to corrupt), and JPEG docs with ``doc_id % 13 == 11``
+    (not already header-truncated) are cut one byte into the first
+    scan's entropy data — the mid-entropy truncation class (always
+    "truncated JPEG entropy stream": a strict prefix of a scan's
+    entropy data cannot satisfy its fixed symbol demand)."""
     import struct
 
     def _make(batch: pa.Table) -> pa.Table:
-        from .jpeg import encode_jpeg
+        from .jpeg import encode_jpeg, encode_jpeg_progressive
 
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -455,9 +461,18 @@ def raster_from_documents(sf_dir: str, max_dim: int = 48) -> ray.data.Dataset:
                 px = np.frombuffer((seed * reps)[:need], np.uint8).reshape(
                     h, w, 3
                 )
-                data = encode_jpeg(px)
+                if doc_id % 8 == 7:
+                    data = encode_jpeg_progressive(px)
+                else:
+                    data = encode_jpeg(px)
                 if doc_id % 7 == 3:
                     data = data[:40]  # mid-DQT segment
+                elif doc_id % 13 == 11:
+                    # cut one byte into the first scan's entropy data:
+                    # find the first SOS, skip its header, keep 1 byte
+                    sos = data.index(b"\xff\xda")
+                    seg_len = struct.unpack_from(">H", data, sos + 2)[0]
+                    data = data[: sos + 2 + seg_len + 1]
             else:
                 ch = 3 if kind == 1 else 1
                 need = w * h * ch

@@ -218,13 +218,15 @@ def test_pixmap_decoder_real_formats_and_corruption():
 def test_raster_corpus_roundtrip(ray_session):
     """Writer/parser duality on the deterministic raster corpus: the
     real decoder recovers the generator's dims for every intact
-    BMP/PNG/JPEG, flags exactly the every-7th truncated payloads, and
-    flags exactly the %11==5 CRC-corrupt PNGs."""
+    BMP/PNG/JPEG (progressive SOF2 for doc_id%8==7 JPEGs, baseline
+    otherwise), flags exactly the every-7th truncated payloads, the
+    %11==5 CRC-corrupt PNGs and the %13==11 mid-entropy-cut JPEGs."""
     from smart_ocr_ray.ops.multimodal import decode_rasters, raster_from_documents
 
     out = decode_rasters(raster_from_documents("/root/testdata/sf0.001")).take_all()
     assert out
     seen_fmts = set()
+    prog_ok = 0
     fmt_of = {0: "bmp", 1: "png", 2: "png", 3: "jpg"}
     for r in out:
         doc_id = int(r["url"].rsplit("/", 1)[1])
@@ -235,11 +237,17 @@ def test_raster_corpus_roundtrip(ray_session):
         elif doc_id % 4 in (1, 2) and doc_id % 11 == 5:
             assert not r["decode_ok"], r["url"]
             assert r["error"] == "bad PNG chunk CRC (IDAT)"
+        elif doc_id % 4 == 3 and doc_id % 13 == 11:
+            assert not r["decode_ok"], r["url"]
+            assert r["error"] == "truncated JPEG entropy stream"
         else:
             assert r["decode_ok"], (r["url"], r["error"])
             assert r["width"] == 8 + doc_id % 48
             assert r["height"] == 8 + (doc_id * 7) % 48
+            if doc_id % 8 == 7:
+                prog_ok += 1  # progressive JPEG decoded successfully
     assert seen_fmts == {"bmp", "png", "jpg"}
+    assert prog_ok > 10  # the progressive class is actually exercised
 
 
 def test_jpeg_codec_roundtrip_and_failures():
@@ -278,12 +286,65 @@ def test_jpeg_codec_roundtrip_and_failures():
         parse_jpeg(data[:40])
     with pytest.raises(ValueError, match="not a JPEG"):
         parse_jpeg(b"\x89PNG")
-    # progressive (SOF2) is detected, not mis-decoded
+    # a baseline full-band scan inside a progressive frame violates
+    # T.81's DC-scan rule (Ss=0 requires Se=0) — typed, not mis-decoded
     prog = bytearray(data)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="not baseline"):
+    with pytest.raises(ValueError, match="bad JPEG progressive scan"):
         parse_jpeg(bytes(prog))
+    # arithmetic-coded SOF9 stays a typed unsupported variant
+    arith = bytearray(data)
+    arith[sof + 1] = 0xC9
+    with pytest.raises(ValueError, match="not baseline"):
+        parse_jpeg(bytes(arith))
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """Progressive JPEG (SOF2) decode correctness, pinned against the
+    baseline decoder as reference: encode_jpeg_progressive quantizes
+    identically to encode_jpeg, so decoding its multi-scan stream
+    (DC first/refine, per-band AC first/refine with EOBn runs and
+    correction bits) must reproduce BYTE-IDENTICAL pixels to decoding
+    the baseline encoding — any error in any scan path breaks the
+    equality. Mid-entropy truncation is the typed failure the
+    raster-corpus oracle predicts."""
+    import numpy as np
+    import pytest
+
+    from smart_ocr_ray.ops.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    for h, w, ch, q in ((8, 8, 1, 75), (24, 17, 3, 40), (41, 56, 3, 90)):
+        if ch == 3 and q == 90:
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = (
+                np.stack([yy * 4, xx * 3, (yy + xx) * 2], -1)
+                .clip(0, 255)
+                .astype(np.uint8)
+            )
+        else:
+            px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        base = parse_jpeg(encode_jpeg(px, quality=q))
+        prog_bytes = encode_jpeg_progressive(px, quality=q)
+        prog = parse_jpeg(prog_bytes)
+        assert base[:3] == prog[:3] == (w, h, ch)
+        assert np.array_equal(base[3], prog[3])
+
+    # strict prefix of a scan's entropy data -> typed truncation
+    sos = prog_bytes.index(b"\xff\xda")
+    import struct as _st
+
+    seg_len = _st.unpack_from(">H", prog_bytes, sos + 2)[0]
+    with pytest.raises(ValueError, match="truncated JPEG entropy stream"):
+        parse_jpeg(prog_bytes[: sos + 2 + seg_len + 1])
+    # cut between scans: missing EOI is still a typed truncation
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        parse_jpeg(prog_bytes[: len(prog_bytes) - 2])
 
 
 def test_png_codec_roundtrip_exact_pixels():
@@ -532,7 +593,11 @@ def test_codec_fuzz_typed_failures_only(data):
 
     from smart_ocr_ray.ops.audio import encode_wav, parse_wav
     from smart_ocr_ray.ops.gif import encode_gif, parse_gif
-    from smart_ocr_ray.ops.jpeg import encode_jpeg, parse_jpeg
+    from smart_ocr_ray.ops.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
     from smart_ocr_ray.ops.multimodal import _parse_png, _write_png
 
     rng = np.random.default_rng(99)
@@ -544,8 +609,9 @@ def test_codec_fuzz_typed_failures_only(data):
         (encode_jpeg(px), parse_jpeg),
         (encode_gif([px[..., 0]], pal), parse_gif),
         (encode_wav(samples, 8000), parse_wav),
+        (encode_jpeg_progressive(px), parse_jpeg),
     ]
-    payload, parser = corpus[data.draw(st.integers(0, 3))]
+    payload, parser = corpus[data.draw(st.integers(0, 4))]
     mode = data.draw(st.integers(0, 2))
     buf = bytearray(payload)
     if mode == 0:  # single-byte mutation
