@@ -81,6 +81,49 @@ def _arrow_ngrams(
     return _flat(grams.filter(same)), _flat(par0.filter(same))
 
 
+_LANG_CODES = sorted(STOPWORDS)
+
+
+def _lang_hit_matrix(tokens: pa.Array, unit_ids, n_units: int):
+    """(len(_LANG_CODES), n_units) int64 stopword-hit counts over a
+    token stream: one ``pc.is_in`` + one ``np.bincount`` per bank —
+    the vectorized core of the language-ID family (r4 task #7: the
+    last per-row Python loop on a corpus-wide scan). ``unit_ids`` maps
+    each token to its scoring unit (document row or window)."""
+    import numpy as np
+
+    counts = np.zeros((len(_LANG_CODES), n_units), np.int64)
+    if len(tokens):
+        for li, lang in enumerate(_LANG_CODES):
+            mask = pc.is_in(
+                tokens, value_set=pa.array(STOPWORDS[lang])
+            ).to_numpy(zero_copy_only=False)
+            if mask.any():
+                counts[li] = np.bincount(unit_ids[mask], minlength=n_units)
+    return counts
+
+
+def _lang_argmax(counts, has_tokens):
+    """(pred, best, second) per unit under ``predict_lang``'s frozen
+    tie-break — hits desc, code asc ('und' when the unit is empty or
+    best < 2). ``_LANG_CODES`` is sorted, so np.argmax's first-max
+    rule IS the asc-code tie-break."""
+    import numpy as np
+
+    n = counts.shape[1]
+    best_idx = counts.argmax(axis=0)
+    best = counts.max(axis=0)
+    tmp = counts.copy()
+    tmp[best_idx, np.arange(n)] = -1
+    second = tmp.max(axis=0)
+    pred = np.where(
+        has_tokens & (best >= 2),
+        np.array(_LANG_CODES, dtype=object)[best_idx],
+        "und",
+    )
+    return pred, best, second
+
+
 def token_counts(sf_dir: str) -> ray.data.Dataset:
     """doc_id, n_tokens (whitespace), n_bpeish (sub-word-ish)."""
 
@@ -126,14 +169,23 @@ def quality(sf_dir: str) -> ray.data.Dataset:
 
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
-    """doc_id, pred_lang — stopword-bank language-ID (SQL-mirrored)."""
+    """doc_id, pred_lang — stopword-bank language-ID (SQL-mirrored),
+    fully vectorized (``_lang_hit_matrix``: one is_in + bincount per
+    bank, no per-row ``predict_lang`` calls)."""
 
     def _batch(batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch.column("text").to_pylist()]
+        import numpy as np
+
+        n = batch.num_rows
+        tokens, parents = _arrow_token_stream(batch)
+        par = parents.to_numpy(zero_copy_only=False)
+        counts = _lang_hit_matrix(tokens, par, n)
+        has = np.bincount(par, minlength=n) > 0
+        pred, _, _ = _lang_argmax(counts, has)
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
-                "pred_lang": pa.array([predict_lang(t) for t in texts], pa.string()),
+                "pred_lang": pa.array(list(pred), pa.string()),
             }
         )
 
@@ -153,7 +205,8 @@ def lang_margin(sf_dir: str) -> ray.data.Dataset:
     docs); ``confident`` = pred_lang ≠ 'und' AND margin ≥ 2. Dense
     output, one row per doc.
 
-    Scale shape: stateless map, no shuffle at any corpus size.
+    Scale shape: stateless VECTORIZED map (``_lang_hit_matrix``: one
+    is_in + bincount per bank), no shuffle at any corpus size.
     """
     out_schema = pa.schema(
         [
@@ -166,31 +219,22 @@ def lang_margin(sf_dir: str) -> ray.data.Dataset:
     )
 
     def _batch(batch: pa.Table) -> pa.Table:
-        ids, langs, bests, margins, confs = [], [], [], [], []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = (t or "").lower().split()
-            hits = {
-                lang: sum(1 for x in toks if x in set(STOPWORDS[lang]))
-                for lang in sorted(STOPWORDS)
-            }
-            ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))
-            best_lang, best = ranked[0]
-            second = ranked[1][1]
-            pred = best_lang if toks and best >= 2 else "und"
-            ids.append(int(d))
-            langs.append(pred)
-            bests.append(best)
-            margins.append(best - second)
-            confs.append(pred != "und" and best - second >= 2)
+        import numpy as np
+
+        n = batch.num_rows
+        tokens, parents = _arrow_token_stream(batch)
+        par = parents.to_numpy(zero_copy_only=False)
+        counts = _lang_hit_matrix(tokens, par, n)
+        has = np.bincount(par, minlength=n) > 0
+        pred, best, second = _lang_argmax(counts, has)
+        margin = best - second
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "pred_lang": pa.array(langs, pa.string()),
-                "best_hits": pa.array(bests, pa.int64()),
-                "margin": pa.array(margins, pa.int64()),
-                "confident": pa.array(confs, pa.bool_()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "pred_lang": pa.array(list(pred), pa.string()),
+                "best_hits": pa.array(best, pa.int64()),
+                "margin": pa.array(margin, pa.int64()),
+                "confident": pa.array((pred != "und") & (margin >= 2)),
             },
             schema=out_schema,
         )
@@ -727,6 +771,30 @@ def lang_length_quantiles(
     return map_key_groups(hist, "lang", _walk)
 
 
+def _window_stream(batch: pa.Table, window: int):
+    """Vectorized window structure over a batch's token stream: maps
+    each token to a GLOBAL window id (``window`` tokens per window,
+    last partial kept, one synthetic empty window per empty doc — the
+    ``code_switch_spans`` frozen rule) without any per-row Python.
+    Returns (tokens, par, gwin, total_windows, n_win_per_row,
+    win_doc_row, win_idx_in_doc)."""
+    import numpy as np
+
+    n = batch.num_rows
+    tokens, parents = _arrow_token_stream(batch)
+    par = parents.to_numpy(zero_copy_only=False)
+    row_counts = np.bincount(par, minlength=n)
+    starts = np.concatenate(([0], np.cumsum(row_counts)))
+    pos = np.arange(len(par), dtype=np.int64) - starts[par]
+    n_win = np.maximum(1, -(-row_counts // window))
+    wbase = np.concatenate(([0], np.cumsum(n_win)))
+    gwin = wbase[par] + pos // window
+    total = int(wbase[-1])
+    win_doc = np.repeat(np.arange(n, dtype=np.int64), n_win)
+    win_idx = np.arange(total, dtype=np.int64) - wbase[win_doc]
+    return tokens, par, gwin, total, n_win, win_doc, win_idx
+
+
 def code_switch_spans(sf_dir: str, window: int = 32) -> ray.data.Dataset:
     """Windowed language-ID — the CCNet move of running langid per
     PARAGRAPH instead of per document, here on fixed token windows:
@@ -743,9 +811,13 @@ def code_switch_spans(sf_dir: str, window: int = 32) -> ray.data.Dataset:
     ``switched`` = window lang differs from doc lang and is not 'und'.
     Dense output: one row per window.
 
-    Scale shape: a stateless vectorized-per-doc map — no shuffle, no
-    broadcast, no driver state at any corpus size; output rows are
-    corpus_tokens/window, written/consumed streaming.
+    Scale shape: a stateless FULLY-VECTORIZED map — the former
+    per-window ``predict_lang`` Python loop (the last per-row Python
+    on a corpus-wide scan, BASELINE.md headroom #4) is now one
+    ``_lang_hit_matrix`` bincount pass over window ids and one over
+    doc ids; no shuffle, no broadcast, no driver state at any corpus
+    size; output rows are corpus_tokens/window, written/consumed
+    streaming.
     """
     out_schema = pa.schema(
         [
@@ -758,28 +830,30 @@ def code_switch_spans(sf_dir: str, window: int = 32) -> ray.data.Dataset:
     )
 
     def _spans(batch: pa.Table) -> pa.Table:
-        ids, widx, wl, dl, sw = [], [], [], [], []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = (t or "").strip().lower().split()
-            doc_lang = predict_lang(t or "")
-            n_win = max(1, (len(toks) + window - 1) // window) if toks else 1
-            for i in range(n_win):
-                piece = " ".join(toks[i * window : (i + 1) * window])
-                win_lang = predict_lang(piece)
-                ids.append(int(d))
-                widx.append(i)
-                wl.append(win_lang)
-                dl.append(doc_lang)
-                sw.append(win_lang != doc_lang and win_lang != "und")
+        import numpy as np
+
+        n = batch.num_rows
+        tokens, par, gwin, total, n_win, win_doc, win_idx = _window_stream(
+            batch, window
+        )
+        wcounts = _lang_hit_matrix(tokens, gwin, total)
+        whas = np.bincount(gwin, minlength=total) > 0
+        win_lang, _, _ = _lang_argmax(wcounts, whas)
+        dcounts = _lang_hit_matrix(tokens, par, n)
+        dhas = np.bincount(par, minlength=n) > 0
+        doc_lang, _, _ = _lang_argmax(dcounts, dhas)
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        dl = doc_lang[win_doc]
+        switched = (win_lang != dl) & (win_lang != "und")
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "win_idx": pa.array(widx, pa.int64()),
-                "win_lang": pa.array(wl, pa.string()),
-                "doc_lang": pa.array(dl, pa.string()),
-                "switched": pa.array(sw, pa.bool_()),
+                "doc_id": pa.array(ids[win_doc], pa.int64()),
+                "win_idx": pa.array(win_idx, pa.int64()),
+                "win_lang": pa.array(list(win_lang), pa.string()),
+                "doc_lang": pa.array(list(dl), pa.string()),
+                "switched": pa.array(switched),
             },
             schema=out_schema,
         )
@@ -808,7 +882,10 @@ def majority_lang_strip(sf_dir: str, window: int = 32) -> ray.data.Dataset:
     in the gate's compare.
 
     Scale shape: identical to ``code_switch_spans`` — one stateless
-    map, no shuffle at any corpus size.
+    FULLY-VECTORIZED map (window langs via ``_lang_hit_matrix``
+    bincounts, window/doc text rebuilds via ``pc.binary_join`` over
+    offset-built list arrays); the only remaining per-row Python is
+    the one inherent md5 per document. No shuffle at any corpus size.
     """
     out_schema = pa.schema(
         [
@@ -820,29 +897,51 @@ def majority_lang_strip(sf_dir: str, window: int = 32) -> ray.data.Dataset:
     )
 
     def _strip(batch: pa.Table) -> pa.Table:
-        ids, nw, kw, km = [], [], [], []
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = (t or "").strip().lower().split()
-            doc_lang = predict_lang(t or "")
-            n_win = max(1, (len(toks) + window - 1) // window) if toks else 1
-            kept: list[str] = []
-            for i in range(n_win):
-                piece = " ".join(toks[i * window : (i + 1) * window])
-                win_lang = predict_lang(piece)
-                if not (win_lang != doc_lang and win_lang != "und"):
-                    kept.append(piece)
-            ids.append(int(d))
-            nw.append(n_win)
-            kw.append(len(kept))
-            km.append(content_md5(" ".join(kept)))
+        import numpy as np
+
+        n = batch.num_rows
+        tokens, par, gwin, total, n_win, win_doc, _ = _window_stream(
+            batch, window
+        )
+        wcounts = _lang_hit_matrix(tokens, gwin, total)
+        whas = np.bincount(gwin, minlength=total) > 0
+        win_lang, _, _ = _lang_argmax(wcounts, whas)
+        dcounts = _lang_hit_matrix(tokens, par, n)
+        dhas = np.bincount(par, minlength=n) > 0
+        doc_lang, _, _ = _lang_argmax(dcounts, dhas)
+        # rebuild each window's piece text: tokens are contiguous per
+        # window in stream order, so offsets + binary_join vectorize
+        # the " ".join
+        woff = np.concatenate(
+            ([0], np.cumsum(np.bincount(gwin, minlength=total)))
+        ).astype(np.int64)
+        pieces = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(woff, pa.int64()), _flat(tokens)
+            ),
+            " ",
+        )
+        kept_mask = ~(
+            (win_lang != doc_lang[win_doc]) & (win_lang != "und")
+        )
+        kept_pieces = _flat(pieces.filter(pa.array(kept_mask)))
+        kept_per_doc = np.bincount(win_doc[kept_mask], minlength=n)
+        doff = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int64)
+        rebuilt = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(doff, pa.int64()), kept_pieces
+            ),
+            " ",
+        )
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_windows": pa.array(nw, pa.int64()),
-                "kept_windows": pa.array(kw, pa.int64()),
-                "kept_md5": pa.array(km, pa.string()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_windows": pa.array(n_win, pa.int64()),
+                "kept_windows": pa.array(kept_per_doc, pa.int64()),
+                "kept_md5": pa.array(
+                    [content_md5(s) for s in rebuilt.to_pylist()],
+                    pa.string(),
+                ),
             },
             schema=out_schema,
         )
