@@ -658,12 +658,30 @@ def _session_token() -> str:
         return ""
 
 
+# vec_ids per index bucket (one hive partition dir of the on-disk
+# serving index). Locally sized so the test corpora span a handful of
+# files; at warehouse scale this is set by target file size (64-256 MB)
+# — the pruning arithmetic is identical.
+_ANN_BUCKET = 256
+
+
 def _ann_index(sf_dir: str, knn_k: int) -> tuple:
-    """(graph, embeddings, entry_vec_id) for ``sf_dir`` — materialized
-    once per (corpus content, knn_k, ray session) and reused by every
-    subsequent graph-ANN search in the process. The warm path turns
+    """Bucket-partitioned serving index for ``sf_dir`` — built once per
+    (corpus content, knn_k, ray session) and reused by every subsequent
+    graph-ANN search in the process. The warm path turns
     ``graph_ann_search``'s dominant cost (the LSH candidate chain that
-    builds the graph, ~70% of its wall time) into a one-time build."""
+    builds the graph, ~70% of its wall time) into a one-time build.
+
+    Returns ``(graph_files, emb_files, entry_vec_id)`` where the file
+    maps are ``bucket -> [parquet paths]`` over a hive-partitioned
+    (``bucket = vec_id // _ANN_BUCKET``) copy of the kNN graph and the
+    embedding table (VERDICT r4 task #6): a beam hop now reads ONLY
+    the bucket files intersecting its frontier ids instead of scanning
+    the whole corpus per hop. Partitioning is by VALUE
+    (``partition_cols``), so the layout is immune to Ray's unstable
+    physical block boundaries; pruning = plain integer arithmetic on
+    the hop's id set."""
+    import hashlib
     import os
 
     p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
@@ -671,13 +689,103 @@ def _ann_index(sf_dir: str, knn_k: int) -> tuple:
     key = (p, st.st_size, st.st_mtime_ns, int(knn_k), _session_token())
     hit = _SERVING_CACHE.get(key)
     if hit is None:
-        hit = (
-            embedding_knn_graph(sf_dir, k=knn_k).materialize(),
-            read_embeddings(sf_dir).materialize(),
-            _centroid_medoid(sf_dir),
+        base = "/tmp/smart_ocr_ray_ann"
+        root = os.path.join(
+            base, hashlib.md5(repr(key).encode()).hexdigest()[:16]
         )
+        # best-effort sweep of stale index dirs from earlier sessions/
+        # corpus versions (>24h untouched) — the tmp+rename-free analog
+        # of the shard-compactor's stale-tmp sweep
+        import shutil
+        import time as _time
+
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                p_old = os.path.join(base, d)
+                try:
+                    if (
+                        p_old != root
+                        and _time.time() - os.path.getmtime(p_old) > 86400
+                    ):
+                        shutil.rmtree(p_old, ignore_errors=True)
+                except OSError:
+                    pass
+
+        def _bucketize(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.append_column(
+                "bucket",
+                pc.floor(
+                    pc.divide(
+                        pc.cast(batch.column("vec_id"), pa.float64()),
+                        float(_ANN_BUCKET),
+                    )
+                ).cast(pa.int64()),
+            )
+
+        # sort+coalesce before the partitioned write: without it every
+        # (input block x bucket) pair becomes its own tiny file and the
+        # per-hop read pays one metadata fetch per fragment (measured
+        # 1,724 fragments -> 14 files on the sf0.1 index). The bucket
+        # sort makes buckets contiguous so each writer block spans few
+        # buckets (~1 file per bucket); 64 buckets per writer block
+        # keeps the build parallel at warehouse scale.
+        n_vecs = int(read_embeddings(sf_dir).count())
+        wb = max(1, (n_vecs // _ANN_BUCKET + 1) // 64)
+        embedding_knn_graph(sf_dir, k=knn_k).map_batches(
+            _bucketize, batch_format="pyarrow"
+        ).sort("bucket").repartition(wb).write_parquet(
+            os.path.join(root, "graph"), partition_cols=["bucket"]
+        )
+        read_embeddings(sf_dir).map_batches(
+            _bucketize, batch_format="pyarrow"
+        ).sort("bucket").repartition(wb).write_parquet(
+            os.path.join(root, "emb"), partition_cols=["bucket"]
+        )
+
+        def _files(sub: str) -> dict[int, list[str]]:
+            out: dict[int, list[str]] = {}
+            base = os.path.join(root, sub)
+            for d in os.listdir(base):
+                if d.startswith("bucket="):
+                    b = int(d.split("=", 1)[1])
+                    bdir = os.path.join(base, d)
+                    out[b] = sorted(
+                        os.path.join(bdir, f) for f in os.listdir(bdir)
+                    )
+            return out
+
+        hit = (_files("graph"), _files("emb"), _centroid_medoid(sf_dir))
         _SERVING_CACHE[key] = hit
     return hit
+
+
+# per-process counters for the pruning measurement recorded in
+# BASELINE.md: (bucket files read, total bucket files in the index),
+# accumulated across hops by _pruned_read.
+ANN_PRUNE_STATS = {"files_read": 0, "files_total": 0, "hops": 0}
+
+
+def _pruned_read(
+    files: dict[int, list[str]], ids: frozenset
+) -> ray.data.Dataset | None:
+    """Dataset over ONLY the index bucket files intersecting ``ids``
+    (bucket = vec_id // _ANN_BUCKET), with an exact vec_id filter
+    pushed into the parquet scan. None when no bucket matches."""
+    import pyarrow.dataset as pads
+
+    buckets = sorted({int(i) // _ANN_BUCKET for i in ids})
+    paths = [f for b in buckets for f in files.get(b, [])]
+    ANN_PRUNE_STATS["files_read"] += len(paths)
+    ANN_PRUNE_STATS["files_total"] += sum(len(v) for v in files.values())
+    ANN_PRUNE_STATS["hops"] += 1
+    if not paths:
+        return None
+    return ray.data.read_parquet(
+        paths,
+        filter=pads.field("vec_id").isin([int(i) for i in ids]),
+    )
 
 
 def graph_ann_search(
@@ -705,51 +813,44 @@ def graph_ann_search(
     (query_id, vec_id, cos_sim_e3, rank) surface as
     ``ann_cosine_topk`` so recall composes directly.
 
-    Scale shape: the graph and the embedding corpus stay DISTRIBUTED;
-    each hop is two broadcast-filter passes over them (frontier ids →
-    edges; candidate ids → embeddings) with only the frontier/visited
-    sets (≤ ``n_queries × (1 + beam·hops)`` ids) ever on the driver —
-    the documented bounded exception, same discipline as the k-means
-    driver fold. Hop latency is one filtered scan, not a shuffle. The
-    index (graph + embeddings + entry point) comes from the
-    content-signed ``_ann_index`` session cache, so repeated searches
-    in one process pay only the walk — the serving amortization
-    (bench rows ``graph_ann_search`` cold vs ``graph_ann_warm``).
+    Scale shape: the index stays on (distributed) storage, hive-
+    partitioned by ``vec_id // _ANN_BUCKET``; each hop reads ONLY the
+    bucket files intersecting its frontier/candidate ids (plus an
+    exact vec_id filter pushed into the parquet scan) — partition-
+    pruned hops (VERDICT r4 task #6), not a whole-corpus scan — with
+    only the frontier/visited sets (≤ ``n_queries × (1 + beam·hops)``
+    ids) ever on the driver. The index comes from the content-signed
+    ``_ann_index`` session cache, so repeated searches in one process
+    pay only the walk — the serving amortization (bench rows
+    ``graph_ann_search`` cold vs ``graph_ann_warm``); the pruning
+    ratio is accumulated in ``ANN_PRUNE_STATS`` and recorded in
+    BASELINE.md.
     """
     queries, q_ids = _load_queries(sf_dir, n_queries)
-    graph, emb, entry = _ann_index(sf_dir, knn_k)
+    graph_files, emb_files, entry = _ann_index(sf_dir, knn_k)
 
     def _edges_for(ids: frozenset) -> dict[int, list[int]]:
-        """nbr lists for a bounded id set — broadcast-filter the graph
-        (vectorized ``pc.is_in`` membership, no per-row Python)."""
-        import pyarrow.compute as pc
-
-        ids_ref = ray.put(pa.array(sorted(ids), pa.int64()))
-
-        def _filt(batch: pa.Table) -> pa.Table:
-            want = ray.get(ids_ref)
-            mask = pc.is_in(batch.column("vec_id").cast(pa.int64()), want)
-            return batch.filter(mask).select(["vec_id", "nbr"])
-
+        """nbr lists for a bounded id set — bucket-pruned parquet read
+        over only the graph partitions containing the ids."""
+        ds = _pruned_read(graph_files, ids)
+        if ds is None:
+            return {}
         out: dict[int, list[int]] = {}
-        for r in graph.map_batches(_filt, batch_format="pyarrow").take_all():
+        for r in ds.select_columns(["vec_id", "nbr"]).take_all():
             out.setdefault(int(r["vec_id"]), []).append(int(r["nbr"]))
         return out
 
     def _scores_for(ids: frozenset) -> dict[int, np.ndarray]:
-        """per-candidate e6 cosine scores vs every query vector."""
-        import pyarrow.compute as pc
-
-        ids_ref = ray.put(pa.array(sorted(ids), pa.int64()))
+        """per-candidate e6 cosine scores vs every query vector —
+        bucket-pruned read of only the embedding partitions needed."""
+        ds = _pruned_read(emb_files, ids)
+        if ds is None:
+            return {}
         q_ref = ray.put(queries)
 
-        def _filt(batch: pa.Table) -> pa.Table:
-            want = ray.get(ids_ref)
+        def _score(batch: pa.Table) -> pa.Table:
             q_mat = ray.get(q_ref)
-            sub = batch.filter(
-                pc.is_in(batch.column("vec_id").cast(pa.int64()), want)
-            )
-            if sub.num_rows == 0:
+            if batch.num_rows == 0:
                 return pa.Table.from_pydict(
                     {
                         "vec_id": pa.array([], pa.int64()),
@@ -757,21 +858,24 @@ def graph_ann_search(
                     }
                 )
             m = np.asarray(
-                [np.asarray(e, np.float64) for e in sub.column("embedding").to_pylist()]
+                [
+                    np.asarray(e, np.float64)
+                    for e in batch.column("embedding").to_pylist()
+                ]
             )
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             e6 = np.round((m / norms) @ q_mat.T * 1_000_000).astype(np.int64)
             return pa.Table.from_pydict(
                 {
-                    "vec_id": sub.column("vec_id").cast(pa.int64()),
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
                     "e6": pa.array(e6.tolist(), pa.list_(pa.int64())),
                 }
             )
 
         return {
             int(r["vec_id"]): np.asarray(r["e6"], np.int64)
-            for r in emb.map_batches(_filt, batch_format="pyarrow").take_all()
+            for r in ds.map_batches(_score, batch_format="pyarrow").take_all()
         }
 
     # visited[qi]: vec_id -> e6 score vs query qi; frontier[qi]: ids
