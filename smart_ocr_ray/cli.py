@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -48,6 +49,16 @@ def cmd_extract(args: argparse.Namespace) -> int:
         input_sig=args.input_sig,
         multi_extractor=args.multi_extractor,
     )
+    # post-run report (the reference's ui/ panel surface, rendered from
+    # the lineage manifests): written next to the shards + printed
+    from .ui import report_from_manifests
+
+    report = report_from_manifests(args.output)
+    report_path = os.path.join(args.output, "report.txt")
+    with open(report_path, "w") as f:
+        f.write(report)
+    print(report, file=sys.stderr)
+    summary["report"] = report_path
     print(json.dumps(summary))
     return 0
 
