@@ -1133,6 +1133,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "winnow_clusters": dedup.winnow_clusters,
         "winnow_containment": dedup.winnow_containment,
         "setjoin_pairs": dedup.setjoin_pairs,
+        "dedup_bcubed": dedup.dedup_bcubed,
         # --- similarity search ---
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -6877,6 +6878,31 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 1000000 * n_common // n_est END AS BIGINT)
                  AS precision_e6
         FROM s
+    """
+    # Composed verbatim from the dedup_clusters oracle, so the B-cubed
+    # score can never drift from the clustering it evaluates. Gold
+    # clusters are exact-content groups; per-doc floor grids collapse
+    # to per-contingency-cell integer products (see ops/dedup.py
+    # dedup_bcubed docstring).
+    out["dedup_bcubed"] = f"""
+        WITH c AS (SELECT doc_id, cluster_id FROM ({out["dedup_clusters"]})),
+             a AS (SELECT d.doc_id,
+                          coalesce(c.cluster_id, -d.doc_id - 1) AS cid,
+                          substr(md5(coalesce(d.text, '')), 1, 16) AS gid
+                   FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id),
+             cg AS (SELECT cid, gid, count(*) AS n FROM a GROUP BY cid, gid),
+             sc AS (SELECT cid, sum(n) AS s FROM cg GROUP BY cid),
+             sg AS (SELECT gid, sum(n) AS s FROM cg GROUP BY gid),
+             x AS (SELECT cg.n,
+                          1000000 * cg.n // sc.s AS p_e6,
+                          1000000 * cg.n // sg.s AS r_e6
+                   FROM cg JOIN sc USING (cid) JOIN sg USING (gid))
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(n * p_e6) AS BIGINT) AS sum_p_e6,
+               CAST(sum(n * r_e6) AS BIGINT) AS sum_r_e6,
+               CAST(sum(n * p_e6) // sum(n) AS BIGINT) AS mean_p_e6,
+               CAST(sum(n * r_e6) // sum(n) AS BIGINT) AS mean_r_e6
+        FROM x
     """
     out["script_profile"] = _script_profile_sql()
     out["date_extract"] = _date_extract_sql()

@@ -171,6 +171,7 @@ def run_bench() -> dict:
         timed("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
         timed("dedup_incremental_minhash", dedup.dedup_incremental_minhash)
         timed("minhash_recall_eval", dedup.minhash_recall_eval)
+        timed("dedup_bcubed", dedup.dedup_bcubed)
         timed("ann_cosine_topk", similarity.ann_cosine_topk)
         timed("graph_ann_search", similarity.graph_ann_search)
         # Warm serving path: the index built above is session-cached

@@ -2554,3 +2554,149 @@ def minhash_recall_eval(sf_dir: str, max_doc_id: int = 300) -> ray.data.Dataset:
             schema=_MINHASH_EVAL_SCHEMA,
         )
     )
+
+
+_BCUBED_SCHEMA = pa.schema(
+    [
+        ("n_docs", pa.int64()),
+        ("sum_p_e6", pa.int64()),
+        ("sum_r_e6", pa.int64()),
+        ("mean_p_e6", pa.int64()),
+        ("mean_r_e6", pa.int64()),
+    ]
+)
+
+
+def dedup_bcubed(sf_dir: str) -> ray.data.Dataset:
+    """B-cubed precision/recall of the near-dup CLUSTERING against
+    exact-duplicate gold clusters — the standard extrinsic clustering
+    metric (Bagga & Baldwin 1998; Amigo et al. 2009 showed B-cubed is
+    the only common clustering metric satisfying all four formal
+    constraints), and the cluster-level complement to
+    ``minhash_recall_eval``'s PAIRWISE audit: pairwise P/R can look
+    fine while min-label propagation chains unrelated documents into
+    one giant cluster, which B-cubed precision punishes per document.
+
+    Frozen rule (mirrored by the composed SQL oracle, which embeds the
+    ``dedup_clusters`` oracle verbatim so the metric can never drift
+    from the clustering it scores): predicted cluster of a doc =
+    ``dedup_clusters`` assignment, singleton ``-doc_id-1`` for docs in
+    no near-dup pair; gold cluster = ``substr(md5(text), 1, 16)``
+    (exact-content groups); with ``n_cg`` docs sharing predicted
+    cluster c and gold cluster g, every such doc scores
+    ``p_e6 = (1e6*n_cg) // size_c`` and ``r_e6 = (1e6*n_cg) //
+    size_g`` (per-doc floor grids — exact ints on both sides). Output
+    one row: (n_docs, sum_p_e6, sum_r_e6, mean_p_e6 = sum_p_e6 //
+    n_docs, mean_r_e6).
+
+    Scale shape: one left join (docs x cluster assignments) and three
+    key-sorted ``reduce_by_keys`` / ``gather_by_key`` passes over the
+    CONTINGENCY table (one row per (pred, gold) cluster pair — far
+    smaller than the corpus); the final fold is per-block partials +
+    an O(blocks) driver sum. B-cubed never needs per-doc pair
+    enumeration: sum over docs of p collapses to
+    ``n_cg * ((1e6*n_cg) // size_c)`` per contingency cell.
+    """
+    from ..tuning import join_partitions as _jp
+    from .grouped import gather_by_key, reduce_by_keys
+
+    docs = read_documents(sf_dir)
+    k = _jp()
+
+    def _gold(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "gid": pa.array(
+                    [content_md5(t)[:16] for t in texts], pa.string()
+                ),
+            }
+        )
+
+    gold = docs.map_batches(_gold, batch_format="pyarrow")
+    pred = dedup_clusters(sf_dir)
+    joined = gold.join(
+        pred, join_type="left_outer", num_partitions=k, on=("doc_id",)
+    )
+
+    _DGC = pa.schema(
+        [("cid", pa.int64()), ("gid", pa.string())]
+    )
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").cast(pa.int64())
+        singleton = pc.subtract(
+            pa.scalar(-1, pa.int64()), ids
+        )  # -doc_id - 1, collision-free with min-doc_id cluster ids
+        cid = pc.coalesce(batch.column("cluster_id").cast(pa.int64()), singleton)
+        return pa.Table.from_pydict(
+            {"cid": cid, "gid": batch.column("gid")}, schema=_DGC
+        )
+
+    dgc = joined.map_batches(_fill, batch_format="pyarrow")
+    # materialize the contingency: it has three consumers (both size
+    # rollups + the gather), and without pinning it each one re-runs
+    # the entire clustering chain upstream. Bounded: one row per
+    # (pred, gold) cluster pair <= one per document.
+    cg = reduce_by_keys(dgc, ["cid", "gid"], None, "count", out="n").materialize()
+    size_c = reduce_by_keys(cg, ["cid"], "n", "sum", out="sc")
+    size_g = reduce_by_keys(cg, ["gid"], "n", "sum", out="sg")
+
+    cg_schema = pa.schema(
+        [("cid", pa.int64()), ("gid", pa.string()), ("n", pa.int64())]
+    )
+    with_sc = gather_by_key(
+        cg, "cid", size_c, "cid", "sc", "sc", cg_schema, pa.int64()
+    )
+    with_both = gather_by_key(
+        with_sc,
+        "gid",
+        size_g,
+        "gid",
+        "sg",
+        "sg",
+        pa.schema(list(cg_schema) + [pa.field("sc", pa.int64())]),
+        pa.int64(),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                }
+            )
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        sc = batch.column("sc").to_numpy(zero_copy_only=False)
+        sg = batch.column("sg").to_numpy(zero_copy_only=False)
+        p = n * ((1_000_000 * n) // sc)
+        r = n * ((1_000_000 * n) // sg)
+        return pa.table(
+            {
+                "n": pa.array([int(n.sum())], pa.int64()),
+                "p": pa.array([int(p.sum())], pa.int64()),
+                "r": pa.array([int(r.sum())], pa.int64()),
+            }
+        )
+
+    parts = with_both.map_batches(_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in parts)
+    sum_p = sum(r["p"] for r in parts)
+    sum_r = sum(r["r"] for r in parts)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n_docs": [n_docs],
+                "sum_p_e6": [sum_p],
+                "sum_r_e6": [sum_r],
+                "mean_p_e6": [sum_p // n_docs if n_docs else 0],
+                "mean_r_e6": [sum_r // n_docs if n_docs else 0],
+            },
+            schema=_BCUBED_SCHEMA,
+        )
+    )

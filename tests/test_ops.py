@@ -7460,3 +7460,52 @@ def test_coreset_kcenter_empty_subset(ray_session):
         ds = fn(sf, max_vec_id=0)
         assert ds.count() == 0
         assert [f.name for f in ds.schema().base_schema] == cols
+
+
+def test_dedup_bcubed_matches_python_reference(ray_session):
+    """dedup_bcubed: the contingency-collapsed B-cubed sums equal a
+    direct per-document Python recomputation from the clustering's own
+    output and the exact-content gold groups on sf0.001 — pinning the
+    n_cg * ((1e6*n_cg) // size) collapse and the singleton fill."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.dedup import dedup_bcubed, dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    pred = {
+        int(r["doc_id"]): int(r["cluster_id"])
+        for r in dedup_clusters(sf).take_all()
+    }
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    cid = {
+        int(d): pred.get(int(d), -int(d) - 1) for d, _ in docs
+    }
+    gid = {
+        int(d): hashlib.md5((txt or "").encode()).hexdigest()[:16]
+        for d, txt in docs
+    }
+    size_c = Counter(cid.values())
+    size_g = Counter(gid.values())
+    n_cg = Counter((cid[d], gid[d]) for d in cid)
+    sum_p = sum(
+        (1_000_000 * n_cg[(cid[d], gid[d])]) // size_c[cid[d]] for d in cid
+    )
+    sum_r = sum(
+        (1_000_000 * n_cg[(cid[d], gid[d])]) // size_g[gid[d]] for d in cid
+    )
+    (row,) = dedup_bcubed(sf).take_all()
+    assert row["n_docs"] == len(docs)
+    assert row["sum_p_e6"] == sum_p
+    assert row["sum_r_e6"] == sum_r
+    assert row["mean_p_e6"] == sum_p // len(docs)
+    assert row["mean_r_e6"] == sum_r // len(docs)
+    # the synthetic corpus has exact duplicates the MinHash chain must
+    # cluster: recall meaningfully above zero, precision sane
+    assert 0 < row["mean_r_e6"] <= 1_000_000
+    assert 0 < row["mean_p_e6"] <= 1_000_000
