@@ -1046,6 +1046,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": text_analysis.trending_terms,
         "contamination_check": text_analysis.contamination_check,
         "quality_filter": text_analysis.quality_filter,
+        "domain_quality_wilson": text_analysis.domain_quality_wilson,
         "stratified_sample": text_analysis.stratified_sample,
         "sample_exact_k": text_analysis.sample_exact_k,
         "sample_stratified_k": text_analysis.sample_stratified_k,
@@ -6903,6 +6904,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n * p_e6) // sum(n) AS BIGINT) AS mean_p_e6,
                CAST(sum(n * r_e6) // sum(n) AS BIGINT) AS mean_r_e6
         FROM x
+    """
+    # Composed verbatim from the quality_filter oracle (the rollup can
+    # never drift from the per-doc gate). z=2 Wilson lower bound on
+    # exact integers; isqrt via floor(sqrt(double)) + the one-step
+    # correction of the mixture_temperature precedent.
+    out["domain_quality_wilson"] = f"""
+        WITH q AS (SELECT doc_id, keep FROM ({out["quality_filter"]})),
+             a AS (SELECT d.source, count(*) AS n,
+                          sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS k
+                   FROM documents d JOIN q USING (doc_id)
+                   GROUP BY d.source),
+             w0 AS (SELECT source, n, k,
+                           (CAST(1000000000000 AS HUGEINT)
+                            * (k * (n - k) + n)) // n AS x
+                    FROM a),
+             w1 AS (SELECT source, n, k, x,
+                           CAST(floor(sqrt(CAST(x AS DOUBLE)))
+                                AS HUGEINT) AS c0
+                    FROM w0),
+             w2 AS (SELECT source, n, k,
+                           c0 + (CASE WHEN (c0 + 1) * (c0 + 1) <= x THEN 1
+                                      WHEN c0 * c0 > x THEN -1
+                                      ELSE 0 END) AS s
+                    FROM w1)
+        SELECT source,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(k AS BIGINT) AS n_passed,
+               CAST((1000000 * k) // n AS BIGINT) AS pass_rate_e6,
+               CAST((1000000 * (k + 2) - 2 * s) // (n + 4) AS BIGINT)
+                 AS wilson_lb_e6
+        FROM w2
+        ORDER BY wilson_lb_e6 DESC, source
     """
     out["script_profile"] = _script_profile_sql()
     out["date_extract"] = _date_extract_sql()

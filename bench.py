@@ -185,6 +185,7 @@ def run_bench() -> dict:
         timed("doc_quality", text_analysis.quality)
         timed("readability", text_analysis.readability)
         timed("gopher_rules", text_analysis.gopher_rules)
+        timed("domain_quality_wilson", text_analysis.domain_quality_wilson)
         timed("domain_stats", text_analysis.domain_stats)
         timed("line_dedup", dedup.line_dedup)
         timed("substring_dedup", dedup.substring_dedup)

@@ -5344,3 +5344,99 @@ def corpus_drift(sf_dir: str) -> ray.data.Dataset:
             schema=_DRIFT_SCHEMA,
         )
     )
+
+
+_WILSON_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_passed", pa.int64()),
+        ("pass_rate_e6", pa.int64()),
+        ("wilson_lb_e6", pa.int64()),
+    ]
+)
+
+
+def domain_quality_wilson(sf_dir: str) -> ray.data.Dataset:
+    """Wilson-lower-bound domain quality ranking — the curation move of
+    ordering domains by quality pass rate with a small-sample penalty
+    (Wilson 1927 score interval): a 3/3 domain must not outrank a
+    950/1000 domain, which the raw rate does and the interval's lower
+    bound does not. This is how a crawl pipeline picks which domains to
+    up-sample or re-crawl when most domains have few documents.
+
+    Frozen rule (mirrored by the composed SQL oracle, which embeds the
+    ``quality_filter`` oracle verbatim so the rollup can never drift
+    from the per-doc gate): per source, ``n`` docs and ``k`` =
+    quality_filter keeps; at z = 2 the lower bound reduces to
+    ``(k + 2 - 2*sqrt((k*(n-k) + n)/n)) / (n + 4)``, computed exactly
+    on integers as ``x = (1e12*(k*(n-k) + n)) // n``, ``s = isqrt(x)``
+    (SQL: floor(sqrt(double)) + the one-step correction of the
+    ``mixture_temperature`` precedent — the double's relative error is
+    orders below 1 ulp of s at any corpus size), ``wilson_lb_e6 =
+    (1e6*(k+2) - 2*s) // (n+4)``; ``pass_rate_e6 = (1e6*k) // n``.
+    Output one row per source, ordered (wilson_lb_e6 desc, source asc).
+
+    Scale shape: per-batch Arrow partials collapse each block to one
+    row per source before the shuffle; the Wilson fold runs on the
+    per-source table (Python bigints — the 1e12 product overflows
+    int64 near n=6e3) and the final sort is source-sized.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    docs = read_documents(sf_dir)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keeps = [
+            1 if quality_reason(t or "", lang) == "" else 0
+            for t, lang in zip(
+                batch.column("text").to_pylist(),
+                batch.column("lang").to_pylist(),
+            )
+        ]
+        tbl = pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+                "k": pa.array(keeps, pa.int64()),
+            }
+        )
+        out = pa.TableGroupBy(tbl, ["source"]).aggregate(
+            [("n", "sum"), ("k", "sum")]
+        )
+        return out.rename_columns(["source", "n", "k"])
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+    )
+
+    def _wilson(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _WILSON_SCHEMA.empty_table()
+        srcs = batch.column("source").to_pylist()
+        ns = [int(v) for v in batch.column("n").to_pylist()]
+        ks = [int(v) for v in batch.column("k").to_pylist()]
+        lbs, rates = [], []
+        for n, k in zip(ns, ks):
+            x = (10**12 * (k * (n - k) + n)) // n
+            s = math.isqrt(x)
+            lbs.append((1_000_000 * (k + 2) - 2 * s) // (n + 4))
+            rates.append((1_000_000 * k) // n)
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_docs": pa.array(ns, pa.int64()),
+                "n_passed": pa.array(ks, pa.int64()),
+                "pass_rate_e6": pa.array(rates, pa.int64()),
+                "wilson_lb_e6": pa.array(lbs, pa.int64()),
+            },
+            schema=_WILSON_SCHEMA,
+        )
+
+    return agg.map_batches(_wilson, batch_format="pyarrow").sort(
+        ["wilson_lb_e6", "source"], descending=[True, False]
+    )

@@ -7509,3 +7509,56 @@ def test_dedup_bcubed_matches_python_reference(ray_session):
     # cluster: recall meaningfully above zero, precision sane
     assert 0 < row["mean_r_e6"] <= 1_000_000
     assert 0 < row["mean_p_e6"] <= 1_000_000
+
+
+def test_domain_quality_wilson_properties(ray_session):
+    """domain_quality_wilson: exact agreement with a per-source Python
+    recomputation (math.isqrt Wilson at z=2) on sf0.001, plus the two
+    properties the op exists for: the bound never exceeds the raw rate,
+    and a small perfect source cannot outrank a large near-perfect one
+    (the small-sample penalty)."""
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.text_analysis import (
+        domain_quality_wilson,
+        quality_reason,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(
+        f"{sf}/documents.parquet", columns=["source", "text", "lang"]
+    )
+    agg = defaultdict(lambda: [0, 0])
+    for s, txt, lang in zip(
+        t.column("source").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+    ):
+        agg[s][0] += 1
+        agg[s][1] += 1 if quality_reason(txt or "", lang) == "" else 0
+    want = {}
+    for s, (n, k) in agg.items():
+        x = (10**12 * (k * (n - k) + n)) // n
+        lb = (1_000_000 * (k + 2) - 2 * math.isqrt(x)) // (n + 4)
+        want[s] = (n, k, (1_000_000 * k) // n, lb)
+    rows = domain_quality_wilson(sf).take_all()
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_passed"], r["pass_rate_e6"], r["wilson_lb_e6"]
+        )
+        for r in rows
+    }
+    assert got == want
+    # ordered by (wilson desc, source asc)
+    keys = [(-r["wilson_lb_e6"], r["source"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["wilson_lb_e6"] <= r["pass_rate_e6"]
+    # small-sample penalty: 3/3 scores below 950/1000
+    small = (1_000_000 * 5 - 2 * math.isqrt((10**12 * (0 + 3)) // 3)) // 7
+    big_x = (10**12 * (950 * 50 + 1000)) // 1000
+    big = (1_000_000 * 952 - 2 * math.isqrt(big_x)) // 1004
+    assert small < big
