@@ -922,6 +922,12 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(sf_dir)
 
 
+def _q_pii_by_domain(sf_dir: str):
+    from smart_ocr_ray.ops.pii import pii_by_domain
+
+    return pii_by_domain(sf_dir)
+
+
 def _q_url_canonical(sf_dir: str):
     from smart_ocr_ray.ops.urls import url_canonical
 
@@ -1107,6 +1113,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "cluster_safe_split": text_analysis.cluster_safe_split,
         "passage_chunks": text_analysis.passage_chunks,
         "pii_scrub": _q_pii_scrub,
+        "pii_by_domain": _q_pii_by_domain,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "line_dedup": dedup.line_dedup,
@@ -6936,6 +6943,25 @@ def oracle_sql() -> dict[str, str]:
                  AS wilson_lb_e6
         FROM w2
         ORDER BY wilson_lb_e6 DESC, source
+    """
+    # Composed verbatim from the pii_scrub oracle: the per-domain
+    # density rollup can never drift from the per-doc scrubber.
+    out["pii_by_domain"] = f"""
+        WITH s AS (SELECT doc_id, n_emails, n_phones, n_ips
+                   FROM ({out["pii_scrub"]})),
+             a AS (SELECT d.source, count(*) AS n,
+                          sum(s.n_emails) AS e, sum(s.n_phones) AS p,
+                          sum(s.n_ips) AS i
+                   FROM documents d JOIN s USING (doc_id)
+                   GROUP BY d.source)
+        SELECT source,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(e AS BIGINT) AS n_emails,
+               CAST(p AS BIGINT) AS n_phones,
+               CAST(i AS BIGINT) AS n_ips,
+               CAST((1000000 * (e + p + i)) // n AS BIGINT)
+                 AS pii_per_doc_e6
+        FROM a ORDER BY source
     """
     out["script_profile"] = _script_profile_sql()
     out["date_extract"] = _date_extract_sql()

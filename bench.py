@@ -202,9 +202,10 @@ def run_bench() -> dict:
         timed("events_hourly", relational.events_hourly)
         timed("supplier_part_counts", relational.supplier_part_counts)
 
-        from smart_ocr_ray.ops.pii import pii_scrub
+        from smart_ocr_ray.ops.pii import pii_by_domain, pii_scrub
 
         timed("pii_scrub", pii_scrub)
+        timed("pii_by_domain", pii_by_domain)
 
         from smart_ocr_ray.ops.links import link_graph
 

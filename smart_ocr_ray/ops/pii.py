@@ -112,3 +112,91 @@ def pii_scrub(sf_dir: str) -> ray.data.Dataset:
         )
 
     return read_documents(sf_dir).map_batches(_batch, batch_format="pyarrow")
+
+
+_PII_DOMAIN_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_emails", pa.int64()),
+        ("n_phones", pa.int64()),
+        ("n_ips", pa.int64()),
+        ("pii_per_doc_e6", pa.int64()),
+    ]
+)
+
+
+def pii_by_domain(sf_dir: str) -> ray.data.Dataset:
+    """Per-domain PII density — the scrub-planning rollup a pipeline
+    runs before deciding which sources need the expensive scrubbing
+    passes (or exclusion): total email/phone/IP matches per source and
+    the density ``pii_per_doc_e6 = (1e6 * total_matches) // n_docs``.
+
+    Frozen rule: match counts are exactly ``pii_scrub``'s per-doc
+    counts (same RE2 patterns, same deterministic doc_id-derived
+    seeding); the oracle embeds the pii_scrub SQL verbatim so the
+    rollup can never drift from the per-doc scrubber.
+
+    Scale shape: the per-doc count pass is the same stateless map as
+    ``pii_scrub``; per-batch Arrow partials collapse each block to one
+    row per source before the single source-keyed shuffle; density is
+    a floor-div over the tiny per-source table.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        seeded = seed_pii(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").combine_chunks(),
+        )
+        _, counts = scrub_batch(seeded)
+        tbl = pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+                "e": pc.cast(counts["n_emails"], pa.int64()),
+                "p": pc.cast(counts["n_phones"], pa.int64()),
+                "i": pc.cast(counts["n_ips"], pa.int64()),
+            }
+        )
+        out = pa.TableGroupBy(tbl, ["source"]).aggregate(
+            [("n", "sum"), ("e", "sum"), ("p", "sum"), ("i", "sum")]
+        )
+        return out.rename_columns(["source", "n", "e", "p", "i"])
+
+    agg = (
+        read_documents(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("e", alias_name="e"),
+            Sum("p", alias_name="p"),
+            Sum("i", alias_name="i"),
+        )
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PII_DOMAIN_SCHEMA.empty_table()
+        import numpy as np
+
+        n = batch.column("n").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = batch.column("e").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = batch.column("p").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = batch.column("i").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(n, pa.int64()),
+                "n_emails": pa.array(e, pa.int64()),
+                "n_phones": pa.array(p, pa.int64()),
+                "n_ips": pa.array(i, pa.int64()),
+                "pii_per_doc_e6": pa.array(
+                    (1_000_000 * (e + p + i)) // n, pa.int64()
+                ),
+            },
+            schema=_PII_DOMAIN_SCHEMA,
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow").sort("source")

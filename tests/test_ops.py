@@ -7562,3 +7562,45 @@ def test_domain_quality_wilson_properties(ray_session):
     big_x = (10**12 * (950 * 50 + 1000)) // 1000
     big = (1_000_000 * 952 - 2 * math.isqrt(big_x)) // 1004
     assert small < big
+
+
+def test_pii_by_domain_matches_per_doc_counts(ray_session):
+    """pii_by_domain: the per-source rollup equals summing pii_scrub's
+    own per-doc counts grouped by the documents table's source — the
+    no-drift composition the oracle encodes."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from smart_ocr_ray.ops.pii import pii_by_domain, pii_scrub
+
+    sf = "/root/testdata/sf0.001"
+    src_of = dict(
+        zip(
+            *[
+                pq.read_table(
+                    f"{sf}/documents.parquet", columns=["doc_id", "source"]
+                ).column(c).to_pylist()
+                for c in ("doc_id", "source")
+            ]
+        )
+    )
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in pii_scrub(sf).take_all():
+        a = agg[src_of[r["doc_id"]]]
+        a[0] += 1
+        a[1] += r["n_emails"]
+        a[2] += r["n_phones"]
+        a[3] += r["n_ips"]
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_emails"], r["n_phones"], r["n_ips"],
+            r["pii_per_doc_e6"],
+        )
+        for r in pii_by_domain(sf).take_all()
+    }
+    want = {
+        s: (n, e, p, i, (1_000_000 * (e + p + i)) // n)
+        for s, (n, e, p, i) in agg.items()
+    }
+    assert got == want and got
