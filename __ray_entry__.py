@@ -5553,8 +5553,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "events_hourly": """
+            -- exact e2 int64 grid (value is 2dp): summation-order
+            -- independent on both sides (ops/relational._e_grid)
             SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   round(sum(value), 4) AS sum_value,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_e2,
                    count(*) AS n_events
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
@@ -5564,7 +5567,8 @@ def oracle_sql() -> dict[str, str]:
             -- starting at its floored hour and the one before it.
             SELECT event_type,
                    date_trunc('hour', ts) - to_hours(k) AS window_start,
-                   round(sum(value), 4) AS sum_value,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_value_e2,
                    count(*) AS n_events
             FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
             GROUP BY event_type, date_trunc('hour', ts) - to_hours(k)
@@ -5972,9 +5976,11 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY window_start, register
         """,
         "top_users_by_value": """
-            SELECT user_id, round(sum(value), 4) AS total_value
+            SELECT user_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_value_e2
             FROM events GROUP BY user_id
-            ORDER BY total_value DESC, user_id ASC LIMIT 20
+            ORDER BY total_value_e2 DESC, user_id ASC LIMIT 20
         """,
         "multimodal_wav_features": """
             -- PCM round-trip witness: the WAV generator derives each
@@ -6183,8 +6189,10 @@ def oracle_sql() -> dict[str, str]:
             FROM geom
         """,
         "supplier_part_counts": """
+            -- quantities are integral: exact int64 sum, no rounding
             SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
-                   round(sum(l_quantity), 2) AS total_qty
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_qty
             FROM lineitem GROUP BY l_suppkey
         """,
         "pii_scrub": """

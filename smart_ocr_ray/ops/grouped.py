@@ -266,6 +266,19 @@ def guarded_sum_by_key(
     sentinels are dropped from the summed output. Sums must be exact
     (integer) per ``reduce_by_keys``'s contract; ``out_schema`` is
     ``(key, *sums.values())`` in order.
+
+    Residual exposure, acknowledged: THIS pass's own sort relies on
+    the same equal-key-per-block property for the real keys (a split
+    here would emit two partial rows for one key instead of raising).
+    The in-band guard deliberately checks the UPSTREAM corpus-scale
+    sort — under the threat model (a Ray version re-bundling sorted
+    blocks) that sort splits keys with near-certainty first, because
+    it has orders of magnitude more blocks and rows than this doc-
+    sized pass; and duplicate output keys additionally fail the
+    oracle gate's row-count/value-hash compare. A fully guarded
+    second level would need a third shuffle per op for an O(docs)
+    table — not worth it against a failure mode the first guard
+    already detects systemically.
     """
 
     def _block(block: pa.Table) -> pa.Table:

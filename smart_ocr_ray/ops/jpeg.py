@@ -487,6 +487,12 @@ def parse_jpeg(data: bytes):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker")
         marker = data[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker; skip one and re-read (the post-scan resume loop
+            # also lands here when entropy data ends in 0xFF padding)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             if n_scans_done == 0:

@@ -286,21 +286,29 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
         ws = pc.floor_temporal(batch.column("ts"), unit="hour")
         return pa.Table.from_arrays(
-            [batch.column("event_type"), ws, batch.column("value")],
-            names=["event_type", "window_start", "value"],
+            [
+                batch.column("event_type"),
+                ws,
+                _e_grid(batch.column("value"), 100),
+            ],
+            names=["event_type", "window_start", "value_e2"],
         )
 
     windowed = events.map_batches(_window, batch_format="pyarrow")
     agg = _partial_then_final(
-        windowed, keys=["event_type", "window_start"], sums={"sum_value": "value"},
+        windowed,
+        keys=["event_type", "window_start"],
+        sums={"sum_value_e2": "value_e2"},
         counts="n_events",
     )
 
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(4)
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value_e2"] = df["sum_value_e2"].astype("int64")
         return df
 
-    return agg.map_batches(_round, batch_format="pandas").sort(["event_type", "window_start"])
+    return agg.map_batches(_finish, batch_format="pandas").sort(
+        ["event_type", "window_start"]
+    )
 
 
 def events_sliding(sf_dir: str, window_hours: int = 2, slide_hours: int = 1) -> ray.data.Dataset:
@@ -321,6 +329,7 @@ def events_sliding(sf_dir: str, window_hours: int = 2, slide_hours: int = 1) -> 
         base = pc.floor_temporal(
             batch.column("ts"), multiple=slide_hours, unit="hour"
         )
+        v_e2 = _e_grid(batch.column("value"), 100)
         parts = []
         for k in range(spans):
             ws = pc.subtract(
@@ -328,23 +337,27 @@ def events_sliding(sf_dir: str, window_hours: int = 2, slide_hours: int = 1) -> 
             )
             parts.append(
                 pa.Table.from_arrays(
-                    [batch.column("event_type"), pc.cast(ws, base.type), batch.column("value")],
-                    names=["event_type", "window_start", "value"],
+                    [batch.column("event_type"), pc.cast(ws, base.type), v_e2],
+                    names=["event_type", "window_start", "value_e2"],
                 )
             )
         return pa.concat_tables(parts)
 
     exploded = events.map_batches(_explode, batch_format="pyarrow")
     agg = _partial_then_final(
-        exploded, keys=["event_type", "window_start"], sums={"sum_value": "value"},
+        exploded,
+        keys=["event_type", "window_start"],
+        sums={"sum_value_e2": "value_e2"},
         counts="n_events",
     )
 
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(4)
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value_e2"] = df["sum_value_e2"].astype("int64")
         return df
 
-    return agg.map_batches(_round, batch_format="pandas").sort(["event_type", "window_start"])
+    return agg.map_batches(_finish, batch_format="pandas").sort(
+        ["event_type", "window_start"]
+    )
 
 
 _SESSION_SCHEMA = pa.schema(
@@ -433,15 +446,20 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
 
 def top_users_by_value(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     events = _read(sf_dir, "events", columns=["user_id", "value"])
-    agg = _partial_then_final(events, keys=["user_id"], sums={"total_value": "value"})
+    agg = _partial_then_final(
+        events,
+        keys=["user_id"],
+        sums={"total_value_e2": "value_e2"},
+        derive={"value_e2": lambda b: _e_grid(b.column("value"), 100)},
+    )
 
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["total_value"] = df["total_value"].round(4)
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value_e2"] = df["total_value_e2"].astype("int64")
         return df
 
     return (
-        agg.map_batches(_round, batch_format="pandas")
-        .sort(["total_value", "user_id"], descending=[True, False])
+        agg.map_batches(_finish, batch_format="pandas")
+        .sort(["total_value_e2", "user_id"], descending=[True, False])
         .limit(k)
     )
 
@@ -796,7 +814,7 @@ def supplier_part_counts(sf_dir: str) -> ray.data.Dataset:
         [
             ("l_suppkey", pa.int64()),
             ("n_parts", pa.int64()),
-            ("total_qty", pa.float64()),
+            ("total_qty", pa.int64()),
         ]
     )
 
@@ -815,12 +833,17 @@ def supplier_part_counts(sf_dir: str) -> ray.data.Dataset:
         if group.num_rows == 0:
             return out_schema.empty_table()
         parts = np.unique(group.column("l_partkey").to_numpy(zero_copy_only=False))
-        qty = group.column("qty").to_numpy(zero_copy_only=False).sum()
+        # quantities are integral (1-50): exact int64 sum, no rounding
+        qty = int(
+            np.floor(
+                group.column("qty").to_numpy(zero_copy_only=False) + 0.5
+            ).astype(np.int64).sum()
+        )
         return pa.Table.from_pydict(
             {
                 "l_suppkey": [group.column("l_suppkey")[0].as_py()],
                 "n_parts": [len(parts)],
-                "total_qty": [round(float(qty), 2)],
+                "total_qty": [qty],
             },
             schema=out_schema,
         )

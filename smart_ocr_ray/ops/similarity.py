@@ -680,19 +680,38 @@ def _ann_index(sf_dir: str, knn_k: int) -> tuple:
     the whole corpus per hop. Partitioning is by VALUE
     (``partition_cols``), so the layout is immune to Ray's unstable
     physical block boundaries; pruning = plain integer arithmetic on
-    the hop's id set."""
+    the hop's id set.
+
+    Index location: ``$SMART_OCR_ANN_DIR`` when set, else
+    ``/tmp/smart_ocr_ray_ann``. On a MULTI-NODE cluster the env var
+    MUST point at storage every node sees (shared FS / object store —
+    ``write_parquet`` tasks run on workers and the driver lists the
+    result); node-local /tmp only works single-node, and the
+    completeness assert below turns a partial driver-side listing
+    into a loud build failure instead of silently dropped hop reads.
+    A live session refreshes its index dirs' mtime on every cache hit,
+    so the >24h stale-dir sweep only removes genuinely idle indexes;
+    a lost race self-heals because a cache hit whose directory
+    vanished falls through to a rebuild."""
     import hashlib
     import os
 
     p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
     st = os.stat(p)
     key = (p, st.st_size, st.st_mtime_ns, int(knn_k), _session_token())
+    base = os.environ.get("SMART_OCR_ANN_DIR", "/tmp/smart_ocr_ray_ann")
+    root = os.path.join(
+        base, hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    )
     hit = _SERVING_CACHE.get(key)
+    if hit is not None and not os.path.isdir(root):
+        hit = None  # swept or deleted externally: rebuild
+    if hit is not None:
+        try:
+            os.utime(root)  # keep live indexes young for the sweep
+        except OSError:
+            pass
     if hit is None:
-        base = "/tmp/smart_ocr_ray_ann"
-        root = os.path.join(
-            base, hashlib.md5(repr(key).encode()).hexdigest()[:16]
-        )
         # best-effort sweep of stale index dirs from earlier sessions/
         # corpus versions (>24h untouched) — the tmp+rename-free analog
         # of the shard-compactor's stale-tmp sweep
@@ -746,17 +765,37 @@ def _ann_index(sf_dir: str, knn_k: int) -> tuple:
 
         def _files(sub: str) -> dict[int, list[str]]:
             out: dict[int, list[str]] = {}
-            base = os.path.join(root, sub)
-            for d in os.listdir(base):
+            sub_root = os.path.join(root, sub)
+            for d in os.listdir(sub_root):
                 if d.startswith("bucket="):
                     b = int(d.split("=", 1)[1])
-                    bdir = os.path.join(base, d)
+                    bdir = os.path.join(sub_root, d)
                     out[b] = sorted(
                         os.path.join(bdir, f) for f in os.listdir(bdir)
                     )
             return out
 
-        hit = (_files("graph"), _files("emb"), _centroid_medoid(sf_dir))
+        graph_files = _files("graph")
+        emb_files = _files("emb")
+        # completeness assert: vec_ids are dense 0..n-1, so every bucket
+        # up to n//_ANN_BUCKET must be visible to THIS process. A partial
+        # listing means the writers' storage is not shared with the
+        # driver (node-local /tmp on a multi-node cluster) — fail the
+        # BUILD loudly instead of silently dropping hop reads later.
+        expected = (
+            set(range((n_vecs - 1) // _ANN_BUCKET + 1)) if n_vecs else set()
+        )
+        for name, fmap in (("graph", graph_files), ("emb", emb_files)):
+            missing = expected - set(fmap)
+            if missing:
+                raise RuntimeError(
+                    f"ANN index build incomplete: {len(missing)} of "
+                    f"{len(expected)} {name} buckets are not visible under "
+                    f"{root}. On a multi-node cluster set SMART_OCR_ANN_DIR "
+                    "to storage shared by all nodes (node-local /tmp only "
+                    "works single-node)."
+                )
+        hit = (graph_files, emb_files, _centroid_medoid(sf_dir))
         _SERVING_CACHE[key] = hit
     return hit
 

@@ -82,6 +82,9 @@ def _arrow_ngrams(
 
 
 _LANG_CODES = sorted(STOPWORDS)
+# value_set arrays built once at import, not per batch per bank on the
+# corpus-wide scan hot path
+_LANG_SETS = {lang: pa.array(STOPWORDS[lang]) for lang in _LANG_CODES}
 
 
 def _lang_hit_matrix(tokens: pa.Array, unit_ids, n_units: int):
@@ -96,7 +99,7 @@ def _lang_hit_matrix(tokens: pa.Array, unit_ids, n_units: int):
     if len(tokens):
         for li, lang in enumerate(_LANG_CODES):
             mask = pc.is_in(
-                tokens, value_set=pa.array(STOPWORDS[lang])
+                tokens, value_set=_LANG_SETS[lang]
             ).to_numpy(zero_copy_only=False)
             if mask.any():
                 counts[li] = np.bincount(unit_ids[mask], minlength=n_units)

@@ -638,3 +638,31 @@ def test_canonicalize_url_idempotent(u):
 
     once = canonicalize_url(u)
     assert canonicalize_url(once) == once
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker. Inject fill bytes before a mid-file segment marker of both
+    a baseline and a progressive file — decode must be byte-identical
+    to the unpadded file, not a spurious truncation error."""
+    import numpy as np
+
+    from smart_ocr_ray.ops.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 13, 3)).astype(np.uint8)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        data = enc(px)
+        want = parse_jpeg(data)
+        # pad before the first DHT (0xFFC4) and before EOI
+        dht = data.index(b"\xff\xc4")
+        padded = data[:dht] + b"\xff\xff\xff" + data[dht:]
+        eoi = padded.rindex(b"\xff\xd9")
+        padded = padded[:eoi] + b"\xff" + padded[eoi:]
+        got = parse_jpeg(padded)
+        assert got[:3] == want[:3]
+        assert np.array_equal(got[3], want[3])
