@@ -337,8 +337,28 @@ def embedding_neardup_lsh(
         with their representative, which preserves connected COMPONENTS
         but not the all-pairs list.
     """
+    import os
+
     from .dedup import HOT_BUCKET_LIMIT, collapse_hot_bucket
     from .grouped import map_key_groups, max_by_keys
+
+    # Content-signed session cache at the CHAIN's cost center: the
+    # banding + candidate-verify work is identical for every
+    # threshold/consumer (the threshold only filters the verified
+    # pairs), so key the cache on the corpus + LSH geometry alone and
+    # serve every caller one materialized pair table. graph_pagerank,
+    # the ANN index build (k=10), the knn graph (k=5) and the near-dup
+    # family all share it; coherence is inside the gate (each consumer
+    # hash-checked warm). Bounded: one row per candidate pair.
+    ep = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(ep)
+    cache_key = (
+        "hyperplane_pairs", ep, st.st_size, st.st_mtime_ns,
+        int(n_planes), int(n_bands), _session_token(),
+    )
+    cached = _SERVING_CACHE.get(cache_key)
+    if cached is not None:
+        return _filter_pairs_e3(cached, threshold_e3)
 
     bands = read_embeddings(sf_dir).map_batches(
         _HyperplaneStage,
@@ -386,7 +406,9 @@ def embedding_neardup_lsh(
         "cos_sim_e3",
     ).materialize()  # tiny (candidate pairs); branched on below
     if candidates.count() == 0:
-        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+        empty = ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+        _SERVING_CACHE[cache_key] = empty
+        return empty
 
     known = candidates.filter(expr="cos_sim_e3 >= 0")
     # repartition launders the schema-less empty blocks the hash-shuffle
@@ -405,7 +427,9 @@ def embedding_neardup_lsh(
     if pending.count() == 0:
         from .grouped import typed_if_empty
 
-        return typed_if_empty(known, _PAIR_SCHEMA)
+        all_known = typed_if_empty(known, _PAIR_SCHEMA)
+        _SERVING_CACHE[cache_key] = all_known
+        return _filter_pairs_e3(all_known, threshold_e3)
 
     def _pack(batch: pa.Table) -> pa.Table:
         # Carry the embedding as packed float32 bytes: ~2× smaller on
@@ -455,13 +479,16 @@ def embedding_neardup_lsh(
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             m /= norms
+        # no threshold here: the cached chain output is threshold-FREE
+        # (every verified candidate with its exact e3); the caller's
+        # threshold is applied by _filter_pairs_e3 on the way out, so
+        # one cache entry serves every threshold soundly
         e3 = np.round((l_mat * r_mat).sum(axis=1) * 1000).astype(np.int64)
-        keep = e3 >= threshold_e3
         return pa.Table.from_pydict(
             {
-                "left_id": batch.column("left_id").take(pa.array(np.nonzero(keep)[0])),
-                "right_id": batch.column("right_id").take(pa.array(np.nonzero(keep)[0])),
-                "cos_sim_e3": pa.array(e3[keep]),
+                "left_id": batch.column("left_id"),
+                "right_id": batch.column("right_id"),
+                "cos_sim_e3": pa.array(e3),
             },
             schema=_PAIR_SCHEMA,
         )
@@ -470,7 +497,31 @@ def embedding_neardup_lsh(
     # 1024-row batches the per-call Arrow overhead dominated (77 s
     # remote for 473k 64-dim dot products).
     verified = joined.map_batches(_verify, batch_format="pyarrow", batch_size=None)
-    return known.union(verified)
+    all_pairs = known.union(verified).materialize()
+    _SERVING_CACHE[cache_key] = all_pairs
+    return _filter_pairs_e3(all_pairs, threshold_e3)
+
+
+def _filter_pairs_e3(
+    pairs: ray.data.Dataset, threshold_e3: int
+) -> ray.data.Dataset:
+    """Threshold filter over the cached all-candidate pair table —
+    the only per-caller difference in the hyperplane-LSH chain.
+    threshold_e3 <= -1001 keeps everything (e3 is in [-1000, 1000]),
+    matching the unfiltered contract the knn-graph builder relies on."""
+    if threshold_e3 <= -1001:
+        return pairs
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(
+                batch.column("cos_sim_e3"), pa.scalar(threshold_e3, pa.int64())
+            )
+        )
+
+    return pairs.map_batches(_f, batch_format="pyarrow")
 
 
 def embedding_neardup_clusters(
@@ -502,6 +553,10 @@ def embedding_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     its top-k most-similar LSH-candidate neighbors (the corpus-to-corpus
     variant of ``ann_cosine_topk``'s query-to-corpus search — the
     structure semantic-dedup and diversity-sampling pipelines build).
+    Served from the content-signed session cache (bounded: n_vectors
+    x k edge rows) — the LSH candidate chain is the dominant cost of
+    both this graph and the ANN serving index, so repeated builders in
+    one process (graph_pagerank, _ann_index, recall audits) share one.
 
     Approximate by construction: candidate pairs come from the
     hyperplane band buckets (``embedding_neardup_lsh`` run with the
@@ -515,6 +570,17 @@ def embedding_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     lossless per-block top-k combiner caps shuffle rows at
     O(vectors × k) before the final ``map_key_groups`` rank.
     """
+    import os
+
+    ep = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(ep)
+    key = (
+        "knn_graph", ep, st.st_size, st.st_mtime_ns, int(k),
+        _session_token(),
+    )
+    hit = _SERVING_CACHE.get(key)
+    if hit is not None:
+        return hit
     # -1001 keeps every verified candidate (e3 ∈ [-1000, 1000]).
     pairs = embedding_neardup_lsh(sf_dir, threshold_e3=-1001)
 
@@ -579,7 +645,11 @@ def embedding_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     partial = pairs.map_batches(_sym, batch_format="pyarrow").map_batches(
         lambda b: _topk(b, ranked=False), batch_format="pyarrow"
     )
-    return map_key_groups(partial, "vec_id", lambda g: _topk(g, ranked=True))
+    graph = map_key_groups(
+        partial, "vec_id", lambda g: _topk(g, ranked=True)
+    ).materialize()
+    _SERVING_CACHE[key] = graph
+    return graph
 
 
 def _centroid_medoid(sf_dir: str) -> int:
