@@ -150,7 +150,7 @@ class _MinHashStage:
 
 # Content-signed, session-tokened cache of the MinHash pair table and
 # the cluster assignments — the _ann_index serving-amortization pattern
-# applied to the dedup chain: FIVE catalog consumers (dedup_clusters,
+# applied to the dedup chain: six catalog consumers (dedup_clusters,
 # dedup_weights, dedup_survivors, corpus_curation, dedup_bcubed,
 # minhash_recall_eval) each re-ran the full shingle->signature->band
 # chain cold; within a process they now share one materialized pair
@@ -183,13 +183,14 @@ def dedup_minhash_lsh(
     one build per (corpus, parameters, session), shared by every
     downstream consumer in the process.
     """
-    from .similarity import _session_token
+    from .similarity import _cache_token, _evict_stale_versions
 
+    tok = _cache_token()
     key = (
         "minhash_pairs", *_docs_signature(sf_dir),
-        float(threshold), int(num_perm), int(num_bands), _session_token(),
+        float(threshold), int(num_perm), int(num_bands), tok,
     )
-    hit = _DEDUP_CACHE.get(key)
+    hit = _DEDUP_CACHE.get(key) if tok else None
     if hit is not None:
         return hit
     bands = read_documents(sf_dir).map_batches(
@@ -253,7 +254,9 @@ def dedup_minhash_lsh(
     pairs = reduce_by_keys(
         candidates, ["left_id", "right_id"], "est_jaccard", "max"
     ).materialize()
-    _DEDUP_CACHE[key] = pairs
+    if tok:
+        _evict_stale_versions(_DEDUP_CACHE, "minhash_pairs", key[1], key)
+        _DEDUP_CACHE[key] = pairs
     return pairs
 
 
@@ -428,19 +431,24 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.7, max_rounds: int = 20) ->
     cluster_id = min doc_id of the component. Assignments are served
     from the content-signed session cache (bounded: one row per
     clustered doc) — four catalog consumers share one propagation."""
-    from .similarity import _session_token
+    from .similarity import _cache_token, _evict_stale_versions
 
+    tok = _cache_token()
     key = (
         "minhash_clusters", *_docs_signature(sf_dir),
-        float(threshold), int(max_rounds), _session_token(),
+        float(threshold), int(max_rounds), tok,
     )
-    hit = _DEDUP_CACHE.get(key)
+    hit = _DEDUP_CACHE.get(key) if tok else None
     if hit is None:
         hit = cluster_pairs(
             dedup_minhash_lsh(sf_dir, threshold=threshold),
             max_rounds=max_rounds,
         ).materialize()
-        _DEDUP_CACHE[key] = hit
+        if tok:
+            _evict_stale_versions(
+                _DEDUP_CACHE, "minhash_clusters", key[1], key
+            )
+            _DEDUP_CACHE[key] = hit
     return hit
 
 

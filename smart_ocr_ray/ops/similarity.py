@@ -350,13 +350,12 @@ def embedding_neardup_lsh(
     # the ANN index build (k=10), the knn graph (k=5) and the near-dup
     # family all share it; coherence is inside the gate (each consumer
     # hash-checked warm). Bounded: one row per candidate pair.
-    ep = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
-    st = os.stat(ep)
+    tok = _cache_token()
     cache_key = (
-        "hyperplane_pairs", ep, st.st_size, st.st_mtime_ns,
-        int(n_planes), int(n_bands), _session_token(),
+        "hyperplane_pairs", *_emb_signature(sf_dir),
+        int(n_planes), int(n_bands), tok,
     )
-    cached = _SERVING_CACHE.get(cache_key)
+    cached = _SERVING_CACHE.get(cache_key) if tok else None
     if cached is not None:
         return _filter_pairs_e3(cached, threshold_e3)
 
@@ -407,7 +406,11 @@ def embedding_neardup_lsh(
     ).materialize()  # tiny (candidate pairs); branched on below
     if candidates.count() == 0:
         empty = ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
-        _SERVING_CACHE[cache_key] = empty
+        if tok:
+            _evict_stale_versions(
+                _SERVING_CACHE, "hyperplane_pairs", cache_key[1], cache_key
+            )
+            _SERVING_CACHE[cache_key] = empty
         return empty
 
     known = candidates.filter(expr="cos_sim_e3 >= 0")
@@ -428,7 +431,11 @@ def embedding_neardup_lsh(
         from .grouped import typed_if_empty
 
         all_known = typed_if_empty(known, _PAIR_SCHEMA)
-        _SERVING_CACHE[cache_key] = all_known
+        if tok:
+            _evict_stale_versions(
+                _SERVING_CACHE, "hyperplane_pairs", cache_key[1], cache_key
+            )
+            _SERVING_CACHE[cache_key] = all_known
         return _filter_pairs_e3(all_known, threshold_e3)
 
     def _pack(batch: pa.Table) -> pa.Table:
@@ -498,7 +505,11 @@ def embedding_neardup_lsh(
     # remote for 473k 64-dim dot products).
     verified = joined.map_batches(_verify, batch_format="pyarrow", batch_size=None)
     all_pairs = known.union(verified).materialize()
-    _SERVING_CACHE[cache_key] = all_pairs
+    if tok:
+        _evict_stale_versions(
+            _SERVING_CACHE, "hyperplane_pairs", cache_key[1], cache_key
+        )
+        _SERVING_CACHE[cache_key] = all_pairs
     return _filter_pairs_e3(all_pairs, threshold_e3)
 
 
@@ -570,15 +581,9 @@ def embedding_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     lossless per-block top-k combiner caps shuffle rows at
     O(vectors × k) before the final ``map_key_groups`` rank.
     """
-    import os
-
-    ep = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
-    st = os.stat(ep)
-    key = (
-        "knn_graph", ep, st.st_size, st.st_mtime_ns, int(k),
-        _session_token(),
-    )
-    hit = _SERVING_CACHE.get(key)
+    tok = _cache_token()
+    key = ("knn_graph", *_emb_signature(sf_dir), int(k), tok)
+    hit = _SERVING_CACHE.get(key) if tok else None
     if hit is not None:
         return hit
     # -1001 keeps every verified candidate (e3 ∈ [-1000, 1000]).
@@ -648,7 +653,9 @@ def embedding_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     graph = map_key_groups(
         partial, "vec_id", lambda g: _topk(g, ranked=True)
     ).materialize()
-    _SERVING_CACHE[key] = graph
+    if tok:
+        _evict_stale_versions(_SERVING_CACHE, "knn_graph", key[1], key)
+        _SERVING_CACHE[key] = graph
     return graph
 
 
@@ -712,7 +719,40 @@ def _centroid_medoid(sf_dir: str) -> int:
 # nothing beyond the dict slot (their object refs die with the session).
 # ---------------------------------------------------------------------------
 
-_SERVING_CACHE: dict[tuple, tuple] = {}
+# Values are either the _ann_index (graph_files, emb_files, entry)
+# tuples (disk-backed file maps) or materialized ray Datasets (the
+# hyperplane-LSH pair table, the kNN graph) — key prefixes distinguish
+# them. Dataset entries hold object-store refs, so they are only
+# written under a real session token (see _cache_token) and stale
+# corpus versions are evicted on insert (_evict_stale_versions).
+_SERVING_CACHE: dict[tuple, object] = {}
+
+
+def _cache_token() -> str | None:
+    """Session token for DATASET-valued cache entries, or None when
+    caching must be skipped: outside an initialized Ray session the
+    token would be "" for every session, and a materialized Dataset
+    cached under it could serve dead object refs after a shutdown/
+    re-init cycle (unlike the _ann_index file-path tuples, which are
+    disk-backed and safe under the "" token)."""
+    tok = _session_token()
+    return tok or None
+
+
+def _evict_stale_versions(cache: dict, kind: str, path: str, key: tuple) -> None:
+    """Drop cache entries for OTHER versions of the same file (same
+    kind+path, different size/mtime signature): a regenerated corpus
+    would otherwise leave the superseded version's materialized table
+    pinned in the object store for the process lifetime. Parameter
+    variants of the CURRENT version are kept (keys sharing the new
+    key's signature prefix)."""
+    sig = key[:4]  # (kind, path, size, mtime_ns)
+    for k in [
+        k
+        for k in cache
+        if k[0] == kind and k[1] == path and k[:4] != sig
+    ]:
+        del cache[k]
 
 
 def _session_token() -> str:
@@ -733,6 +773,18 @@ def _session_token() -> str:
 # files; at warehouse scale this is set by target file size (64-256 MB)
 # — the pruning arithmetic is identical.
 _ANN_BUCKET = 256
+
+
+def _emb_signature(sf_dir: str) -> tuple:
+    """(abspath, size, mtime_ns) content signature of the embeddings
+    file — the shared cache-key component of the hyperplane-pair,
+    knn-graph and serving-index caches (one home: a future signature
+    fix must not need three edits)."""
+    import os
+
+    ep = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(ep)
+    return (ep, st.st_size, st.st_mtime_ns)
 
 
 def _ann_index(sf_dir: str, knn_k: int) -> tuple:
@@ -766,9 +818,7 @@ def _ann_index(sf_dir: str, knn_k: int) -> tuple:
     import hashlib
     import os
 
-    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
-    st = os.stat(p)
-    key = (p, st.st_size, st.st_mtime_ns, int(knn_k), _session_token())
+    key = (*_emb_signature(sf_dir), int(knn_k), _session_token())
     base = os.environ.get("SMART_OCR_ANN_DIR", "/tmp/smart_ocr_ray_ann")
     root = os.path.join(
         base, hashlib.md5(repr(key).encode()).hexdigest()[:16]
